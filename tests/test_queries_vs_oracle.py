@@ -1,0 +1,31 @@
+"""Every registered query must match its DuckDB oracle at sf0.01 —
+the same gate the driver applies (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wallet_and_risky_features_data_pipeline_spark.plans.registry import ORACLES, QUERIES
+
+from .conftest import SF_MEDIUM
+from .oracle_compare import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_MEDIUM)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_MEDIUM)
+    ok, msg = compare(df, duck, ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_MEDIUM)
+    assert df.count() >= 0

@@ -1,0 +1,64 @@
+"""Scalar expression library (SURVEY.md §2.8, §2.10).
+
+Native Column expressions only — no Python UDFs — so every helper stays
+inside whole-stage codegen. Each replicates a reference semantic:
+
+- ``date_partition``       — ``strftime('%Y-%m')`` partition key
+  (reference src/helpers/data_transformations.py:29-56).
+- ``bucket_key``           — 256-way address bucket; the reference uses
+  ``substr(address, 3, 2)`` on 0x-prefixed hex addresses
+  (stage/transformations/ethereum_contracts.sql:16). Synthetic wallet
+  ids aren't hex, so we bucket on the first two hex chars of md5(id) —
+  same cardinality and distribution properties.
+- ``norm_round``           — ``ROUND(x, 5)`` with ``-0.0 → 0.0``
+  normalization (queries/ethereum_wallet_features.sql:102-107).
+- ``safe_high_precision``  — truncate string numerics longer than a
+  DECIMAL(38,9) can hold before casting, with try_cast + coalesce(0)
+  (raw_data_ingestion_pipeline.py:655-670;
+  stage/transformations/ethereum_token_transfers.sql:13).
+- ``split_pow10``          — POWER(10,d/2)*POWER(10,d/2) decimal-safe
+  token scaling (analytics/transformations/ethereum_normal_transactions.sql:53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# DECIMAL(38,9) used for all value arithmetic, like the reference's
+# wei/token columns (src/schemas/stage_layer.py:26,65,146).
+VALUE_DECIMAL = "decimal(38,9)"
+
+
+def date_partition(ts: Column) -> Column:
+    """yyyy-MM partition key from a timestamp column."""
+    return F.date_format(ts, "yyyy-MM")
+
+
+def bucket_key(addr: Column) -> Column:
+    """Two-hex-char (256-way) bucket key for join co-location / pruning."""
+    return F.substring(F.md5(addr.cast("string")), 1, 2)
+
+
+def norm_round(x: Column, scale: int = 5) -> Column:
+    """round(x, 5) with negative-zero normalized to positive zero."""
+    r = F.round(x, scale)
+    return F.when(r == 0.0, F.lit(0.0)).otherwise(r)
+
+
+def safe_high_precision(raw: Column, max_chars: int = 28) -> Column:
+    """String numeric → DECIMAL(38,9) with the reference's two guards:
+    truncate absurdly long digit strings, and try_cast→0 for garbage.
+    """
+    s = raw.cast("string")
+    truncated = F.when(F.length(s) > max_chars, F.substring(s, 1, max_chars)).otherwise(s)
+    return F.coalesce(F.try_to_number(truncated, F.lit("999999999999999999999999999999.999999999")),
+                      F.lit(0).cast(VALUE_DECIMAL)).cast(VALUE_DECIMAL)
+
+
+def split_pow10(decimals: Column) -> Column:
+    """10^d computed as 10^(d/2) * 10^(d/2) — the reference's trick to
+    keep DECIMAL token scaling inside precision bounds for d up to 38.
+    """
+    half = (decimals.cast("double") / 2.0)
+    return F.pow(F.lit(10.0), half) * F.pow(F.lit(10.0), half)

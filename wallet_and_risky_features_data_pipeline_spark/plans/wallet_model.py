@@ -1,0 +1,180 @@
+"""Canonical wallet-transactions event model over the synthetic
+``events`` table.
+
+The reference's central fact table is ``ethereum_wallet_transactions``:
+every transaction exploded into ≤2 (wallet, role) rows — a sender leg
+and a receiver leg — tagged with transaction type priority and sentinel
+transaction indexes (reference
+analytics/transformations/ethereum_wallet_transactions.sql:86-147 for
+the role explosion, queries/ethereum_wallet_features.sql:17-22 for the
+999/1000 index sentinels). We rebuild the same shape from the driver's
+``events`` table:
+
+- wallet        = user_id      (sender side)
+- counterparty  = props.k      (receiver side)
+- contract      = event_type   (the "token" dimension)
+- type/priority = purchase→normal/1, error→internal/2, else erc20/3
+- value         = DECIMAL(38,9); forced to 0 on error legs
+  (is_error semantics, ethereum_wallet_transactions.sql:17)
+- tx_fee        = round(value/100, 5) on normal sender legs only
+  (fee only on normal sender rows, ethereum_wallet_transactions.sql:17,44,71,129)
+
+All arithmetic is DECIMAL so Spark and the DuckDB oracle produce
+bit-identical numbers; doubles appear only at final projection.
+``WALLET_TX_ORACLE_CTE`` is the DuckDB rendering of the exact same
+model, shared by every feature-plan oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import VALUE_DECIMAL, bucket_key
+from ..sources.readers import read_table
+
+# Deterministic total order within a wallet: the reference layers four
+# tie-breakers (timestamp, priority, sentinel tx index, role) plus the
+# row number itself (queries/ethereum_wallet_features.sql:16-39).
+# event_id is unique per source event, so (ts, priority,
+# transaction_index, role_rank, event_id) is a strict total order.
+ORDER_COLS = ("ts", "priority", "transaction_index", "role_rank", "event_id")
+
+
+def wallet_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → role-exploded wallet transaction legs (U3)."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.when(F.col("event_type") == "purchase", "normal")
+        .when(F.col("event_type") == "error", "internal")
+        .otherwise("erc20")
+        .alias("transaction_type"),
+        F.when(F.col("event_type") == "error", F.lit(0))
+        .otherwise(F.col("value"))
+        .cast(VALUE_DECIMAL)
+        .alias("current_value"),
+    ).withColumn(
+        "priority",
+        F.when(F.col("transaction_type") == "normal", 1)
+        .when(F.col("transaction_type") == "internal", 2)
+        .otherwise(3),
+    ).withColumn(
+        # COALESCE(transaction_index, internal→999, erc20→1000)
+        "transaction_index",
+        F.when(F.col("transaction_type") == "normal", F.col("event_id"))
+        .when(F.col("transaction_type") == "internal", F.lit(999))
+        .otherwise(F.lit(1000)),
+    ).withColumn(
+        "tx_fee",
+        F.when(
+            F.col("transaction_type") == "normal",
+            F.round(F.col("current_value").cast("double") * 0.01, 5),
+        )
+        .otherwise(F.lit(0.0))
+        .cast(VALUE_DECIMAL),
+    )
+
+    sender = base.select(
+        "event_id",
+        "ts",
+        F.col("user_id").cast("string").alias("wallet_address"),
+        F.col("k").cast("string").alias("interacted_with"),
+        F.lit("sender").alias("address_role"),
+        F.lit(1).alias("role_rank"),
+        F.col("event_type").alias("contract_address"),
+        "transaction_type",
+        "priority",
+        "transaction_index",
+        "current_value",
+        "tx_fee",
+    )
+    receiver = base.select(
+        "event_id",
+        "ts",
+        F.col("k").cast("string").alias("wallet_address"),
+        F.col("user_id").cast("string").alias("interacted_with"),
+        F.lit("receiver").alias("address_role"),
+        F.lit(0).alias("role_rank"),
+        F.col("event_type").alias("contract_address"),
+        "transaction_type",
+        "priority",
+        "transaction_index",
+        "current_value",
+        F.lit(0).cast(VALUE_DECIMAL).alias("tx_fee"),
+    )
+    wt = sender.unionByName(receiver)
+    return wt.withColumn("address_partition", bucket_key(F.col("wallet_address"))).withColumn(
+        # Sender spends value + fee; receiver gains value
+        # (queries/ethereum_wallet_features.sql:102-107).
+        "signed_value",
+        F.when(
+            F.col("address_role") == "sender",
+            (-(F.col("current_value") + F.col("tx_fee"))),
+        )
+        .otherwise(F.col("current_value"))
+        .cast(VALUE_DECIMAL),
+    )
+
+
+# DuckDB rendering of the identical model (oracle side). Kept textually
+# adjacent to the Spark builder above so drift is caught in review.
+WALLET_TX_ORACLE_CTE = """
+wt_base AS (
+    SELECT
+        event_id,
+        ts,
+        user_id,
+        event_type,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        CASE WHEN event_type = 'purchase' THEN 'normal'
+             WHEN event_type = 'error' THEN 'internal'
+             ELSE 'erc20' END AS transaction_type,
+        CAST(CASE WHEN event_type = 'error' THEN 0 ELSE value END
+             AS DECIMAL(38,9)) AS current_value
+    FROM events
+),
+wt_typed AS (
+    SELECT *,
+        CASE transaction_type WHEN 'normal' THEN 1
+                              WHEN 'internal' THEN 2
+                              ELSE 3 END AS priority,
+        CASE transaction_type WHEN 'normal' THEN event_id
+                              WHEN 'internal' THEN 999
+                              ELSE 1000 END AS transaction_index,
+        CAST(CASE WHEN transaction_type = 'normal'
+                  THEN round(CAST(current_value AS DOUBLE) * 0.01, 5)
+                  ELSE 0.0 END AS DECIMAL(38,9)) AS tx_fee
+    FROM wt_base
+),
+wallet_tx AS (
+    SELECT event_id, ts,
+        CAST(user_id AS VARCHAR) AS wallet_address,
+        CAST(k AS VARCHAR) AS interacted_with,
+        'sender' AS address_role, 1 AS role_rank,
+        event_type AS contract_address,
+        transaction_type, priority, transaction_index,
+        current_value, tx_fee,
+        substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS address_partition,
+        CAST(-(current_value + tx_fee) AS DECIMAL(38,9)) AS signed_value
+    FROM wt_typed
+    UNION ALL
+    SELECT event_id, ts,
+        CAST(k AS VARCHAR) AS wallet_address,
+        CAST(user_id AS VARCHAR) AS interacted_with,
+        'receiver' AS address_role, 0 AS role_rank,
+        event_type AS contract_address,
+        transaction_type, priority, transaction_index,
+        current_value, CAST(0 AS DECIMAL(38,9)) AS tx_fee,
+        substr(md5(CAST(k AS VARCHAR)), 1, 2) AS address_partition,
+        current_value AS signed_value
+    FROM wt_typed
+)
+"""
+
+# ORDER BY clause fragment matching ORDER_COLS (oracle side).
+ORACLE_ORDER = "ts, priority, transaction_index, role_rank, event_id"
