@@ -5,11 +5,11 @@
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
-Each query is forced to full materialization with a count-style action
-(``df.write.format("noop")`` equivalent: collect to driver is avoided;
-we use ``df.foreach(lambda _: None)``-free ``count`` of a cached plan?
-No — simplest faithful cost: ``df.collect()`` row-count is tiny for
-aggregate outputs, so the dominated cost is the query itself).
+Each query is forced to full materialization through the ``noop``
+batch sink — every row is computed and serialized by executors, but
+nothing funnels through the driver (a cluster job would write to
+object storage, not collect; driver-side collect would mis-measure
+the row-granularity queries).
 """
 
 from __future__ import annotations
@@ -33,12 +33,12 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup.
-    QUERIES["wallet_features"](spark, sf_dir).collect()
+    QUERIES["wallet_features"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         start = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
 
     print(

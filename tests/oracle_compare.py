@@ -6,6 +6,7 @@ row count, column names/order-insensitive values, NaN/None-safe.
 from __future__ import annotations
 
 import math
+from collections import Counter
 
 import duckdb
 
@@ -39,13 +40,14 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     if len(sp) != len(du):
         return False, f"row counts differ: spark={len(sp)} duck={len(du)}"
     cols = sorted(sp.columns)
-    sp_rows = sorted(
+    sp_rows = Counter(
         tuple(_norm(v) for v in row) for row in sp[cols].itertuples(index=False, name=None)
     )
-    du_rows = sorted(
+    du_rows = Counter(
         tuple(_norm(v) for v in row) for row in du[cols].itertuples(index=False, name=None)
     )
     if sp_rows != du_rows:
-        diffs = [(a, b) for a, b in zip(sp_rows, du_rows) if a != b][:3]
-        return False, f"values differ; first diffs: {diffs}"
+        sp_only = list((sp_rows - du_rows).keys())[:3]
+        du_only = list((du_rows - sp_rows).keys())[:3]
+        return False, f"values differ; spark-only: {sp_only} duck-only: {du_only}"
     return True, "ok"

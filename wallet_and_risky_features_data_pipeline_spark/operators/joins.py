@@ -1,0 +1,107 @@
+"""Join operator kit (SURVEY.md §2.3).
+
+Equi joins are plain ``df.join`` — Catalyst picks broadcast vs
+shuffled-hash vs sort-merge, with AQE re-planning at runtime. This
+module packages the three shapes that need deliberate design:
+
+- ``anti_dedup``   — J9: the reference's ``INSERT ... WHERE NOT EXISTS``
+  incremental dedup (stage/transformations/ethereum_transactions.sql:70-77).
+- ``band_join``    — J7: equality + date-band theta join against the
+  rugpull market table (analytics/transformations/
+  ethereum_normal_transactions.sql:91-104).
+- ``asof_join``    — J8: nearest-quote-within-tolerance join for token
+  prices (queries/ethereum_wallet_features.sql:57-84), built as
+  prefilter → rank → keep-first → left join back, the same two-step
+  shape the reference uses (SURVEY.md §4 notes it's worth keeping).
+
+Scale notes (100 TB): all three join on an equality key first, so the
+physical plan is a hash/sort-merge join on that key with the band
+predicate applied as a post-join filter — never a cartesian product.
+Quote/dimension sides are usually small → mark them broadcastable at
+the call site. Skewed keys fall to AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anti_dedup(new: DataFrame, target: DataFrame, natural_key: Sequence[str]) -> DataFrame:
+    """Rows of ``new`` whose natural key does not appear in ``target``."""
+    return new.join(target.select(*natural_key), on=list(natural_key), how="left_anti")
+
+
+def semi_filter(df: DataFrame, other: DataFrame, key: Sequence[str]) -> DataFrame:
+    """J10 — EXISTS(...) restriction to keys present in ``other``."""
+    return df.join(other.select(*key), on=list(key), how="left_semi")
+
+
+def band_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: Sequence[str],
+    fact_ts: Column,
+    dim_ts: Column,
+    lower: Column,
+    upper: Column,
+    how: str = "left",
+) -> DataFrame:
+    """Equality on ``key`` + ``dim_ts`` within [fact_ts - lower,
+    fact_ts + upper]. The equality key keeps this a hash join; the band
+    is a join-condition filter.
+    """
+    cond = None
+    for k in key:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else (cond & c)
+    cond = cond & dim_ts.between(fact_ts - lower, fact_ts + upper)
+    return facts.join(dim, on=cond, how=how)
+
+
+def asof_join(
+    events: DataFrame,
+    quotes: DataFrame,
+    key: Sequence[str],
+    event_id: Sequence[str],
+    event_ts: str,
+    quote_ts: str,
+    tolerance_expr: str = "INTERVAL 7 DAYS",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: attach to each event the nearest quote within
+    tolerance. ``event_id`` must uniquely identify an event row (never
+    a generated id — recomputation could renumber). ``direction``:
+
+    - ``backward`` — quotes in [event_ts - tol, event_ts] (reference
+      price join: prices up to 7 days *before* the transaction).
+    - ``nearest``  — quotes in [event_ts - tol, event_ts + tol], ranked
+      by absolute distance.
+
+    Deterministic: ties on distance break on the later quote timestamp
+    (the reference ranks on ABS(diff) alone, which is nondeterministic
+    under ties — SURVEY.md §7.5; we pin it down).
+
+    Events with no quote in range keep NULL quote columns (caller
+    applies the reference's COALESCE(price, 0) convention).
+    """
+    tol = F.expr(tolerance_expr)
+    e_ts, q_ts = F.col(event_ts), F.col(quote_ts)
+    if direction == "backward":
+        band = q_ts.between(e_ts - tol, e_ts)
+    elif direction == "nearest":
+        band = q_ts.between(e_ts - tol, e_ts + tol)
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+
+    joined = events.join(quotes, on=list(key), how="inner").where(band)
+    dist = F.abs(F.unix_micros(e_ts) - F.unix_micros(q_ts))
+    w = Window.partitionBy(*event_id).orderBy(dist.asc(), q_ts.desc())
+    best = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk")
+
+    quote_cols = [c for c in quotes.columns if c not in key]
+    return events.join(
+        best.select(*event_id, *quote_cols), on=list(event_id), how="left"
+    )

@@ -13,7 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import relational as rel
 from . import wallet_features as wf
+from . import windows_plans as wp
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -27,4 +29,31 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
         ORACLES[name] = oracle
 
 
+# Flagship feature rollup (W1-W8 + A1/A2)
 register("wallet_features", wf.wallet_features, wf.WALLET_FEATURES_ORACLE)
+
+# Core relational kit (§2.2-2.4, §2.7, §2.8)
+register("pricing_summary", rel.pricing_summary, rel.PRICING_SUMMARY_ORACLE)
+register("filter_project_scalar", rel.filter_project_scalar, rel.FILTER_PROJECT_ORACLE)
+register("join_equi_chain", rel.join_equi_chain, rel.JOIN_EQUI_CHAIN_ORACLE)
+register("join_left_aggregate", rel.join_left_aggregate, rel.JOIN_LEFT_AGG_ORACLE)
+register("join_anti_orphans", rel.join_anti_orphans, rel.JOIN_ANTI_ORACLE)
+register("join_semi_active", rel.join_semi_active, rel.JOIN_SEMI_ORACLE)
+register("theta_band_window", rel.theta_band_window, rel.THETA_BAND_ORACLE)
+register("asof_price", rel.asof_price, rel.ASOF_PRICE_ORACLE)
+register("dedup_latest_order", rel.dedup_latest_order, rel.DEDUP_LATEST_ORACLE)
+register("distinct_projection", rel.distinct_projection, rel.DISTINCT_ORACLE)
+register("watermark_max", rel.watermark_max, rel.WATERMARK_MAX_ORACLE)
+register("count_distinct_dq", rel.count_distinct_dq, rel.COUNT_DISTINCT_ORACLE)
+register("sequence_missing_keys", rel.sequence_missing_keys, rel.SEQUENCE_MISSING_ORACLE)
+register("conditional_agg_monthly", rel.conditional_agg_monthly, rel.CONDITIONAL_AGG_ORACLE)
+register("map_aggregate_roundtrip", rel.map_aggregate_roundtrip, rel.MAP_ROUNDTRIP_ORACLE)
+register("scalar_string_suite", rel.scalar_string_suite, rel.SCALAR_STRING_ORACLE)
+
+# Window engine at row granularity (§2.5)
+register("window_ordering", wp.window_ordering, wp.WINDOW_ORDERING_ORACLE)
+register("window_running_balance", wp.window_running_balance, wp.WINDOW_RUNNING_BALANCE_ORACLE)
+register("window_partition_totals", wp.window_partition_totals, wp.WINDOW_PARTITION_TOTALS_ORACLE)
+register("window_lead_auc", wp.window_lead_auc, wp.WINDOW_LEAD_AUC_ORACLE)
+register("wallet_coin_balances", wp.wallet_coin_balances, wp.WALLET_COIN_BALANCES_ORACLE)
+register("union_role_views", wp.union_role_views, wp.UNION_ROLE_ORACLE)

@@ -1,0 +1,529 @@
+"""Core relational plans (SURVEY.md §2.2-2.4, §2.7, §2.8) over the
+synthetic TPC-H-style tables.
+
+Each plan is the Spark-first rendering of one operator family from the
+reference, paired with a DuckDB oracle. Cross-engine determinism rules
+used throughout:
+
+- money math in DECIMAL until the final projection casts to DOUBLE
+  (sum order then can't matter);
+- double→int conversions always via explicit FLOOR (Spark truncates,
+  DuckDB rounds — never rely on implicit cast);
+- timestamps leave the plan as epoch microseconds (unix_micros /
+  epoch_us) or formatted strings, never raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import anti_dedup, asof_join, band_join, semi_filter
+from ..operators.windows import latest_per_key
+from ..sources.readers import read_table
+
+DEC = "decimal(18,4)"
+
+
+# --------------------------------------------------------------------------
+# A1/A3 — grouped aggregation with conditional aggregates (TPC-H Q1 shape;
+# reference wallet_balances rollup, queries/ethereum_wallet_features.sql:278-325)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    # (1-disc) and (1-disc)*(1+tax) are computed in double then fixed to
+    # 8 decimal digits so the decimal multiply stays within precision 38
+    # on both engines (no engine-specific precision-loss rounding).
+    disc_f = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,8)")
+    charge_f = ((F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))).cast(
+        "decimal(18,8)"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
+            F.sum(price * charge_f).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias("returned_count"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,8))) AS DOUBLE) AS sum_charge,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_count,
+    CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# P2-P5 + §2.8 scalars — watermark filter, projection, derived bucket key
+def filter_project_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2).alias("bucket"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.concat(F.col("l_returnflag"), F.lit("_"), F.col("l_linestatus")).alias("flag_status"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        (F.col("l_extendedprice").cast(DEC) * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("disc_price"),
+    )
+
+
+FILTER_PROJECT_ORACLE = """
+SELECT
+    l_orderkey,
+    l_linenumber,
+    substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) AS bucket,
+    strftime(l_shipdate, '%Y-%m') AS ship_month,
+    l_returnflag || '_' || l_linestatus AS flag_status,
+    CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+         * CAST(1.0 - l_discount AS DECIMAL(18,8)) AS DOUBLE) AS disc_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# J3/J6 — chained equi joins with broadcast dimensions
+def join_equi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    # nation/region are tiny dimensions → explicit broadcast; customer is
+    # left to AQE (could be 15M rows at full scale).
+    dims = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+
+
+JOIN_EQUI_CHAIN_ORACLE = """
+SELECT
+    r_name,
+    n_name,
+    CAST(COUNT(*) AS BIGINT) AS order_count,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# J4 — left join with NULL-aware aggregation (is_error backfill shape)
+def join_left_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("f_order_count"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0))
+            .cast("double")
+            .alias("f_total"),
+        )
+    )
+
+
+JOIN_LEFT_AGG_ORACLE = """
+SELECT
+    c_custkey,
+    c_name,
+    CAST(COUNT(o_orderkey) AS BIGINT) AS f_order_count,
+    CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS f_total
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+# --------------------------------------------------------------------------
+# J9 — anti-join (NOT EXISTS incremental dedup)
+def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_dedup(customer, orders, ["c_custkey"]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# J10 — semi-join (EXISTS restriction)
+def join_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    urgent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        semi_filter(customer, urgent, ["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("urgent_customers"))
+    )
+
+
+JOIN_SEMI_ORACLE = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS urgent_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Shared: deterministic daily price dimension derived from events
+# (stands in for features_daily_token_prices, FIXTURES.md A8).
+def _daily_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("price_day")
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))).alias(
+                "price"
+            )
+        )
+    )
+
+
+_DAILY_PRICES_CTE = """
+daily_prices AS (
+    SELECT
+        event_type,
+        date_trunc('day', ts) AS price_day,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS price
+    FROM events
+    GROUP BY 1, 2
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# J7 — theta/band join (rugpull market-data date window)
+def theta_band_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.date_trunc("day", F.col("ts")).alias("ev_day")
+    )
+    prices = _daily_prices(spark, sf_dir)
+    joined = band_join(
+        ev,
+        prices,
+        key=["event_type"],
+        fact_ts=F.col("ev_day"),
+        dim_ts=F.col("price_day"),
+        lower=F.expr("INTERVAL 1 DAY"),
+        upper=F.expr("INTERVAL 0 DAY"),
+        how="inner",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("*").alias("n_prices"),
+        F.sum(F.col("price").cast("decimal(18,8)")).cast("double").alias("price_sum"),
+    )
+
+
+THETA_BAND_ORACLE = f"""
+WITH {_DAILY_PRICES_CTE.strip().rstrip()}
+SELECT
+    e.event_id,
+    CAST(COUNT(*) AS BIGINT) AS n_prices,
+    CAST(SUM(CAST(p.price AS DECIMAL(18,8))) AS DOUBLE) AS price_sum
+FROM events e
+JOIN daily_prices p
+  ON e.event_type = p.event_type
+ AND p.price_day BETWEEN date_trunc('day', e.ts) - INTERVAL 1 DAY
+                     AND date_trunc('day', e.ts)
+GROUP BY e.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# J8/W12 — as-of nearest price join within 7-day backward tolerance
+def asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    prices = _daily_prices(spark, sf_dir).withColumnRenamed("event_type", "p_type")
+    out = asof_join(
+        ev,
+        prices.withColumnRenamed("p_type", "event_type"),
+        key=["event_type"],
+        event_id=["event_id"],
+        event_ts="ts",
+        quote_ts="price_day",
+        tolerance_expr="INTERVAL 7 DAYS",
+        direction="backward",
+    )
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("price"), F.lit(0.0)).alias("asof_price"),
+        F.unix_micros("price_day").alias("price_day_us"),
+    )
+
+
+ASOF_PRICE_ORACLE = f"""
+WITH {_DAILY_PRICES_CTE.strip().rstrip()},
+cand AS (
+    SELECT e.event_id, p.price_day, p.price,
+           abs(epoch_us(e.ts) - epoch_us(p.price_day)) AS dist
+    FROM events e
+    JOIN daily_prices p
+      ON e.event_type = p.event_type
+     AND p.price_day BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
+),
+best AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY dist ASC, price_day DESC) AS rk
+    FROM cand
+)
+SELECT
+    e.event_id,
+    COALESCE(b.price, 0.0) AS asof_price,
+    epoch_us(b.price_day) AS price_day_us
+FROM events e
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON e.event_id = b.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A7/W7 — dedup-to-latest (rank-and-filter)
+def dedup_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    latest = latest_per_key(
+        orders, ["o_custkey"], order_desc=["o_orderdate", "o_orderkey"]
+    )
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros("o_orderdate").alias("order_date_us"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+DEDUP_LATEST_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS order_date_us,
+       o_totalprice AS total_price
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A10 — SELECT DISTINCT dedup
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+DISTINCT_ORACLE = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+# --------------------------------------------------------------------------
+# A5/J16 — watermark MAX restricted to the latest partition, via a
+# scalar-subquery cross join (the reference's incremental probe)
+def watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "month_partition", F.date_format("ts", "yyyy-MM")
+    )
+    latest = ev.agg(F.max("month_partition").alias("latest_month"))
+    return (
+        ev.crossJoin(F.broadcast(latest))
+        .filter(F.col("month_partition") == F.col("latest_month"))
+        .agg(
+            F.max("event_id").alias("wm_event_id"),
+            F.unix_micros(F.max("ts")).alias("wm_ts_us"),
+        )
+    )
+
+
+WATERMARK_MAX_ORACLE = """
+SELECT CAST(MAX(event_id) AS BIGINT) AS wm_event_id,
+       epoch_us(MAX(ts)) AS wm_ts_us
+FROM events
+WHERE strftime(ts, '%Y-%m') = (SELECT MAX(strftime(ts, '%Y-%m')) FROM events)
+"""
+
+
+# --------------------------------------------------------------------------
+# A6 — COUNT(DISTINCT) data-quality reconciliation
+def count_distinct_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.count("*").alias("order_rows"),
+    )
+
+
+COUNT_DISTINCT_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
+       CAST(COUNT(*) AS BIGINT) AS order_rows
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# J13 + DQ — missing-key detection via generated sequence anti-join
+# (reference missing-blocks check, raw_data_ingestion_pipeline.py:715-756)
+def sequence_missing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    expected = spark.range(lo, hi + 1).withColumnRenamed("id", "o_orderkey")
+    missing = anti_dedup(expected, orders.select("o_orderkey"), ["o_orderkey"])
+    return missing.groupBy(
+        (F.col("o_orderkey") - (F.col("o_orderkey") % 10000)).alias("key_bucket")
+    ).agg(F.count("*").alias("missing_count"))
+
+
+SEQUENCE_MISSING_ORACLE = """
+WITH bounds AS (SELECT MIN(o_orderkey) lo, MAX(o_orderkey) hi FROM orders),
+expected AS (
+    SELECT UNNEST(generate_series(lo, hi)) AS o_orderkey FROM bounds
+),
+missing AS (
+    SELECT e.o_orderkey FROM expected e
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = e.o_orderkey)
+)
+SELECT o_orderkey - (o_orderkey % 10000) AS key_bucket,
+       CAST(COUNT(*) AS BIGINT) AS missing_count
+FROM missing
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — FILTER-clause conditional aggregates per month
+def conditional_agg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(DEC)
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", price)).cast("double").alias("f_total"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", price)).cast("double").alias("o_total"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))).alias("urgent_count"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+CONDITIONAL_AGG_ORACLE = """
+SELECT
+    strftime(o_orderdate, '%Y-%m') AS order_month,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total,
+    CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_count,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A4 + J14 — map-building aggregate then explode back to rows
+# (contracts_aggregations round-trip, queries/ethereum_wallet_features.sql:268-274,429-431)
+def map_aggregate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_arrays(
+            F.collect_list("event_type"), F.collect_list("total_value")
+        ).alias("type_totals")
+    )
+    return as_map.select(
+        "user_id", F.explode("type_totals").alias("event_type", "total_value")
+    )
+
+
+MAP_ROUNDTRIP_ORACLE = """
+SELECT user_id, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 string/array scalar suite over nation
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.lower("n_name").alias("name_lower"),
+        F.substring("n_name", 1, 3).alias("name_prefix"),
+        F.length("n_name").alias("name_len"),
+        F.concat(F.lit("NATION_"), F.col("n_name")).alias("name_tagged"),
+        F.array_join(F.split(F.col("n_name"), "A"), "-").alias("name_split_join"),
+        F.coalesce(F.nullif(F.col("n_name"), F.lit("FRANCE")), F.lit("REDACTED")).alias(
+            "name_redacted"
+        ),
+    )
+
+
+SCALAR_STRING_ORACLE = """
+SELECT
+    n_nationkey,
+    lower(n_name) AS name_lower,
+    substr(n_name, 1, 3) AS name_prefix,
+    CAST(length(n_name) AS INT) AS name_len,
+    'NATION_' || n_name AS name_tagged,
+    array_to_string(string_split(n_name, 'A'), '-') AS name_split_join,
+    COALESCE(NULLIF(n_name, 'FRANCE'), 'REDACTED') AS name_redacted
+FROM nation
+"""

@@ -41,6 +41,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Spark 4 infers parquet TIMESTAMP(isAdjustedToUTC=false) as
+    # TIMESTAMP_NTZ; normalize to session-UTC TIMESTAMP so epoch
+    # functions work and semantics match DuckDB's naive timestamps.
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
