@@ -1,0 +1,187 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates relationally (anti-join on natural keys,
+SELECT DISTINCT — SURVEY.md §2.3 J9 / §2.4 A10); this module adds the
+content-based family a 100 TB document pipeline needs:
+
+- ``exact_dedup_groups``  — hash-groupBy exact dedup (one shuffle on
+  the digest; canonical row = min id per digest).
+- ``minhash_signature`` / ``lsh_candidate_pairs`` — MinHash + banded
+  LSH near-dup: shingle → per-seed min of md5(shingle‖seed) → band
+  digests → equi self-join per band. Signatures are computed with
+  native array lambdas (``transform``/``array_min``), so the whole
+  pipeline stays in whole-stage codegen; the only shuffles are the
+  band self-joins, each a plain hash join on a 32-hex-char key.
+- ``simhash`` — 16-bit SimHash from md5 hex-digit votes per token.
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard via shingle-explode
+  self-join (inverted-index shape: the join key is the shingle, so
+  co-shingled docs meet without a cross product).
+
+Scale notes: band keys / digests are uniformly distributed (md5), so
+the self-joins are skew-free by construction; pathological buckets
+(boilerplate shingles) are capped by ``max_bucket`` before pairing —
+the standard guard against quadratic bucket blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+BAND_SIZE = 8  # 2 bands × 8 rows — b·r = N_HASHES
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Digest → (canonical id, duplicate count). Exact content dedup."""
+    return (
+        df.select(F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles (≥1 per doc; short docs shingle whole)."""
+    toks = rf"array_remove(split(trim(lower({text_col})), '\\s+'), '')"
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = N_HASHES, shingle_n: int = 3) -> DataFrame:
+    """One ``minhash_sig`` array per id: per-seed min of
+    md5(shingle‖seed).
+
+    Lexicographic min over md5 hex strings is a valid minhash family
+    (uniform permutation of the shingle space per seed). Shape:
+    explode shingles → flat md5 projection (whole-stage codegen; array
+    lambdas would fall back to interpreted evaluation) → groupBy-min
+    per seed. One shuffle on the id, map-side partial mins."""
+    ex = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s"))
+    hashed = ex.select(
+        id_col,
+        *[F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))).alias(f"__h{i}") for i in range(n_hashes)],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(n_hashes)]
+    )
+    return mins.select(
+        id_col, F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("minhash_sig")
+    )
+
+
+def band_keys(df: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
+    """Append band_0..b-1 digests over slices of ``minhash_sig``."""
+    out = df
+    for b in range(n_hashes // band_size):
+        out = out.withColumn(
+            f"band_{b}",
+            F.md5(F.concat_ws("", F.slice("minhash_sig", b * band_size + 1, band_size))),
+        )
+    return out
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    id_col: str,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from banded LSH.
+
+    Pairs (a < b) sharing any band, with the estimated Jaccard =
+    fraction of matching signature rows. Buckets larger than
+    ``max_bucket`` are dropped (boilerplate guard against quadratic
+    bucket blowup)."""
+    n_bands = n_hashes // band_size
+    # Persist the signed+banded table: it feeds both sides of every
+    # band self-join plus the bucket-size guards, and the cache
+    # boundary stops Catalyst from re-inlining the md5 signature scan
+    # into each consumer.
+    banded = band_keys(signed, n_hashes, band_size).select(
+        id_col, "minhash_sig", *[f"band_{b}" for b in range(n_bands)]
+    ).persist()
+    # Fill the cache eagerly: the band joins launch parallel stages
+    # that would otherwise race to materialize it concurrently,
+    # recomputing the signature scan once per stage.
+    banded.count()
+    pairs = None
+    for b in range(n_bands):
+        key = f"band_{b}"
+        side = banded.select(F.col(id_col), F.col(key).alias("bucket"), "minhash_sig")
+        # boilerplate guard: drop megabuckets before pairing
+        sizes = side.groupBy("bucket").agg(F.count("*").alias("n"))
+        side = side.join(F.broadcast(sizes.filter(F.col("n") <= max_bucket)), "bucket")
+        left = side.select("bucket", F.col(id_col).alias("doc_a"), F.col("minhash_sig").alias("sig_a"))
+        right = side.select("bucket", F.col(id_col).alias("doc_b"), F.col("minhash_sig").alias("sig_b"))
+        p = (
+            left.join(right, "bucket")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+                    / F.lit(float(n_hashes))
+                ).alias("est_jaccard"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.groupBy("doc_a", "doc_b").agg(F.max("est_jaccard").alias("est_jaccard"))
+
+
+def simhash16(df: DataFrame, text_col: str) -> DataFrame:
+    """Append a 16-bit SimHash bitstring: bit i = sign of the sum over
+    tokens of ±1 votes from the i-th hex digit of md5(token)."""
+    bits: list[Column] = []
+    for i in range(1, 17):
+        vote = F.expr(
+            rf"aggregate(array_remove(split(trim(lower({text_col})), '\\s+'), ''), 0,"
+            f" (acc, t) -> acc + CASE WHEN instr('0123456789abcdef',"
+            f" substring(md5(t), {i}, 1)) >= 9 THEN 1 ELSE -1 END)"
+        )
+        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("simhash", F.concat(*bits))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs ≥ threshold via inverted index."""
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                rf"array_distinct(transform(sequence(1, greatest(size(array_remove("
+                rf"split(trim(lower({text_col})), '\\s+'), '')) - {n - 1}, 1)),"
+                rf" i -> concat_ws(' ', slice(array_remove(split(trim(lower({text_col})),"
+                rf" '\\s+'), ''), i, {n}))))"
+            )
+        ).alias("shingle"),
+    )
+    sizes = shingled.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        shingled.alias("a")
+        .join(shingled.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )

@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the raw bytes as a
+``binary`` column (or a pointer + small thumbnail), keep typed metadata
+columns alongside, and run decode / feature-extract / resize /
+frame-sample as Arrow-batched ``mapInPandas`` stages so each executor
+processes whole record batches.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are not in this container, so
+``decode_image_meta`` is a clearly marked STUB: it derives
+deterministic fake dimensions from the payload bytes. Everything
+Spark-side — binary schema, Arrow batch shape, UDF signature,
+partition-parallel execution — is real and oracle-tested (the fake math
+is mirrorable in SQL precisely because it is deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("head_hex", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+FRAME_SIZE = 1024  # bytes per fake "frame" for the frame-sampler stub
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialize an opaque binary payload column (here: utf-8 bytes of
+    the text; in production: the image/audio blob) plus metadata."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.octet_length(F.encode(F.col(text_col), "utf-8")).alias("payload_bytes"),
+    )
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """STUB decoder over mapInPandas.
+
+    A real implementation would do ``PIL.Image.open(io.BytesIO(b))``
+    per payload inside the batch loop; this container has no image
+    codecs, so dimensions are derived deterministically from the first
+    two payload bytes. The Arrow plumbing (binary batches in, struct
+    rows out, one invocation per partition batch) is the real thing.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "head_hex": payloads.map(lambda b: b[:4].hex().upper()),
+                    # STUB: fake dims from payload bytes (deterministic).
+                    "width": payloads.map(lambda b: 16 * (b[0] % 64 + 1)).astype("int32"),
+                    "height": payloads.map(lambda b: 16 * (b[1 % len(b)] % 64 + 1)).astype(
+                        "int32"
+                    ),
+                    # frame-sample stub: ceil(n_bytes / FRAME_SIZE)
+                    "n_frames": ((n_bytes + FRAME_SIZE - 1) // FRAME_SIZE).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, DECODE_SCHEMA)

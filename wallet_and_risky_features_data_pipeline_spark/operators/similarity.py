@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
+
+- ``brute_force_topk``    — exact cosine top-k baseline. The dot
+  product and norms are computed in exact DECIMAL arithmetic with
+  native array lambdas (``zip_with`` + ``aggregate``), rounded to 6
+  digits, then divided in double — bit-identical across engines, so
+  the oracle can verify ranks exactly. Cost: |Q|·|C| pairs; the query
+  side must be small (it is broadcast by Catalyst automatically).
+- ``lsh_bucket``          — bit-sampling LSH for cosine: the sign bit
+  of d fixed dimensions forms a 2^d-bucket key. Candidate generation
+  then joins on the bucket (the scale path: one shuffle on a small
+  key instead of a cross product).
+- ``pandas_topk``         — the same brute force as a vectorized
+  Arrow-batched Pandas UDF (numpy matmul against a broadcast query
+  matrix). This is the shape used when embeddings are large (numpy
+  beats per-row lambdas by ~10-100×); float summation order is
+  BLAS-dependent, so it carries a rows-only check, not a value oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# exact-decimal dot/norm: float→DECIMAL(18,9) is a fixed rounding, the
+# fold stays exact, ROUND(...,6) then a scaled magnitude < 2^53 so the
+# final double cast is correctly rounded on both engines.
+_DOT = (
+    "CAST(ROUND(aggregate(zip_with({a}, {b},"
+    " (x, y) -> CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9))),"
+    " CAST(0 AS DECIMAL(38,18)),"
+    " (acc, v) -> CAST(acc + v AS DECIMAL(38,18))), 6) AS DOUBLE)"
+)
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against all candidates."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _dot(vec_col, vec_col).alias("q_norm2"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        _dot(vec_col, vec_col).alias("c_norm2"),
+    )
+    pairs = q.crossJoin(c).filter(F.col("q_id") != F.col("c_id"))
+    cosine = _dot("q_vec", "c_vec") / (F.sqrt("q_norm2") * F.sqrt("c_norm2"))
+    ranked = pairs.withColumn("cosine", cosine).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("q_id", "c_id", "rank", "cosine")
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "embedding", dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57)) -> DataFrame:
+    """Append a bit-sampling LSH bucket key (sign bit of fixed dims)."""
+    bits = [
+        F.when(F.element_at(F.col(vec_col), d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def pandas_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force top-k: numpy matmul per Arrow batch
+    against a driver-broadcast query matrix (the fast path for wide
+    embeddings; see module docstring for why it has no value oracle)."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    spark = queries.sparkSession
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_mat = spark.sparkContext.broadcast(q_mat)
+    b_norm = spark.sparkContext.broadcast(q_norm)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (b_mat.value @ c_mat.T) / np.outer(b_norm.value, c_norm)
+            n_q, n_c = sims.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(b_ids.value, n_c),
+                    "c_id": np.tile(pdf[id_col].to_numpy(), n_q),
+                    "cosine": sims.ravel(),
+                }
+            )
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    scored = candidates.select(id_col, vec_col).mapInPandas(score, schema)
+    ranked = scored.filter(F.col("q_id") != F.col("c_id")).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k)

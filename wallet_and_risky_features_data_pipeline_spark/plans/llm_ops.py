@@ -1,0 +1,361 @@
+"""LLM training-data pipeline plans (BASELINE.json extension surface):
+deduplication, similarity search, text analysis, multimodal columns —
+over the ``documents`` and ``embeddings`` tables.
+
+Oracles mirror the exact math (md5-based minhash, hex-digit simhash
+votes, decimal dot products) so even the approximate algorithms are
+value-verified, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    ROLLING_HASH_SQL,
+    STOPWORDS,
+    marker_count,
+    marker_count_sql,
+    rolling_hash,
+    token_count,
+)
+from ..operators.dedup import (
+    BAND_SIZE,
+    N_HASHES,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from ..operators.multimodal import attach_payload, decode_image_meta
+from ..operators.similarity import brute_force_topk, lsh_bucket, pandas_topk
+from ..sources.readers import fan_out, read_table
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(lower(trim(text))) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + banded LSH near-dup candidate pairs
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    signed = minhash_signature(docs, "doc_id", "text")
+    return lsh_candidate_pairs(signed, "doc_id")
+
+
+def _minhash_oracle() -> str:
+    toks = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
+    shingles = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 1)),"
+        f" i -> array_to_string(({toks})[i:i+2], ' '))"
+    )
+    sigs = ",\n        ".join(
+        f"list_min(list_transform({shingles}, s -> md5(s || ':{i}'))) AS minhash_{i}"
+        for i in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    band_cols = ",\n        ".join(
+        "md5("
+        + " || ".join(f"minhash_{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE))
+        + f") AS band_{b}"
+        for b in range(n_bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.minhash_{i} = b.minhash_{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    per_band = "\n    UNION ALL\n".join(
+        f"""    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ({matches}) / {float(N_HASHES)} AS est_jaccard
+    FROM banded a
+    JOIN banded b ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id
+    WHERE a.band_{b} IN (SELECT band_{b} FROM banded GROUP BY 1 HAVING COUNT(*) <= 50)"""
+        for b in range(n_bands)
+    )
+    return f"""
+WITH signed AS (
+    SELECT doc_id,
+        {sigs}
+    FROM documents
+),
+banded AS (
+    SELECT *,
+        {band_cols}
+    FROM signed
+),
+pairs AS (
+{per_band}
+)
+SELECT doc_a, doc_b, MAX(est_jaccard) AS est_jaccard
+FROM pairs GROUP BY 1, 2
+"""
+
+
+DEDUP_MINHASH_ORACLE = _minhash_oracle()
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return simhash16(docs, "text").select("doc_id", "simhash")
+
+
+def _simhash_oracle() -> str:
+    toks = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
+    bits = " || ".join(
+        f"""CASE WHEN list_sum(list_transform({toks},
+          t -> CASE WHEN strpos('0123456789abcdef', substr(md5(t), {i}, 1)) >= 9
+               THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"""
+        for i in range(1, 17)
+    )
+    return f"SELECT doc_id, {bits} AS simhash FROM documents"
+
+
+DEDUP_SIMHASH_ORACLE = _simhash_oracle()
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (inverted-index self-join)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+DEDUP_NGRAM_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tokens
+    FROM documents
+),
+shingled AS (
+    SELECT DISTINCT doc_id AS doc, shingle
+    FROM toks,
+         UNNEST(list_transform(generate_series(1, greatest(len(tokens) - 2, 1)),
+                               i -> array_to_string(tokens[i:i+2], ' '))) AS u(shingle)
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM shingled GROUP BY 1),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (exact decimal math → rank-verifiable)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(queries, emb, k=5)
+
+
+_DOT_SQL = (
+    "CAST(ROUND(list_reduce(list_prepend(CAST(0 AS DECIMAL(38,18)),"
+    " list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DECIMAL(18,9)) * CAST(x[2] AS DECIMAL(18,9)))),"
+    " (acc, v) -> acc + v), 6) AS DOUBLE)"
+)
+
+SIMILARITY_TOPK_ORACLE = f"""
+WITH normed AS (
+    SELECT vec_id, embedding,
+           {_DOT_SQL.format(a="embedding", b="embedding")} AS norm2
+    FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           {_DOT_SQL.format(a="q.embedding", b="c.embedding")}
+             / (sqrt(q.norm2) * sqrt(c.norm2)) AS cosine
+    FROM normed q, normed c
+    WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+    FROM pairs
+)
+SELECT q_id, c_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Bit-sampling LSH buckets (cosine ANN scale path)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    return (
+        lsh_bucket(emb)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+SIMILARITY_LSH_ORACLE = """
+SELECT
+    (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[9] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+    CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Vectorized Pandas-UDF top-k (rows-only: BLAS float order ≠ oracle)
+def similarity_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pandas_topk(queries, emb, k=5)
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary payload + mapInPandas stub decoder
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return decode_image_meta(attach_payload(docs, "doc_id", "text"))
+
+
+MULTIMODAL_DECODE_ORACLE = """
+SELECT
+    doc_id,
+    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+    hex(encode(substr(text, 1, 4))) AS head_hex,
+    CAST(16 * ((ascii(substr(text, 1, 1)) % 64) + 1) AS INT) AS width,
+    CAST(16 * ((ascii(substr(text, 2, 1)) % 64) + 1) AS INT) AS height,
+    CAST(ceil(octet_length(encode(text)) / 1024.0) AS INT) AS n_frames
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Text statistics / quality scoring (+ BPE-ish regex token count)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    n_tok = token_count("text")
+    stop = marker_count("text", STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")).alias(
+            "bpe_tokens"
+        ),
+        stop.alias("stop_tokens"),
+        (stop.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+         / n_tok.cast("double")).alias("avg_token_len"),
+    )
+
+
+TEXT_STATS_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, text,
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens
+    FROM documents
+)
+SELECT
+    doc_id,
+    CAST(length(text) AS INT) AS n_chars,
+    CAST(n_tokens AS INT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+    CAST({marker_count_sql("text", STOPWORDS)} AS INT) AS stop_tokens,
+    CAST({marker_count_sql("text", STOPWORDS)} AS DOUBLE) / n_tokens AS stop_ratio,
+    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / n_tokens AS avg_token_len
+FROM toks
+"""
+
+
+# --------------------------------------------------------------------------
+# Language identification (marker-word heuristic) vs the labeled column
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    scores = {code: marker_count("text", words) for code, words in LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), F.lit("en")
+        )
+        .when(scores["es"] >= scores["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("en_score"),
+        scores["es"].alias("es_score"),
+        scores["de"].alias("de_score"),
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("matches_label"),
+    )
+
+
+def _lang_oracle() -> str:
+    s = {code: marker_count_sql("text", words) for code, words in LANG_MARKERS.items()}
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           CAST({s['en']} AS INT) AS en_score,
+           CAST({s['es']} AS INT) AS es_score,
+           CAST({s['de']} AS INT) AS de_score
+    FROM documents
+)
+SELECT doc_id, en_score, es_score, de_score,
+       CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+            WHEN es_score >= de_score THEN 'es'
+            ELSE 'de' END AS predicted_lang,
+       (CASE WHEN en_score >= es_score AND en_score >= de_score THEN 'en'
+             WHEN es_score >= de_score THEN 'es'
+             ELSE 'de' END) = lang AS matches_label
+FROM scored
+"""
+
+
+TEXT_LANGUAGE_ORACLE = _lang_oracle()
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: rolling hash + digest
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        rolling_hash("text").alias("roll_hash"),
+        F.md5(F.col("text")).alias("digest"),
+        F.substring(F.md5(F.col("text")), 1, 4).alias("digest_prefix"),
+    )
+
+
+TEXT_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       {ROLLING_HASH_SQL.format(col="text", mult=31, mod=1_000_000_007)} AS roll_hash,
+       md5(text) AS digest,
+       substr(md5(text), 1, 4) AS digest_prefix
+FROM documents
+"""

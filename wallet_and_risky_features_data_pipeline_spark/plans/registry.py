@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import llm_ops as llm
 from . import relational as rel
 from . import wallet_features as wf
 from . import windows_plans as wp
@@ -57,3 +58,16 @@ register("window_partition_totals", wp.window_partition_totals, wp.WINDOW_PARTIT
 register("window_lead_auc", wp.window_lead_auc, wp.WINDOW_LEAD_AUC_ORACLE)
 register("wallet_coin_balances", wp.wallet_coin_balances, wp.WALLET_COIN_BALANCES_ORACLE)
 register("union_role_views", wp.union_role_views, wp.UNION_ROLE_ORACLE)
+
+# LLM-data-pipeline extensions: dedup / similarity / text / multimodal
+register("dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_ORACLE)
+register("dedup_minhash_lsh", llm.dedup_minhash_lsh, llm.DEDUP_MINHASH_ORACLE)
+register("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE)
+register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_ORACLE)
+register("similarity_topk", llm.similarity_topk, llm.SIMILARITY_TOPK_ORACLE)
+register("similarity_lsh_buckets", llm.similarity_lsh_buckets, llm.SIMILARITY_LSH_ORACLE)
+register("similarity_pandas_topk", llm.similarity_pandas_topk, None)  # BLAS float order
+register("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_ORACLE)
+register("text_stats", llm.text_stats, llm.TEXT_STATS_ORACLE)
+register("text_language_id", llm.text_language_id, llm.TEXT_LANGUAGE_ORACLE)
+register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)

@@ -50,6 +50,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for CPU-heavy per-row work.
+
+    A small table often arrives as one parquet split, which would pin
+    expensive expression work (md5 signatures, decimal dot products,
+    decode UDFs) to a single core. At 100 TB inputs arrive pre-split
+    and this is a no-op; locally it round-robins once.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for ``spark.sql`` plans."""
     for name in TABLES:
