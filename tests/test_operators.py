@@ -1,0 +1,125 @@
+"""Unit tests for operator semantics on tiny hand-built fixtures —
+the reference's intended-semantics tests (SURVEY.md §5.1) rebuilt:
+balance signs, ordering tie-breakers, as-of tolerance/direction,
+merge-upsert behavior, DQ gates, scalar guards."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wallet_and_risky_features_data_pipeline_spark.functions.scalars import (
+    bucket_key,
+    norm_round,
+    safe_high_precision,
+)
+from wallet_and_risky_features_data_pipeline_spark.operators.joins import asof_join
+from wallet_and_risky_features_data_pipeline_spark.operators.quality import (
+    DataQualityError,
+    count_reconciliation,
+    enforce,
+    feature_constraints,
+    missing_sequence,
+)
+from wallet_and_risky_features_data_pipeline_spark.sources.writers import merge_upsert
+
+
+def test_norm_round_negative_zero(spark):
+    df = spark.createDataFrame([(-0.0000001,), (1.234567,), (0.0,)], "x double")
+    out = [r[0] for r in df.select(norm_round(F.col("x"))).collect()]
+    # -0.0000001 rounds to -0.0 which must normalize to +0.0
+    assert str(out[0]) == "0.0" and out[1] == 1.23457 and out[2] == 0.0
+
+
+def test_safe_high_precision_guards(spark):
+    df = spark.createDataFrame(
+        [("123.5",), ("9" * 60,), ("garbage",), (None,)], "v string"
+    )
+    out = [r[0] for r in df.select(safe_high_precision(F.col("v"))).collect()]
+    assert float(out[0]) == 123.5
+    assert out[1] is not None  # truncated to 28 chars, still castable
+    assert float(out[2]) == 0.0 and float(out[3]) == 0.0
+
+
+def test_bucket_key_is_256_way(spark):
+    df = spark.range(2000).select(bucket_key(F.col("id")).alias("b"))
+    n = df.distinct().count()
+    assert 200 < n <= 256
+
+
+def test_asof_backward_vs_nearest(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 10)), (2, "a", dt.datetime(2024, 1, 2))],
+        "event_id long, key string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 8), 8.0),
+            ("a", dt.datetime(2024, 1, 11), 11.0),
+            ("a", dt.datetime(2023, 12, 20), 1.0),
+        ],
+        "key string, qts timestamp, price double",
+    )
+    back = asof_join(ev, quotes, ["key"], ["event_id"], "ts", "qts", "INTERVAL 7 DAYS", "backward")
+    got = {r["event_id"]: r["price"] for r in back.collect()}
+    assert got[1] == 8.0  # Jan 8 quote, not the future Jan 11 one
+    assert got[2] is None  # nothing within 7 days backward
+    near = asof_join(ev, quotes, ["key"], ["event_id"], "ts", "qts", "INTERVAL 7 DAYS", "nearest")
+    got = {r["event_id"]: r["price"] for r in near.collect()}
+    assert got[1] == 11.0  # Jan 11 is 1 day away vs Jan 8's 2 days
+    assert got[2] == 8.0  # Jan 8 is 6 days ahead — inside the ±7d band
+
+
+def test_asof_tie_breaks_to_later_quote(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 10))], "event_id long, key string, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 8), 8.0), ("a", dt.datetime(2024, 1, 12), 12.0)],
+        "key string, qts timestamp, price double",
+    )
+    near = asof_join(ev, quotes, ["key"], ["event_id"], "ts", "qts", "INTERVAL 7 DAYS", "nearest")
+    assert near.first()["price"] == 12.0  # equidistant → later quote wins
+
+
+def test_merge_upsert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "p1"), (2, "b", 20.0, "p1"), (3, "c", 30.0, "p2")],
+        "id long, name string, v double, part string",
+    )
+    merge_upsert(spark, base, path, key=["id"], partition_cols=["part"])
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0, "p1"), (4, "d", 40.0, "p1")],
+        "id long, name string, v double, part string",
+    )
+    merge_upsert(spark, updates, path, key=["id"], partition_cols=["part"])
+    got = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_missing_sequence_and_reconciliation(spark):
+    df = spark.createDataFrame([(1,), (2,), (4,), (7,)], "k long")
+    missing = sorted(r["k"] for r in missing_sequence(df, "k").collect())
+    assert missing == [3, 5, 6]
+
+    facts = spark.createDataFrame([(1,), (1,), (2,)], "g long")
+    rollup = spark.createDataFrame([(1, 2), (2, 2)], "g long, expected long")
+    bad = count_reconciliation(facts, rollup, "g", "expected").collect()
+    assert len(bad) == 1 and bad[0]["g"] == 2 and bad[0]["actual_count"] == 1
+
+
+def test_feature_constraints_enforce(spark):
+    ok = spark.createDataFrame(
+        [(10, 1.0, 100, 200, 0.5)],
+        "n_tx long, total_fees double, first_tx_us long, last_tx_us long, min_pos_balance double",
+    )
+    enforce(feature_constraints(ok))  # no raise
+    bad = spark.createDataFrame(
+        [(-1, 1.0, 100, 200, 0.5)],
+        "n_tx long, total_fees double, first_tx_us long, last_tx_us long, min_pos_balance double",
+    )
+    with pytest.raises(DataQualityError):
+        enforce(feature_constraints(bad))

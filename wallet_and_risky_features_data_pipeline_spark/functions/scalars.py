@@ -52,8 +52,7 @@ def safe_high_precision(raw: Column, max_chars: int = 28) -> Column:
     """
     s = raw.cast("string")
     truncated = F.when(F.length(s) > max_chars, F.substring(s, 1, max_chars)).otherwise(s)
-    return F.coalesce(F.try_to_number(truncated, F.lit("999999999999999999999999999999.999999999")),
-                      F.lit(0).cast(VALUE_DECIMAL)).cast(VALUE_DECIMAL)
+    return F.coalesce(truncated.try_cast(VALUE_DECIMAL), F.lit(0).cast(VALUE_DECIMAL))
 
 
 def split_pow10(decimals: Column) -> Column:

@@ -13,10 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import dq_plans as dq
+from . import incremental_plans as inc
 from . import llm_ops as llm
 from . import relational as rel
 from . import wallet_features as wf
 from . import windows_plans as wp
+from ..streaming import stream_jobs as sj
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -71,3 +74,16 @@ register("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_ORACL
 register("text_stats", llm.text_stats, llm.TEXT_STATS_ORACLE)
 register("text_language_id", llm.text_language_id, llm.TEXT_LANGUAGE_ORACLE)
 register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)
+
+# Incremental engine: output must equal the FULL-recompute oracle
+register(
+    "wallet_coin_balances_incremental",
+    inc.wallet_coin_balances_incremental,
+    inc.WALLET_COIN_BALANCES_INCR_ORACLE,
+)
+
+# Structured Streaming: watermark + dedup + tumbling windows, value-checked
+register("streaming_windowed_counts", sj.windowed_event_counts, sj.WINDOWED_EVENT_COUNTS_ORACLE)
+
+# Data-quality constraint gate (U6 union of check rows)
+register("dq_feature_constraints", dq.dq_feature_constraints, dq.DQ_FEATURE_CONSTRAINTS_ORACLE)

@@ -43,7 +43,12 @@ def contract_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steps 1-6: one row per (wallet, contract) with final balance and
     lifetime stats — the reference's ``last_coin_balances`` shape
     (queries/ethereum_wallet_coin_balances.sql)."""
-    wt = wallet_transactions(spark, sf_dir)
+    return contract_state_from(wallet_transactions(spark, sf_dir))
+
+
+def contract_state_from(wt: DataFrame) -> DataFrame:
+    """Same, over an arbitrary wallet-transactions slice (the
+    incremental engine feeds batch windows through this)."""
     zero = F.lit(0).cast(VALUE_DECIMAL)
     df = deterministic_order(wt, _KEY, ORDER_COLS, out="row_num")
     df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")

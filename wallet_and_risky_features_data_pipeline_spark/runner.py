@@ -1,0 +1,125 @@
+"""Pipeline runner — the engine's equivalent of the reference's
+``main.py`` entry points (SURVEY.md §3 EP1-EP3):
+
+    python -m wallet_and_risky_features_data_pipeline_spark.runner \
+        --layer stage     --sf-dir /root/testdata/sf0.01 --work-dir /tmp/wrf
+    ... --layer features   (full or incremental MERGE per watermark)
+    ... --layer dq         (feature constraint gates; non-zero exit on fail)
+
+Layers:
+
+- **stage**    — watermark-filtered, anti-join-deduped append of the
+  event stream into a month-partitioned parquet table (EP2's
+  CTAS/INSERT template loop as a library call).
+- **features** — wallet/contract state + per-wallet feature rollup;
+  first run writes the snapshot, later runs apply the exact
+  incremental seeding path and MERGE-upsert only touched partitions
+  (EP3's 20-chunk Iceberg MERGE, minus the chunk choreography — the
+  shuffle partitioner replaces it).
+- **dq**       — constraint checks, raising like the reference's
+  final DAG gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+from .operators.quality import enforce, feature_constraints
+from .plans.wallet_features import contract_state_from
+from .plans.wallet_model import wallet_transactions
+from .session import get_spark
+from .sources.writers import merge_upsert
+from .streaming.incremental import WatermarkStore, incremental_append, incremental_contract_state
+
+
+def run_stage(spark, sf_dir: str, work_dir: str) -> None:
+    store = WatermarkStore(f"{work_dir}/watermarks.json")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    staged = events.withColumn("date_partition", F.date_format("ts", "yyyy-MM"))
+    n = incremental_append(
+        spark,
+        staged,
+        f"{work_dir}/stage/events",
+        table="stage_events",
+        natural_key=["event_id"],
+        watermark_col="ts",
+        store=store,
+    )
+    print(f"stage: appended {n} rows")
+
+
+def run_features(spark, sf_dir: str, work_dir: str) -> None:
+    store = WatermarkStore(f"{work_dir}/watermarks.json")
+    target = f"{work_dir}/features/contract_state"
+    wt = wallet_transactions(spark, sf_dir)
+    wm = store.get("features_ts")
+    if wm is None:
+        state = contract_state_from(wt)
+    else:
+        prior = spark.read.parquet(target)
+        new_events = wt.filter(F.col("ts") > F.lit(wm).cast("timestamp"))
+        state = incremental_contract_state(
+            prior.select(
+                "wallet_address",
+                "contract_address",
+                F.col("final_balance").cast("decimal(38,9)").alias("final_balance"),
+                F.col("incoming_value").cast("decimal(38,9)").alias("incoming_value"),
+                F.col("outgoing_value").cast("decimal(38,9)").alias("outgoing_value"),
+                F.col("contract_fees").cast("decimal(38,9)").alias("contract_fees"),
+                "contract_tx",
+                "first_ts",
+                "last_ts",
+                F.col("max_balance").cast("decimal(38,9)").alias("max_balance"),
+                F.col("min_pos_balance").cast("decimal(38,9)").alias("min_pos_balance"),
+            ),
+            new_events,
+        )
+    out = state.withColumn(
+        "address_partition", F.substring(F.md5("wallet_address"), 1, 2)
+    )
+    n = merge_upsert(
+        spark,
+        out,
+        target,
+        key=["wallet_address", "contract_address"],
+        partition_cols=["address_partition"],
+    )
+    new_wm = wt.agg(F.max("ts")).first()[0]
+    if new_wm is not None:
+        store.set("features_ts", new_wm.isoformat())
+    print(f"features: merged state for {n} (wallet, contract) pairs")
+
+
+def run_dq(spark, sf_dir: str, work_dir: str) -> None:
+    from .plans.wallet_features import wallet_features
+
+    dq = feature_constraints(wallet_features(spark, sf_dir))
+    dq.show(truncate=False)
+    enforce(dq)
+    print("dq: all checks passed")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layer", required=True, choices=["stage", "features", "dq"])
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--work-dir", default="/tmp/wrf_work")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(f"wrf-runner-{args.layer}")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.work_dir, exist_ok=True)
+    {"stage": run_stage, "features": run_features, "dq": run_dq}[args.layer](
+        spark, args.sf_dir, args.work_dir
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

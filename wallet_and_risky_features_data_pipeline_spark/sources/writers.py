@@ -61,22 +61,30 @@ def merge_upsert(
     path: str,
     key: Sequence[str],
     partition_cols: Sequence[str] = ("address_partition",),
-) -> None:
+) -> int:
     """MERGE INTO stand-in: within each partition touched by ``updates``,
     keep target rows whose key doesn't collide, union the updates, and
     dynamically overwrite just those partitions. Requires
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
-    ``session.get_spark``).
+    ``session.get_spark``). Returns the number of rows written.
+
+    The merged plan reads the very files the overwrite replaces, so the
+    lineage is cut with an eager ``localCheckpoint`` before writing —
+    the self-overwrite hazard Delta/Iceberg solve with snapshots; this
+    is the plain-parquet equivalent (write cost still bounded by the
+    touched partitions, like the reference's chunk-scoped Iceberg
+    MERGE, features_pipeline.py:96-126).
     """
     try:
         target = spark.read.parquet(path)
     except Exception:
         write_partitioned(updates, path, partition_cols, mode="overwrite")
-        return
+        return updates.count()
     parts = updates.select(*partition_cols).distinct()
     # Restrict the rewrite to touched partitions (partition pruning on
     # the scan side; broadcast the partition list — it is tiny).
     touched = target.join(parts.hint("broadcast"), on=list(partition_cols), how="left_semi")
     kept = touched.join(updates.select(*key), on=list(key), how="left_anti")
-    merged = kept.unionByName(updates.select(*kept.columns))
+    merged = kept.unionByName(updates.select(*kept.columns)).localCheckpoint(eager=True)
     merged.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    return merged.count()

@@ -1,0 +1,78 @@
+"""Structured Streaming equivalents of the batch incremental patterns
+(SURVEY.md §2.9 — the reference runs batches-with-watermarks and names
+streaming as the future direction; this is that direction on Spark).
+
+``windowed_event_counts`` runs a real streaming query: file source →
+event-time watermark → ``dropDuplicates`` keyed on the natural key (the
+streaming rendering of the reference's NOT EXISTS anti-join dedup) →
+tumbling-window aggregation → parquet sink, driven to completion with
+an ``availableNow`` trigger (the reference's cron micro-batch cadence).
+The result is read back as a normal DataFrame, so the driver's DuckDB
+oracle can value-check an actual streaming execution.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window counts per event type, computed by a
+    Structured Streaming query with watermark + dedup state.
+
+    Sink note: append-to-parquet would hold back the final day (a
+    window only closes when the watermark passes its end, and the
+    watermark can never pass the last event). For the verification
+    harness we use a complete-mode memory sink so every window —
+    including the unclosed tail — is emitted; a production pipeline
+    keeps the parquet/Delta sink and accepts watermark-delayed finality.
+    """
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_stream_ckpt_")
+
+    # The streaming file source wants a directory; glob-filter down to
+    # the events table inside the sf dir.
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        )
+    )
+    name = "wrf_windowed_event_counts"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.table(name).select(
+        F.unix_micros(F.col("win.start")).alias("day_start_us"),
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+WINDOWED_EVENT_COUNTS_ORACLE = """
+SELECT
+    epoch_us(date_trunc('day', ts)) AS day_start_us,
+    event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
