@@ -34,7 +34,13 @@ from ..operators.windows import (
     partition_totals,
     running_sum,
 )
-from .wallet_model import ORACLE_ORDER, ORDER_COLS, WALLET_TX_ORACLE_CTE, wallet_transactions
+from .wallet_model import (
+    ORACLE_ORDER,
+    ORDER_COLS,
+    WALLET_TX_ORACLE_CTE,
+    by_wallet,
+    wallet_transactions,
+)
 
 _KEY = ("wallet_address", "contract_address")
 
@@ -49,6 +55,7 @@ def contract_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contract_state_from(wt: DataFrame) -> DataFrame:
     """Same, over an arbitrary wallet-transactions slice (the
     incremental engine feeds batch windows through this)."""
+    wt = by_wallet(wt)
     zero = F.lit(0).cast(VALUE_DECIMAL)
     df = deterministic_order(wt, _KEY, ORDER_COLS, out="row_num")
     df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")

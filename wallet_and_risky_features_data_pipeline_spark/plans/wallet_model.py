@@ -79,46 +79,57 @@ def wallet_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(VALUE_DECIMAL),
     )
 
-    sender = base.select(
-        "event_id",
-        "ts",
+    # Single-scan role explosion: a UNION of sender/receiver
+    # projections would scan the source twice (it is the reference's
+    # shape, ethereum_wallet_transactions.sql:143-147, but Presto
+    # reads the table twice for it too); inline() emits both legs from
+    # one pass — at 100 TB that is one table scan instead of two.
+    zero = F.lit(0).cast(VALUE_DECIMAL)
+    sender_leg = F.struct(
         F.col("user_id").cast("string").alias("wallet_address"),
         F.col("k").cast("string").alias("interacted_with"),
         F.lit("sender").alias("address_role"),
         F.lit(1).alias("role_rank"),
-        F.col("event_type").alias("contract_address"),
-        "transaction_type",
-        "priority",
-        "transaction_index",
-        "current_value",
-        "tx_fee",
+        F.col("tx_fee").alias("tx_fee"),
+        # Sender spends value + fee; receiver gains value
+        # (queries/ethereum_wallet_features.sql:102-107).
+        (-(F.col("current_value") + F.col("tx_fee"))).cast(VALUE_DECIMAL).alias("signed_value"),
     )
-    receiver = base.select(
-        "event_id",
-        "ts",
+    receiver_leg = F.struct(
         F.col("k").cast("string").alias("wallet_address"),
         F.col("user_id").cast("string").alias("interacted_with"),
         F.lit("receiver").alias("address_role"),
         F.lit(0).alias("role_rank"),
+        zero.alias("tx_fee"),
+        F.col("current_value").cast(VALUE_DECIMAL).alias("signed_value"),
+    )
+    wt = base.select(
+        "event_id",
+        "ts",
         F.col("event_type").alias("contract_address"),
         "transaction_type",
         "priority",
         "transaction_index",
         "current_value",
-        F.lit(0).cast(VALUE_DECIMAL).alias("tx_fee"),
+        F.inline(F.array(sender_leg, receiver_leg)),
     )
-    wt = sender.unionByName(receiver)
-    return wt.withColumn("address_partition", bucket_key(F.col("wallet_address"))).withColumn(
-        # Sender spends value + fee; receiver gains value
-        # (queries/ethereum_wallet_features.sql:102-107).
-        "signed_value",
-        F.when(
-            F.col("address_role") == "sender",
-            (-(F.col("current_value") + F.col("tx_fee"))),
-        )
-        .otherwise(F.col("current_value"))
-        .cast(VALUE_DECIMAL),
-    )
+    return wt.withColumn("address_partition", bucket_key(F.col("wallet_address")))
+
+
+def by_wallet(wt: DataFrame) -> DataFrame:
+    """Repartition once on wallet_address before a window pipeline.
+
+    Every window family in the feature engine clusters on
+    (wallet_address, …) — and a hash partitioning on a SUBSET of a
+    window's partition keys satisfies its clustering requirement. One
+    explicit exchange here therefore serves the (wallet, contract)
+    running windows, the (wallet, event) dedup rank, the (wallet)-level
+    windows AND the final per-wallet rollup: 1 shuffle instead of 3-4.
+    Skew note: hot wallets concentrate; the reference blacklists its 9
+    pathological >20M-event wallets (SURVEY.md §4) — the same
+    pre-filter applies here if needed, and AQE handles moderate skew.
+    """
+    return wt.repartition(F.col("wallet_address"))
 
 
 # DuckDB rendering of the identical model (oracle side). Kept textually

@@ -25,7 +25,13 @@ from ..operators.windows import (
     running_sum,
 )
 from .wallet_features import WALLET_FEATURES_ORACLE, contract_state
-from .wallet_model import ORACLE_ORDER, ORDER_COLS, WALLET_TX_ORACLE_CTE, wallet_transactions
+from .wallet_model import (
+    ORACLE_ORDER,
+    ORDER_COLS,
+    WALLET_TX_ORACLE_CTE,
+    by_wallet,
+    wallet_transactions,
+)
 
 _KEY = ("wallet_address", "contract_address")
 
@@ -33,7 +39,7 @@ _KEY = ("wallet_address", "contract_address")
 # --------------------------------------------------------------------------
 # W1 + W2 — deterministic ordering and canonical-leg dedup rank
 def window_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = by_wallet(wallet_transactions(spark, sf_dir))
     df = deterministic_order(wt, _KEY, ORDER_COLS, out="row_num_by_contract")
     df = deterministic_order(df, ("wallet_address",), ORDER_COLS, out="row_num_by_wallet")
     df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")
@@ -71,7 +77,7 @@ FROM wallet_tx
 # --------------------------------------------------------------------------
 # W3 — running balance per (wallet, contract), every row
 def window_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = by_wallet(wallet_transactions(spark, sf_dir))
     df = running_sum(wt, F.col("signed_value"), _KEY, ORDER_COLS, out="balance")
     return df.select(
         "event_id",
@@ -103,7 +109,7 @@ FROM wallet_tx
 # --------------------------------------------------------------------------
 # W5 + W6 — whole-partition totals and lifetime min/max balance
 def window_partition_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = by_wallet(wallet_transactions(spark, sf_dir))
     df = running_sum(wt, F.col("signed_value"), _KEY, ORDER_COLS, out="balance")
     df = partition_totals(
         df,
@@ -156,7 +162,7 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 # W9 + W10 — LEAD time-to-next-event and running time-weighted AUC
 def window_lead_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = by_wallet(wallet_transactions(spark, sf_dir))
     df = running_sum(wt, F.col("signed_value"), ("wallet_address",), ORDER_COLS, out="wallet_balance")
     df = lead_delta(
         df,

@@ -123,13 +123,13 @@ def incremental_contract_state(prior: DataFrame, new_wt: DataFrame) -> DataFrame
         partition_totals,
         running_sum,
     )
-    from ..plans.wallet_model import ORDER_COLS
+    from ..plans.wallet_model import ORDER_COLS, by_wallet
 
     key = ["wallet_address", "contract_address"]
     zero = F.lit(0).cast(_NUM)
     seeds = prior.select(*key, F.col("final_balance").alias("__seed"))
 
-    df = deterministic_order(new_wt, key, ORDER_COLS, out="row_num")
+    df = deterministic_order(by_wallet(new_wt), key, ORDER_COLS, out="row_num")
     df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")
     df = running_sum(df, F.col("signed_value"), key, ORDER_COLS, out="__local_bal")
     df = df.join(seeds, on=key, how="left").withColumn(
