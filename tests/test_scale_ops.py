@@ -1,0 +1,110 @@
+"""Tests for the scale/serving/cleanse operators: salted running sum
+equivalence, document-store sink protocol, serving pagination, stage
+cleanse, CSV reader."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wallet_and_risky_features_data_pipeline_spark.operators.cleanse import (
+    repair_topics,
+    stage_clean,
+)
+from wallet_and_risky_features_data_pipeline_spark.operators.skew import salted_running_sum
+from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+    ORDER_COLS,
+    wallet_transactions,
+)
+from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_csv
+from wallet_and_risky_features_data_pipeline_spark.sources.serving import (
+    DictStoreClient,
+    export_pages,
+    foreach_partition_upsert,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_salted_running_sum_equals_plain(spark):
+    """Chunked two-phase running sum == the serial window, on the real
+    wallet-transactions model, chunked by day bucket."""
+    wt = wallet_transactions(spark, SF_SMALL)
+    plain = wt.withColumn(
+        "expected",
+        F.sum("signed_value").over(
+            Window.partitionBy("wallet_address")
+            .orderBy(*ORDER_COLS)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    salted = salted_running_sum(
+        wt,
+        F.col("signed_value"),
+        ["wallet_address"],
+        list(ORDER_COLS),
+        out="got",
+        chunk_expr=F.date_trunc("day", F.col("ts")),
+    )
+    key = ["event_id", "wallet_address", "address_role"]
+    merged = (
+        plain.select(*key, "expected")
+        .join(salted.select(*key, "got"), on=key)
+        .filter(F.col("expected") != F.col("got"))
+    )
+    assert merged.count() == 0
+
+
+def test_stage_clean_and_uuid(spark):
+    df = spark.createDataFrame(
+        [(1, "0xabc", "2024-03-05 10:00:00"), (1, "0xabc", "2024-03-05 10:00:00"), (2, "0xdef", "2024-04-01 00:00:00")],
+        "id long, addr string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stage_clean(df, ["id"], "ts", "addr").collect()
+    assert len(out) == 2  # natural-key dedup
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["date_partition"] == "2024-03"
+    assert re.fullmatch(r"[0-9a-f]{2}", by_id[1]["hash_partition"])
+    assert re.fullmatch(r"[0-9a-f-]{36}", by_id[1]["uuid"])
+    assert by_id[1]["uuid"] != by_id[2]["uuid"]
+
+
+def test_repair_topics(spark):
+    df = spark.createDataFrame(
+        [(["['0xaa', '0xbb']"],), (["0xaa", "0xbb"],)],
+        T.StructType([T.StructField("topics", T.ArrayType(T.StringType()))]),
+    )
+    out = [r[0] for r in df.select(repair_topics(F.col("topics"))).collect()]
+    assert out[0] == ["0xaa", "0xbb"]  # repaired blob
+    assert out[1] == ["0xaa", "0xbb"]  # already-good array untouched
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,v\n1,a,1.5\n2,b,2.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema)
+    assert df.schema == schema and df.count() == 2
+
+
+def test_export_pages_and_foreach_sink(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"w{i}", float(i)) for i in range(25)], "ts long, wallet string, score double"
+    )
+    pages = list(export_pages(df, "ts", last_exported=4, page_size=10))
+    assert [len(p) for p in pages] == [10, 10]  # 20 rows newer than ts=4
+    uri = str(tmp_path / "sink")
+    foreach_partition_upsert(
+        df, key="wallet", client_factory=lambda: DictStoreClient(uri), batch_size=7
+    )
+    store = DictStoreClient.read_store(uri)
+    assert len(store) == 25 and store["w7"]["score"] == 7.0

@@ -1,0 +1,74 @@
+"""Skew-resistant running sums for pathological partitions.
+
+The reference simply blacklists its 9 wallets with >20M transactions
+(queries/ethereum_wallet_features.sql:381-390) because a running window
+over one wallet's history is inherently serial in Presto. Spark has the
+same limit — ``sum().over(w.rowsBetween(...))`` processes a partition
+on one task — so ``salted_running_sum`` provides the scale path the
+reference lacks:
+
+1. split each key's history into chunks with a caller-supplied
+   ``chunk_expr`` that is NON-DECREASING under the partition's total
+   order (e.g. a month bucket of the event time, or block_number div
+   1e6). Chunking by a derived row_number would itself be a serial
+   full-partition window — a monotone attribute costs nothing;
+2. running-sum *within* each (key, chunk) — parallel across chunks;
+3. per-chunk totals → exclusive prefix sum per key (the chunk list per
+   key is tiny, so this window is trivially cheap);
+4. add the preceding-chunks offset to each row's local running sum.
+
+The result equals ``sum(value).over(partitionBy(key).orderBy(...)
+.rowsBetween(unboundedPreceding, currentRow))`` with the serial
+dependency broken into chunk-level parallelism — equivalence is
+property-tested in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salted_running_sum(
+    df: DataFrame,
+    value: Column,
+    partition: Sequence[str],
+    order: Sequence[str],
+    out: str,
+    chunk_expr: Column,
+) -> DataFrame:
+    """Running sum with per-key chunk parallelism.
+
+    ``chunk_expr`` must be non-decreasing along ``order`` within each
+    key (a coarse bucket of the leading order column is the usual
+    choice). Ordering ties MUST live in the same chunk, which any
+    function of the order prefix guarantees.
+    """
+    part = [F.col(c) for c in partition]
+    df = df.withColumn("__chunk", chunk_expr)
+
+    w_chunk = (
+        Window.partitionBy(*part, F.col("__chunk"))
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn("__local", F.sum(value).over(w_chunk))
+
+    # chunk totals → exclusive prefix over chunks (tiny per key)
+    w_prefix = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("__chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = (
+        df.groupBy(*part, "__chunk")
+        .agg(F.sum(value).alias("__chunk_total"))
+        .withColumn("__offset", F.sum("__chunk_total").over(w_prefix))
+        .select(*part, "__chunk", "__offset")
+    )
+    joined = df.join(totals, on=[*partition, "__chunk"], how="inner")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local")
+    ).drop("__chunk", "__local", "__offset")

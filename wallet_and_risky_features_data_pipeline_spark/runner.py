@@ -96,6 +96,26 @@ def run_features(spark, sf_dir: str, work_dir: str) -> None:
     print(f"features: merged state for {n} (wallet, contract) pairs")
 
 
+def run_serve(spark, sf_dir: str, work_dir: str) -> None:
+    """Serving sync (EP3 step 3): watermark-gated export of feature
+    rows into a document store via a per-partition sink."""
+    from .plans.wallet_features import wallet_features
+    from .sources.serving import DictStoreClient, foreach_partition_upsert
+
+    store = WatermarkStore(f"{work_dir}/watermarks.json")
+    feats = wallet_features(spark, sf_dir)
+    wm = store.get("serving_last_tx_us")
+    newer = feats if wm is None else feats.filter(F.col("last_tx_us") > F.lit(wm))
+    uri = f"{work_dir}/serving_store"
+    foreach_partition_upsert(
+        newer, key="wallet_address", client_factory=lambda: DictStoreClient(uri)
+    )
+    new_wm = feats.agg(F.max("last_tx_us")).first()[0]
+    if new_wm is not None:
+        store.set("serving_last_tx_us", int(new_wm))
+    print(f"serve: upserted {newer.count()} wallets into {uri}")
+
+
 def run_dq(spark, sf_dir: str, work_dir: str) -> None:
     from .plans.wallet_features import wallet_features
 
@@ -107,7 +127,7 @@ def run_dq(spark, sf_dir: str, work_dir: str) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layer", required=True, choices=["stage", "features", "dq"])
+    ap.add_argument("--layer", required=True, choices=["stage", "features", "serve", "dq"])
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--work-dir", default="/tmp/wrf_work")
     args = ap.parse_args(argv)
@@ -115,9 +135,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"wrf-runner-{args.layer}")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.work_dir, exist_ok=True)
-    {"stage": run_stage, "features": run_features, "dq": run_dq}[args.layer](
-        spark, args.sf_dir, args.work_dir
-    )
+    {"stage": run_stage, "features": run_features, "serve": run_serve, "dq": run_dq}[
+        args.layer
+    ](spark, args.sf_dir, args.work_dir)
     return 0
 
 
