@@ -1,0 +1,53 @@
+"""Physical-plan regression guards: the scale properties the engine
+relies on must be visible in `explain` output — filters pushed to the
+parquet scan, dimensions broadcast, and the flagship window pipeline
+collapsed to a single scan + single exchange.
+"""
+
+from __future__ import annotations
+
+from wallet_and_risky_features_data_pipeline_spark.plans.registry import QUERIES
+
+from .conftest import SF_MEDIUM
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _physical(QUERIES["filter_project_scalar"](spark, SF_MEDIUM))
+    # the shipdate predicate must appear in the pushed list (the plan
+    # string truncates long filter lists, so check the leading entries)
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _physical(QUERIES["count_distinct_dq"](spark, SF_MEDIUM))
+    # only the two referenced columns are read
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>" in plan
+
+
+def test_dimensions_broadcast(spark):
+    plan = _physical(QUERIES["join_equi_chain"](spark, SF_MEDIUM))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_and_semi_joins_planned(spark):
+    assert "LeftAnti" in _physical(QUERIES["join_anti_orphans"](spark, SF_MEDIUM))
+    assert "LeftSemi" in _physical(QUERIES["join_semi_active"](spark, SF_MEDIUM))
+
+
+def test_flagship_single_scan_single_exchange(spark):
+    plan = _physical(QUERIES["wallet_features"](spark, SF_MEDIUM))
+    assert plan.count("Scan parquet") == 1, "role explosion must not re-scan the source"
+    assert plan.count("Exchange") == 1, (
+        "all window families + rollup must reuse the wallet_address exchange"
+    )
+
+
+def test_windows_use_rows_frames(spark):
+    plan = _physical(QUERIES["window_running_balance"](spark, SF_MEDIUM))
+    assert "RowFrame" in plan
+    assert "RangeFrame" not in plan

@@ -17,6 +17,7 @@ from . import dq_plans as dq
 from . import incremental_plans as inc
 from . import llm_ops as llm
 from . import relational as rel
+from . import risk_features as rf
 from . import wallet_features as wf
 from . import windows_plans as wp
 from ..streaming import stream_jobs as sj
@@ -74,6 +75,11 @@ register("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_ORACL
 register("text_stats", llm.text_stats, llm.TEXT_STATS_ORACLE)
 register("text_language_id", llm.text_language_id, llm.TEXT_LANGUAGE_ORACLE)
 register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)
+
+# Risk features: FILTER-by-role aggregates, value caps, all-zero-min
+# detection (rugpull_features shape) + AUC rollup with boundary value
+register("risk_flag_features", rf.risk_flag_features, rf.RISK_FLAG_FEATURES_ORACLE)
+register("wallet_auc_rollup", rf.wallet_auc_rollup, rf.WALLET_AUC_ROLLUP_ORACLE)
 
 # Incremental engine: output must equal the FULL-recompute oracle
 register(
