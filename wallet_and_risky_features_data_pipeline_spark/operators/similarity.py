@@ -71,13 +71,60 @@ def brute_force_topk(
     return ranked.filter(F.col("rank") <= k).select("q_id", "c_id", "rank", "cosine")
 
 
-def lsh_bucket(df: DataFrame, vec_col: str = "embedding", dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57)) -> DataFrame:
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41, 49, 57),
+) -> DataFrame:
     """Append a bit-sampling LSH bucket key (sign bit of fixed dims)."""
     bits = [
         F.when(F.element_at(F.col(vec_col), d) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for d in dims
     ]
     return df.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 17, 33, 49),
+) -> DataFrame:
+    """Bucketed ANN search — the scale path for cosine top-k.
+
+    Both sides get the bit-sampling bucket key; candidate generation is
+    an equi join on the bucket (one shuffle on a 2^d-bucket key)
+    instead of a cross product, then exact cosine ranks within the
+    bucket. Recall trades against the |Q|x|C| -> |Q|x|C|/2^d cost cut:
+    size d to the corpus (default 4 bits here — the synthetic corpus is
+    small and near-random, where fine buckets starve candidates; a
+    billion-vector corpus wants 12-16 bits), and multi-probe (flipping
+    one sampled bit) raises recall at (d+1)x candidate cost.
+    """
+    q = lsh_bucket(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec",
+        dims,
+    ).withColumnRenamed("bucket", "q_bucket")
+    c = lsh_bucket(
+        candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec",
+        dims,
+    ).withColumnRenamed("bucket", "c_bucket")
+    pairs = q.join(c, q.q_bucket == c.c_bucket).filter(F.col("q_id") != F.col("c_id"))
+    pairs = pairs.withColumn("q_norm2", _dot("q_vec", "q_vec")).withColumn(
+        "c_norm2", _dot("c_vec", "c_vec")
+    )
+    cosine = _dot("q_vec", "c_vec") / (F.sqrt("q_norm2") * F.sqrt("c_norm2"))
+    ranked = pairs.withColumn("cosine", cosine).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("q_id", "c_id", "rank", "cosine")
 
 
 def pandas_topk(

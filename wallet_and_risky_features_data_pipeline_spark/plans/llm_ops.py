@@ -31,7 +31,7 @@ from ..operators.dedup import (
     simhash16,
 )
 from ..operators.multimodal import attach_payload, decode_image_meta
-from ..operators.similarity import brute_force_topk, lsh_bucket, pandas_topk
+from ..operators.similarity import brute_force_topk, lsh_bucket, lsh_topk, pandas_topk
 from ..sources.readers import fan_out, read_table
 
 
@@ -358,4 +358,42 @@ SELECT doc_id,
        md5(text) AS digest,
        substr(md5(text), 1, 4) AS digest_prefix
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Bucketed ANN top-k (the LSH scale path, exact cosine within buckets)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_topk(queries, emb, k=5)
+
+
+_BUCKET_SQL = """
+    (CASE WHEN {v}[1] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN {v}[17] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN {v}[33] >= 0 THEN '1' ELSE '0' END ||
+     CASE WHEN {v}[49] >= 0 THEN '1' ELSE '0' END)
+"""
+
+SIMILARITY_LSH_TOPK_ORACLE = f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {_BUCKET_SQL.format(v="embedding")} AS bucket
+    FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           {_DOT_SQL.format(a="q.embedding", b="c.embedding")}
+             / (sqrt({_DOT_SQL.format(a="q.embedding", b="q.embedding")})
+                * sqrt({_DOT_SQL.format(a="c.embedding", b="c.embedding")})) AS cosine
+    FROM bucketed q
+    JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id % 100 = 0
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+    FROM pairs
+)
+SELECT q_id, c_id, rank, cosine FROM ranked WHERE rank <= 5
 """

@@ -54,12 +54,18 @@ register("sequence_missing_keys", rel.sequence_missing_keys, rel.SEQUENCE_MISSIN
 register("conditional_agg_monthly", rel.conditional_agg_monthly, rel.CONDITIONAL_AGG_ORACLE)
 register("map_aggregate_roundtrip", rel.map_aggregate_roundtrip, rel.MAP_ROUNDTRIP_ORACLE)
 register("scalar_string_suite", rel.scalar_string_suite, rel.SCALAR_STRING_ORACLE)
+register("top_revenue_orders", rel.top_revenue_orders, rel.TOP_REVENUE_ORACLE)
 
 # Window engine at row granularity (§2.5)
 register("window_ordering", wp.window_ordering, wp.WINDOW_ORDERING_ORACLE)
 register("window_running_balance", wp.window_running_balance, wp.WINDOW_RUNNING_BALANCE_ORACLE)
 register("window_partition_totals", wp.window_partition_totals, wp.WINDOW_PARTITION_TOTALS_ORACLE)
 register("window_lead_auc", wp.window_lead_auc, wp.WINDOW_LEAD_AUC_ORACLE)
+register(
+    "window_running_balance_salted",
+    wp.window_running_balance_salted,
+    wp.WINDOW_RUNNING_BALANCE_SALTED_ORACLE,
+)
 register("wallet_coin_balances", wp.wallet_coin_balances, wp.WALLET_COIN_BALANCES_ORACLE)
 register("union_role_views", wp.union_role_views, wp.UNION_ROLE_ORACLE)
 
@@ -71,6 +77,7 @@ register("dedup_ngram_jaccard", llm.dedup_ngram_jaccard, llm.DEDUP_NGRAM_ORACLE)
 register("similarity_topk", llm.similarity_topk, llm.SIMILARITY_TOPK_ORACLE)
 register("similarity_lsh_buckets", llm.similarity_lsh_buckets, llm.SIMILARITY_LSH_ORACLE)
 register("similarity_pandas_topk", llm.similarity_pandas_topk, None)  # BLAS float order
+register("similarity_lsh_topk", llm.similarity_lsh_topk, llm.SIMILARITY_LSH_TOPK_ORACLE)
 register("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_ORACLE)
 register("text_stats", llm.text_stats, llm.TEXT_STATS_ORACLE)
 register("text_language_id", llm.text_language_id, llm.TEXT_LANGUAGE_ORACLE)

@@ -527,3 +527,29 @@ SELECT
     COALESCE(NULLIF(n_name, 'FRANCE'), 'REDACTED') AS name_redacted
 FROM nation
 """
+
+
+# --------------------------------------------------------------------------
+# §2.6 — global sort + limit (top-k; rank-free ORDER BY ... LIMIT with a
+# deterministic unique tie-break). Spark plans this as TakeOrderedAndProject
+# — a per-partition top-k then a driver merge, never a full global sort.
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("total_price"),
+            "o_orderstatus",
+        )
+    )
+
+
+TOP_REVENUE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice AS total_price, o_orderstatus
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""

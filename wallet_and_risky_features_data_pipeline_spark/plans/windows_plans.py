@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_running_sum
 from ..operators.windows import (
     dedup_rank,
     deterministic_order,
@@ -295,3 +296,31 @@ SELECT
 FROM wallet_tx
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Skew path: the chunked two-phase running sum must produce the exact
+# per-row balances of the serial window — registered against the same
+# oracle as window_running_balance (per (wallet, contract), chunked by
+# day bucket of the event time).
+def window_running_balance_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = by_wallet(wallet_transactions(spark, sf_dir))
+    df = salted_running_sum(
+        wt,
+        F.col("signed_value"),
+        list(_KEY),
+        list(ORDER_COLS),
+        out="balance",
+        chunk_expr=F.date_trunc("day", F.col("ts")),
+    )
+    return df.select(
+        "event_id",
+        "wallet_address",
+        "contract_address",
+        "address_role",
+        F.col("signed_value").cast("double").alias("delta"),
+        F.col("balance").cast("double").alias("running_balance"),
+    )
+
+
+WINDOW_RUNNING_BALANCE_SALTED_ORACLE = WINDOW_RUNNING_BALANCE_ORACLE
