@@ -55,6 +55,33 @@ def safe_high_precision(raw: Column, max_chars: int = 28) -> Column:
     return F.coalesce(truncated.try_cast(VALUE_DECIMAL), F.lit(0).cast(VALUE_DECIMAL))
 
 
+def floor_to_day(unix_seconds: Column) -> Column:
+    """Floor a unix-seconds timestamp to its UTC day start — the
+    reference's gold-layer daily flooring (its legacy test pins
+    1671331850 → 1671321600, tests/wallet/test_gold_wallet.py:192-196).
+    """
+    return (unix_seconds - (unix_seconds % F.lit(86400))).cast("long")
+
+
+def to_snake_case(name: str) -> str:
+    """camelCase/PascalCase → snake_case column renamer (the reference
+    snake-cases every serving document key,
+    tests/wallet/test_silver_wallet.py:137-161)."""
+    out = []
+    for i, ch in enumerate(name):
+        if ch.isupper() and i > 0 and (name[i - 1].islower() or name[i - 1].isdigit()):
+            out.append("_")
+        out.append(ch.lower())
+    return "".join(out)
+
+
+def snake_case_columns(df):
+    """Rename every column of a DataFrame to snake_case."""
+    for c in df.columns:
+        df = df.withColumnRenamed(c, to_snake_case(c))
+    return df
+
+
 def split_pow10(decimals: Column) -> Column:
     """10^d computed as 10^(d/2) * 10^(d/2) — the reference's trick to
     keep DECIMAL token scaling inside precision bounds for d up to 38.
