@@ -18,6 +18,7 @@ from . import incremental_plans as inc
 from . import llm_ops as llm
 from . import relational as rel
 from . import risk_features as rf
+from . import sql_surface as sqls
 from . import wallet_features as wf
 from . import windows_plans as wp
 from ..streaming import stream_jobs as sj
@@ -55,6 +56,7 @@ register("conditional_agg_monthly", rel.conditional_agg_monthly, rel.CONDITIONAL
 register("map_aggregate_roundtrip", rel.map_aggregate_roundtrip, rel.MAP_ROUNDTRIP_ORACLE)
 register("scalar_string_suite", rel.scalar_string_suite, rel.SCALAR_STRING_ORACLE)
 register("top_revenue_orders", rel.top_revenue_orders, rel.TOP_REVENUE_ORACLE)
+register("pricing_summary_sql", sqls.pricing_summary_sql, sqls.PRICING_SUMMARY_SQL_ORACLE)
 
 # Window engine at row granularity (§2.5)
 register("window_ordering", wp.window_ordering, wp.WINDOW_ORDERING_ORACLE)
