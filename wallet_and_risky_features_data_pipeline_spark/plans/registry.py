@@ -18,6 +18,7 @@ from . import incremental_plans as inc
 from . import llm_ops as llm
 from . import relational as rel
 from . import risk_features as rf
+from . import sessionization as sess
 from . import sql_surface as sqls
 from . import wallet_features as wf
 from . import windows_plans as wp
@@ -70,6 +71,7 @@ register(
 )
 register("wallet_coin_balances", wp.wallet_coin_balances, wp.WALLET_COIN_BALANCES_ORACLE)
 register("union_role_views", wp.union_role_views, wp.UNION_ROLE_ORACLE)
+register("user_sessions", sess.user_sessions, sess.USER_SESSIONS_ORACLE)
 
 # LLM-data-pipeline extensions: dedup / similarity / text / multimodal
 register("dedup_exact", llm.dedup_exact, llm.DEDUP_EXACT_ORACLE)

@@ -41,8 +41,16 @@ from ..sources.readers import read_table
 ORDER_COLS = ("ts", "priority", "transaction_index", "role_rank", "event_id")
 
 
-def wallet_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → role-exploded wallet transaction legs (U3)."""
+def wallet_transactions(
+    spark: SparkSession, sf_dir: str, blacklist: tuple[str, ...] = ()
+) -> DataFrame:
+    """events → role-exploded wallet transaction legs (U3).
+
+    ``blacklist`` drops pathological wallets before any window work —
+    the reference's hot-wallet guard (P8,
+    queries/ethereum_wallet_features.sql:381-390); combine with
+    ``operators.skew.salted_running_sum`` when dropping them isn't
+    acceptable."""
     ev = read_table(spark, sf_dir, "events")
     base = ev.select(
         "event_id",
@@ -113,6 +121,8 @@ def wallet_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "current_value",
         F.inline(F.array(sender_leg, receiver_leg)),
     )
+    if blacklist:
+        wt = wt.filter(~F.col("wallet_address").isin(*blacklist))
     return wt.withColumn("address_partition", bucket_key(F.col("wallet_address")))
 
 
