@@ -50,36 +50,33 @@ def count_reconciliation(
 
 
 def feature_constraints(features: DataFrame) -> DataFrame:
-    """Constraint rows over the wallet-features output."""
-    checks = features.agg(
-        F.count(F.when(F.col("n_tx") < 0, 1)).alias("negative_tx_count"),
-        F.count(F.when(F.col("total_fees") < 0, 1)).alias("negative_fees"),
-        F.count(F.when(F.col("last_tx_us") < F.col("first_tx_us"), 1)).alias(
-            "time_travel_wallets"
-        ),
+    """Constraint rows over the wallet-features output — fully lazy:
+    one aggregation pass, then ``stack`` pivots the single row into
+    check rows (no driver round-trip; the reference runs one DQ SQL the
+    same way)."""
+    agg = features.agg(
+        F.count(F.when(F.col("n_tx") < 0, 1)).cast("double").alias("neg_tx"),
+        F.count(F.when(F.col("total_fees") < 0, 1)).cast("double").alias("neg_fees"),
+        F.count(F.when(F.col("last_tx_us") < F.col("first_tx_us"), 1))
+        .cast("double")
+        .alias("time_travel"),
         (
             F.count(F.when(F.col("min_pos_balance") == 0, 1)).cast("double")
             / F.count("*")
             * 100.0
-        ).alias("zero_min_balance_pct"),
-    ).first()
-    spark = features.sparkSession
-    rows = [
-        ("negative_tx_count", float(checks["negative_tx_count"]), checks["negative_tx_count"] > 0),
-        ("negative_fees", float(checks["negative_fees"]), checks["negative_fees"] > 0),
-        (
-            "time_travel_wallets",
-            float(checks["time_travel_wallets"]),
-            checks["time_travel_wallets"] > 0,
-        ),
-        (
-            # the reference flags >20% zero-minimum-balance rate
-            "zero_min_balance_pct",
-            float(checks["zero_min_balance_pct"]),
-            bool(checks["zero_min_balance_pct"] > 95.0),
-        ),
-    ]
-    return spark.createDataFrame(rows, "check_name string, observed double, is_fail boolean")
+        ).alias("zero_pct"),
+    )
+    # the reference flags excessive zero-minimum-balance rates
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 'negative_tx_count', neg_tx, neg_tx > 0,"
+            " 'negative_fees', neg_fees, neg_fees > 0,"
+            " 'time_travel_wallets', time_travel, time_travel > 0,"
+            " 'zero_min_balance_pct', zero_pct, zero_pct > 95.0"
+            ") AS (check_name, observed, is_fail)"
+        )
+    )
 
 
 def enforce(dq: DataFrame) -> None:

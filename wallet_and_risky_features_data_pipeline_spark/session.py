@@ -41,8 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        # Arrow for any pandas-UDF path (similarity / multimodal ops).
+        # Arrow for any pandas-UDF path (similarity / multimodal ops);
+        # large batches amortize per-batch Python overhead — vectorized
+        # UDF bodies want fewer, fatter batches.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         # Deterministic, engine-neutral timestamps (oracle parity).
         .config("spark.sql.session.timeZone", "UTC")
         # Iceberg-MERGE stand-in: overwrite only the partitions present

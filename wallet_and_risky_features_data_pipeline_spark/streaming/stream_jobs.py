@@ -33,6 +33,14 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_stream_ckpt_")
 
+    # Stateful operators create one state-store instance per shuffle
+    # partition, pinned by the checkpoint for the query's lifetime —
+    # size it to expected STATE volume (keys in flight), not the batch
+    # shuffle default. Tiny local state → few instances; a production
+    # job with millions of in-flight keys raises this.
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
     # The streaming file source wants a directory; glob-filter down to
     # the events table inside the sf dir.
     stream = (
@@ -58,6 +66,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     return spark.table(name).select(
         F.unix_micros(F.col("win.start")).alias("day_start_us"),
