@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -97,11 +97,17 @@ def asof_join(
         raise ValueError(f"unknown direction {direction!r}")
 
     joined = events.join(quotes, on=list(key), how="inner").where(band)
+    # Best-quote selection is a min_by hash aggregation, not a window
+    # rank: partial (map-side) aggregation and no per-partition sort —
+    # the cheaper plan at scale. The ordering struct encodes the
+    # deterministic tie-break (distance asc, then LATER quote wins via
+    # negated epoch).
     dist = F.abs(F.unix_micros(e_ts) - F.unix_micros(q_ts))
-    w = Window.partitionBy(*event_id).orderBy(dist.asc(), q_ts.desc())
-    best = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk")
-
     quote_cols = [c for c in quotes.columns if c not in key]
-    return events.join(
-        best.select(*event_id, *quote_cols), on=list(event_id), how="left"
+    best = joined.groupBy(*event_id).agg(
+        F.min_by(
+            F.struct(*quote_cols), F.struct(dist.alias("d"), (-F.unix_micros(q_ts)).alias("nt"))
+        ).alias("__best")
     )
+    best = best.select(*event_id, *[F.col(f"__best.{c}").alias(c) for c in quote_cols])
+    return events.join(best, on=list(event_id), how="left")
