@@ -27,3 +27,29 @@ def test_ctas_insert_and_existence_probe(spark):
     nation.filter(F.col("n_regionkey") >= 2).write.insertInto("stage_nation")
     assert spark.table("stage_nation").count() == nation.count()
     spark.sql("DROP TABLE stage_nation")
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The reference carries a derived hash_partition key on both sides
+    of its contract joins so Athena co-partitions them (SURVEY.md §4).
+    Spark's native form is bucketBy: two tables bucketed on the join
+    key join with NO Exchange at all."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders = read_table(spark, SF_SMALL, "orders")
+    customer = read_table(spark, SF_SMALL, "customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "Exchange" not in plan, "bucketed join must be shuffle-free"
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_customer")
