@@ -30,6 +30,16 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Self-provision the runtime confs correctness depends on, so the
+    engine behaves identically under a caller-provided SparkSession
+    (e.g. the verification driver's): nanos-parquet reading and UTC
+    timestamp semantics. Both are dynamic SQL confs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one synthetic table (columnar, prunable).
 
@@ -38,6 +48,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncate to microseconds — exactly what DuckDB's reader does — so
     both engines see identical timestamps.
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
