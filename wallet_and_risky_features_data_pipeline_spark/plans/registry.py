@@ -102,5 +102,8 @@ register(
 # Structured Streaming: watermark + dedup + tumbling windows, value-checked
 register("streaming_windowed_counts", sj.windowed_event_counts, sj.WINDOWED_EVENT_COUNTS_ORACLE)
 
+# Custom stateful streaming operator (applyInPandasWithState)
+register("streaming_stateful_totals", sj.stateful_user_totals, sj.STATEFUL_USER_TOTALS_ORACLE)
+
 # Data-quality constraint gate (U6 union of check rows)
 register("dq_feature_constraints", dq.dq_feature_constraints, dq.DQ_FEATURE_CONSTRAINTS_ORACLE)

@@ -18,6 +18,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.readers import _ensure_session_confs
+
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling-window counts per event type, computed by a
@@ -30,6 +32,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the unclosed tail — is emitted; a production pipeline
     keeps the parquet/Delta sink and accepts watermark-delayed finality.
     """
+    _ensure_session_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_stream_ckpt_")
 
@@ -84,4 +87,79 @@ SELECT
     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.9's Spark mapping for operators the built-in windowed
+    aggregations can't express): per-user running totals maintained in
+    explicit group state across micro-batches.
+
+    Totals accumulate in integer cents so the result is independent of
+    row order within a batch (float summation order isn't) — which is
+    what lets a streaming execution match an exact batch oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    _ensure_session_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_state_ckpt_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    out_schema = StructType.fromDDL("user_id long, n_events long, total_cents long")
+    state_schema = StructType.fromDDL("n long, cents long")
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "wrf_stateful_user_totals"
+    q = (
+        stream.writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    # latest state per key (single-file source → one batch, but stay
+    # correct under multi-batch replays)
+    out = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+STATEFUL_USER_TOTALS_ORACLE = """
+SELECT
+    user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY 1
 """
