@@ -108,3 +108,28 @@ def test_export_pages_and_foreach_sink(spark, tmp_path):
     )
     store = DictStoreClient.read_store(uri)
     assert len(store) == 25 and store["w7"]["score"] == 7.0
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    """Probing every cell degenerates IVF to exact search — the recall
+    invariant that pins the index/search plumbing."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.q_id, r.rank): r.c_id
+        for r in brute_force_topk(queries, emb, k=3).collect()
+    }
+    ivf = {
+        (r.q_id, r.rank): r.c_id
+        for r in ivf_topk(queries, emb, centroids, k=3, n_probe=8).collect()
+    }
+    assert ivf == exact and len(ivf) > 0

@@ -31,7 +31,13 @@ from ..operators.dedup import (
     simhash16,
 )
 from ..operators.multimodal import attach_payload, decode_image_meta
-from ..operators.similarity import brute_force_topk, lsh_bucket, lsh_topk, pandas_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket,
+    lsh_topk,
+    pandas_topk,
+)
 from ..sources.readers import fan_out, read_table
 
 
@@ -226,6 +232,72 @@ SELECT
     CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
 FROM embeddings
 GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-Flat ANN: coarse-quantize into cells, probe nearest cells only.
+# Centroids are deterministic seed vectors (vec_id < 16) so DuckDB can
+# replay the exact index; production trains them offline (k-means) —
+# same index/search shape.
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") < 16)
+    return ivf_topk(queries, emb, centroids, k=5, n_probe=4)
+
+
+SIMILARITY_IVF_ORACLE = f"""
+WITH normed AS (
+    SELECT vec_id, embedding,
+           {_DOT_SQL.format(a="embedding", b="embedding")} AS norm2
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cell_id, embedding AS cell_vec, norm2 AS cell_norm2
+    FROM normed WHERE vec_id < 16
+),
+assigned AS (
+    SELECT vec_id AS c_id, embedding AS c_vec, norm2 AS c_norm2, cell_id
+    FROM (
+        SELECT v.*, c.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DOT_SQL.format(a="v.embedding", b="c.cell_vec")}
+                            / (sqrt(v.norm2) * sqrt(c.cell_norm2)) DESC,
+                            c.cell_id
+               ) AS rn
+        FROM normed v, cents c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT q_id, q_vec, q_norm2, cell_id
+    FROM (
+        SELECT v.vec_id AS q_id, v.embedding AS q_vec, v.norm2 AS q_norm2,
+               c.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DOT_SQL.format(a="v.embedding", b="c.cell_vec")}
+                            / (sqrt(v.norm2) * sqrt(c.cell_norm2)) DESC,
+                            c.cell_id
+               ) AS rn
+        FROM normed v, cents c
+        WHERE v.vec_id % 100 = 0
+    ) WHERE rn <= 4
+),
+pairs AS (
+    SELECT p.q_id, a.c_id,
+           {_DOT_SQL.format(a="p.q_vec", b="a.c_vec")}
+             / (sqrt(p.q_norm2) * sqrt(a.c_norm2)) AS cosine
+    FROM probes p JOIN assigned a USING (cell_id)
+    WHERE a.c_id <> p.q_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+    FROM pairs
+)
+SELECT q_id, c_id, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 

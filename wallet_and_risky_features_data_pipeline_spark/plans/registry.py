@@ -82,6 +82,7 @@ register("similarity_topk", llm.similarity_topk, llm.SIMILARITY_TOPK_ORACLE)
 register("similarity_lsh_buckets", llm.similarity_lsh_buckets, llm.SIMILARITY_LSH_ORACLE)
 register("similarity_pandas_topk", llm.similarity_pandas_topk, None)  # BLAS float order
 register("similarity_lsh_topk", llm.similarity_lsh_topk, llm.SIMILARITY_LSH_TOPK_ORACLE)
+register("similarity_ivf_topk", llm.similarity_ivf_topk, llm.SIMILARITY_IVF_ORACLE)
 register("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_ORACLE)
 register("text_stats", llm.text_stats, llm.TEXT_STATS_ORACLE)
 register("text_language_id", llm.text_language_id, llm.TEXT_LANGUAGE_ORACLE)
