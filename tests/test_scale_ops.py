@@ -133,3 +133,30 @@ def test_ivf_exhaustive_probe_equals_brute_force(spark):
         for r in ivf_topk(queries, emb, centroids, k=3, n_probe=8).collect()
     }
     assert ivf == exact and len(ivf) > 0
+
+
+def test_mllib_tier_mechanics(spark):
+    """KMeans-IVF and LR scoring: row preservation, prediction domain,
+    and determinism under the fixed seed."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.ml_ops import (
+        risk_score_lr,
+        similarity_ivf_kmeans_topk,
+    )
+    from .conftest import SF_SMALL
+
+    ann = similarity_ivf_kmeans_topk(spark, SF_SMALL)
+    rows = ann.collect()
+    assert len(rows) > 0
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense ranks from 1
+    assert rows == similarity_ivf_kmeans_topk(spark, SF_SMALL).collect()  # seed-stable
+
+    scored = risk_score_lr(spark, SF_SMALL)
+    n_in = scored.count()
+    assert n_in == scored.select("vec_id").distinct().count()  # one score per vector
+    labels = {r.label for r in scored.select("label").distinct().collect()}
+    preds = {r.predicted_label for r in scored.select("predicted_label").distinct().collect()}
+    assert preds <= labels  # argmax stays in the trained class set

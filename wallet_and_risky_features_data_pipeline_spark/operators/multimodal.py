@@ -60,17 +60,20 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
+            # Vectorized byte accessors — a real decoder would be the
+            # per-element codec call; everything around it should stay
+            # columnar so the batch loop doesn't drown it in Python.
+            n_bytes = payloads.str.len()
+            first = payloads.str[0].astype("int64")
+            second = payloads.str[1].fillna(first).astype("int64")  # b[1 % len(b)]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes.astype("int32"),
                     "head_hex": payloads.map(lambda b: b[:4].hex().upper()),
                     # STUB: fake dims from payload bytes (deterministic).
-                    "width": payloads.map(lambda b: 16 * (b[0] % 64 + 1)).astype("int32"),
-                    "height": payloads.map(lambda b: 16 * (b[1 % len(b)] % 64 + 1)).astype(
-                        "int32"
-                    ),
+                    "width": (16 * (first % 64 + 1)).astype("int32"),
+                    "height": (16 * (second % 64 + 1)).astype("int32"),
                     # frame-sample stub: ceil(n_bytes / FRAME_SIZE)
                     "n_frames": ((n_bytes + FRAME_SIZE - 1) // FRAME_SIZE).astype("int32"),
                 }

@@ -227,6 +227,33 @@ def ivf_topk(
     return ranked.filter(F.col("rank") <= k).select("q_id", "c_id", "rank", "cosine")
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Train IVF coarse centroids with MLlib k-means (the production
+    path for ``ivf_topk`` — seed-vector centroids are only for
+    SQL-replayable tests).
+
+    KMeans over a sampled corpus is how IVF quantizers are trained at
+    scale (the model is tiny; the fit is one cached pass per
+    iteration). Returns a (id, vec) DataFrame shaped exactly like the
+    seed-centroid input of ``ivf_topk``/``ivf_assign``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    spark = vectors.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, f"{id_col} long, {vec_col} array<float>")
+
+
 def pandas_topk(
     queries: DataFrame,
     candidates: DataFrame,

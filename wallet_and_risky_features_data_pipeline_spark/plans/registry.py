@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import dq_plans as dq
 from . import incremental_plans as inc
 from . import llm_ops as llm
+from . import ml_ops as ml
 from . import relational as rel
 from . import risk_features as rf
 from . import sessionization as sess
@@ -83,6 +84,9 @@ register("similarity_lsh_buckets", llm.similarity_lsh_buckets, llm.SIMILARITY_LS
 register("similarity_pandas_topk", llm.similarity_pandas_topk, None)  # BLAS float order
 register("similarity_lsh_topk", llm.similarity_lsh_topk, llm.SIMILARITY_LSH_TOPK_ORACLE)
 register("similarity_ivf_topk", llm.similarity_ivf_topk, llm.SIMILARITY_IVF_ORACLE)
+# MLlib tier (trained models aren't SQL-expressible → rows-only checks)
+register("similarity_ivf_kmeans_topk", ml.similarity_ivf_kmeans_topk, None)
+register("risk_score_lr", ml.risk_score_lr, None)
 register("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_ORACLE)
 register("text_stats", llm.text_stats, llm.TEXT_STATS_ORACLE)
 register("text_language_id", llm.text_language_id, llm.TEXT_LANGUAGE_ORACLE)
