@@ -51,3 +51,11 @@ def test_windows_use_rows_frames(spark):
     plan = _physical(QUERIES["window_running_balance"](spark, SF_MEDIUM))
     assert "RowFrame" in plan
     assert "RangeFrame" not in plan
+
+
+def test_ivf_probes_broadcast_not_cartesian(spark):
+    # centroid fan-outs must plan as broadcast nested-loop joins — a
+    # CartesianProduct would shuffle the full corpus against the cells
+    plan = _physical(QUERIES["similarity_ivf_topk"](spark, SF_MEDIUM))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -23,6 +23,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     BAND_SIZE,
+    MINHASH_PRIME,
     N_HASHES,
     exact_dedup_groups,
     lsh_candidate_pairs,
@@ -71,14 +72,21 @@ def _minhash_oracle() -> str:
         f"list_transform(generate_series(1, greatest(len({toks}) - 2, 1)),"
         f" i -> array_to_string(({toks})[i:i+2], ' '))"
     )
+    # Carter-Wegman family mirror: a, b = the two 32-bit halves of ONE
+    # md5 per shingle; h_i = (a + i*b) mod p (operators/dedup.py).
+    a = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+    b_ = "CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT)"
     sigs = ",\n        ".join(
-        f"list_min(list_transform({shingles}, s -> md5(s || ':{i}'))) AS minhash_{i}"
+        f"list_min(list_transform({shingles}, s -> ({a} + {i} * {b_}) % {MINHASH_PRIME}))"
+        f" AS minhash_{i}"
         for i in range(N_HASHES)
     )
     n_bands = N_HASHES // BAND_SIZE
     band_cols = ",\n        ".join(
         "md5("
-        + " || ".join(f"minhash_{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE))
+        + " || '-' || ".join(
+            f"CAST(minhash_{i} AS VARCHAR)" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+        )
         + f") AS band_{b}"
         for b in range(n_bands)
     )
