@@ -310,6 +310,84 @@ SELECT q_id, c_id, rank, cosine FROM ranked WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# End-to-end corpus curation: the composed training-data pipeline —
+# language-ID → quality gate → exact dedup → per-language corpus stats.
+# One declarative plan: Catalyst fuses the per-doc scoring into a single
+# projection over the scan, so "four pipeline stages" cost one pass +
+# two hash aggregations (fingerprint, then language).
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    scores = {code: marker_count("text", words) for code, words in LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), F.lit("en")
+        )
+        .when(scores["es"] >= scores["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    enriched = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        marker_count("text", STOPWORDS).alias("stop_tokens"),
+        predicted.alias("predicted_lang"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    kept = enriched.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("stop_tokens").cast("double") / F.col("n_tokens") <= 0.25)
+    )
+    # exact dedup: canonical doc = min doc_id per fingerprint (hash agg,
+    # not a window — map-side combine, one shuffle on the digest)
+    canonical = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("stop_tokens").alias("stop_tokens"),
+        F.min("predicted_lang").alias("predicted_lang"),
+    )
+    # ratios from integer sums (float summation order never matters)
+    return canonical.groupBy("predicted_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("stop_tokens").cast("double") / F.sum("n_tokens")).alias("stop_ratio"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_doc_tokens"),
+    )
+
+
+def _curation_oracle() -> str:
+    s = {code: marker_count_sql("text", words) for code, words in LANG_MARKERS.items()}
+    return f"""
+WITH enriched AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+           {marker_count_sql("text", STOPWORDS)} AS stop_tokens,
+           CASE WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['de']} THEN 'en'
+                WHEN {s['es']} >= {s['de']} THEN 'es'
+                ELSE 'de' END AS predicted_lang,
+           md5(lower(trim(text))) AS fp
+    FROM documents
+),
+kept AS (
+    SELECT * FROM enriched
+    WHERE n_tokens >= 20 AND CAST(stop_tokens AS DOUBLE) / n_tokens <= 0.25
+),
+canonical AS (
+    SELECT fp, MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens,
+           MIN(stop_tokens) AS stop_tokens, MIN(predicted_lang) AS predicted_lang
+    FROM kept GROUP BY fp
+)
+SELECT predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(stop_tokens) AS DOUBLE) / SUM(n_tokens) AS stop_ratio,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_doc_tokens
+FROM canonical GROUP BY 1
+"""
+
+
+CORPUS_CURATION_ORACLE = _curation_oracle()
+
+
+# --------------------------------------------------------------------------
 # Vectorized Pandas-UDF top-k (rows-only: BLAS float order ≠ oracle)
 def similarity_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))

@@ -91,6 +91,7 @@ register("multimodal_decode", llm.multimodal_decode, llm.MULTIMODAL_DECODE_ORACL
 register("text_stats", llm.text_stats, llm.TEXT_STATS_ORACLE)
 register("text_language_id", llm.text_language_id, llm.TEXT_LANGUAGE_ORACLE)
 register("text_fingerprint", llm.text_fingerprint, llm.TEXT_FINGERPRINT_ORACLE)
+register("corpus_curation", llm.corpus_curation, llm.CORPUS_CURATION_ORACLE)
 
 # Risk features: FILTER-by-role aggregates, value caps, all-zero-min
 # detection (rugpull_features shape) + AUC rollup with boundary value
@@ -109,6 +110,9 @@ register("streaming_windowed_counts", sj.windowed_event_counts, sj.WINDOWED_EVEN
 
 # Custom stateful streaming operator (applyInPandasWithState)
 register("streaming_stateful_totals", sj.stateful_user_totals, sj.STATEFUL_USER_TOTALS_ORACLE)
+
+# Streaming ingest → foreachBatch MERGE into the serving store (§2.9)
+register("streaming_merge_upsert", sj.stream_merge_upsert, sj.STREAM_MERGE_UPSERT_ORACLE)
 
 # Data-quality constraint gate (U6 union of check rows)
 register("dq_feature_constraints", dq.dq_feature_constraints, dq.DQ_FEATURE_CONSTRAINTS_ORACLE)

@@ -90,6 +90,78 @@ GROUP BY 1, 2
 """
 
 
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest → MERGE upsert: the full SURVEY.md §2.9 mapping
+    (file source → watermark → streaming dedup → ``foreachBatch`` MERGE
+    into the serving table — the Structured-Streaming rendering of the
+    reference's cron batch + NOT-EXISTS dedup + Iceberg MERGE loop,
+    features_pipeline.py:96-126).
+
+    Each micro-batch is reduced to one latest-state row per user
+    (``max_by`` over the deterministic (ts, event_id) order) and merged
+    into a parquet feature store via the bounded dynamic-partition
+    MERGE writer. The final store is returned for oracle verification:
+    a latest-event-per-user snapshot, regardless of how many batches
+    the stream delivered the data in.
+    """
+    from ..sources.writers import merge_upsert
+
+    _ensure_session_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_merge_ckpt_")
+    store = tempfile.mkdtemp(prefix="wrf_merge_store_") + "/user_state"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def upsert_batch(batch: DataFrame, _epoch: int) -> None:
+        latest = batch.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("ts", "event_type", "value", "event_id"),
+                F.struct("ts", "event_id"),
+            ).alias("s")
+        )
+        snapshot = latest.select(
+            "user_id",
+            (F.col("user_id") % 16).alias("bucket"),
+            F.unix_micros("s.ts").alias("last_ts_us"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.value").cast("double").alias("last_value"),
+        )
+        merge_upsert(spark, snapshot, store, key=["user_id"], partition_cols=["bucket"])
+
+    q = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(upsert_batch)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.read.parquet(store).select(
+        "user_id", "bucket", "last_ts_us", "last_event_type", "last_value"
+    )
+
+
+STREAM_MERGE_UPSERT_ORACLE = """
+SELECT user_id,
+       CAST(user_id % 16 AS BIGINT) AS bucket,
+       epoch_us(ts) AS last_ts_us,
+       event_type AS last_event_type,
+       CAST(value AS DOUBLE) AS last_value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (SURVEY.md §2.9's Spark mapping for operators the built-in windowed
