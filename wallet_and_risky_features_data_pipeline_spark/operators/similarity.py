@@ -233,7 +233,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 5,
+    max_iter: int = 3,
 ) -> DataFrame:
     """Train IVF coarse centroids with MLlib k-means (the production
     path for ``ivf_topk`` — seed-vector centroids are only for

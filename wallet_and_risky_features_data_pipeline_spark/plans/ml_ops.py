@@ -50,7 +50,7 @@ def risk_score_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("double").alias("label"),
         array_to_vector(F.col("embedding")).alias("features"),
     )
-    lr = LogisticRegression(maxIter=25, regParam=0.01, elasticNetParam=0.0)
+    lr = LogisticRegression(maxIter=10, regParam=0.01, elasticNetParam=0.0)
     model = lr.fit(train)
     scored = model.transform(train)
     return scored.select(

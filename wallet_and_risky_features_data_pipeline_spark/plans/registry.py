@@ -58,6 +58,7 @@ register("conditional_agg_monthly", rel.conditional_agg_monthly, rel.CONDITIONAL
 register("map_aggregate_roundtrip", rel.map_aggregate_roundtrip, rel.MAP_ROUNDTRIP_ORACLE)
 register("scalar_string_suite", rel.scalar_string_suite, rel.SCALAR_STRING_ORACLE)
 register("top_revenue_orders", rel.top_revenue_orders, rel.TOP_REVENUE_ORACLE)
+register("rollup_multi_grain", rel.rollup_multi_grain, rel.ROLLUP_MULTI_GRAIN_ORACLE)
 register("pricing_summary_sql", sqls.pricing_summary_sql, sqls.PRICING_SUMMARY_SQL_ORACLE)
 
 # Window engine at row granularity (§2.5)

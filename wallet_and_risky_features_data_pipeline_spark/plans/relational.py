@@ -553,3 +553,47 @@ FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# Multi-grain ROLLUP (grouping sets): month×type detail, month subtotals,
+# grand total in ONE pass. The reference has no grouping sets (SURVEY.md
+# §2.4 notes the absence); a warehouse engine needs them — Spark expands
+# the sets via a single Expand node feeding one hash aggregate, so the
+# input is scanned once regardless of how many grains are requested.
+# Subtotal rows are disambiguated by grouping_id (bit-identical across
+# engines), with NULL group keys coalesced to 'ALL' for stable hashing.
+def rollup_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    rolled = base.rollup("month", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+        F.grouping_id().cast("int").alias("grain"),
+    )
+    return rolled.select(
+        F.coalesce("month", F.lit("ALL")).alias("month"),
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        "grain",
+        "n_events",
+        "total_value",
+    )
+
+
+ROLLUP_MULTI_GRAIN_ORACLE = """
+SELECT COALESCE(month, 'ALL') AS month,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(GROUPING(month, event_type) AS INT) AS grain,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS total_value
+FROM (
+    SELECT strftime(ts, '%Y-%m') AS month, event_type,
+           CAST(value AS DECIMAL(18,4)) AS v
+    FROM events
+)
+GROUP BY ROLLUP(month, event_type)
+"""
