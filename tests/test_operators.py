@@ -100,6 +100,67 @@ def test_merge_upsert(spark, tmp_path):
     assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
 
 
+def test_merge_upsert_empty_batch_is_noop(spark, tmp_path):
+    """An empty update batch (the trailing availableNow micro-batch)
+    must never touch the target — static-mode overwrite of an empty
+    frame used to truncate the whole table (CORRECTNESS_r01)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "p1")], "id long, name string, v double, part string"
+    )
+    merge_upsert(spark, base, path, key=["id"], partition_cols=["part"])
+    empty = base.filter(F.lit(False))
+    assert merge_upsert(spark, empty, path, key=["id"], partition_cols=["part"]) == 0
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_upsert_under_static_overwrite_mode(spark, tmp_path):
+    """merge_upsert self-provisions dynamic partition overwrite, so a
+    caller session left in static mode (the driver gate's bare session)
+    still gets the bounded-partition MERGE, not a table truncation."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "p1"), (3, "c", 30.0, "p2")],
+        "id long, name string, v double, part string",
+    )
+    merge_upsert(spark, base, path, key=["id"], partition_cols=["part"])
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        updates = spark.createDataFrame(
+            [(2, "b", 20.0, "p1")], "id long, name string, v double, part string"
+        )
+        merge_upsert(spark, updates, path, key=["id"], partition_cols=["part"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2, 3}  # p2 untouched, p1 merged
+
+
+def test_stream_merge_upsert_monotone(spark, tmp_path):
+    """A later batch carrying only OLDER events must not regress stored
+    state (ADVICE r01): drive the foreachBatch merge step directly with
+    two out-of-order hand batches."""
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        monotone_user_upsert,
+    )
+
+    store = str(tmp_path / "store")
+    schema = "user_id long, event_id long, event_type string, value double, ts timestamp"
+    newer = spark.createDataFrame(
+        [(7, 100, "purchase", 5.0, dt.datetime(2024, 2, 1))], schema
+    )
+    older = spark.createDataFrame(
+        [(7, 50, "signup", 1.0, dt.datetime(2024, 1, 1)),
+         (8, 51, "signup", 2.0, dt.datetime(2024, 1, 2))],
+        schema,
+    )
+    monotone_user_upsert(spark, newer, store)
+    monotone_user_upsert(spark, older, store)  # must not regress user 7
+    got = {r["user_id"]: r["last_event_type"] for r in spark.read.parquet(store).collect()}
+    assert got == {7: "purchase", 8: "signup"}
+
+
 def test_missing_sequence_and_reconciliation(spark):
     df = spark.createDataFrame([(1,), (2,), (4,), (7,)], "k long")
     missing = sorted(r["k"] for r in missing_sequence(df, "k").collect())

@@ -38,6 +38,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # merge_upsert rewrites only the partitions present in the incoming
+    # batch; under the default static mode the same write TRUNCATES the
+    # whole table first. Any entry point that may reach the MERGE writer
+    # must therefore carry dynamic overwrite semantics.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

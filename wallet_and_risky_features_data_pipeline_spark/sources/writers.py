@@ -75,6 +75,16 @@ def merge_upsert(
     touched partitions, like the reference's chunk-scoped Iceberg
     MERGE, features_pipeline.py:96-126).
     """
+    from .readers import _ensure_session_confs
+
+    # Defense in depth: an empty batch (e.g. the trailing availableNow
+    # micro-batch of a stream) must be a no-op, never an overwrite.
+    if updates.isEmpty():
+        return 0
+    # The dynamic-overwrite conf is load-bearing (static mode truncates
+    # the whole table); self-provision it rather than trusting the
+    # caller's session.
+    _ensure_session_confs(spark)
     try:
         target = spark.read.parquet(path)
     except Exception:

@@ -60,16 +60,18 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "wrf_windowed_event_counts"
-    q = (
-        stream.writeStream.outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        q = (
+            stream.writeStream.outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     return spark.table(name).select(
         F.unix_micros(F.col("win.start")).alias("day_start_us"),
@@ -90,6 +92,49 @@ GROUP BY 1, 2
 """
 
 
+def monotone_user_upsert(spark: SparkSession, batch: DataFrame, store: str) -> None:
+    """One foreachBatch step of the streaming MERGE: reduce the batch to
+    its latest state per user (deterministic ``(ts, event_id)`` order)
+    and merge into ``store`` — monotone in event time, so a late batch
+    carrying only OLDER events for a user never regresses stored state
+    (the property the reference gets from its ordered Iceberg MERGE
+    loop, features_pipeline.py:96-126)."""
+    from ..sources.writers import merge_upsert
+
+    latest = batch.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("ts", "event_type", "value", "event_id"),
+            F.struct("ts", "event_id"),
+        ).alias("s")
+    )
+    snapshot = latest.select(
+        "user_id",
+        (F.col("user_id") % 16).alias("bucket"),
+        F.unix_micros("s.ts").alias("last_ts_us"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value").cast("double").alias("last_value"),
+    )
+    try:
+        stored = spark.read.parquet(store).select(
+            "user_id",
+            F.col("last_ts_us").alias("__ts"),
+            F.col("last_event_id").alias("__eid"),
+        )
+    except Exception:
+        stored = None
+    if stored is not None:
+        snapshot = (
+            snapshot.join(stored, on="user_id", how="left")
+            .filter(
+                F.col("__ts").isNull()
+                | (F.struct("last_ts_us", "last_event_id") > F.struct("__ts", "__eid"))
+            )
+            .drop("__ts", "__eid")
+        )
+    merge_upsert(spark, snapshot, store, key=["user_id"], partition_cols=["bucket"])
+
+
 def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest → MERGE upsert: the full SURVEY.md §2.9 mapping
     (file source → watermark → streaming dedup → ``foreachBatch`` MERGE
@@ -104,8 +149,6 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     a latest-event-per-user snapshot, regardless of how many batches
     the stream delivered the data in.
     """
-    from ..sources.writers import merge_upsert
-
     _ensure_session_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_merge_ckpt_")
@@ -114,35 +157,24 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     def upsert_batch(batch: DataFrame, _epoch: int) -> None:
-        latest = batch.groupBy("user_id").agg(
-            F.max_by(
-                F.struct("ts", "event_type", "value", "event_id"),
-                F.struct("ts", "event_id"),
-            ).alias("s")
-        )
-        snapshot = latest.select(
-            "user_id",
-            (F.col("user_id") % 16).alias("bucket"),
-            F.unix_micros("s.ts").alias("last_ts_us"),
-            F.col("s.event_type").alias("last_event_type"),
-            F.col("s.value").cast("double").alias("last_value"),
-        )
-        merge_upsert(spark, snapshot, store, key=["user_id"], partition_cols=["bucket"])
+        monotone_user_upsert(spark, batch, store)
 
-    q = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
-        .writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(upsert_batch)
-        .start()
-    )
-    q.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        q = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(upsert_batch)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.read.parquet(store).select(
         "user_id", "bucket", "last_ts_us", "last_event_type", "last_value"
     )
@@ -203,16 +235,18 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "wrf_stateful_user_totals"
-    q = (
-        stream.writeStream.outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        q = (
+            stream.writeStream.outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     # latest state per key (single-file source → one batch, but stay
     # correct under multi-batch replays)
