@@ -16,7 +16,9 @@ from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
 from wallet_and_risky_features_data_pipeline_spark.streaming.incremental import (
     WatermarkStore,
     incremental_append,
+    incremental_auc_rollup,
     incremental_contract_state,
+    wallet_auc_state,
 )
 
 from .conftest import SF_SMALL
@@ -49,6 +51,27 @@ def test_incremental_three_way_chain(spark):
     s3 = incremental_contract_state(s2, wt.filter(F.col("ts") >= t2))
     full = contract_state_from(wt)
     assert _rows(s3.select(*sorted(full.columns))) == _rows(full.select(*sorted(full.columns)))
+
+
+@pytest.mark.parametrize("split_at", ["2024-01-08", "2024-01-15", "2024-01-29"])
+def test_auc_incremental_equals_full(spark, split_at):
+    """The time-integral stitch: incremental(auc_state(b1), b2) must
+    equal the full AUC rollup to the last decimal digit — including the
+    bridge term prior_balance × (first_b2_ts − last_b1_ts), the re-max
+    of the prior's last running-AUC row, and exact-bigint
+    time-above-zero."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_auc_rollup,
+    )
+
+    wt = wallet_transactions(spark, SF_SMALL)
+    split = F.lit(split_at).cast("timestamp")
+    prior = wallet_auc_state(wt.filter(F.col("ts") < split))
+    merged = incremental_auc_rollup(prior, wt.filter(F.col("ts") >= split))
+    full = wallet_auc_rollup(spark, SF_SMALL)
+    assert _rows(merged.select(*sorted(full.columns))) == _rows(
+        full.select(*sorted(full.columns))
+    )
 
 
 def test_incremental_append_idempotent(spark, tmp_path):

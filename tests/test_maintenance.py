@@ -1,0 +1,63 @@
+"""Compaction (bin-pack rewrite) — the reference's weekly OPTIMIZE +
+VACUUM analog (features_pipeline.py:128-138): fragmented partitions are
+rewritten to few files, content and partition values are preserved
+exactly, and well-sized partitions are left untouched."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+    compact_partitions,
+)
+from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
+
+from .conftest import SF_SMALL
+
+
+def _checksum(df):
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("ids"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("vals"),
+        F.countDistinct("date_partition").alias("parts"),
+    ).first()
+    return tuple(row)
+
+
+def test_compact_partitions_preserves_content(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    ev = read_table(spark, SF_SMALL, "events").withColumn(
+        "date_partition", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # fragment: 6 writer tasks per partition → ~6 small files each
+    ev.repartition(6).write.partitionBy("date_partition").parquet(path)
+    before_files = sum(
+        len([f for f in fs if f.endswith(".parquet")]) for _, _, fs in os.walk(path)
+    )
+    before = _checksum(spark.read.parquet(path))
+
+    stats = compact_partitions(spark, path, target_mb=128)
+
+    after_files = sum(
+        len([f for f in fs if f.endswith(".parquet")]) for _, _, fs in os.walk(path)
+    )
+    assert stats, "fragmented partitions should have been rewritten"
+    assert all(b > a for b, a in stats.values())
+    assert after_files < before_files
+    # tiny partitions well under target_mb compact to a single file
+    assert all(a == 1 for _, a in stats.values())
+    assert _checksum(spark.read.parquet(path)) == before
+    # no temp dirs left behind
+    assert not [d for d, _, _ in os.walk(path) if d.endswith("__compact_tmp")]
+
+
+def test_compact_partitions_noop_when_compact(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    ev = read_table(spark, SF_SMALL, "events").withColumn(
+        "date_partition", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.coalesce(1).write.partitionBy("date_partition").parquet(path)
+    assert compact_partitions(spark, path, target_mb=128) == {}

@@ -72,6 +72,73 @@ def test_asof_backward_vs_nearest(spark):
     assert got[2] == 8.0  # Jan 8 is 6 days ahead — inside the ±7d band
 
 
+def test_asof_day_bucketed_equals_plain(spark):
+    """The day-bucketed plan (quote explode + (key, day) equi join) is
+    a pure physical rewrite: for both directions it must return exactly
+    what the un-bucketed band join returns, including edge-of-window
+    sub-day precision and no-match NULLs."""
+    ev = spark.createDataFrame(
+        [
+            (1, "a", dt.datetime(2024, 1, 10, 12, 30)),
+            (2, "a", dt.datetime(2024, 1, 2, 0, 0)),
+            (3, "b", dt.datetime(2024, 1, 15, 23, 59)),
+            (4, "z", dt.datetime(2024, 1, 15)),
+        ],
+        "event_id long, key string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 8, 1), 8.0),
+            ("a", dt.datetime(2024, 1, 11, 2), 11.0),
+            ("a", dt.datetime(2023, 12, 20), 1.0),
+            # exactly 7d+1h before event 1 — outside backward tolerance
+            ("a", dt.datetime(2024, 1, 3, 11, 30), 3.0),
+            ("b", dt.datetime(2024, 1, 9, 5), 9.0),
+        ],
+        "key string, qts timestamp, price double",
+    )
+    for direction in ("backward", "nearest"):
+        plain = asof_join(
+            ev, quotes, ["key"], ["event_id"], "ts", "qts", "INTERVAL 7 DAYS", direction
+        )
+        bucketed = asof_join(
+            ev, quotes, ["key"], ["event_id"], "ts", "qts", "INTERVAL 7 DAYS", direction,
+            bucket_days=7, broadcast_quotes=True,
+        )
+        key = lambda rows: sorted((r["event_id"], r["price"], r["qts"]) for r in rows)
+        assert key(bucketed.collect()) == key(plain.collect()), direction
+
+
+def test_band_join_day_bucketed_equals_plain(spark):
+    from wallet_and_risky_features_data_pipeline_spark.operators.joins import band_join
+
+    facts = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 10)), (2, "b", dt.datetime(2024, 1, 12))],
+        "fact_id long, key string, fday timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 9), 1.0),
+            ("a", dt.datetime(2024, 1, 10), 2.0),
+            ("a", dt.datetime(2024, 1, 11), 3.0),
+            ("b", dt.datetime(2024, 1, 1), 4.0),
+        ],
+        "key string, dday timestamp, v double",
+    )
+    kwargs = dict(
+        key=["key"],
+        fact_ts=F.col("fday"),
+        dim_ts=F.col("dday"),
+        lower=F.expr("INTERVAL 1 DAY"),
+        upper=F.expr("INTERVAL 0 DAY"),
+        how="inner",
+    )
+    plain = band_join(facts, dim, **kwargs)
+    bucketed = band_join(facts, dim, **kwargs, bucket_days=(1, 0), broadcast_dim=True)
+    key = lambda rows: sorted((r["fact_id"], r["v"]) for r in rows)
+    assert key(bucketed.collect()) == key(plain.collect())
+
+
 def test_asof_tie_breaks_to_later_quote(spark):
     ev = spark.createDataFrame(
         [(1, "a", dt.datetime(2024, 1, 10))], "event_id long, key string, ts timestamp"
@@ -159,6 +226,37 @@ def test_stream_merge_upsert_monotone(spark, tmp_path):
     monotone_user_upsert(spark, older, store)  # must not regress user 7
     got = {r["user_id"]: r["last_event_type"] for r in spark.read.parquet(store).collect()}
     assert got == {7: "purchase", 8: "signup"}
+
+
+def test_monotone_upsert_backfills_missing_store_column(spark, tmp_path):
+    """A store written before ``last_event_id`` existed must NOT
+    silently disable the monotone guard: the column is backfilled as -1
+    on read, so an older-only late batch still can't regress stored
+    state (ADVICE r02 regression guard)."""
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        monotone_user_upsert,
+    )
+
+    store = str(tmp_path / "user_state")
+    fresh = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 20), "purchase", 5.0, 100)],
+        "user_id long, ts timestamp, event_type string, value double, event_id long",
+    )
+    monotone_user_upsert(spark, fresh, store)
+    # simulate the pre-last_event_id store schema
+    old = spark.read.parquet(store).drop("last_event_id").localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(store)
+    old.write.partitionBy("bucket").parquet(store)
+
+    stale = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5), "click", 1.0, 7)],
+        "user_id long, ts timestamp, event_type string, value double, event_id long",
+    )
+    monotone_user_upsert(spark, stale, store)
+    row = spark.read.parquet(store).filter(F.col("user_id") == 1).first()
+    assert row["last_value"] == 5.0  # stale batch rejected by the guard
 
 
 def test_missing_sequence_and_reconciliation(spark):

@@ -53,6 +53,24 @@ def test_windows_use_rows_frames(spark):
     assert "RangeFrame" not in plan
 
 
+def test_asof_price_joins_on_day_bucket(spark):
+    # The as-of join must be an equi join whose key includes the day
+    # bucket (not just the 5-value event_type — that shape fans out to
+    # |events| × |price history|), with the tiny exploded price side
+    # broadcast. VERDICT r02 #2 regression guard.
+    plan = _physical(QUERIES["asof_price"](spark, SF_MEDIUM))
+    assert "__ev_day" in plan
+    assert "BroadcastHashJoin [event_type" in plan
+
+
+def test_partition_totals_single_exchange(spark):
+    # groupBy reduction over the windowed balance must reuse the
+    # window's (wallet) clustering: exactly one exchange, no extra
+    # full-width dedup shuffle (VERDICT r02 #4 regression guard).
+    plan = _physical(QUERIES["window_partition_totals"](spark, SF_MEDIUM))
+    assert plan.count("Exchange") == 1
+
+
 def test_ivf_probes_broadcast_not_cartesian(spark):
     # centroid fan-outs must plan as broadcast nested-loop joins — a
     # CartesianProduct would shuffle the full corpus against the cells

@@ -67,7 +67,17 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     Shape: explode shingles → flat (a, b) projection (whole-stage
     codegen; array lambdas would fall back to interpreted evaluation)
     → groupBy-min per seed. One shuffle on the id, map-side partial
-    mins."""
+    mins.
+
+    Variance tradeoff: the i-th hash is an affine combination of ONE
+    base digest per shingle (Kirsch–Mitzenmacher style), so the
+    n_hashes slots are pairwise- but not mutually-independent — slot
+    estimates are slightly correlated, raising the variance of the
+    Jaccard estimate versus n_hashes independent permutations. For
+    LSH banding this costs a marginally softer S-curve, not bias; the
+    16× cheaper signature pass is the right trade at corpus scale.
+    Callers needing lower variance raise ``n_hashes`` (cost grows in
+    the cheap modmul term, not in digests)."""
     ex = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__s"))
     hashed = ex.select(
         id_col,
@@ -166,9 +176,19 @@ def simhash16(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
+    max_df: int = 100,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard pairs ≥ threshold via inverted index."""
+    """Exact word-n-gram Jaccard pairs ≥ threshold via inverted index.
+
+    ``max_df`` drops shingles whose document frequency exceeds it
+    BEFORE the self-join — the boilerplate guard: the inverted-index
+    join emits ~df² pairs per shingle, so one shingle shared by 1M
+    docs would emit 10¹² pairs. Jaccard is then computed over the
+    df-filtered shingle universe (sizes and intersections both exclude
+    capped shingles), which discounts boilerplate from the similarity
+    measure itself — the standard df-cap semantics (same role as
+    ``max_bucket`` on the MinHash path)."""
     shingled = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -179,6 +199,11 @@ def ngram_jaccard_pairs(
                 rf" '\\s+'), ''), i, {n}))))"
             )
         ).alias("shingle"),
+    )
+    doc_freq = shingled.groupBy("shingle").agg(F.count("*").alias("__df"))
+    shingled = (
+        shingled.join(doc_freq.filter(F.col("__df") <= max_df), "shingle")
+        .drop("__df")
     )
     sizes = shingled.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (

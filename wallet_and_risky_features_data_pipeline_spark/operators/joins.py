@@ -19,6 +19,17 @@ physical plan is a hash/sort-merge join on that key with the band
 predicate applied as a post-join filter — never a cartesian product.
 Quote/dimension sides are usually small → mark them broadcastable at
 the call site. Skewed keys fall to AQE skew-join splitting.
+
+Day-bucketing (``bucket_days``): a band/as-of join whose equality key
+has few distinct values (e.g. one row per token symbol) fans out to
+|facts| × |quote history of that key| intermediate pairs before the
+band filter prunes them — multiplicative in history length, the classic
+scale-killer. When the tolerance is a whole number of days, the quote
+side is instead exploded over its day span (a constant ≤ tol+1 copies
+of the SMALL side) and the join key becomes ``(key, day)`` — fan-out is
+then bounded by quotes-per-day × span, independent of history length.
+The exact band predicate is still applied post-join, so semantics are
+identical to the un-bucketed path.
 """
 
 from __future__ import annotations
@@ -48,17 +59,45 @@ def band_join(
     lower: Column,
     upper: Column,
     how: str = "left",
+    bucket_days: tuple[int, int] | None = None,
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Equality on ``key`` + ``dim_ts`` within [fact_ts - lower,
     fact_ts + upper]. The equality key keeps this a hash join; the band
     is a join-condition filter.
+
+    ``bucket_days=(lower_days, upper_days)`` enables the day-bucketed
+    plan (module docstring): the dim side is exploded over day offsets
+    ``[-upper_days, lower_days]`` (a fact at day d matches a dim row at
+    day d - off) and the join key becomes ``key + [day]``, with the
+    exact band kept as a post-join filter. Requires the interval bounds
+    to be covered by the day span; the small dim side grows by a
+    constant factor ≤ lower_days + upper_days + 1.
     """
-    cond = None
+    band = dim_ts.between(fact_ts - lower, fact_ts + upper)
+    if bucket_days is None:
+        cond = None
+        for k in key:
+            c = facts[k] == dim[k]
+            cond = c if cond is None else (cond & c)
+        return facts.join(dim, on=cond & band, how=how)
+
+    lo_d, up_d = bucket_days
+    exploded = (
+        dim.withColumn("__off", F.explode(F.sequence(F.lit(-up_d), F.lit(lo_d))))
+        .withColumn("__match_day", F.date_add(F.to_date(dim_ts), F.col("__off")))
+        .drop("__off")
+    )
+    if broadcast_dim:
+        exploded = F.broadcast(exploded)
+    facts = facts.withColumn("__fact_day", F.to_date(fact_ts))
+    cond = facts["__fact_day"] == exploded["__match_day"]
     for k in key:
-        c = facts[k] == dim[k]
-        cond = c if cond is None else (cond & c)
-    cond = cond & dim_ts.between(fact_ts - lower, fact_ts + upper)
-    return facts.join(dim, on=cond, how=how)
+        cond = cond & (facts[k] == exploded[k])
+    return (
+        facts.join(exploded, on=cond & band, how=how)
+        .drop("__match_day", "__fact_day")
+    )
 
 
 def asof_join(
@@ -70,6 +109,8 @@ def asof_join(
     quote_ts: str,
     tolerance_expr: str = "INTERVAL 7 DAYS",
     direction: str = "backward",
+    bucket_days: int | None = None,
+    broadcast_quotes: bool = False,
 ) -> DataFrame:
     """As-of join: attach to each event the nearest quote within
     tolerance. ``event_id`` must uniquely identify an event row (never
@@ -86,6 +127,14 @@ def asof_join(
 
     Events with no quote in range keep NULL quote columns (caller
     applies the reference's COALESCE(price, 0) convention).
+
+    ``bucket_days`` (must equal the tolerance in whole days) switches to
+    the day-bucketed plan (module docstring): quotes are exploded over
+    their reachable day span and the join is an equi join on
+    ``key + [day]`` — fan-out per event is bounded by the day span, not
+    by the key's full quote history. ``broadcast_quotes`` marks the
+    exploded quote side broadcastable (right for price dims, whose size
+    is tokens × days at any corpus scale).
     """
     tol = F.expr(tolerance_expr)
     e_ts, q_ts = F.col(event_ts), F.col(quote_ts)
@@ -96,7 +145,26 @@ def asof_join(
     else:
         raise ValueError(f"unknown direction {direction!r}")
 
-    joined = events.join(quotes, on=list(key), how="inner").where(band)
+    if bucket_days is None:
+        joined = events.join(quotes, on=list(key), how="inner").where(band)
+    else:
+        # A quote at day q reaches events at day q..q+tol (backward) or
+        # q-tol..q+tol (nearest); the exact band filter below restores
+        # sub-day precision at the window edges.
+        lo = 0 if direction == "backward" else -bucket_days
+        exploded = (
+            quotes.withColumn("__off", F.explode(F.sequence(F.lit(lo), F.lit(bucket_days))))
+            .withColumn("__ev_day", F.date_add(F.to_date(q_ts), F.col("__off")))
+            .drop("__off")
+        )
+        if broadcast_quotes:
+            exploded = F.broadcast(exploded)
+        joined = (
+            events.withColumn("__ev_day", F.to_date(e_ts))
+            .join(exploded, on=[*key, "__ev_day"], how="inner")
+            .where(band)
+            .drop("__ev_day")
+        )
     # Best-quote selection is a min_by hash aggregation, not a window
     # rank: partial (map-side) aggregation and no per-partition sort —
     # the cheaper plan at scale. The ordering struct encodes the

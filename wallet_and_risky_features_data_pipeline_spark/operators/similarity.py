@@ -260,12 +260,28 @@ def pandas_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Vectorized brute-force top-k: numpy matmul per Arrow batch
     against a driver-broadcast query matrix (the fast path for wide
-    embeddings; see module docstring for why it has no value oracle)."""
+    embeddings; see module docstring for why it has no value oracle).
+
+    The query side is collected to the driver and broadcast — correct
+    only for a bounded query set. ``max_queries`` makes that contract
+    explicit: the collect is guarded by a cheap limit+count probe, so a
+    caller shipping an unbounded query table fails fast instead of
+    OOM-ing the driver (VERDICT r02 #5). For query sets beyond the
+    bound, use ``ivf_topk``/``lsh_topk`` (distributed both sides).
+    """
     import numpy as np
 
+    probe = queries.limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"pandas_topk collects the query side to the driver; got more than "
+            f"{max_queries} query rows — use ivf_topk/lsh_topk for large query sets "
+            f"or raise max_queries explicitly"
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)

@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.incremental import incremental_contract_state
+from ..streaming.incremental import (
+    incremental_auc_rollup,
+    incremental_contract_state,
+    wallet_auc_state,
+)
+from .risk_features import WALLET_AUC_ROLLUP_ORACLE
 from .wallet_features import contract_state_from
 from .wallet_model import wallet_transactions
 from .windows_plans import WALLET_COIN_BALANCES_ORACLE
@@ -42,3 +47,21 @@ def wallet_coin_balances_incremental(spark: SparkSession, sf_dir: str) -> DataFr
 
 # identical result contract as the full computation → same oracle
 WALLET_COIN_BALANCES_INCR_ORACLE = WALLET_COIN_BALANCES_ORACLE
+
+
+def wallet_auc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 — the incremental time-integral (AUC) stitch as a verified
+    query: snapshot the AUC state at ``SPLIT_AT``, stitch the remaining
+    events with the ``prior_balance × (first_ts − prior_last_ts)``
+    bridge term (reference
+    ethereum_wallet_features_with_auc.sql:627-637), and check the
+    result against the FULL-recompute oracle — the driver's gate itself
+    proves incremental ≡ full."""
+    wt = wallet_transactions(spark, sf_dir)
+    split = F.lit(SPLIT_AT).cast("timestamp")
+    prior = wallet_auc_state(wt.filter(F.col("ts") < split))
+    return incremental_auc_rollup(prior, wt.filter(F.col("ts") >= split))
+
+
+# incremental must equal the full AUC rollup → same oracle
+WALLET_AUC_INCR_ORACLE = WALLET_AUC_ROLLUP_ORACLE

@@ -157,11 +157,19 @@ WITH toks AS (
            list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tokens
     FROM documents
 ),
-shingled AS (
+shingled_all AS (
     SELECT DISTINCT doc_id AS doc, shingle
     FROM toks,
          UNNEST(list_transform(generate_series(1, greatest(len(tokens) - 2, 1)),
                                i -> array_to_string(tokens[i:i+2], ' '))) AS u(shingle)
+),
+-- document-frequency cap (mirrors ngram_jaccard_pairs max_df=100):
+-- boilerplate shingles are excluded from the index AND the measure
+shingled AS (
+    SELECT s.doc, s.shingle
+    FROM shingled_all s
+    JOIN (SELECT shingle FROM shingled_all GROUP BY 1 HAVING COUNT(*) <= 100) f
+      ON s.shingle = f.shingle
 ),
 sizes AS (SELECT doc, COUNT(*) AS sz FROM shingled GROUP BY 1),
 inter AS (

@@ -256,6 +256,9 @@ def theta_band_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", F.date_trunc("day", F.col("ts")).alias("ev_day")
     )
     prices = _daily_prices(spark, sf_dir)
+    # Day-bucketed: the 5-value event_type key alone would fan out to
+    # |events| × |price days|; bucketing joins on (event_type, day)
+    # with the tiny price side exploded ×2 and broadcast.
     joined = band_join(
         ev,
         prices,
@@ -265,6 +268,8 @@ def theta_band_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower=F.expr("INTERVAL 1 DAY"),
         upper=F.expr("INTERVAL 0 DAY"),
         how="inner",
+        bucket_days=(1, 0),
+        broadcast_dim=True,
     )
     return joined.groupBy("event_id").agg(
         F.count("*").alias("n_prices"),
@@ -292,6 +297,9 @@ GROUP BY e.event_id
 def asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     prices = _daily_prices(spark, sf_dir).withColumnRenamed("event_type", "p_type")
+    # Day-bucketed + broadcast: price dim is tokens × days at any scale;
+    # the (event_type, day) equi key bounds fan-out at ≤8 quotes/event
+    # instead of the full per-type price history (VERDICT r02 #2).
     out = asof_join(
         ev,
         prices.withColumnRenamed("p_type", "event_type"),
@@ -301,6 +309,8 @@ def asof_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         quote_ts="price_day",
         tolerance_expr="INTERVAL 7 DAYS",
         direction="backward",
+        bucket_days=7,
+        broadcast_quotes=True,
     )
     return out.select(
         "event_id",
@@ -494,6 +504,67 @@ def map_aggregate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAP_ROUNDTRIP_ORACLE = """
 SELECT user_id, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# A4 nested — MAP<string, MAP<string, double>> aggregate + JSON round
+# trip. The reference builds ``contracts_aggregations`` as a map of
+# per-contract metric maps via MAP(ARRAY_AGG(k), ARRAY_AGG(MAP(...)))
+# (queries/ethereum_wallet_features.sql:268-274), serializes it to
+# JSON, and downstream consumers re-extract scalars from it with
+# json_extract_scalar and explode it back to rows
+# (ethereum_wallet_features.sql:403-416,429-431). This plan exercises
+# that full path: nested build → to_json → from_json (schema-checked
+# parse) → outer-map explode → per-inner-map JSON scalar extraction by
+# literal path. The oracle computes the same values directly, so any
+# precision or key loss in the JSON hop breaks the hash.
+def map_nested_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.max(F.col("value")).alias("max_value"),
+    )
+    nested = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("event_type"),
+                    F.create_map(
+                        F.lit("total_value"), F.col("total_value"),
+                        F.lit("n_events"), F.col("n_events"),
+                        F.lit("max_value"), F.col("max_value"),
+                    ),
+                )
+            )
+        ).alias("type_metrics")
+    )
+    roundtripped = nested.select(
+        "user_id",
+        F.from_json(
+            F.to_json(F.col("type_metrics")), "map<string,map<string,double>>"
+        ).alias("parsed"),
+    )
+    exploded = roundtripped.select(
+        "user_id", F.explode("parsed").alias("event_type", "metrics")
+    ).withColumn("metrics_json", F.to_json(F.col("metrics")))
+    return exploded.select(
+        "user_id",
+        "event_type",
+        F.get_json_object("metrics_json", "$.total_value").cast("double").alias("total_value"),
+        F.get_json_object("metrics_json", "$.n_events").cast("double").alias("n_events"),
+        F.get_json_object("metrics_json", "$.max_value").cast("double").alias("max_value"),
+    )
+
+
+MAP_NESTED_JSON_ORACLE = """
+SELECT user_id, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(COUNT(*) AS DOUBLE) AS n_events,
+       MAX(value) AS max_value
 FROM events
 GROUP BY 1, 2
 """

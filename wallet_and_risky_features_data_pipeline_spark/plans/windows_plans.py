@@ -17,14 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.joins import asof_join
 from ..operators.skew import salted_running_sum
 from ..operators.windows import (
     dedup_rank,
     deterministic_order,
     lead_delta,
-    partition_totals,
     running_sum,
 )
+from ..sources.readers import read_table
 from .wallet_features import WALLET_FEATURES_ORACLE, contract_state
 from .wallet_model import (
     ORACLE_ORDER,
@@ -108,32 +109,174 @@ FROM wallet_tx
 
 
 # --------------------------------------------------------------------------
-# W5 + W6 — whole-partition totals and lifetime min/max balance
+# W4 — ETH-converted running balances: the reference's defining output
+# (queries/ethereum_wallet_features.sql:109-121): every leg's value is
+# converted through the as-of token price, with the native coin fixed
+# at price 1 and unpriced tokens at 0 —
+# COALESCE(price, CASE contract = 'ETH' THEN 1 ELSE 0 END) — then run
+# through the same deterministic running window per (wallet, contract)
+# AND per wallet. ``value_in_eth`` deliberately mirrors the reference's
+# asymmetric convention (COALESCE(price, 0) WITHOUT the native-coin
+# case, ethereum_wallet_features.sql:103) while the balances use the
+# full convention.
+#
+# Synthetic mapping: contract = event_type; 'purchase' (the 'normal'
+# transaction type) plays the native coin — absent from the price feed,
+# so the →1 branch is live; 'signup' has no feed either (→0 branch
+# live); 'click'/'error'/'view' carry real daily prices. The daily
+# price is MAX(value) per (type, day) in exact DECIMAL — no division,
+# so Spark and DuckDB agree to the last digit. All conversion
+# arithmetic is decimal ((20,9)×(12,4)→(33,13), running sums at
+# (38,13)); the reference's ROUND(·, 5) is applied in decimal and the
+# result emitted as a DECIMAL(38,5) string (decimal→double would
+# double-round in DuckDB — same rationale as window_lead_auc). The
+# reference's -0.0→0.0 CASE is a float artifact with no decimal
+# equivalent (decimal has no signed zero), so it is intentionally
+# absent.
+#
+# Scale shape: price feed is tokens × days at any corpus scale → the
+# day-bucketed as-of join broadcasts it; the price attach to legs is an
+# equi join on the unique event_id; windows reuse the single by_wallet
+# exchange.
+_PRICED_CONTRACTS = ("click", "error", "view")
+_NATIVE_CONTRACT = "purchase"  # the reference's literal-'ETH' analog
+
+
+def window_running_balance_eth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    prices = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_PRICED_CONTRACTS))
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("price_day"))
+        .agg(F.max(F.col("value").cast("decimal(12,4)")).alias("price"))
+    )
+    priced = asof_join(
+        ev,
+        prices,
+        key=["event_type"],
+        event_id=["event_id"],
+        event_ts="ts",
+        quote_ts="price_day",
+        tolerance_expr="INTERVAL 7 DAYS",
+        direction="backward",
+        bucket_days=7,
+        broadcast_quotes=True,
+    ).select("event_id", "price")
+
+    wt = by_wallet(wallet_transactions(spark, sf_dir).join(priced, "event_id"))
+    price_eff = F.coalesce(
+        F.col("price"),
+        F.when(F.col("contract_address") == _NATIVE_CONTRACT, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("decimal(12,4)"),
+    )
+    prod = F.col("current_value").cast("decimal(20,9)") * price_eff
+    eth_signed = (
+        F.when(
+            F.col("address_role") == "sender",
+            -prod - F.col("tx_fee").cast("decimal(20,13)"),
+        )
+        .otherwise(prod)
+        .cast("decimal(34,13)")
+    )
+    df = wt.withColumn("__price_eff", price_eff).withColumn("__eth_signed", eth_signed)
+    df = running_sum(df, F.col("__eth_signed"), _KEY, ORDER_COLS, out="__bal_c")
+    df = running_sum(df, F.col("__eth_signed"), ("wallet_address",), ORDER_COLS, out="__bal_w")
+    return df.select(
+        "event_id",
+        "wallet_address",
+        "contract_address",
+        "address_role",
+        F.col("__price_eff").cast("double").alias("eth_price"),
+        (
+            F.col("current_value").cast("decimal(20,9)")
+            * F.coalesce(F.col("price"), F.lit(0).cast("decimal(12,4)"))
+        )
+        .cast("double")
+        .alias("value_in_eth"),
+        F.round(F.col("__bal_c"), 5).cast("decimal(38,5)").cast("string").alias("bal_eth_by_contract"),
+        F.round(F.col("__bal_w"), 5).cast("decimal(38,5)").cast("string").alias("bal_eth_wallet"),
+    )
+
+
+WINDOW_RUNNING_BALANCE_ETH_ORACLE = f"""
+WITH {WALLET_TX_ORACLE_CTE},
+prices AS (
+    SELECT event_type, date_trunc('day', ts) AS price_day,
+           MAX(CAST(value AS DECIMAL(12,4))) AS price
+    FROM events
+    WHERE event_type IN ('click', 'error', 'view')
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT e.event_id, p.price,
+           ROW_NUMBER() OVER (PARTITION BY e.event_id
+                              ORDER BY abs(epoch_us(e.ts) - epoch_us(p.price_day)) ASC,
+                                       p.price_day DESC) AS rk
+    FROM events e
+    JOIN prices p ON p.event_type = e.event_type
+       AND p.price_day BETWEEN e.ts - INTERVAL 7 DAY AND e.ts
+),
+priced AS (
+    SELECT w.*, b.price,
+           COALESCE(b.price,
+                    CAST(CASE WHEN w.contract_address = 'purchase' THEN 1 ELSE 0 END
+                         AS DECIMAL(12,4))) AS price_eff
+    FROM wallet_tx w
+    LEFT JOIN (SELECT event_id, price FROM best WHERE rk = 1) b ON w.event_id = b.event_id
+),
+signed AS (
+    SELECT *,
+        CAST(CASE WHEN address_role = 'sender'
+             THEN -(CAST(current_value AS DECIMAL(20,9)) * price_eff)
+                  - CAST(tx_fee AS DECIMAL(20,13))
+             ELSE CAST(current_value AS DECIMAL(20,9)) * price_eff
+             END AS DECIMAL(34,13)) AS eth_signed
+    FROM priced
+)
+SELECT
+    event_id,
+    wallet_address,
+    contract_address,
+    address_role,
+    CAST(price_eff AS DOUBLE) AS eth_price,
+    CAST(CAST(current_value AS DECIMAL(20,9))
+         * COALESCE(price, CAST(0 AS DECIMAL(12,4))) AS DOUBLE) AS value_in_eth,
+    CAST(CAST(ROUND(SUM(eth_signed) OVER (
+        PARTITION BY wallet_address, contract_address
+        ORDER BY {ORACLE_ORDER}
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS DECIMAL(38,5))
+        AS VARCHAR) AS bal_eth_by_contract,
+    CAST(CAST(ROUND(SUM(eth_signed) OVER (
+        PARTITION BY wallet_address
+        ORDER BY {ORACLE_ORDER}
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS DECIMAL(38,5))
+        AS VARCHAR) AS bal_eth_wallet
+FROM signed
+"""
+
+
+# --------------------------------------------------------------------------
+# W5 + W6 — whole-partition totals and lifetime min/max balance.
+# The lifetime extrema need the running-balance window, but the
+# reduction to one row per key is a hash aggregate, NOT six
+# whole-partition window columns + .distinct() (which costs an extra
+# full-width exchange for the dedup — VERDICT r02 #4). The groupBy
+# clusters on the same (wallet, contract) key the window sorted by, so
+# no additional exchange is needed after the window stage.
 def window_partition_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = by_wallet(wallet_transactions(spark, sf_dir))
     df = running_sum(wt, F.col("signed_value"), _KEY, ORDER_COLS, out="balance")
-    df = partition_totals(
-        df,
-        _KEY,
-        {
-            "partition_total": F.sum("signed_value"),
-            "partition_events": F.count(F.lit(1)),
-            "first_ts": F.min("ts"),
-            "last_ts": F.max("ts"),
-            "max_balance_ever": F.max("balance"),
-            "min_pos_balance_ever": F.min(F.when(F.col("balance") > 0, F.col("balance"))),
-        },
+    return df.groupBy(*_KEY).agg(
+        F.sum("signed_value").cast("double").alias("partition_total"),
+        F.count(F.lit(1)).alias("partition_events"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.max("balance").cast("double").alias("max_balance_ever"),
+        F.min(F.when(F.col("balance") > 0, F.col("balance")))
+        .cast("double")
+        .alias("min_pos_balance_ever"),
     )
-    return df.select(
-        "wallet_address",
-        "contract_address",
-        F.col("partition_total").cast("double").alias("partition_total"),
-        "partition_events",
-        F.unix_micros("first_ts").alias("first_ts_us"),
-        F.unix_micros("last_ts").alias("last_ts_us"),
-        F.col("max_balance_ever").cast("double").alias("max_balance_ever"),
-        F.col("min_pos_balance_ever").cast("double").alias("min_pos_balance_ever"),
-    ).distinct()
 
 
 WINDOW_PARTITION_TOTALS_ORACLE = f"""
@@ -294,6 +437,65 @@ SELECT
     CAST(SUM(signed_value) AS DOUBLE) AS net_flow,
     CAST(SUM(tx_fee) AS DOUBLE) AS fees
 FROM wallet_tx
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# U4 — literal-row whitelist union: the reference restricts wallet
+# transactions to tokens present in its metadata table with
+# ``decimals > 0``, UNION ALL a single literal 'ETH' row ("we don't
+# have the ETH contract on tokens_metadata" —
+# queries/ethereum_wallet_features.sql:47-52), and inner-joins that
+# whitelist to the fact legs. Synthetic mapping: the metadata table is
+# the distinct non-native contracts with a derived ``decimals``
+# attribute (length - 4: 'view' gets 0 and is genuinely excluded, so
+# the whitelist filter is live); the native coin 'purchase' enters
+# ONLY through the literal row, exactly like 'ETH'. The whitelist is
+# a handful of rows at any scale → broadcast to the fact side.
+def union_whitelist_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    metadata = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("contract_address"))
+        .distinct()
+        .withColumn("decimals", F.length("contract_address") - F.lit(4))
+    )
+    whitelist = (
+        metadata.filter(F.col("decimals") > 0)
+        .select("contract_address")
+        .unionByName(spark.range(1).select(F.lit("purchase").alias("contract_address")))
+    )
+    wt = wallet_transactions(spark, sf_dir)
+    joined = wt.join(F.broadcast(whitelist), "contract_address")
+    return joined.groupBy("contract_address", "transaction_type").agg(
+        F.count(F.lit(1)).alias("legs"),
+        F.sum("signed_value").cast("double").alias("net_flow"),
+        F.countDistinct("wallet_address").alias("n_wallets"),
+    )
+
+
+UNION_WHITELIST_ORACLE = f"""
+WITH {WALLET_TX_ORACLE_CTE},
+metadata AS (
+    SELECT DISTINCT event_type AS contract_address,
+           length(event_type) - 4 AS decimals
+    FROM events
+    WHERE event_type <> 'purchase'
+),
+whitelist AS (
+    SELECT contract_address FROM metadata WHERE decimals > 0
+    UNION ALL
+    SELECT 'purchase' AS contract_address
+)
+SELECT
+    w.contract_address,
+    w.transaction_type,
+    CAST(COUNT(*) AS BIGINT) AS legs,
+    CAST(SUM(signed_value) AS DOUBLE) AS net_flow,
+    CAST(COUNT(DISTINCT wallet_address) AS BIGINT) AS n_wallets
+FROM wallet_tx w
+JOIN whitelist t ON t.contract_address = w.contract_address
 GROUP BY 1, 2
 """
 

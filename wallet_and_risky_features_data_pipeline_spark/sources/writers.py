@@ -31,7 +31,15 @@ def write_partitioned(
     partition_cols: Sequence[str] = ("date_partition",),
     mode: str = "append",
 ) -> None:
-    """Hive-partitioned parquet append/overwrite sink."""
+    """Hive-partitioned parquet append/overwrite sink.
+
+    Session-wide assumption (ADVICE r02): the engine self-provisions
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (see
+    ``readers._ensure_session_confs``), so ``mode="overwrite"`` here
+    means *replace only the partitions present in df*, never a full
+    table truncate. Callers needing a true full-table replace must
+    set the conf to ``static`` around the call explicitly.
+    """
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
 
 
@@ -46,9 +54,12 @@ def insert_incremental(
     (anti-join dedup, SURVEY.md §2.3 J9). First write degrades to a
     plain partitioned write (table-existence probe, §2.1 S13).
     """
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(path).select(*natural_key)
-    except Exception:
+    except AnalysisException:
+        # table-absent first write only; transient IO errors propagate
         write_partitioned(df, path, partition_cols, mode="append")
         return
     fresh = df.join(existing, on=list(natural_key), how="left_anti")
@@ -75,8 +86,17 @@ def merge_upsert(
     touched partitions, like the reference's chunk-scoped Iceberg
     MERGE, features_pipeline.py:96-126).
     """
+    from pyspark.errors import AnalysisException
+
     from .readers import _ensure_session_confs
 
+    # Materialize the updates plan ONCE: it is consumed by the isEmpty
+    # probe, the touched-partition projection, the anti-join and the
+    # final union — for monotone upserts that plan embeds a join against
+    # the whole store and would otherwise re-execute per consumer
+    # (ADVICE r02). The checkpoint also cuts lineage from any store
+    # files the overwrite below replaces.
+    updates = updates.localCheckpoint(eager=True)
     # Defense in depth: an empty batch (e.g. the trailing availableNow
     # micro-batch of a stream) must be a no-op, never an overwrite.
     if updates.isEmpty():
@@ -87,7 +107,10 @@ def merge_upsert(
     _ensure_session_confs(spark)
     try:
         target = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
+        # Store-absent first write only; transient IO errors propagate
+        # (treating them as "no store" would overwrite the full table
+        # with just this batch — ADVICE r02).
         write_partitioned(updates, path, partition_cols, mode="overwrite")
         return updates.count()
     parts = updates.select(*partition_cols).distinct()

@@ -72,12 +72,17 @@ def incremental_append(
     watermark write is lost (at-least-once → effectively-once), exactly
     like the reference's NOT EXISTS guard on top of its MAX() probe.
     """
+    from pyspark.errors import AnalysisException
+
     wm = store.get(table)
     batch = source if wm is None else source.filter(F.col(watermark_col) > F.lit(wm))
     try:
         existing = spark.read.parquet(target_path).select(*natural_key)
         fresh = anti_dedup(batch, existing, natural_key)
-    except Exception:
+    except AnalysisException:
+        # target-absent first load only; transient IO errors propagate
+        # (skipping the anti-join on a transient failure would re-append
+        # already-present rows)
         fresh = batch
     fresh = fresh.persist()
     n = fresh.count()
@@ -200,3 +205,142 @@ def incremental_contract_state(prior: DataFrame, new_wt: DataFrame) -> DataFrame
     )
     untouched = anti_dedup(prior, seg.select(*key), key)
     return stitched.unionByName(untouched.select(*stitched.columns))
+
+
+_AUC_SEC_US = 86_400_000_000  # microseconds per day (days_above_zero unit)
+
+
+def wallet_auc_state(wt: DataFrame) -> DataFrame:
+    """Per-wallet AUC snapshot of one batch — the prior-state side of
+    the reference's time-integral stitch
+    (ethereum_wallet_features_with_auc.sql:627-637).
+
+    The LEAD-delta formulation assigns each row the time gap TO ITS
+    SUCCESSOR, so a batch boundary leaves exactly one term open: the
+    batch's last row carries dt = 0 locally, but in the full series its
+    dt is the gap to the next batch's first event. The snapshot
+    therefore keeps everything the bridge needs:
+
+    - ``final_balance`` / ``last_ts``  — the open term's balance and
+      start time;
+    - ``auc_total``        — running AUC at the last row (its own dt
+      contributes 0, so this is exact up to the boundary);
+    - ``max_auc_excl_last`` — max running AUC over all rows EXCEPT the
+      last (NULL for single-row wallets): the last row's running AUC
+      changes once the bridge term lands, so it must be re-maxed at
+      stitch time, not baked in here;
+    - ``pos_time_us``      — time-above-zero, again excluding the open
+      term;
+    - ``first_signed``     — FIRST_VALUE carried for the final rollup.
+    """
+    from ..operators.windows import deterministic_order, lead_delta, running_sum
+    from ..plans.wallet_model import ORDER_COLS, by_wallet
+    from pyspark.sql import Window
+
+    key = ("wallet_address",)
+    df = by_wallet(wt)
+    df = running_sum(df, F.col("signed_value"), key, ORDER_COLS, out="bal")
+    df = lead_delta(df, F.unix_micros("ts"), key, ORDER_COLS, out="dt_us")
+    auc_term = F.col("bal").cast("decimal(20,9)") * F.col("dt_us").cast("decimal(16,0)")
+    df = running_sum(df, auc_term, key, ORDER_COLS, out="auc_us")
+    df = deterministic_order(df, key, ORDER_COLS, out="rn")
+    df = df.withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("wallet_address")))
+    return df.groupBy("wallet_address").agg(
+        F.min_by(F.col("signed_value"), F.col("rn")).alias("first_signed"),
+        F.max("ts").alias("last_ts"),
+        F.max_by(F.col("bal"), F.col("rn")).alias("final_balance"),
+        F.max_by(F.col("auc_us"), F.col("rn")).alias("auc_total"),
+        F.max(F.when(F.col("rn") < F.col("__n"), F.col("auc_us"))).alias("max_auc_excl_last"),
+        F.sum(F.when(F.col("bal") > 0, F.col("dt_us")).otherwise(F.lit(0))).alias("pos_time_us"),
+    )
+
+
+def incremental_auc_rollup(prior: DataFrame, new_wt: DataFrame) -> DataFrame:
+    """Exact incremental version of ``wallet_auc_rollup``: stitch a new
+    batch onto a ``wallet_auc_state`` snapshot so that
+    ``incremental(state(b1), b2) == full_rollup(b1 ∪ b2)`` to the last
+    decimal digit (property-tested in tests/test_incremental.py; also
+    driver-verified against the FULL-recompute oracle as
+    ``wallet_auc_incremental``).
+
+    The stitch mirrors the reference's ``ts - prior_last_ts`` seeding of
+    the first incremental event
+    (ethereum_wallet_features_with_auc.sql:627-637), expressed in the
+    LEAD formulation: the bridge term
+    ``prior_balance × (first_new_ts - prior_last_ts)`` closes the prior
+    snapshot's open integral term, new-batch balances are seeded with
+    the prior final balance (the integrand is the ABSOLUTE balance), and
+    the running-AUC offset for new rows is ``prior_total + bridge``.
+    All integral arithmetic stays in exact decimal; time-above-zero
+    stays in exact BIGINT microseconds until one final division — so
+    batch-split associativity is exact, never float-approximate.
+    """
+    from ..operators.windows import lead_delta, running_sum
+    from ..plans.wallet_model import ORDER_COLS, by_wallet
+
+    key = ["wallet_address"]
+    p = prior.select(
+        "wallet_address",
+        *[
+            F.col(c).alias(f"p_{c}")
+            for c in prior.columns
+            if c != "wallet_address"
+        ],
+    )
+    df = by_wallet(new_wt)
+    df = running_sum(df, F.col("signed_value"), key, ORDER_COLS, out="__local_bal")
+    df = lead_delta(df, F.unix_micros("ts"), key, ORDER_COLS, out="dt_us")
+    df = df.join(p, on=key, how="left")
+    zero = F.lit(0).cast(_NUM)
+    df = df.withColumn(
+        "bal", (F.coalesce(F.col("p_final_balance"), zero) + F.col("__local_bal")).cast(_NUM)
+    )
+    auc_term = F.col("bal").cast("decimal(20,9)") * F.col("dt_us").cast("decimal(16,0)")
+    df = running_sum(df, auc_term, key, ORDER_COLS, out="__local_auc")
+
+    agg = df.groupBy("wallet_address").agg(
+        F.min("ts").alias("__first_ts"),
+        F.max("__local_auc").alias("__local_auc_max"),
+        F.min_by(F.col("signed_value"), F.struct(*ORDER_COLS)).alias("__local_first_signed"),
+        F.sum(F.when(F.col("bal") > 0, F.col("dt_us")).otherwise(F.lit(0))).alias("__pos_b2"),
+        # prior-state columns are constant per wallet (broadcast join)
+        *[F.max(f"p_{c}").alias(f"p_{c}") for c in prior.columns if c != "wallet_address"],
+    )
+    bridge_dt = F.unix_micros(F.col("__first_ts")) - F.unix_micros(F.col("p_last_ts"))
+    bridge_term = F.col("p_final_balance").cast("decimal(20,9)") * bridge_dt.cast(
+        "decimal(16,0)"
+    )
+    dec0 = F.lit(0).cast("decimal(38,9)")
+    offset = F.coalesce(F.col("p_auc_total"), dec0) + F.coalesce(bridge_term, dec0)
+    stitched = agg.select(
+        "wallet_address",
+        F.greatest(
+            F.col("p_max_auc_excl_last"),
+            F.col("p_auc_total") + bridge_term,  # prior last row, bridge closed
+            offset + F.col("__local_auc_max"),
+        )
+        .cast("decimal(38,9)")
+        .cast("string")
+        .alias("max_auc_us"),
+        (
+            (
+                F.coalesce(F.col("p_pos_time_us"), F.lit(0))
+                + F.when(F.col("p_final_balance") > 0, bridge_dt).otherwise(F.lit(0))
+                + F.col("__pos_b2")
+            )
+            / F.lit(_AUC_SEC_US)
+        ).alias("days_above_zero"),
+        F.coalesce(F.col("p_first_signed"), F.col("__local_first_signed"))
+        .cast("double")
+        .alias("first_signed_value"),
+    )
+    untouched = anti_dedup(prior, new_wt.select(*key), key).select(
+        "wallet_address",
+        F.greatest(F.col("max_auc_excl_last"), F.col("auc_total"))
+        .cast("decimal(38,9)")
+        .cast("string")
+        .alias("max_auc_us"),
+        (F.col("pos_time_us") / F.lit(_AUC_SEC_US)).alias("days_above_zero"),
+        F.col("first_signed").cast("double").alias("first_signed_value"),
+    )
+    return stitched.unionByName(untouched)

@@ -115,14 +115,28 @@ def monotone_user_upsert(spark: SparkSession, batch: DataFrame, store: str) -> N
         F.col("s.event_type").alias("last_event_type"),
         F.col("s.value").cast("double").alias("last_value"),
     )
+    # Catch ONLY the store-absent case (first batch). A transient
+    # listing/IO failure must fail the micro-batch — swallowing it
+    # would silently disable the monotone guard and let merge_upsert
+    # degrade to an overwrite of partial state (ADVICE r02).
+    from pyspark.errors import AnalysisException
+
     try:
-        stored = spark.read.parquet(store).select(
+        stored = spark.read.parquet(store)
+    except AnalysisException:
+        stored = None
+    if stored is not None:
+        if "last_event_id" not in stored.columns:
+            # Schema migration: stores written before last_event_id
+            # existed backfill with -1 (below any real event_id), so the
+            # monotone filter keeps its strict total order instead of
+            # being silently skipped on a NULL comparison (ADVICE r02).
+            stored = stored.withColumn("last_event_id", F.lit(-1).cast("long"))
+        stored = stored.select(
             "user_id",
             F.col("last_ts_us").alias("__ts"),
             F.col("last_event_id").alias("__eid"),
         )
-    except Exception:
-        stored = None
     if stored is not None:
         snapshot = (
             snapshot.join(stored, on="user_id", how="left")
