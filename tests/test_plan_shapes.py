@@ -71,6 +71,16 @@ def test_partition_totals_single_exchange(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_eth_balance_broadcast_price_and_rows_frames(spark):
+    # W4 composition: the as-of price side must come in as a broadcast
+    # (tokens × days at any scale), and both running windows must be
+    # ROWS frames — a RangeFrame would rescan peer groups per row.
+    plan = _physical(QUERIES["window_running_balance_eth"](spark, SF_MEDIUM))
+    assert "BroadcastHashJoin" in plan
+    assert "RowFrame" in plan
+    assert "RangeFrame" not in plan
+
+
 def test_ivf_probes_broadcast_not_cartesian(spark):
     # centroid fan-outs must plan as broadcast nested-loop joins — a
     # CartesianProduct would shuffle the full corpus against the cells

@@ -204,7 +204,12 @@ def ngram_jaccard_pairs(
     shingled = (
         shingled.join(doc_freq.filter(F.col("__df") <= max_df), "shingle")
         .drop("__df")
-    )
+    ).persist()
+    # Eager barrier (same rationale as lsh_candidate_pairs): the capped
+    # index feeds the size aggregate AND both sides of the self-join;
+    # without the cache each consumer re-runs the shingle explode and
+    # the df-cap join — 5 extra passes over the corpus.
+    shingled.count()
     sizes = shingled.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (
         shingled.alias("a")

@@ -563,3 +563,190 @@ ranked AS (
 )
 SELECT q_id, c_id, rank, cosine FROM ranked WHERE rank <= 5
 """
+
+
+# --------------------------------------------------------------------------
+# Context-window packing: assign documents to fixed-token-budget packs.
+# The standard pre-training batching step (docs are concatenated into
+# 4096-token windows): order docs deterministically within a language
+# shard, compute each doc's running start offset, and derive its pack
+# as floor(start / budget). Pure integer window arithmetic — one
+# exchange per shard key, exact on both engines, and at 100 TB the
+# running sum is the same single-pass ROWS-frame window the balance
+# engine uses (salt via operators.skew for mega-shards).
+_PACK_TOKENS = 4096
+
+
+def corpus_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.expr(r"size(array_remove(split(trim(lower(text)), '\\s+'), ''))")
+    df = docs.select("doc_id", "lang", toks.cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    df = df.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return df.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / F.lit(_PACK_TOKENS)).alias("pack_id"),
+    )
+
+
+CORPUS_PACK_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+offs AS (
+    SELECT *,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+    FROM toks
+)
+SELECT doc_id, lang, n_tokens, start_offset,
+       CAST(floor(start_offset / {_PACK_TOKENS}) AS BIGINT) AS pack_id
+FROM offs
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: hash-mod bucketing (md5 of the
+# stable id), per-language keep rates. The corpus-curation downsampling
+# step — deterministic (re-runs select identical rows; no RNG state to
+# coordinate across executors), embarrassingly parallel, and the
+# keep-decision is a scan-level filter so at 100 TB it prunes before
+# any shuffle.
+_SAMPLE_RATES = {"en": 25, "de": 50, "es": 50, "fr": 50, "zh": 50}  # % of 100
+
+
+def corpus_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"
+    )
+    rate = F.lit(None).cast("int")
+    for lang, pct in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    df = docs.select("doc_id", "lang", "source", bucket.alias("bucket"))
+    return df.filter(F.col("bucket") < F.coalesce(rate, F.lit(0)))
+
+
+def _sample_oracle() -> str:
+    rates = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, source,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+           AS bucket
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+      < COALESCE(CASE lang {rates} END, 0)
+"""
+
+
+CORPUS_SAMPLE_ORACLE = _sample_oracle()
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization: per-vector symmetric scale
+# (q = round(x / max_abs × 127)), the storage/ANN-speed step before
+# indexing a 100 TB embedding corpus. All math is per-row array
+# expressions (whole-stage codegen, no shuffle at all); round is
+# floor(·+0.5) so both engines use the identical IEEE sequence
+# (divide, multiply, add, floor — each correctly rounded). Emitted
+# exploded to (vec_id, idx, q) rows so the oracle compare is exact.
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    df = emb.select(
+        "vec_id",
+        F.expr("array_max(transform(embedding, v -> abs(cast(v as double))))").alias(
+            "max_abs"
+        ),
+        F.posexplode(F.expr("transform(embedding, v -> cast(v as double))")).alias(
+            "idx", "x"
+        ),
+    )
+    q = F.when(F.col("max_abs") == 0.0, F.lit(0)).otherwise(
+        F.floor(F.col("x") / F.col("max_abs") * F.lit(127) + F.lit(0.5)).cast("int")
+    )
+    return df.select("vec_id", "idx", q.alias("q"), "max_abs")
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+WITH scaled AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS max_abs,
+           embedding
+    FROM embeddings
+)
+SELECT vec_id,
+       i - 1 AS idx,
+       CASE WHEN max_abs = 0.0 THEN 0
+            ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / max_abs * 127 + 0.5) AS INT)
+       END AS q,
+       max_abs
+FROM scaled, UNNEST(generate_series(1, len(embedding))) AS t(i)
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document. Inverted-index shape: one explode +
+# two hash aggregates + one join on term; the document count reaches
+# the score as a broadcast scalar. The idf is kept as the exact
+# rational tf × N / df (a single correctly-rounded IEEE division —
+# cross-engine deterministic, unlike ln()); ranking is therefore
+# ln-equivalent (log is monotone) without trusting two libm builds to
+# round identically.
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"array_remove(split(trim(lower(text)), '\\s+'), '')")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(F.col("rank") <= 3).select(
+        "doc_id", "rank", "term", "tf", "df", "score"
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = r"""
+WITH terms AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                      t -> t <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3
+"""
