@@ -135,6 +135,8 @@ register("streaming_merge_upsert", sj.stream_merge_upsert, sj.STREAM_MERGE_UPSER
 # DuckDB oracle enforced by tests/test_queries_vs_oracle.py at sf0.01 —
 # the driver gate is capped at 50 rows, so these newer ops yield their
 # gate slots to the reference-parity §2 surface above.
+# Streaming gap sessionization (native session_window state merge)
+register("streaming_session_windows", sj.session_window_totals, sj.SESSION_WINDOW_TOTALS_ORACLE)
 register("corpus_pack_offsets", llm.corpus_pack_offsets, llm.CORPUS_PACK_ORACLE)
 register("corpus_sample_hash", llm.corpus_sample_hash, llm.CORPUS_SAMPLE_ORACLE)
 register("embedding_quantize_int8", llm.embedding_quantize_int8, llm.EMBEDDING_QUANTIZE_ORACLE)

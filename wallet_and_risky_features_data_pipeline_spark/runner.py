@@ -116,6 +116,23 @@ def run_serve(spark, sf_dir: str, work_dir: str) -> None:
     print(f"serve: upserted {newer.count()} wallets into {uri}")
 
 
+def run_maintain(spark, sf_dir: str, work_dir: str) -> None:
+    """Weekly table maintenance (EP3 step 2): bin-pack compaction of
+    the feature store's fragmented partitions — the reference's
+    ``OPTIMIZE ... REWRITE DATA USING BIN_PACK`` + ``VACUUM`` cron
+    (features_pipeline.py:128-138)."""
+    from .sources.maintenance import compact_partitions
+
+    target = f"{work_dir}/features/contract_state"
+    stats = compact_partitions(spark, target, target_mb=128)
+    total_before = sum(b for b, _ in stats.values())
+    total_after = sum(a for _, a in stats.values())
+    print(
+        f"maintain: compacted {len(stats)} partitions "
+        f"({total_before} -> {total_after} files)"
+    )
+
+
 def run_dq(spark, sf_dir: str, work_dir: str) -> None:
     from .plans.wallet_features import wallet_features
 
@@ -127,7 +144,9 @@ def run_dq(spark, sf_dir: str, work_dir: str) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layer", required=True, choices=["stage", "features", "serve", "dq"])
+    ap.add_argument(
+        "--layer", required=True, choices=["stage", "features", "maintain", "serve", "dq"]
+    )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--work-dir", default="/tmp/wrf_work")
     args = ap.parse_args(argv)
@@ -135,9 +154,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"wrf-runner-{args.layer}")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.work_dir, exist_ok=True)
-    {"stage": run_stage, "features": run_features, "serve": run_serve, "dq": run_dq}[
-        args.layer
-    ](spark, args.sf_dir, args.work_dir)
+    {
+        "stage": run_stage,
+        "features": run_features,
+        "maintain": run_maintain,
+        "serve": run_serve,
+        "dq": run_dq,
+    }[args.layer](spark, args.sf_dir, args.work_dir)
     return 0
 
 

@@ -283,3 +283,100 @@ SELECT
 FROM events
 GROUP BY 1
 """
+
+
+def session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window`` — the
+    native Structured-Streaming rendering of the batch LAG + running-sum
+    sessionizer (``plans.sessionization``): state merges windows whose
+    gap to the previous event is under 30 minutes, per user.
+
+    Mode note: session-window aggregation rejects update mode (state
+    merges would retract rows), so the harness uses a complete-mode
+    memory sink under an ``availableNow`` trigger — every final merged
+    session is emitted, including unclosed tails (same rationale as
+    ``windowed_event_counts``). A production job uses append mode and
+    accepts watermark-delayed finality (a session only closes once the
+    watermark passes its end).
+
+    Boundary semantics (mirrored in the oracle): ``session_window``
+    merges only OVERLAPPING windows, so a gap of exactly the timeout
+    starts a NEW session — the batch sessionizer's ``gap > timeout``
+    convention differs at that single point, hence the oracle uses
+    ``>=`` here.
+    """
+    _ensure_session_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_session_ckpt_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("session_value"),
+        )
+    )
+    name = "wrf_session_window_totals"
+    try:
+        q = (
+            stream.writeStream.outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("win.start")).alias("session_start_us"),
+        F.unix_micros(F.col("win.end")).alias("session_end_us"),
+        "n_events",
+        F.col("session_value").cast("double").alias("session_value"),
+    )
+
+
+SESSION_WINDOW_TOTALS_ORACLE = """
+WITH gapped AS (
+    SELECT *,
+        epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+),
+marked AS (
+    -- session_window merges only OVERLAPPING windows: a gap equal to
+    -- the 30-minute timeout starts a new session (>=, not >)
+    SELECT *,
+        CASE WHEN gap_us IS NULL OR gap_us >= 30 * 60000000
+             THEN 1 ELSE 0 END AS new_session
+    FROM gapped
+),
+sessioned AS (
+    SELECT *,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+)
+SELECT
+    user_id,
+    epoch_us(MIN(ts)) AS session_start_us,
+    epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+"""
