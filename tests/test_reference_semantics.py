@@ -88,3 +88,55 @@ def test_salted_running_sum_property(spark, rows):
         chunked.select("k", "uid", "got"), on=["k", "uid"]
     )
     assert m.filter(F.col("expected") != F.col("got")).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Day-bucketed as-of join ≡ plain band as-of join, for arbitrary
+# microsecond timestamps — including exact-midnight events/quotes and
+# gaps landing exactly on the tolerance boundary, the two places where
+# a day-bucketing rewrite could silently diverge from band semantics.
+_DAY_US = 86_400_000_000
+_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+_ts_us = st.tuples(
+    st.integers(min_value=0, max_value=20),  # day
+    st.one_of(  # intra-day offset: bias toward exact midnight + boundaries
+        st.just(0),
+        st.just(_DAY_US - 1),
+        st.integers(min_value=0, max_value=_DAY_US - 1),
+    ),
+).map(lambda d: _BASE_US + d[0] * _DAY_US + d[1])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), _ts_us), min_size=1, max_size=8
+    ),
+    quotes=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), _ts_us), min_size=1, max_size=8
+    ),
+    direction=st.sampled_from(["backward", "nearest"]),
+)
+def test_bucketed_asof_equals_plain_property(spark, events, quotes, direction):
+    from wallet_and_risky_features_data_pipeline_spark.operators.joins import asof_join
+
+    ev = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(events)],
+        "event_id long, key string, ts_us long",
+    ).select("event_id", "key", F.timestamp_micros("ts_us").alias("ts"))
+    # dedupe (key, ts): two quotes at the identical timestamp tie on the
+    # (distance, ts) ordering, which no deterministic as-of can resolve
+    uniq = {(k, t): float(i) for i, (k, t) in enumerate(quotes)}
+    qt = spark.createDataFrame(
+        [(k, t, p) for (k, t), p in uniq.items()],
+        "key string, ts_us long, price double",
+    ).select("key", F.timestamp_micros("ts_us").alias("qts"), "price")
+
+    args = (ev, qt, ["key"], ["event_id"], "ts", "qts", "INTERVAL 7 DAYS", direction)
+    plain = asof_join(*args)
+    bucketed = asof_join(*args, bucket_days=7, broadcast_quotes=True)
+    canon = lambda df: sorted(
+        (r["event_id"], r["price"], r["qts"]) for r in df.collect()
+    )
+    assert canon(bucketed) == canon(plain)
