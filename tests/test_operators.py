@@ -282,3 +282,31 @@ def test_feature_constraints_enforce(spark):
     )
     with pytest.raises(DataQualityError):
         enforce(feature_constraints(bad))
+
+
+def test_hll_merge_associativity(spark):
+    """sketch(b1 ∪ b2) ≡ finalize(merge(registers(b1), registers(b2))):
+    the property that makes the HLL accumulator streamable and
+    cross-partition combinable."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.sketches import (
+        hll_finalize,
+        hll_merge,
+        hll_register_sums,
+        hll_registers,
+    )
+
+    from .conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    b1, b2 = ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)
+    merged = hll_finalize(
+        hll_merge(
+            hll_registers(b1, F.col("user_id"), ["event_type"]),
+            hll_registers(b2, F.col("user_id"), ["event_type"]),
+            ["event_type"],
+        ),
+        ["event_type"],
+    )
+    full = hll_register_sums(ev, F.col("user_id"), ["event_type"])
+    canon = lambda df: sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+    assert canon(merged) == canon(full)

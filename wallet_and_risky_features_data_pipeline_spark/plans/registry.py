@@ -20,6 +20,7 @@ from . import ml_ops as ml
 from . import relational as rel
 from . import risk_features as rf
 from . import sessionization as sess
+from . import sketch_plans as sk
 from . import sql_surface as sqls
 from . import wallet_features as wf
 from . import windows_plans as wp
@@ -141,6 +142,9 @@ register("corpus_pack_offsets", llm.corpus_pack_offsets, llm.CORPUS_PACK_ORACLE)
 register("corpus_sample_hash", llm.corpus_sample_hash, llm.CORPUS_SAMPLE_ORACLE)
 register("embedding_quantize_int8", llm.embedding_quantize_int8, llm.EMBEDDING_QUANTIZE_ORACLE)
 register("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_TOP_TERMS_ORACLE)
+# Sketch tier: deterministic HLL (exact-oracle approximate op) + exact quantiles
+register("hll_distinct_users", sk.hll_distinct_users, sk.HLL_DISTINCT_ORACLE)
+register("quantiles_exact", sk.quantiles_exact, sk.QUANTILES_EXACT_ORACLE)
 # Duplicate-oracle variants: the skew-salted running sum shares
 # window_running_balance's oracle (property also pinned in
 # tests/test_skew.py); the SQL-surface rendering shares
