@@ -310,3 +310,52 @@ def test_hll_merge_associativity(spark):
     full = hll_register_sums(ev, F.col("user_id"), ["event_type"])
     canon = lambda df: sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
     assert canon(merged) == canon(full)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS guarantees est >= true count for every key (collisions only
+    add), and partial sketches from disjoint batches merge by plain
+    counter SUM into exactly the full-input sketch."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    from .conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    keys = ev.select("user_id").distinct()
+    sketch = cms_counters(ev, F.col("user_id"))
+    est = cms_estimate(sketch, keys, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    bad = est.join(exact, "user_id").filter(F.col("cms_estimate") < F.col("n"))
+    assert bad.count() == 0
+
+    b1, b2 = ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_counters(b1, F.col("user_id"))
+        .unionByName(cms_counters(b2, F.col("user_id")))
+        .groupBy("__j", "__c")
+        .agg(F.sum("__n").alias("__n"))
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())
+    assert canon(merged) == canon(sketch)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member tests positive — the bloom guarantee that
+    makes it safe as a join-pruning pre-filter (false positives only
+    cost work; a false negative would drop rows)."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    from .conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    members = ev.filter(F.col("user_id") % 5 == 0).select("user_id").distinct()
+    bloom = bloom_build(members, F.col("user_id"))
+    probed = bloom_probe(bloom, ev.select("user_id").distinct(), "user_id")
+    missed = probed.join(members, "user_id").filter(~F.col("bloom_member"))
+    assert missed.count() == 0

@@ -229,3 +229,66 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 17, 33, 49),
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member
+    of the dedup family (exact digest / minhash / simhash / ngram /
+    THIS): all unordered pairs whose cosine similarity is >= ``tau``,
+    with candidate generation by bit-sampling LSH.
+
+    Scale shape: the self-join is an equi join on the 2^|dims| LSH
+    bucket key (one shuffle), never an all-pairs cross product — the
+    same recall-for-cost trade as ``similarity.lsh_topk``: only pairs
+    that agree on every sampled sign bit are compared (for cosine >=
+    0.3 and random hyperplanes, ~4 sampled bits keep most true pairs;
+    widen ``dims`` bands OR-style for higher recall).
+
+    Determinism note: elements are quantized to BIGINT at 1e-6
+    resolution BEFORE the dot product, so dot and norms are pure
+    integer arithmetic and the cosine is integer-double division —
+    correctly-rounded IEEE ops only. (The DECIMAL-cast recipe used by
+    ``similarity._DOT`` has a latent half-way boundary: a float whose
+    decimal expansion ties at the 9th digit rounds differently in
+    Spark's shortest-repr BigDecimal cast vs DuckDB's cast — observed
+    on real pairs here. Integer quantization has no such boundary:
+    float→double widening is exact and round(double·1e6) rounds
+    half-away-from-zero in both engines.) The quantization scale
+    cancels in the cosine ratio, so values differ from true float
+    cosine by < 1e-4 — irrelevant for a near-dup threshold.
+    """
+    from .similarity import lsh_bucket
+
+    qvec = "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    idot = (
+        "aggregate(zip_with(" + qvec.format(v="{a}") + ", " + qvec.format(v="{b}") + ","
+        " (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+    def _idot(a: str, b: str) -> F.Column:
+        return F.expr(idot.format(a=a, b=b))
+
+    b = lsh_bucket(df.select(id_col, vec_col), vec_col, dims=dims)
+    left = b.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), "bucket"
+    )
+    cosine = _idot("a_vec", "b_vec").cast("double") / (
+        F.sqrt(_idot("a_vec", "a_vec").cast("double"))
+        * F.sqrt(_idot("b_vec", "b_vec").cast("double"))
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= F.lit(tau))
+        .select("a_id", "b_id", "cosine")
+    )

@@ -124,3 +124,119 @@ def hll_register_sums(df: DataFrame, key: Column, group_cols: list[str]) -> Data
     raw estimate for COUNT(DISTINCT key) — ``hll_registers`` piped into
     ``hll_finalize``."""
     return hll_finalize(hll_registers(df, key, group_cols), group_cols)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: fixed-size frequency summary. Same determinism
+# recipe as the HLL above — md5-derived counter indices and pure
+# integer counts, so estimates are bit-identical cross-engine and the
+# overestimate guarantee (est >= true count, error bounded by the
+# collision mass in the lightest row) is exactly replayable.
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row — index = first 2 hex chars of md5
+
+_CMS_IDX = "CAST(conv(substr(md5(concat(CAST({j} AS STRING), ':', {k})), 1, 2), 16, 10) AS INT)"
+
+
+def cms_counters(df: DataFrame, key: Column, d: int = CMS_D) -> DataFrame:
+    """Build the (row, counter) -> count sketch table: <= d*w rows no
+    matter the input size. One explode (constant x d) + one shuffle on
+    the (row, counter) key with map-side partial sums — the textbook
+    distributed CMS build. Counters merge by plain SUM, so partial
+    sketches from any partitioning/batching combine losslessly."""
+    rows = df.select(key.cast("string").alias("__k"))
+    ex = rows.select(
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("__j"), "__k"
+    )
+    return (
+        ex.select("__j", F.expr(_CMS_IDX.format(j="__j", k="__k")).alias("__c"))
+        .groupBy("__j", "__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = CMS_D
+) -> DataFrame:
+    """Frequency estimates for a candidate key set: min over the d
+    counters each key hashes to. The sketch is <= d*w rows, so the join
+    is a broadcast against the (possibly huge) candidate side — probing
+    costs one map-side join, no shuffle of the big side."""
+    probes = keys.select(
+        F.col(key_col), F.col(key_col).cast("string").alias("__k")
+    ).select(
+        key_col,
+        "__k",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("__j"),
+    )
+    probes = probes.select(
+        key_col, "__j", F.expr(_CMS_IDX.format(j="__j", k="__k")).alias("__c")
+    )
+    joined = probes.join(F.broadcast(sketch), ["__j", "__c"], "left").withColumn(
+        "__n", F.coalesce(F.col("__n"), F.lit(0))
+    )
+    return joined.groupBy(key_col).agg(F.min("__n").alias("cms_estimate"))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: membership summary as ONE 64-bit word (k=4 md5-derived
+# bit positions). Deterministic for the same reason as above; the
+# classic join-pruning pattern — build on the small side, broadcast the
+# word, filter the big side map-side before an expensive join — with
+# the no-false-negative guarantee replayable cross-engine.
+BLOOM_K = 4
+# 63 bits, not 64: position 63 would need 1 << 63, which overflows a
+# SIGNED 64-bit word — Spark's shiftleft wraps silently to the sign
+# bit while DuckDB raises, so the one-word bloom uses the 63 positive
+# bit positions and stays portable.
+BLOOM_M = 63
+
+_BLOOM_POS = (
+    "CAST(conv(substr(md5(concat(CAST({j} AS STRING), ':', {k})), 1, 2), 16, 10) AS INT)"
+    f" % {BLOOM_M}"
+)
+
+
+def bloom_build(df: DataFrame, key: Column, k: int = BLOOM_K) -> DataFrame:
+    """Aggregate the member set to a single-row, single-BIGINT bloom
+    word: explode k positions per member, OR the shifted bits. bit_or
+    is associative/commutative, so the build is one shuffle-free
+    partial agg + a 1-row reduction, and words from separate batches
+    merge with a further bit_or."""
+    rows = df.select(key.cast("string").alias("__k"))
+    ex = rows.select(
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("__j"), "__k"
+    )
+    word = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {_BLOOM_POS.format(j='__j', k='__k')})"
+    )
+    return ex.select(word.alias("__w")).agg(
+        F.expr("bit_or(__w)").alias("bloom_word")
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame, probes: DataFrame, key_col: str, k: int = BLOOM_K
+) -> DataFrame:
+    """Membership test: key is a (possible) member iff ALL k of its
+    bits are set. The bloom side is one row — Catalyst broadcasts the
+    cross join — so probing is map-side only."""
+    ex = probes.select(
+        F.col(key_col), F.col(key_col).cast("string").alias("__k")
+    ).select(
+        key_col,
+        "__k",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("__j"),
+    )
+    masked = ex.crossJoin(F.broadcast(bloom)).select(
+        key_col,
+        (
+            F.expr(
+                f"bloom_word & shiftleft(CAST(1 AS BIGINT), {_BLOOM_POS.format(j='__j', k='__k')})"
+            )
+            != 0
+        ).alias("__bit_set"),
+    )
+    return masked.groupBy(key_col).agg(
+        F.min("__bit_set").alias("bloom_member")
+    )

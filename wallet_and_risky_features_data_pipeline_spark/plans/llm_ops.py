@@ -750,3 +750,42 @@ ranked AS (
 )
 SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs: the vector-space dedup entry
+# (digest / minhash / simhash / ngram cover text; this covers
+# embeddings). LSH-bucketed candidates; integer-quantized dot products
+# (see operators.dedup.embedding_near_dup_pairs for why integer
+# quantization, not the DECIMAL cast, is the boundary-free determinism
+# recipe), so the approximate candidate generation carries an exact
+# value oracle.
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    return embedding_near_dup_pairs(emb, tau=0.3)
+
+
+_QVEC_SQL = "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+_IDOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(list_zip(" + _QVEC_SQL.format(v="{a}") + ", " + _QVEC_SQL.format(v="{b}")
+    + "), x -> x[1] * x[2])), (acc, v) -> acc + v)"
+)
+
+DEDUP_EMBEDDING_COSINE_ORACLE = f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, {_BUCKET_SQL.format(v="embedding")} AS bucket
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST({_IDOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+             / (sqrt(CAST({_IDOT_SQL.format(a="a.embedding", b="a.embedding")} AS DOUBLE))
+                * sqrt(CAST({_IDOT_SQL.format(a="b.embedding", b="b.embedding")} AS DOUBLE))) AS cosine
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.3
+"""

@@ -145,6 +145,16 @@ register("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_TOP_TERMS_ORACLE)
 # Sketch tier: deterministic HLL (exact-oracle approximate op) + exact quantiles
 register("hll_distinct_users", sk.hll_distinct_users, sk.HLL_DISTINCT_ORACLE)
 register("quantiles_exact", sk.quantiles_exact, sk.QUANTILES_EXACT_ORACLE)
+register("cms_heavy_hitters", sk.cms_heavy_hitters, sk.CMS_HEAVY_HITTERS_ORACLE)
+register("bloom_membership_prune", sk.bloom_membership_prune, sk.BLOOM_MEMBERSHIP_ORACLE)
+# Vector-space dedup entry (LSH-bucketed exact-decimal cosine pairs)
+register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_ORACLE)
+# Watermarked stream-stream band join (§2.9 extension)
+register(
+    "streaming_stream_band_join",
+    sj.stream_stream_band_join,
+    sj.STREAM_STREAM_BAND_JOIN_ORACLE,
+)
 # Duplicate-oracle variants: the skew-salted running sum shares
 # window_running_balance's oracle (property also pinned in
 # tests/test_skew.py); the SQL-surface rendering shares

@@ -109,3 +109,119 @@ SELECT event_type, p, value AS quantile
 FROM ranked, UNNEST([{", ".join(str(p) for p in _QUANTILES)}]) AS t(p)
 WHERE rn = floor((n - 1) * p) + 1
 """
+
+
+# --------------------------------------------------------------------------
+# Count-min frequency estimates, probed for every distinct user and
+# laid beside the exact count (overestimate witness: est >= exact
+# always; equality unless the key collided in all d rows). At scale
+# the sketch is <= d*w rows built in one shuffle; the probe side is a
+# broadcast join, so estimating frequencies for billions of candidate
+# keys never shuffles the candidates.
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_counters, cms_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    sketch = cms_counters(ev, F.col("user_id"))
+    keys = ev.select("user_id").distinct()
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        cms_estimate(sketch, keys, "user_id")
+        .join(exact, "user_id")
+        .select("user_id", "cms_estimate", "exact_n")
+    )
+
+
+_CMS_IDX_SQL = "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 2)) AS INT)"
+
+CMS_HEAVY_HITTERS_ORACLE = f"""
+WITH js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+ex AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+cnt AS (
+    SELECT j, {_CMS_IDX_SQL} AS c, COUNT(*) AS n
+    FROM ex, js GROUP BY 1, 2
+),
+keys AS (
+    SELECT user_id, CAST(user_id AS VARCHAR) AS k
+    FROM (SELECT DISTINCT user_id FROM events)
+),
+probe AS (
+    SELECT user_id, j, {_CMS_IDX_SQL} AS c FROM keys, js
+),
+est AS (
+    SELECT p.user_id, MIN(COALESCE(cnt.n, 0)) AS cms_estimate
+    FROM probe p LEFT JOIN cnt ON cnt.j = p.j AND cnt.c = p.c
+    GROUP BY 1
+)
+SELECT est.user_id, est.cms_estimate, e.exact_n
+FROM est JOIN (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY 1
+) e USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership prune: build a one-word bloom over the
+# high-value-purchaser set (decimal-exact sum so the member predicate
+# is cross-engine deterministic), probe every user. bloom_member is
+# the broadcastable map-side pre-filter a 100 TB join uses to drop
+# non-matching rows before the shuffle; exact_member sits beside it as
+# the no-false-negative witness (bloom_member >= exact_member, with
+# deterministic false positives from 64-bit saturation).
+_BLOOM_VALUE_MIN = 900
+
+
+def bloom_membership_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    ev = read_table(spark, sf_dir, "events")
+    purchase_total = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s")
+    )
+    members = purchase_total.filter(F.col("s") > _BLOOM_VALUE_MIN).select("user_id")
+    bloom = bloom_build(members, F.col("user_id"))
+    probes = ev.select("user_id").distinct()
+    return (
+        bloom_probe(bloom, probes, "user_id")
+        .join(
+            members.withColumn("exact_member", F.lit(True)),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            "bloom_member",
+            F.coalesce(F.col("exact_member"), F.lit(False)).alias("exact_member"),
+        )
+    )
+
+
+_BLOOM_POS_SQL = "(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 2)) AS INT) % 63)"
+
+BLOOM_MEMBERSHIP_ORACLE = f"""
+WITH js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+members AS (
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING SUM(CAST(value AS DECIMAL(18,6))) > {_BLOOM_VALUE_MIN}
+),
+bloom AS (
+    SELECT bit_or(CAST(1 AS BIGINT) << {_BLOOM_POS_SQL}) AS bloom_word
+    FROM (SELECT CAST(user_id AS VARCHAR) AS k FROM members), js
+),
+probe AS (
+    SELECT user_id, j, CAST(user_id AS VARCHAR) AS k
+    FROM (SELECT DISTINCT user_id FROM events), js
+),
+tested AS (
+    SELECT p.user_id,
+           bool_and((b.bloom_word & (CAST(1 AS BIGINT) << {_BLOOM_POS_SQL})) <> 0)
+             AS bloom_member
+    FROM probe p CROSS JOIN bloom b
+    GROUP BY 1
+)
+SELECT t.user_id, t.bloom_member,
+       (m.user_id IS NOT NULL) AS exact_member
+FROM tested t LEFT JOIN members m ON m.user_id = t.user_id
+"""

@@ -380,3 +380,84 @@ SELECT
 FROM sessioned
 GROUP BY user_id, session_id
 """
+
+
+def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: the click stream joined to
+    the purchase stream per user within a ±1 hour event-time band — the
+    streaming rendering of the batch band join (operators.joins.band_join /
+    theta_band_window).
+
+    State-bound shape: BOTH sides carry watermarks and the join
+    predicate is a symmetric event-time range, which is exactly what
+    lets Spark derive state-eviction bounds — each side keeps only
+    rows inside (watermark − band), so state is O(band × rate), not
+    O(stream). Without the time-range predicate a stream-stream join
+    must keep every row ever seen. Inner-join results emit as matches
+    arrive (append mode), so the output equals the batch band join on
+    the same files, which is what the oracle replays.
+    """
+    _ensure_session_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_ssjoin_ckpt_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        F.expr(
+            "c_user = p_user"
+            " AND p_ts >= c_ts - INTERVAL 1 HOUR"
+            " AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    name = "wrf_stream_stream_band_join"
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    return spark.table(name).select(
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias("delta_us"),
+    )
+
+
+STREAM_STREAM_BAND_JOIN_ORACLE = """
+SELECT
+    c.event_id AS click_id,
+    p.event_id AS purchase_id,
+    c.user_id AS user_id,
+    epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 1 HOUR
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
