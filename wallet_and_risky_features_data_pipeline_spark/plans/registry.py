@@ -155,6 +155,10 @@ register(
     sj.stream_stream_band_join,
     sj.STREAM_STREAM_BAND_JOIN_ORACLE,
 )
+# Event-time RANGE-frame rolling window + pivot/unpivot surface
+register("window_rolling_7d", wp.window_rolling_7d, wp.WINDOW_ROLLING_7D_ORACLE)
+register("pivot_event_matrix", rel.pivot_event_matrix, rel.PIVOT_EVENT_MATRIX_ORACLE)
+register("unpivot_user_matrix", rel.unpivot_user_matrix, rel.UNPIVOT_USER_MATRIX_ORACLE)
 # Duplicate-oracle variants: the skew-salted running sum shares
 # window_running_balance's oracle (property also pinned in
 # tests/test_skew.py); the SQL-surface rendering shares

@@ -668,3 +668,71 @@ FROM (
 )
 GROUP BY ROLLUP(month, event_type)
 """
+
+
+# --------------------------------------------------------------------------
+# Pivot to a wide per-user event-type matrix. The explicit value list
+# matters at scale: pivot without it runs a distinct-discovery job
+# (a full extra scan) over the input first. The physical plan is two
+# hash-agg layers — partial counts on (user, type), then pivotfirst on
+# user — so the second exchange moves at most one pre-aggregated row
+# per (user, type), never raw events; map-side combine does the heavy
+# reduction. (A single-exchange alternative is hand-written FILTER
+# aggregates, as in conditional_agg_monthly; the pivot API is the
+# surface under test here.)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+PIVOT_EVENT_MATRIX_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+           for t in EVENT_TYPES
+       )}
+FROM events
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Unpivot the wide matrix back to long form — DataFrame.unpivot is an
+# Expand (each input row emits |value columns| rows) fused map-side:
+# no shuffle, no join, and the zero cells survive the round trip.
+def unpivot_user_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_event_matrix(spark, sf_dir)
+    long = wide.unpivot(
+        ["user_id"],
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type",
+        "n_events",
+    )
+    return long.select(
+        "user_id",
+        F.expr("substr(event_type, 3)").alias("event_type"),
+        "n_events",
+    )
+
+
+UNPIVOT_USER_MATRIX_ORACLE = """
+SELECT u.user_id, t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (
+    SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type
+) t
+LEFT JOIN (
+    SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""

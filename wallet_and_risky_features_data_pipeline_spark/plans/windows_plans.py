@@ -526,3 +526,47 @@ def window_running_balance_salted(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 WINDOW_RUNNING_BALANCE_SALTED_ORACLE = WINDOW_RUNNING_BALANCE_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Event-time RANGE-frame rolling window: per user, the trailing-7-day
+# event count and value sum at every event. This is the window family
+# the ROWS-frame balance engine doesn't cover — the frame is bounded
+# by the ORDER value (microseconds), not a row count, so ties at the
+# same timestamp are frame peers in both engines by SQL semantics.
+# Scale shape: identical to the running balance — one exchange on the
+# partition key, one sort, single pass; the frame bound adds no extra
+# shuffle. Decimal-exact sums, cast to double at the edge.
+_ROLLING_BAND_US = 7 * 24 * 3600 * 1_000_000
+
+
+def window_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ROLLING_BAND_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_7d"),
+    )
+
+
+WINDOW_ROLLING_7D_ORACLE = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN {_ROLLING_BAND_US} PRECEDING AND CURRENT ROW
+)
+"""
