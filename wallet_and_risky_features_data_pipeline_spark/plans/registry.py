@@ -155,6 +155,12 @@ register(
     sj.stream_stream_band_join,
     sj.STREAM_STREAM_BAND_JOIN_ORACLE,
 )
+# Stream-static broadcast enrichment (stateless §2.9 join shape)
+register(
+    "streaming_static_enrichment",
+    sj.stream_static_enrichment,
+    sj.STREAM_STATIC_ENRICHMENT_ORACLE,
+)
 # Event-time RANGE-frame rolling window + pivot/unpivot surface
 register("window_rolling_7d", wp.window_rolling_7d, wp.WINDOW_ROLLING_7D_ORACLE)
 register("pivot_event_matrix", rel.pivot_event_matrix, rel.PIVOT_EVENT_MATRIX_ORACLE)

@@ -461,3 +461,90 @@ JOIN events p
  AND p.ts >= c.ts - INTERVAL 1 HOUR
  AND p.ts <= c.ts + INTERVAL 1 HOUR
 """
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the third §2.9 join shape
+    beside the stateful stream-stream band join and the foreachBatch
+    MERGE: a stateless streaming join against a batch dimension.
+
+    The static side (per-(type, day) average value) is a plain batch
+    DataFrame; Spark re-plans it into each micro-batch and, being tiny,
+    it broadcasts — the streaming side never shuffles and the join
+    carries NO state store (nothing to evict, no watermark needed for
+    correctness; at scale this is how reference-data enrichment runs:
+    dimension refreshes are picked up at micro-batch boundaries).
+    Double math note: the average divides two exact quantities
+    (decimal sum cast to double, bigint count cast to double) so the
+    division is one correctly-rounded IEEE op — replayable in the
+    oracle.
+    """
+    _ensure_session_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_enrich_ckpt_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    dim = (
+        static.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("type_day_avg")
+        )
+    )
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    )
+    joined = stream.join(F.broadcast(dim), ["event_type", "day"]).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("day")).alias("day_us"),
+        "value",
+        "type_day_avg",
+        (F.col("value") - F.col("type_day_avg")).alias("deviation"),
+    )
+    name = "wrf_stream_static_enrichment"
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    return spark.table(name)
+
+
+STREAM_STATIC_ENRICHMENT_ORACLE = """
+WITH dim AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS type_day_avg
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       epoch_us(date_trunc('day', e.ts)) AS day_us,
+       e.value, d.type_day_avg,
+       e.value - d.type_day_avg AS deviation
+FROM events e
+JOIN dim d ON d.event_type = e.event_type
+          AND d.day = date_trunc('day', e.ts)
+WHERE e.event_type = 'purchase'
+"""
