@@ -87,3 +87,40 @@ def test_ivf_probes_broadcast_not_cartesian(spark):
     plan = _physical(QUERIES["similarity_ivf_topk"](spark, SF_MEDIUM))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sketch_probes_broadcast_not_shuffled(spark):
+    # CMS probe: the <= d*w-row sketch must be the broadcast build
+    # side, so the candidate-key side never shuffles for the probe.
+    plan = _physical(QUERIES["cms_heavy_hitters"](spark, SF_MEDIUM))
+    assert "BroadcastHashJoin" in plan
+    # Bloom probe: one-row bloom word crosses as a broadcast, and no
+    # cartesian product appears despite the crossJoin API call.
+    bplan = _physical(QUERIES["bloom_membership_prune"](spark, SF_MEDIUM))
+    assert "BroadcastExchange" in bplan
+    assert "CartesianProduct" not in bplan
+
+
+def test_rolling_window_single_exchange_range_frame(spark):
+    # RANGE frame must be evaluated inside ONE window over ONE
+    # exchange — not rendered as a self-band-join.
+    plan = _physical(QUERIES["window_rolling_7d"](spark, SF_MEDIUM))
+    assert "RangeFrame" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    # Candidate generation must join on the LSH bucket key, never
+    # expand to all pairs.
+    plan = _physical(QUERIES["dedup_embedding_cosine"](spark, SF_MEDIUM))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_uses_explicit_values_no_discovery_scan(spark):
+    # With the explicit value list the pivot is two agg layers over
+    # ONE scan; without it Spark runs a distinct-discovery job first
+    # (an extra scan that shows up in the plan's file sources).
+    plan = _physical(QUERIES["pivot_event_matrix"](spark, SF_MEDIUM))
+    assert plan.count("Scan parquet") == 1
