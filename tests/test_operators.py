@@ -359,3 +359,27 @@ def test_bloom_no_false_negatives(spark):
     probed = bloom_probe(bloom, ev.select("user_id").distinct(), "user_id")
     missed = probed.join(members, "user_id").filter(~F.col("bloom_member"))
     assert missed.count() == 0
+
+
+def test_incremental_lsh_equals_full(spark):
+    """incremental(new vs stored) == full-corpus candidate pairs
+    restricted to pairs touching a new doc — the property that makes
+    stored signatures + per-batch pairing safe at corpus scale."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    from .conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    signed = minhash_signature(docs, "doc_id", "text")
+    stored = signed.filter(F.col("doc_id") % 3 != 0)
+    new = signed.filter(F.col("doc_id") % 3 == 0)
+    inc = incremental_lsh_pairs(stored, new, "doc_id")
+    full = lsh_candidate_pairs(signed, "doc_id").filter(
+        (F.col("doc_a") % 3 == 0) | (F.col("doc_b") % 3 == 0)
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())
+    assert canon(inc) == canon(full)

@@ -124,3 +124,29 @@ def test_pivot_uses_explicit_values_no_discovery_scan(spark):
     # (an extra scan that shows up in the plan's file sources).
     plan = _physical(QUERIES["pivot_event_matrix"](spark, SF_MEDIUM))
     assert plan.count("Scan parquet") == 1
+
+
+def test_partition_pruning_on_partitioned_store(spark, tmp_path):
+    # End-to-end partition pruning: a store written with the engine's
+    # hive-partitioned writer, read back with a partition predicate,
+    # must prune at the FILE level (PartitionFilters on the scan) —
+    # the difference between reading one month and reading 100 TB.
+    import pyspark.sql.functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.functions.scalars import date_partition
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import write_partitioned
+
+    ev = read_table(spark, SF_MEDIUM, "events").withColumn(
+        "date_partition", date_partition(F.col("ts"))
+    )
+    store = str(tmp_path / "events_by_month")
+    write_partitioned(ev, store)
+
+    scan = spark.read.parquet(store).filter(F.col("date_partition") == "2024-01")
+    plan = _physical(scan)
+    assert "PartitionFilters: [isnotnull(date_partition" in plan
+    assert "2024-01" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # and the pruned read returns exactly the January slice
+    jan = ev.filter(F.col("date_partition") == "2024-01").count()
+    assert scan.count() == jan > 0

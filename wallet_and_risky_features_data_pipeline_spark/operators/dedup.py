@@ -292,3 +292,62 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= F.lit(tau))
         .select("a_id", "b_id", "cosine")
     )
+
+
+def incremental_lsh_pairs(
+    stored_signed: DataFrame,
+    new_signed: DataFrame,
+    id_col: str,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate pairs for a NEW document batch against an existing
+    corpus — the production shape of near-dup detection: corpus
+    signatures are computed once and stored (they are plain columns, so
+    the store is the merge_upsert parquet path), and each incoming
+    batch pairs only new-vs-(corpus ∪ new). The corpus-vs-corpus
+    quadrant — the quadratic bulk of a full re-dedup — is never
+    re-formed, so per-batch cost is O(|new| × bucket), independent of
+    corpus size.
+
+    Megabucket guard note: bucket sizes are measured over the UNION
+    (corpus + new), exactly as the full recompute would, so the
+    df-capped output is identical to ``lsh_candidate_pairs`` on the
+    full corpus restricted to pairs touching a new doc — the property
+    ``tests/test_operators.py::test_incremental_lsh_equals_full`` pins.
+    """
+    n_bands = n_hashes // band_size
+    all_signed = stored_signed.withColumn("__new", F.lit(False)).unionByName(
+        new_signed.withColumn("__new", F.lit(True))
+    )
+    banded = band_keys(all_signed, n_hashes, band_size).select(
+        id_col, "minhash_sig", "__new", *[f"band_{b}" for b in range(n_bands)]
+    ).persist()
+    banded.count()  # eager barrier, same rationale as lsh_candidate_pairs
+    pairs = None
+    for b in range(n_bands):
+        key = f"band_{b}"
+        side = banded.select(F.col(id_col), F.col(key).alias("bucket"), "minhash_sig", "__new")
+        sizes = side.groupBy("bucket").agg(F.count("*").alias("n"))
+        side = side.join(F.broadcast(sizes.filter(F.col("n") <= max_bucket)), "bucket")
+        left = side.filter(F.col("__new")).select(
+            "bucket", F.col(id_col).alias("doc_l"), F.col("minhash_sig").alias("sig_l")
+        )
+        right = side.select(
+            "bucket", F.col(id_col).alias("doc_r"), F.col("minhash_sig").alias("sig_r")
+        )
+        p = (
+            left.join(right, "bucket")
+            .filter(F.col("doc_l") != F.col("doc_r"))
+            .select(
+                F.least("doc_l", "doc_r").alias("doc_a"),
+                F.greatest("doc_l", "doc_r").alias("doc_b"),
+                (
+                    F.expr("size(filter(zip_with(sig_l, sig_r, (x, y) -> x = y), m -> m))")
+                    / F.lit(float(n_hashes))
+                ).alias("est_jaccard"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.groupBy("doc_a", "doc_b").agg(F.max("est_jaccard").alias("est_jaccard"))

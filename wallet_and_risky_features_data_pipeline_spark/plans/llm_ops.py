@@ -789,3 +789,27 @@ pairs AS (
 )
 SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.3
 """
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus dedup: new batch (odd doc ids) vs stored corpus
+# (even doc ids). The corpus-vs-corpus quadrant is never re-paired —
+# per-batch cost is O(|new| x bucket), independent of corpus size.
+# Oracle: the FULL minhash recompute restricted to pairs touching a
+# new doc — so the incremental path is held to full-recompute output.
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_lsh_pairs
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    signed = minhash_signature(docs, "doc_id", "text")
+    stored = signed.filter(F.col("doc_id") % 2 == 0)
+    new = signed.filter(F.col("doc_id") % 2 == 1)
+    return incremental_lsh_pairs(stored, new, "doc_id")
+
+
+DEDUP_MINHASH_INCREMENTAL_ORACLE = f"""
+WITH full_pairs AS ({_minhash_oracle()})
+SELECT doc_a, doc_b, est_jaccard
+FROM full_pairs
+WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+"""

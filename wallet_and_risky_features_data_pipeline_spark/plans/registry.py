@@ -147,8 +147,16 @@ register("hll_distinct_users", sk.hll_distinct_users, sk.HLL_DISTINCT_ORACLE)
 register("quantiles_exact", sk.quantiles_exact, sk.QUANTILES_EXACT_ORACLE)
 register("cms_heavy_hitters", sk.cms_heavy_hitters, sk.CMS_HEAVY_HITTERS_ORACLE)
 register("bloom_membership_prune", sk.bloom_membership_prune, sk.BLOOM_MEMBERSHIP_ORACLE)
+register("table_stats", sk.table_stats, sk.TABLE_STATS_ORACLE)
 # Vector-space dedup entry (LSH-bucketed exact-decimal cosine pairs)
 register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_ORACLE)
+# Incremental corpus dedup: new batch vs stored signatures, held to
+# the full-recompute oracle
+register(
+    "dedup_minhash_incremental",
+    llm.dedup_minhash_incremental,
+    llm.DEDUP_MINHASH_INCREMENTAL_ORACLE,
+)
 # Watermarked stream-stream band join (§2.9 extension)
 register(
     "streaming_stream_band_join",

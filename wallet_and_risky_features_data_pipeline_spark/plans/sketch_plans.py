@@ -225,3 +225,101 @@ SELECT t.user_id, t.bloom_member,
        (m.user_id IS NOT NULL) AS exact_member
 FROM tested t LEFT JOIN members m ON m.user_id = t.user_id
 """
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style table profiling: per-column row/null/NDV stats with
+# the HLL estimate beside the exact NDV. Each column's pass is a
+# column-pruned scan + one global aggregate (embarrassingly parallel;
+# at 100 TB this is the stats-collection job every optimizer feeds
+# on). The HLL column is NULL for DOUBLE columns on purpose: register
+# assignment hashes the key's STRING form, and double→string
+# formatting is engine-specific (JVM shortest-repr vs C++ printf), so
+# a double-keyed register map would not replay cross-engine — the
+# exact NDV has no such cast and stays verified.
+_STATS_COLS = (("user_id", True, True), ("event_type", False, True), ("value", True, False))
+
+
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_register_sums
+
+    ev = read_table(spark, sf_dir, "events")
+    out = None
+    for col, is_num, do_hll in _STATS_COLS:
+        base = ev.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("bigint").alias("n_nulls"),
+            F.countDistinct(col).alias("ndv_exact"),
+            (
+                F.min(F.col(col).cast("double"))
+                if is_num
+                else F.min(F.lit(None).cast("double"))
+            ).alias("min_num"),
+            (
+                F.max(F.col(col).cast("double"))
+                if is_num
+                else F.max(F.lit(None).cast("double"))
+            ).alias("max_num"),
+        )
+        if do_hll:
+            hll = hll_register_sums(
+                ev.filter(F.col(col).isNotNull()), F.col(col), []
+            ).select(F.col("hll_estimate").alias("hll_ndv"))
+            row = base.crossJoin(hll)
+        else:
+            row = base.withColumn("hll_ndv", F.lit(None).cast("double"))
+        row = row.select(
+            F.lit(col).alias("col_name"),
+            "n_rows",
+            "n_nulls",
+            "ndv_exact",
+            "hll_ndv",
+            "min_num",
+            "max_num",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _global_hll_sql(key_sql: str) -> str:
+    from ..operators.sketches import HLL_M, HLL_NUMERATOR, _RANK_CAP, hll_rank_expr
+
+    return f"""(
+    WITH hashed AS (
+        SELECT md5({key_sql}) AS h FROM events WHERE {key_sql} IS NOT NULL
+    ),
+    regs AS (
+        SELECT substr(h, 1, 2) AS reg, MAX({hll_rank_expr("h")}) AS max_rho
+        FROM hashed GROUP BY 1
+    ),
+    grouped AS (
+        SELECT SUM(CAST(1 AS BIGINT) << ({_RANK_CAP} - max_rho)) AS observed_sum,
+               COUNT(*) AS observed_regs
+        FROM regs
+    )
+    SELECT {HLL_NUMERATOR!r} / CAST(observed_sum
+           + ({HLL_M} - observed_regs) * (CAST(1 AS BIGINT) << {_RANK_CAP})
+           AS DOUBLE)
+    FROM grouped
+)"""
+
+
+def _table_stats_oracle() -> str:
+    parts = []
+    for col, is_num, do_hll in _STATS_COLS:
+        key_sql = f"CAST({col} AS VARCHAR)" if col != "event_type" else col
+        hll = _global_hll_sql(key_sql) if do_hll else "CAST(NULL AS DOUBLE)"
+        mn = f"MIN(CAST({col} AS DOUBLE))" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"MAX(CAST({col} AS DOUBLE))" if is_num else "CAST(NULL AS DOUBLE)"
+        parts.append(f"""SELECT '{col}' AS col_name,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+    CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv_exact,
+    {hll} AS hll_ndv,
+    {mn} AS min_num,
+    {mx} AS max_num
+FROM events""")
+    return "\nUNION ALL\n".join(parts)
+
+
+TABLE_STATS_ORACLE = _table_stats_oracle()
