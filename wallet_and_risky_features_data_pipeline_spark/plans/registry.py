@@ -173,6 +173,12 @@ register(
 register("window_rolling_7d", wp.window_rolling_7d, wp.WINDOW_ROLLING_7D_ORACLE)
 register("pivot_event_matrix", rel.pivot_event_matrix, rel.PIVOT_EVENT_MATRIX_ORACLE)
 register("unpivot_user_matrix", rel.unpivot_user_matrix, rel.UNPIVOT_USER_MATRIX_ORACLE)
+register(
+    "except_intersect_segments",
+    rel.except_intersect_segments,
+    rel.EXCEPT_INTERSECT_ORACLE,
+)
+register("window_ntile_deciles", rel.window_ntile_deciles, rel.WINDOW_NTILE_ORACLE)
 # Duplicate-oracle variants: the skew-salted running sum shares
 # window_running_balance's oracle (property also pinned in
 # tests/test_skew.py); the SQL-surface rendering shares

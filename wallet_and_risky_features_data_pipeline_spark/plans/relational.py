@@ -736,3 +736,67 @@ LEFT JOIN (
     SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
 ) c ON c.user_id = u.user_id AND c.event_type = t.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Set operations: EXCEPT / INTERSECT segment split. Spark plans both
+# as aggregate-free left-anti / left-semi joins over distinct inputs —
+# the same shuffle shape as the J9/J10 anti/semi family, so the cost
+# model is one hash exchange per side, no row-by-row set state.
+def except_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    click_only = clickers.subtract(purchasers).select(
+        "user_id", F.lit("click_only").alias("segment")
+    )
+    both = clickers.intersect(purchasers).select(
+        "user_id", F.lit("both").alias("segment")
+    )
+    return click_only.unionByName(both)
+
+
+EXCEPT_INTERSECT_ORACLE = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'click_only' AS segment FROM (
+    SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers
+)
+UNION ALL
+SELECT user_id, 'both' AS segment FROM (
+    SELECT user_id FROM clickers INTERSECT SELECT user_id FROM purchasers
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# NTILE decile assignment over per-user spend — the bucketed-rank
+# window the quantile engine doesn't cover (NTILE distributes the
+# remainder to the leading buckets by SQL definition, identically in
+# both engines given the same total order; the (total, user_id)
+# tie-break makes that order strict).
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total")
+    )
+    w = Window.orderBy(F.col("total"), F.col("user_id"))
+    return totals.select(
+        "user_id",
+        F.col("total").cast("double").alias("total_value"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+WINDOW_NTILE_ORACLE = """
+WITH totals AS (
+    SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS total
+    FROM events GROUP BY 1
+)
+SELECT user_id,
+       CAST(total AS DOUBLE) AS total_value,
+       CAST(NTILE(10) OVER (ORDER BY total, user_id) AS INT) AS decile
+FROM totals
+"""
