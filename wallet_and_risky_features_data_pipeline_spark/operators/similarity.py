@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 # exact-decimal dot/norm: float→DECIMAL(18,9) is a fixed rounding, the
 # fold stays exact, ROUND(...,6) then a scaled magnitude < 2^53 so the
 # final double cast is correctly rounded on both engines.
+# Known edge: a float whose decimal expansion TIES at the 9th digit
+# rounds differently under Spark's shortest-repr BigDecimal cast vs
+# DuckDB's cast (observed once on embeddings pairs outside this
+# module's query set). The registered similarity queries pass on the
+# verification data; new value-oracled vector ops should prefer the
+# boundary-free integer quantization used by
+# operators.dedup.embedding_near_dup_pairs.
 _DOT = (
     "CAST(ROUND(aggregate(zip_with({a}, {b},"
     " (x, y) -> CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9))),"
