@@ -148,6 +148,8 @@ register("quantiles_exact", sk.quantiles_exact, sk.QUANTILES_EXACT_ORACLE)
 register("cms_heavy_hitters", sk.cms_heavy_hitters, sk.CMS_HEAVY_HITTERS_ORACLE)
 register("bloom_membership_prune", sk.bloom_membership_prune, sk.BLOOM_MEMBERSHIP_ORACLE)
 register("table_stats", sk.table_stats, sk.TABLE_STATS_ORACLE)
+register("quantiles_histogram", sk.quantiles_histogram, sk.QUANTILES_HISTOGRAM_ORACLE)
+register("cube_status_priority", rel.cube_status_priority, rel.CUBE_STATUS_PRIORITY_ORACLE)
 # Vector-space dedup entry (LSH-bucketed exact-decimal cosine pairs)
 register("dedup_embedding_cosine", llm.dedup_embedding_cosine, llm.DEDUP_EMBEDDING_COSINE_ORACLE)
 # Incremental corpus dedup: new batch vs stored signatures, held to

@@ -800,3 +800,44 @@ SELECT user_id,
        CAST(NTILE(10) OVER (ORDER BY total, user_id) AS INT) AS decile
 FROM totals
 """
+
+
+# --------------------------------------------------------------------------
+# CUBE over (status, priority): all four grains in ONE Expand + one
+# hash aggregation (same physical strategy as ROLLUP with 4 instead of
+# 3 grouping sets) — completes the grouping-sets family next to
+# rollup_multi_grain.
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast(DEC).alias("v"),
+    )
+    cubed = base.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("v").cast("double").alias("total_price"),
+        F.grouping_id().cast("int").alias("grain"),
+    )
+    return cubed.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "grain",
+        "n_orders",
+        "total_price",
+    )
+
+
+CUBE_STATUS_PRIORITY_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS grain,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(v) AS DOUBLE) AS total_price
+FROM (
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(18,4)) AS v
+    FROM orders
+)
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""

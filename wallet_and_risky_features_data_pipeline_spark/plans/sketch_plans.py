@@ -323,3 +323,57 @@ FROM events""")
 
 
 TABLE_STATS_ORACLE = _table_stats_oracle()
+
+
+# --------------------------------------------------------------------------
+# Histogram-based approximate quantiles — the single-pass SCALE path
+# beside ``quantiles_exact``'s per-group sort: bucket values by
+# floor(value) (deterministic IEEE floor), cumulative-sum the <= |range|
+# bucket counts, and read the bucket where the cumsum crosses the same
+# explicit rank the exact query uses. Error is bounded by one bucket
+# width BY CONSTRUCTION (the true rank-target value lies in the
+# reported bucket); ``quantiles_exact`` is the witness query. Plan
+# shape: one hash agg on (group, bucket) with map-side combine, then a
+# window over the tiny bucket table — no full sort of the input ever
+# happens, which is what makes this the 100 TB quantile plan.
+def quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "n_total", F.sum("n").over(Window.partitionBy("event_type"))
+    )
+    with_p = cum.withColumn(
+        "p", F.explode(F.array(*[F.lit(p) for p in _QUANTILES]))
+    )
+    hits = with_p.filter(
+        F.col("cum") >= (F.floor((F.col("n_total") - 1) * F.col("p")) + 1)
+    )
+    return hits.groupBy("event_type", "p").agg(
+        F.min("bucket").cast("double").alias("q_est")
+    )
+
+
+QUANTILES_HISTOGRAM_ORACLE = f"""
+WITH b AS (
+    SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+c AS (
+    SELECT *,
+        SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(n) OVER (PARTITION BY event_type) AS n_total
+    FROM b
+)
+SELECT event_type, p, CAST(MIN(bucket) AS DOUBLE) AS q_est
+FROM c, UNNEST([{", ".join(str(p) for p in _QUANTILES)}]) AS t(p)
+WHERE cum >= FLOOR((n_total - 1) * p) + 1
+GROUP BY 1, 2
+"""
