@@ -150,3 +150,38 @@ def test_partition_pruning_on_partitioned_store(spark, tmp_path):
     # and the pruned read returns exactly the January slice
     jan = ev.filter(F.col("date_partition") == "2024-01").count()
     assert scan.count() == jan > 0
+
+
+def test_aqe_splits_skewed_join(spark):
+    # The engine's answer to hot-key joins at 100 TB is AQE skew-join
+    # (session.get_spark enables it): with a 90%-hot key, the runtime
+    # plan must show the skewed partition split (skew=true), not one
+    # straggler task. Thresholds are lowered to make the tiny local
+    # shuffle exhibit what a multi-GB hot partition does in production.
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = fact.join(dim.hint("shuffle_hash"), "k")
+        assert len(j.collect()) == 200_000
+        assert "skew=true" in _physical(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

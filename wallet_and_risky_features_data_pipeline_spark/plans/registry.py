@@ -181,6 +181,7 @@ register(
     rel.EXCEPT_INTERSECT_ORACLE,
 )
 register("window_ntile_deciles", rel.window_ntile_deciles, rel.WINDOW_NTILE_ORACLE)
+register("join_null_safe_counts", rel.join_null_safe_counts, rel.JOIN_NULL_SAFE_ORACLE)
 # Duplicate-oracle variants: the skew-salted running sum shares
 # window_running_balance's oracle (property also pinned in
 # tests/test_skew.py); the SQL-surface rendering shares

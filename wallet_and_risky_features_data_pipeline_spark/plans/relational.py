@@ -841,3 +841,51 @@ FROM (
 )
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): a NULL key
+# matches a NULL key — the join semantic plain equality silently drops
+# (the one member of the join family not exercised elsewhere). Planned
+# as an ordinary hash join: NULL hashes like any other value under
+# null-safe equality, so no skew/fallback caveats.
+def join_null_safe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    key = F.when(
+        F.col("o_orderpriority") == "3-MEDIUM", F.lit(None).cast("string")
+    ).otherwise(F.col("o_orderpriority"))
+    all_counts = orders.select(key.alias("pkey")).groupBy("pkey").agg(
+        F.count(F.lit(1)).alias("n_all")
+    )
+    f_counts = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(key.alias("pkey"))
+        .groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    joined = all_counts.alias("a").join(
+        f_counts.alias("f"), F.col("a.pkey").eqNullSafe(F.col("f.pkey"))
+    )
+    return joined.select(
+        F.coalesce(F.col("a.pkey"), F.lit("UNKNOWN")).alias("priority_key"),
+        "n_all",
+        "n_f",
+    )
+
+
+JOIN_NULL_SAFE_ORACLE = """
+WITH keyed AS (
+    SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                ELSE o_orderpriority END AS pkey,
+           o_orderstatus
+    FROM orders
+),
+all_counts AS (SELECT pkey, CAST(COUNT(*) AS BIGINT) AS n_all FROM keyed GROUP BY 1),
+f_counts AS (
+    SELECT pkey, CAST(COUNT(*) AS BIGINT) AS n_f
+    FROM keyed WHERE o_orderstatus = 'F' GROUP BY 1
+)
+SELECT COALESCE(a.pkey, 'UNKNOWN') AS priority_key, a.n_all, f.n_f
+FROM all_counts a
+JOIN f_counts f ON a.pkey IS NOT DISTINCT FROM f.pkey
+"""
