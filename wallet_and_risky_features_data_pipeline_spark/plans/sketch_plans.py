@@ -237,7 +237,15 @@ FROM tested t LEFT JOIN members m ON m.user_id = t.user_id
 # formatting is engine-specific (JVM shortest-repr vs C++ printf), so
 # a double-keyed register map would not replay cross-engine — the
 # exact NDV has no such cast and stays verified.
+#
+# ``hll_small_range`` flags the regime where the RAW estimate is
+# known-biased (E <= 2.5·m — the standard linear-counting switchover;
+# the correction itself needs ln and is deliberately not applied, see
+# operators/sketches.py). The flag is one double comparison, so it
+# replays exactly; consumers treat flagged estimates as upper noise
+# and read ndv_exact instead.
 _STATS_COLS = (("user_id", True, True), ("event_type", False, True), ("value", True, False))
+_HLL_SMALL_RANGE_MAX = 2.5 * 256
 
 
 def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,16 +272,24 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         if do_hll:
             hll = hll_register_sums(
                 ev.filter(F.col(col).isNotNull()), F.col(col), []
-            ).select(F.col("hll_estimate").alias("hll_ndv"))
+            ).select(
+                F.col("hll_estimate").alias("hll_ndv"),
+                (F.col("hll_estimate") <= F.lit(_HLL_SMALL_RANGE_MAX)).alias(
+                    "hll_small_range"
+                ),
+            )
             row = base.crossJoin(hll)
         else:
-            row = base.withColumn("hll_ndv", F.lit(None).cast("double"))
+            row = base.withColumn("hll_ndv", F.lit(None).cast("double")).withColumn(
+                "hll_small_range", F.lit(None).cast("boolean")
+            )
         row = row.select(
             F.lit(col).alias("col_name"),
             "n_rows",
             "n_nulls",
             "ndv_exact",
             "hll_ndv",
+            "hll_small_range",
             "min_num",
             "max_num",
         )
@@ -309,6 +325,11 @@ def _table_stats_oracle() -> str:
     for col, is_num, do_hll in _STATS_COLS:
         key_sql = f"CAST({col} AS VARCHAR)" if col != "event_type" else col
         hll = _global_hll_sql(key_sql) if do_hll else "CAST(NULL AS DOUBLE)"
+        small = (
+            f"({_global_hll_sql(key_sql)} <= {_HLL_SMALL_RANGE_MAX!r})"
+            if do_hll
+            else "CAST(NULL AS BOOLEAN)"
+        )
         mn = f"MIN(CAST({col} AS DOUBLE))" if is_num else "CAST(NULL AS DOUBLE)"
         mx = f"MAX(CAST({col} AS DOUBLE))" if is_num else "CAST(NULL AS DOUBLE)"
         parts.append(f"""SELECT '{col}' AS col_name,
@@ -316,6 +337,7 @@ def _table_stats_oracle() -> str:
     CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
     CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv_exact,
     {hll} AS hll_ndv,
+    {small} AS hll_small_range,
     {mn} AS min_num,
     {mx} AS max_num
 FROM events""")

@@ -133,6 +133,19 @@ def run_maintain(spark, sf_dir: str, work_dir: str) -> None:
     )
 
 
+def run_profile(spark, sf_dir: str, work_dir: str) -> None:
+    """Stats collection (the ANALYZE cron a warehouse runs after
+    loads): per-column profile of the event stream written beside the
+    stores, so planners/operators can consult rows/NDV/min-max without
+    rescanning."""
+    from .plans.sketch_plans import table_stats
+
+    out = f"{work_dir}/profile/events_stats"
+    stats = table_stats(spark, sf_dir)
+    stats.coalesce(1).write.mode("overwrite").parquet(out)
+    print(f"profile: wrote {stats.count()} column profiles to {out}")
+
+
 def run_dq(spark, sf_dir: str, work_dir: str) -> None:
     from .plans.wallet_features import wallet_features
 
@@ -145,7 +158,9 @@ def run_dq(spark, sf_dir: str, work_dir: str) -> None:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--layer", required=True, choices=["stage", "features", "maintain", "serve", "dq"]
+        "--layer",
+        required=True,
+        choices=["stage", "features", "maintain", "serve", "profile", "dq"],
     )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--work-dir", default="/tmp/wrf_work")
@@ -159,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
         "features": run_features,
         "maintain": run_maintain,
         "serve": run_serve,
+        "profile": run_profile,
         "dq": run_dq,
     }[args.layer](spark, args.sf_dir, args.work_dir)
     return 0
