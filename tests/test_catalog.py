@@ -53,3 +53,38 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE b_orders")
         spark.sql("DROP TABLE b_customer")
+
+
+def test_read_table_normalizes_mixed_ts_encodings(spark, tmp_path):
+    """Regression for the r4 outage: ``events.ts`` has shipped as both
+    parquet TIMESTAMP(NANOS) (read as a nanos BIGINT under
+    ``nanosAsLong``) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read
+    as TIMESTAMP_NTZ). ``read_table`` must branch on the observed dtype
+    and yield identical schema + values for both encodings — a real
+    lake has mixed-writer files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    ids = [1, 2]
+    for sub, typ, vals in (
+        ("micros", pa.timestamp("us"), us),
+        ("nanos", pa.timestamp("ns"), [v * 1000 for v in us]),
+    ):
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {"event_id": pa.array(ids, pa.int64()), "ts": pa.array(vals, typ)}
+            ),
+            str(d / "events.parquet"),
+            use_deprecated_int96_timestamps=False,
+            coerce_timestamps=None,
+        )
+    micros = read_table(spark, str(tmp_path / "micros"), "events")
+    nanos = read_table(spark, str(tmp_path / "nanos"), "events")
+    assert [f.dataType.simpleString() for f in micros.schema.fields] == [
+        f.dataType.simpleString() for f in nanos.schema.fields
+    ]
+    assert dict(micros.dtypes)["ts"] == "timestamp"
+    assert micros.orderBy("event_id").collect() == nanos.orderBy("event_id").collect()

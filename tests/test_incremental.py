@@ -21,6 +21,10 @@ from wallet_and_risky_features_data_pipeline_spark.streaming.incremental import 
     wallet_auc_state,
 )
 
+from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+    normalize_event_ts,
+)
+
 from .conftest import SF_SMALL
 
 
@@ -80,7 +84,7 @@ def test_incremental_append_idempotent(spark, tmp_path):
     store = WatermarkStore(str(tmp_path / "wm.json"))
     events = (
         spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
         .withColumn("date_partition", F.date_format("ts", "yyyy-MM"))
     )
     b1 = events.filter("event_id < 500")

@@ -274,14 +274,17 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ev.filter(F.col(col).isNotNull()), F.col(col), []
             ).select(
                 F.col("hll_estimate").alias("hll_ndv"),
-                (F.col("hll_estimate") <= F.lit(_HLL_SMALL_RANGE_MAX)).alias(
-                    "hll_small_range"
-                ),
+                # int, not boolean: a NULL boolean round-trips through
+                # pandas as None on the Spark side but NaN on the DuckDB
+                # side, so the oracle compare would flag a phantom diff.
+                (F.col("hll_estimate") <= F.lit(_HLL_SMALL_RANGE_MAX))
+                .cast("int")
+                .alias("hll_small_range"),
             )
             row = base.crossJoin(hll)
         else:
             row = base.withColumn("hll_ndv", F.lit(None).cast("double")).withColumn(
-                "hll_small_range", F.lit(None).cast("boolean")
+                "hll_small_range", F.lit(None).cast("int")
             )
         row = row.select(
             F.lit(col).alias("col_name"),
@@ -326,9 +329,9 @@ def _table_stats_oracle() -> str:
         key_sql = f"CAST({col} AS VARCHAR)" if col != "event_type" else col
         hll = _global_hll_sql(key_sql) if do_hll else "CAST(NULL AS DOUBLE)"
         small = (
-            f"({_global_hll_sql(key_sql)} <= {_HLL_SMALL_RANGE_MAX!r})"
+            f"CAST(({_global_hll_sql(key_sql)} <= {_HLL_SMALL_RANGE_MAX!r}) AS INTEGER)"
             if do_hll
-            else "CAST(NULL AS BOOLEAN)"
+            else "CAST(NULL AS INTEGER)"
         )
         mn = f"MIN(CAST({col} AS DOUBLE))" if is_num else "CAST(NULL AS DOUBLE)"
         mx = f"MAX(CAST({col} AS DOUBLE))" if is_num else "CAST(NULL AS DOUBLE)"

@@ -32,15 +32,14 @@ from .operators.quality import enforce, feature_constraints
 from .plans.wallet_features import contract_state_from
 from .plans.wallet_model import wallet_transactions
 from .session import get_spark
+from .sources.readers import normalize_event_ts
 from .sources.writers import merge_upsert
 from .streaming.incremental import WatermarkStore, incremental_append, incremental_contract_state
 
 
 def run_stage(spark, sf_dir: str, work_dir: str) -> None:
     store = WatermarkStore(f"{work_dir}/watermarks.json")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     staged = events.withColumn("date_partition", F.date_format("ts", "yyyy-MM"))
     n = incremental_append(
         spark,

@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import _ensure_session_confs
+from ..sources.readers import _ensure_session_confs, normalize_event_ts
 
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +50,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id"])
         .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
@@ -178,7 +178,7 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(static.schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(normalize_event_ts)
             .withWatermark("ts", "1 hour")
             .dropDuplicates(["event_id"])
             .writeStream.trigger(availableNow=True)
@@ -315,7 +315,7 @@ def session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
         .withWatermark("ts", "1 hour")
         .groupBy(
             F.session_window(F.col("ts"), "30 minutes").alias("win"),
@@ -408,7 +408,7 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(static.schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(normalize_event_ts)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
@@ -486,7 +486,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     dim = (
-        static.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        static.transform(normalize_event_ts)
         .groupBy(
             F.col("event_type"),
             F.date_trunc("day", F.col("ts")).alias("day"),
@@ -503,7 +503,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_event_ts)
         .filter(F.col("event_type") == "purchase")
         .withColumn("day", F.date_trunc("day", F.col("ts")))
     )
