@@ -12,6 +12,15 @@ per-query figures are individual latencies under that concurrency.
 Each query materializes fully through the ``noop`` batch sink — every
 row is computed by executors, nothing funnels through the driver (a
 cluster job writes to object storage, not collect).
+
+Resilience: one broken query must not cost the whole bench (round 4
+lost every number to a single analysis error in warmup). Warmup and
+timed runs are individually guarded; failures surface as entries in
+an ``errors`` map and the process still exits 0 with timings for
+everything else. The JSON line is emitted compactly (no spaces,
+centisecond precision) so a log-tail window of a few KB captures the
+whole line; the full-precision per-query detail also lands in
+``bench_detail.json`` next to this script.
 """
 
 from __future__ import annotations
@@ -20,6 +29,7 @@ import json
 import os
 import sys
 import time
+import traceback
 from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -44,37 +54,50 @@ def main() -> None:
     # measures the plans' execution, not session startup or first-run
     # whole-stage-codegen compilation (which is per-plan, per-JVM).
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    errors: dict[str, str] = {}
 
     def warm(item: tuple[str, object]) -> None:
-        item[1](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        name, fn = item
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3)
 
     with ThreadPoolExecutor(CONCURRENCY) as pool:
         list(pool.map(warm, sorted(QUERIES.items())))
 
-    def run(item: tuple[str, object]) -> tuple[str, float]:
+    def run(item: tuple[str, object]) -> tuple[str, float] | None:
         name, fn = item
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return name, round(time.perf_counter() - start, 4)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            errors.setdefault(name, traceback.format_exc(limit=3))
+            return None
+        return name, time.perf_counter() - start
 
     start = time.perf_counter()
     with ThreadPoolExecutor(CONCURRENCY) as pool:
-        timings = dict(pool.map(run, sorted(QUERIES.items())))
+        timings = dict(t for t in pool.map(run, sorted(QUERIES.items())) if t)
     wall = round(time.perf_counter() - start, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": wall,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "concurrency": CONCURRENCY,
-                "n_queries": len(timings),
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": wall,
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in sorted(timings.items())},
+        "errors": {k: errors[k].splitlines()[-1] for k in sorted(errors)},
+        "sf": sf,
+        "concurrency": CONCURRENCY,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"), "w") as f:
+        json.dump({**detail, "error_tracebacks": errors}, f, indent=1)
+    # Compact line: centisecond per-query precision, no whitespace —
+    # keeps 77 queries under ~2.5 KB so log-tail capture parses it.
+    compact = {**detail, "queries": {k: round(v, 2) for k, v in sorted(timings.items())}}
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
