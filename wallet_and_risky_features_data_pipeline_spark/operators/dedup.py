@@ -111,6 +111,31 @@ def band_keys(df: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZ
     return out
 
 
+def _banded_exploded(signed: DataFrame, id_col: str, n_hashes: int,
+                     band_size: int, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Flatten band digests to one ``(band, bucket)`` row per (doc,
+    band): the composite key lets a SINGLE equi self-join cover every
+    band instead of one join (and one bucket-size guard) per band —
+    same candidate set, n_bands× fewer shuffle stages.
+    """
+    n_bands = n_hashes // band_size
+    return band_keys(signed, n_hashes, band_size).select(
+        F.col(id_col),
+        "minhash_sig",
+        *extra_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(id_col, "minhash_sig", *extra_cols, "__bb.band", "__bb.bucket")
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     id_col: str,
@@ -123,41 +148,39 @@ def lsh_candidate_pairs(
     Pairs (a < b) sharing any band, with the estimated Jaccard =
     fraction of matching signature rows. Buckets larger than
     ``max_bucket`` are dropped (boilerplate guard against quadratic
-    bucket blowup)."""
-    n_bands = n_hashes // band_size
-    # Persist the signed+banded table: it feeds both sides of every
-    # band self-join plus the bucket-size guards, and the cache
-    # boundary stops Catalyst from re-inlining the md5 signature scan
-    # into each consumer.
-    banded = band_keys(signed, n_hashes, band_size).select(
-        id_col, "minhash_sig", *[f"band_{b}" for b in range(n_bands)]
-    ).persist()
-    # Fill the cache eagerly: the band joins launch parallel stages
-    # that would otherwise race to materialize it concurrently,
-    # recomputing the signature scan once per stage.
-    banded.count()
-    pairs = None
-    for b in range(n_bands):
-        key = f"band_{b}"
-        side = banded.select(F.col(id_col), F.col(key).alias("bucket"), "minhash_sig")
-        # boilerplate guard: drop megabuckets before pairing
-        sizes = side.groupBy("bucket").agg(F.count("*").alias("n"))
-        side = side.join(F.broadcast(sizes.filter(F.col("n") <= max_bucket)), "bucket")
-        left = side.select("bucket", F.col(id_col).alias("doc_a"), F.col("minhash_sig").alias("sig_a"))
-        right = side.select("bucket", F.col(id_col).alias("doc_b"), F.col("minhash_sig").alias("sig_b"))
-        p = (
-            left.join(right, "bucket")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
-                    / F.lit(float(n_hashes))
-                ).alias("est_jaccard"),
-            )
+    bucket blowup).
+
+    Shape: band digests are EXPLODED to (band, bucket) rows, so the
+    megabucket guard is one aggregate and the candidate generation is
+    one equi self-join on the composite key — not a join per band.
+    The exploded table is persisted (it feeds the guard plus both join
+    sides, and the cache boundary stops Catalyst re-inlining the md5
+    signature scan into each consumer); no eager count is needed
+    because the broadcast guard must materialize first, which fills
+    the cache before the join stages scan it."""
+    exploded = _banded_exploded(signed, id_col, n_hashes, band_size).persist()
+    sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    capped = exploded.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_bucket)), ["band", "bucket"]
+    )
+    left = capped.select(
+        "band", "bucket", F.col(id_col).alias("doc_a"), F.col("minhash_sig").alias("sig_a")
+    )
+    right = capped.select(
+        "band", "bucket", F.col(id_col).alias("doc_b"), F.col("minhash_sig").alias("sig_b")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+                / F.lit(float(n_hashes))
+            ).alias("est_jaccard"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    )
     return pairs.groupBy("doc_a", "doc_b").agg(F.max("est_jaccard").alias("est_jaccard"))
 
 
@@ -317,37 +340,32 @@ def incremental_lsh_pairs(
     full corpus restricted to pairs touching a new doc — the property
     ``tests/test_operators.py::test_incremental_lsh_equals_full`` pins.
     """
-    n_bands = n_hashes // band_size
     all_signed = stored_signed.withColumn("__new", F.lit(False)).unionByName(
         new_signed.withColumn("__new", F.lit(True))
     )
-    banded = band_keys(all_signed, n_hashes, band_size).select(
-        id_col, "minhash_sig", "__new", *[f"band_{b}" for b in range(n_bands)]
+    exploded = _banded_exploded(
+        all_signed, id_col, n_hashes, band_size, extra_cols=("__new",)
     ).persist()
-    banded.count()  # eager barrier, same rationale as lsh_candidate_pairs
-    pairs = None
-    for b in range(n_bands):
-        key = f"band_{b}"
-        side = banded.select(F.col(id_col), F.col(key).alias("bucket"), "minhash_sig", "__new")
-        sizes = side.groupBy("bucket").agg(F.count("*").alias("n"))
-        side = side.join(F.broadcast(sizes.filter(F.col("n") <= max_bucket)), "bucket")
-        left = side.filter(F.col("__new")).select(
-            "bucket", F.col(id_col).alias("doc_l"), F.col("minhash_sig").alias("sig_l")
+    sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    capped = exploded.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_bucket)), ["band", "bucket"]
+    )
+    left = capped.filter(F.col("__new")).select(
+        "band", "bucket", F.col(id_col).alias("doc_l"), F.col("minhash_sig").alias("sig_l")
+    )
+    right = capped.select(
+        "band", "bucket", F.col(id_col).alias("doc_r"), F.col("minhash_sig").alias("sig_r")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_l") != F.col("doc_r"))
+        .select(
+            F.least("doc_l", "doc_r").alias("doc_a"),
+            F.greatest("doc_l", "doc_r").alias("doc_b"),
+            (
+                F.expr("size(filter(zip_with(sig_l, sig_r, (x, y) -> x = y), m -> m))")
+                / F.lit(float(n_hashes))
+            ).alias("est_jaccard"),
         )
-        right = side.select(
-            "bucket", F.col(id_col).alias("doc_r"), F.col("minhash_sig").alias("sig_r")
-        )
-        p = (
-            left.join(right, "bucket")
-            .filter(F.col("doc_l") != F.col("doc_r"))
-            .select(
-                F.least("doc_l", "doc_r").alias("doc_a"),
-                F.greatest("doc_l", "doc_r").alias("doc_b"),
-                (
-                    F.expr("size(filter(zip_with(sig_l, sig_r, (x, y) -> x = y), m -> m))")
-                    / F.lit(float(n_hashes))
-                ).alias("est_jaccard"),
-            )
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    )
     return pairs.groupBy("doc_a", "doc_b").agg(F.max("est_jaccard").alias("est_jaccard"))
