@@ -212,6 +212,8 @@ def ngram_jaccard_pairs(
     capped shingles), which discounts boilerplate from the similarity
     measure itself — the standard df-cap semantics (same role as
     ``max_bucket`` on the MinHash path)."""
+    from pyspark.sql import Window
+
     shingled = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -223,28 +225,31 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     )
-    doc_freq = shingled.groupBy("shingle").agg(F.count("*").alias("__df"))
-    shingled = (
-        shingled.join(doc_freq.filter(F.col("__df") <= max_df), "shingle")
-        .drop("__df")
+    # df-cap and per-doc sizes as window counts: each is one shuffle of
+    # the index (no groupBy + join-back), and ``sz`` rides THROUGH the
+    # self-join so the (much larger) pair table never needs to be
+    # re-joined against a sizes table afterwards. The capped index is
+    # persisted because it feeds both join sides and alias-renamed
+    # window subtrees don't canonicalize to a ReusedExchange.
+    capped = (
+        shingled.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("__df") <= max_df)
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc")))
+        .select("doc", "shingle", "sz")
     ).persist()
-    # Eager barrier (same rationale as lsh_candidate_pairs): the capped
-    # index feeds the size aggregate AND both sides of the self-join;
-    # without the cache each consumer re-runs the shingle explode and
-    # the df-cap join — 5 extra passes over the corpus.
-    shingled.count()
-    sizes = shingled.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (
-        shingled.alias("a")
-        .join(shingled.alias("b"), "shingle")
+        capped.alias("a")
+        .join(capped.alias("b"), "shingle")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
