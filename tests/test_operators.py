@@ -383,3 +383,36 @@ def test_incremental_lsh_equals_full(spark):
     )
     canon = lambda df: sorted(tuple(r) for r in df.collect())
     assert canon(inc) == canon(full)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-node chain collapses to its min id in O(diameter) rounds;
+    edgeless nodes keep their own id; two components stay separate."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 7, 10, 11]], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 10: 10, 11: 10}
+
+
+def test_connected_components_is_deterministic(spark):
+    from wallet_and_risky_features_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 1), (2, 8)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
+    a = sorted(map(tuple, connected_components(pairs, nodes, "doc_id").collect()))
+    b = sorted(map(tuple, connected_components(pairs, nodes, "doc_id").collect()))
+    assert a == b
+    assert dict(a)[5] == 1 and dict(a)[2] == 2

@@ -185,3 +185,28 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lsh_single_band_join(spark):
+    """The banded LSH pairing must be ONE self-join on the exploded
+    (band, bucket) composite key — not one join per band (the r3
+    shape: n_bands joins + unions doubled the stage count)."""
+    plan = _physical(QUERIES["dedup_minhash_lsh"](spark, SF_MEDIUM))
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    # one pairing self-join + the broadcast megabucket guard applied on
+    # each side of it (the guard subtree is re-planned per side)
+    assert n_joins <= 3, f"expected 1 pairing join + 2 guard applications, saw {n_joins}"
+    assert "CartesianProduct" not in plan
+    assert "Union" not in plan, "per-band union should be gone"
+
+
+def test_ngram_jaccard_no_pair_table_rejoin(spark):
+    """Doc sizes must ride through the self-join as window counts; the
+    aggregated pair table must not be re-joined against a sizes table
+    (two extra shuffles of the largest relation in the query)."""
+    plan = _physical(QUERIES["dedup_ngram_jaccard"](spark, SF_MEDIUM))
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, f"expected only the shingle self-join, saw {n_joins}"
+    assert plan.count("Window") >= 1, "df-cap / sz must be window counts"

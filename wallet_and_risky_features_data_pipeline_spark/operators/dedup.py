@@ -184,6 +184,70 @@ def lsh_candidate_pairs(
     return pairs.groupBy("doc_a", "doc_b").agg(F.max("est_jaccard").alias("est_jaccard"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster formation over near-dup pairs: assign every node the
+    MINIMUM id reachable through the pair graph (connected components
+    by min-label propagation), so each dedup cluster gets one stable
+    canonical id — the step that turns pairwise similarity output into
+    keep/drop decisions.
+
+    Iterative (label(v) ← min over v and its neighbors), converging in
+    O(component diameter) rounds; near-dup clusters are shallow
+    (dozens of docs agreeing on shared content), so the loop is a
+    handful of hash joins, each a shuffle on the node id. Lineage is
+    cut with ``localCheckpoint`` per round — without it the plan
+    doubles every iteration and Catalyst analysis dominates. The
+    convergence probe aggregates a single boolean, not the label table
+    (no driver-side data). Nodes with no edges keep their own id.
+
+    At corpus scale prefer the alternating large-star/small-star
+    variant (fewer rounds on high-diameter graphs); the propagation
+    loop here is the same join primitive and the output contract is
+    identical.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.agg(F.max(F.coalesce("__changed", F.lit(False)))).first()[0]
+        labels = new_labels.drop("__changed")
+        if not changed:
+            break
+    return nodes.select(F.col(id_col)).join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        id_col, F.coalesce("label", F.col(id_col)).alias("cluster_id")
+    )
+
+
 def simhash16(df: DataFrame, text_col: str) -> DataFrame:
     """Append a 16-bit SimHash bitstring: bit i = sign of the sum over
     tokens of ±1 votes from the i-th hex digit of md5(token)."""

@@ -813,3 +813,159 @@ SELECT doc_a, doc_b, est_jaccard
 FROM full_pairs
 WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Near-dup CLUSTER formation: connected components over the LSH pairs,
+# canonical id = min doc id in the component. This is the step that
+# turns pairwise similarity into keep/drop decisions; the oracle is a
+# DuckDB recursive-CTE transitive closure over the SAME pair set, so
+# the iterative Spark propagation is value-checked against an exact
+# declarative rendering.
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    signed = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(signed, "doc_id").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return connected_components(pairs, docs, "doc_id")
+
+
+DEDUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE lsh AS ({_minhash_oracle()}),
+pairs AS (SELECT doc_a, doc_b FROM lsh WHERE est_jaccard >= 0.5),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, label) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT d.doc_id,
+       COALESCE(m.label, d.doc_id) AS cluster_id
+FROM documents d
+LEFT JOIN (SELECT node, MIN(label) AS label FROM reach GROUP BY 1) m
+       ON m.node = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check: fraction of each benchmark doc's
+# shingles that appear anywhere in the (non-benchmark) training
+# corpus. The scale shape is the important part: the tiny benchmark
+# shingle set broadcasts against the corpus-sized inverted index, so
+# the corpus is scanned once and never shuffled by shingle.
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    is_bench = F.col("doc_id") % 97 == 0
+    shingled = docs.select(
+        "doc_id",
+        is_bench.alias("is_bench"),
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
+    )
+    corpus_shingles = (
+        shingled.filter(~F.col("is_bench")).select("shingle").distinct()
+    )
+    bench = shingled.filter(F.col("is_bench")).select("doc_id", "shingle")
+    hits = bench.join(
+        corpus_shingles.withColumn("__hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+        .withColumn("is_contaminated", (F.col("contamination") >= 0.8).cast("int"))
+    )
+
+
+_TOKS_SQL = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),"
+    f" i -> array_to_string(({_TOKS_SQL})[i:i+2], ' ')))"
+)
+
+CORPUS_CONTAMINATION_ORACLE = f"""
+WITH shingled AS (
+    SELECT doc_id, doc_id % 97 = 0 AS is_bench, shingle
+    FROM documents, UNNEST({_SHINGLES_SQL}) AS u(shingle)
+),
+corpus AS (SELECT DISTINCT shingle FROM shingled WHERE NOT is_bench),
+bench AS (SELECT doc_id, shingle FROM shingled WHERE is_bench)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       ROUND(SUM(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS contamination,
+       CAST(ROUND(SUM(CASE WHEN c.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) >= 0.8 AS INTEGER) AS is_contaminated
+FROM bench b LEFT JOIN corpus c ON b.shingle = c.shingle
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking: split each document into overlapping
+# token-window chunks (chunk_size tokens, stride = chunk_size -
+# overlap) — the packing-adjacent op a training pipeline runs before
+# tokenization. Pure codegen (sequence + slice), no Python.
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 16
+
+
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = r"array_remove(split(trim(lower(text)), '\\s+'), '')"
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(toks).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(sequence(1, greatest(size(__toks), 1), {stride}))"
+            ).alias("start_tok"),
+            "__toks",
+        )
+        .select(
+            "doc_id",
+            "start_tok",
+            F.expr(f"((start_tok - 1) div {stride})").cast("bigint").alias("chunk_idx"),
+            F.expr(f"size(slice(__toks, start_tok, {CHUNK_SIZE}))")
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.expr(f"concat_ws(' ', slice(__toks, start_tok, {CHUNK_SIZE}))").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+CORPUS_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST((start_tok - 1) // {CHUNK_SIZE - CHUNK_OVERLAP} AS BIGINT) AS chunk_idx,
+       CAST(len(t[start_tok:start_tok + {CHUNK_SIZE - 1}]) AS BIGINT) AS n_tokens,
+       array_to_string(t[start_tok:start_tok + {CHUNK_SIZE - 1}], ' ') AS chunk_text
+FROM toks,
+     UNNEST(generate_series(1, greatest(len(t), 1), {CHUNK_SIZE - CHUNK_OVERLAP}))
+         AS u(start_tok)
+"""

@@ -196,3 +196,10 @@ register("pricing_summary_sql", sqls.pricing_summary_sql, sqls.PRICING_SUMMARY_S
 register("similarity_pandas_topk", llm.similarity_pandas_topk, None)  # BLAS float order
 register("similarity_ivf_kmeans_topk", ml.similarity_ivf_kmeans_topk, None)
 register("risk_score_lr", ml.risk_score_lr, None)
+# Cluster formation over near-dup pairs: iterative min-label
+# propagation held to a DuckDB recursive-CTE transitive closure
+register("dedup_cluster_assign", llm.dedup_cluster_assign, llm.DEDUP_CLUSTER_ORACLE)
+# Benchmark-contamination check (broadcast bench shingles vs corpus)
+register("corpus_contamination", llm.corpus_contamination, llm.CORPUS_CONTAMINATION_ORACLE)
+# Overlapping context-window chunking (pure codegen sequence/slice)
+register("corpus_chunk_windows", llm.corpus_chunk_windows, llm.CORPUS_CHUNK_ORACLE)
