@@ -203,3 +203,6 @@ register("dedup_cluster_assign", llm.dedup_cluster_assign, llm.DEDUP_CLUSTER_ORA
 register("corpus_contamination", llm.corpus_contamination, llm.CORPUS_CONTAMINATION_ORACLE)
 # Overlapping context-window chunking (pure codegen sequence/slice)
 register("corpus_chunk_windows", llm.corpus_chunk_windows, llm.CORPUS_CHUNK_ORACLE)
+# Spark 4 transformWithState tier: row-level state machine (threshold
+# alerts) held to the exact batch running-sum oracle
+register("streaming_threshold_alerts", sj.stream_threshold_alerts, sj.STREAM_THRESHOLD_ALERTS_ORACLE)

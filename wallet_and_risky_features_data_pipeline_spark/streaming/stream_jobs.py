@@ -548,3 +548,117 @@ JOIN dim d ON d.event_type = e.event_type
           AND d.day = date_trunc('day', e.ts)
 WHERE e.event_type = 'purchase'
 """
+
+
+THRESHOLD_CENTS = 100_000  # emit an alert at each $1000 boundary
+
+
+def _threshold_alert_rows(key, batch, total: int):
+    """Row-level state machine shared by both stateful-API renderings:
+    process a user's batch in deterministic (ts, event_id) order,
+    accumulate integer cents, and emit one alert row per crossed
+    THRESHOLD_CENTS boundary. Returns (alert_frame, new_total)."""
+    import pandas as pd
+
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    out = {k: [] for k in ("user_id", "event_id", "ts_us", "total_cents", "level")}
+    cents = (batch["value"] * 100).round().astype("int64")
+    ts_us = batch["ts"].astype("int64") // 1000  # ns -> us
+    for eid, c, t in zip(batch["event_id"], cents, ts_us):
+        new_total = total + int(c)
+        if new_total // THRESHOLD_CENTS > total // THRESHOLD_CENTS:
+            out["user_id"].append(key)
+            out["event_id"].append(int(eid))
+            out["ts_us"].append(int(t))
+            out["total_cents"].append(new_total)
+            out["level"].append(new_total // THRESHOLD_CENTS)
+        total = new_total
+    return pd.DataFrame(out), total
+
+
+def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user cumulative value
+    tracked in group state, emitting one alert row each time the
+    running total crosses a ``THRESHOLD_CENTS`` boundary — a row-level
+    state machine no windowed aggregation expresses (output
+    cardinality depends on state, not on windows; SURVEY.md §2.9
+    custom-stateful mapping).
+
+    Rows are processed in deterministic (ts, event_id) order inside
+    each batch and totals accumulate in integer cents, so a streaming
+    execution reproduces the exact batch running-sum oracle.
+
+    API note: rendered on ``applyInPandasWithState``. Spark 4's
+    ``transformWithStateInPandas`` (ValueState + RocksDB provider) is
+    the successor API and the same ``_threshold_alert_rows`` core
+    drops in, but its driver worker imports ``google.protobuf``,
+    which this container does not ship — so the portable API is the
+    default and the upgrade is a mechanical swap at this one site.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    _ensure_session_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_alert_ckpt_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    out_schema = StructType.fromDDL(
+        "user_id long, event_id long, ts_us long, total_cents long, level long"
+    )
+    state_schema = StructType.fromDDL("cents long")
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        frames = []
+        for pdf in pdfs:
+            frame, total = _threshold_alert_rows(key[0], pdf, total)
+            frames.append(frame)
+        state.update((total,))
+        yield pd.concat(frames) if frames else pd.DataFrame(
+            {k: [] for k in ("user_id", "event_id", "ts_us", "total_cents", "level")}
+        )
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(normalize_event_ts)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "wrf_threshold_alerts"
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(name)
+
+
+STREAM_THRESHOLD_ALERTS_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS run
+    FROM events
+)
+SELECT user_id, event_id, ts_us,
+       run AS total_cents,
+       run // {THRESHOLD_CENTS} AS level
+FROM ordered
+WHERE run // {THRESHOLD_CENTS} > (run - cents) // {THRESHOLD_CENTS}
+"""
