@@ -416,3 +416,60 @@ def test_connected_components_is_deterministic(spark):
     b = sorted(map(tuple, connected_components(pairs, nodes, "doc_id").collect()))
     assert a == b
     assert dict(a)[5] == 1 and dict(a)[2] == 2
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: on random graphs, the iterative Spark propagation
+    produces exactly the components a driver-side union-find does."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wallet_and_risky_features_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        parent = list(range(31))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in range(31)}
+        # canonical label = min member of the component
+        comp_min = {}
+        for v, r in expected.items():
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {v: comp_min[r] for v, r in expected.items()}
+
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "doc_a long, doc_b long"
+        ).filter("doc_a != doc_b")
+        nodes = spark.createDataFrame([(i,) for i in range(31)], "doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes, "doc_id").collect()
+        }
+        assert got == expected
+
+    check()

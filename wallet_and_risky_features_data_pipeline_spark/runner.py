@@ -115,6 +115,67 @@ def run_serve(spark, sf_dir: str, work_dir: str) -> None:
     print(f"serve: upserted {newer.count()} wallets into {uri}")
 
 
+def run_raw(spark, sf_dir: str, work_dir: str) -> None:
+    """EP1 raw-layer ingestion: fetch a block range through the
+    ethereum-etl adapter and stage every produced CSV into the
+    month-partitioned raw lake (raw_data_ingestion_pipeline.py:850-906
+    is the reference loop). Without the CLI installed (this sandbox), a
+    deterministic fake runner synthesizes the CSVs so the staging path
+    — the Spark part — always executes for real; with the CLI on PATH
+    set SPARK_GRAFT_ETL_LIVE=1 to fetch from a node."""
+    import csv as _csv
+    import shutil as _shutil
+
+    from .sources.ingestion import ENTITY_SCHEMAS, fetch_export, stage_entity
+
+    data_dir = f"{work_dir}/raw_csv"
+    os.makedirs(data_dir, exist_ok=True)
+    out = {
+        "blocks": f"{data_dir}/blocks.csv",
+        "transactions": f"{data_dir}/transactions.csv",
+    }
+
+    def fake_runner(argv: list[str]) -> None:
+        base_ts = 1_700_000_000
+        with open(out["blocks"], "w", newline="") as f:
+            w = _csv.writer(f)
+            cols = [fld.name for fld in ENTITY_SCHEMAS["blocks"].fields]
+            w.writerow(cols)
+            for i in range(100):
+                row = dict.fromkeys(cols, "")
+                row.update(number=i, hash=f"0x{i:064x}", timestamp=base_ts + i * 12)
+                w.writerow([row[c] for c in cols])
+        with open(out["transactions"], "w", newline="") as f:
+            w = _csv.writer(f)
+            cols = [fld.name for fld in ENTITY_SCHEMAS["transactions"].fields]
+            w.writerow(cols)
+            for i in range(500):
+                row = dict.fromkeys(cols, "")
+                row.update(
+                    hash=f"0xt{i:062x}", block_number=i // 5,
+                    from_address=f"0xa{i % 7}", to_address=f"0xb{i % 11}",
+                    value=i * 10**15, gas=21000,
+                    block_timestamp=base_ts + (i // 5) * 12,
+                )
+                w.writerow([row[c] for c in cols])
+
+    live = os.environ.get("SPARK_GRAFT_ETL_LIVE") == "1" and _shutil.which("ethereumetl")
+    fetch_export(
+        "blocks_and_transactions", 0, 99,
+        node_rpc_urls=[os.environ.get("SPARK_GRAFT_RPC_URL", "http://localhost:8545")],
+        out_paths=out,
+        runner=None if live else fake_runner,
+    )
+    n_blocks = stage_entity(
+        spark, "blocks", out["blocks"], f"{work_dir}/raw/ethereum_blocks"
+    ).count()
+    n_tx = stage_entity(
+        spark, "transactions", out["transactions"],
+        f"{work_dir}/raw/ethereum_transactions", ts_col="block_timestamp",
+    ).count()
+    print(f"raw: staged {n_blocks} blocks, {n_tx} transactions")
+
+
 def run_maintain(spark, sf_dir: str, work_dir: str) -> None:
     """Weekly table maintenance (EP3 step 2): bin-pack compaction of
     the feature store's fragmented partitions — the reference's
@@ -159,7 +220,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--layer",
         required=True,
-        choices=["stage", "features", "maintain", "serve", "profile", "dq"],
+        choices=["raw", "stage", "features", "maintain", "serve", "profile", "dq"],
     )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--work-dir", default="/tmp/wrf_work")
@@ -169,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.work_dir, exist_ok=True)
     {
+        "raw": run_raw,
         "stage": run_stage,
         "features": run_features,
         "maintain": run_maintain,
