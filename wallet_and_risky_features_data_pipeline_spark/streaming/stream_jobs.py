@@ -21,6 +21,26 @@ from pyspark.sql import functions as F
 from ..sources.readers import _ensure_session_confs, normalize_event_ts
 
 
+def _stream_session(spark: SparkSession, shuffle_partitions: int = 4) -> SparkSession:
+    """Isolated SQLConf for one streaming query.
+
+    Stateful operators create one state-store instance per shuffle
+    partition, pinned by the checkpoint for the query's lifetime — so
+    each job sizes shuffle partitions to its expected STATE volume,
+    not the batch default. Mutating the SHARED session conf for that
+    (the old set/restore pattern) races concurrently-planned batch
+    queries, which would silently pick up the streaming value — under
+    the bench's concurrent pool this showed up as 2-6x swings on
+    unrelated queries. ``newSession()`` shares the SparkContext but
+    owns its SQLConf, so the setting is scoped to this query and
+    nothing needs restoring."""
+    s = spark.newSession()
+    _ensure_session_confs(s)
+    s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return s
+
+
+
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily tumbling-window counts per event type, computed by a
     Structured Streaming query with watermark + dedup state.
@@ -32,7 +52,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the unclosed tail — is emitted; a production pipeline
     keeps the parquet/Delta sink and accepts watermark-delayed finality.
     """
-    _ensure_session_confs(spark)
+    spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_stream_ckpt_")
 
@@ -41,8 +61,6 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size it to expected STATE volume (keys in flight), not the batch
     # shuffle default. Tiny local state → few instances; a production
     # job with millions of in-flight keys raises this.
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     # The streaming file source wants a directory; glob-filter down to
     # the events table inside the sf dir.
@@ -60,18 +78,15 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "wrf_windowed_event_counts"
-    try:
-        q = (
-            stream.writeStream.outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    q = (
+        stream.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
 
     return spark.table(name).select(
         F.unix_micros(F.col("win.start")).alias("day_start_us"),
@@ -163,32 +178,27 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     a latest-event-per-user snapshot, regardless of how many batches
     the stream delivered the data in.
     """
-    _ensure_session_confs(spark)
+    spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_merge_ckpt_")
     store = tempfile.mkdtemp(prefix="wrf_merge_store_") + "/user_state"
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     def upsert_batch(batch: DataFrame, _epoch: int) -> None:
         monotone_user_upsert(spark, batch, store)
 
-    try:
-        q = (
-            spark.readStream.schema(static.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .transform(normalize_event_ts)
-            .withWatermark("ts", "1 hour")
-            .dropDuplicates(["event_id"])
-            .writeStream.trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .foreachBatch(upsert_batch)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    q = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(normalize_event_ts)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(upsert_batch)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(store).select(
         "user_id", "bucket", "last_ts_us", "last_event_type", "last_value"
     )
@@ -222,11 +232,9 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import StructType
 
-    _ensure_session_confs(spark)
+    spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_state_ckpt_")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     out_schema = StructType.fromDDL("user_id long, n_events long, total_cents long")
     state_schema = StructType.fromDDL("n long, cents long")
@@ -249,18 +257,15 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "wrf_stateful_user_totals"
-    try:
-        q = (
-            stream.writeStream.outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    q = (
+        stream.writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
 
     # latest state per key (single-file source → one batch, but stay
     # correct under multi-batch replays)
@@ -305,11 +310,9 @@ def session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention differs at that single point, hence the oracle uses
     ``>=`` here.
     """
-    _ensure_session_confs(spark)
+    spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_session_ckpt_")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     stream = (
         spark.readStream.schema(static.schema)
@@ -327,18 +330,15 @@ def session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "wrf_session_window_totals"
-    try:
-        q = (
-            stream.writeStream.outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    q = (
+        stream.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
 
     return spark.table(name).select(
         "user_id",
@@ -397,11 +397,9 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive (append mode), so the output equals the batch band join on
     the same files, which is what the oracle replays.
     """
-    _ensure_session_confs(spark)
+    spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_ssjoin_ckpt_")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     def side(event_type: str, prefix: str):
         return (
@@ -427,18 +425,15 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = "wrf_stream_stream_band_join"
-    try:
-        q = (
-            joined.writeStream.outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    q = (
+        joined.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
 
     return spark.table(name).select(
         F.col("c_id").alias("click_id"),
@@ -479,11 +474,9 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is one correctly-rounded IEEE op — replayable in the
     oracle.
     """
-    _ensure_session_confs(spark)
+    spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_enrich_ckpt_")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     dim = (
         static.transform(normalize_event_ts)
@@ -516,18 +509,15 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.col("type_day_avg")).alias("deviation"),
     )
     name = "wrf_stream_static_enrichment"
-    try:
-        q = (
-            joined.writeStream.outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    q = (
+        joined.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
 
     return spark.table(name)
 
@@ -599,11 +589,9 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import StructType
 
-    _ensure_session_confs(spark)
+    spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_alert_ckpt_")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     out_schema = StructType.fromDDL(
         "user_id long, event_id long, ts_us long, total_cents long, level long"
@@ -632,18 +620,15 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "wrf_threshold_alerts"
-    try:
-        q = (
-            stream.writeStream.outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt_dir)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name)
 
 
