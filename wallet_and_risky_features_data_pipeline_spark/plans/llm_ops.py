@@ -969,3 +969,30 @@ FROM toks,
      UNNEST(generate_series(1, greatest(len(t), 1), {CHUNK_SIZE - CHUNK_OVERLAP}))
          AS u(start_tok)
 """
+
+
+# --------------------------------------------------------------------------
+# Dedup DECISIONS: the keep/drop table a curation pipeline actually
+# consumes — canonical doc (min id) kept per cluster, duplicates
+# dropped, cluster size attached for audit. One window count over the
+# cluster assignment; no extra joins.
+def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    assigned = dedup_cluster_assign(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
+    )
+
+
+DEDUP_DECISIONS_ORACLE = f"""
+WITH assigned AS ({DEDUP_CLUSTER_ORACLE})
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       CAST(doc_id = cluster_id AS INTEGER) AS keep
+FROM assigned
+"""

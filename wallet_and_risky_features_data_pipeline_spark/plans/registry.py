@@ -206,3 +206,5 @@ register("corpus_chunk_windows", llm.corpus_chunk_windows, llm.CORPUS_CHUNK_ORAC
 # Spark 4 transformWithState tier: row-level state machine (threshold
 # alerts) held to the exact batch running-sum oracle
 register("streaming_threshold_alerts", sj.stream_threshold_alerts, sj.STREAM_THRESHOLD_ALERTS_ORACLE)
+# Keep/drop decision table derived from the cluster assignment
+register("dedup_decisions", llm.dedup_decisions, llm.DEDUP_DECISIONS_ORACLE)
