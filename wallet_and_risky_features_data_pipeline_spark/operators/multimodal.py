@@ -80,3 +80,46 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, DECODE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame-sampling stage over mapInPandas: emit every ``every_nth``
+    fixed-size byte window ("frame") of each payload with a content
+    digest — the variable-cardinality Arrow pattern a video pipeline
+    uses (rows out ≠ rows in, sized by payload length, all inside one
+    batch invocation per partition).
+
+    STUB note: a real sampler would decode container frames (ffmpeg);
+    the fixed ``FRAME_SIZE`` byte window stands in for the codec, and
+    the digest is md5 over the frame's uppercase hex — chosen because
+    both engines can express it, so even this stub is value-verified
+    end-to-end.
+    """
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for f in range(0, max((len(b) + FRAME_SIZE - 1) // FRAME_SIZE, 0), every_nth):
+                    frame = b[f * FRAME_SIZE : (f + 1) * FRAME_SIZE]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_digest"].append(
+                        hashlib.md5(frame.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)

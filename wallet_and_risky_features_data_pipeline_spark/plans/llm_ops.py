@@ -996,3 +996,28 @@ SELECT doc_id, cluster_id,
        CAST(doc_id = cluster_id AS INTEGER) AS keep
 FROM assigned
 """
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling: every-2nd fixed-size byte window per
+# payload with a content digest — the variable-cardinality mapInPandas
+# shape of a video frame sampler, stub codec but value-verified.
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return sample_frames(attach_payload(docs, "doc_id", "text"), every_nth=2)
+
+
+MULTIMODAL_FRAME_SAMPLE_ORACLE = """
+WITH p AS (
+    SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+    FROM documents
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(LEAST(1024, nb - f * 1024) AS INTEGER) AS frame_bytes,
+       md5(substring(hx, f * 2048 + 1, 2048)) AS frame_digest
+FROM p, UNNEST(generate_series(0, CAST(floor((nb - 1) / 1024) AS BIGINT), 2)) AS u(f)
+WHERE nb > 0
+"""

@@ -208,3 +208,5 @@ register("corpus_chunk_windows", llm.corpus_chunk_windows, llm.CORPUS_CHUNK_ORAC
 register("streaming_threshold_alerts", sj.stream_threshold_alerts, sj.STREAM_THRESHOLD_ALERTS_ORACLE)
 # Keep/drop decision table derived from the cluster assignment
 register("dedup_decisions", llm.dedup_decisions, llm.DEDUP_DECISIONS_ORACLE)
+# Variable-cardinality multimodal frame sampler (Arrow batches)
+register("multimodal_frame_sample", llm.multimodal_frame_sample, llm.MULTIMODAL_FRAME_SAMPLE_ORACLE)
