@@ -163,3 +163,24 @@ def test_rest_paged_source_empty_api(spark):
     df = rest_paged_source(spark, lambda limit, offset: None)
     assert df.count() == 0
     assert [f.name for f in df.schema.fields][:2] == ["contract_address", "symbol"]
+
+
+def test_read_csv_failfast_on_malformed(spark, tmp_path):
+    """A value that can't parse into the declared schema aborts the
+    scan (FAILFAST) instead of silently becoming NULL; empty fields
+    are still typed NULLs."""
+    import pytest as _pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_csv
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("a", LongType()), StructField("b", LongType())])
+    ok = tmp_path / "ok.csv"
+    ok.write_text("a,b\n1,\n2,5\n")
+    rows = {r["a"]: r["b"] for r in read_csv(spark, str(ok), schema).collect()}
+    assert rows == {1: None, 2: 5}
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("a,b\n1,2\nnot_a_number,3\n")
+    with _pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_csv(spark, str(bad), schema).collect()

@@ -131,5 +131,16 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     ``pd.read_csv`` raw-layer staging (raw_data_ingestion_pipeline.py:104)
     with a distributed scan; schema is enforced, never inferred, matching
     the reference's fixed per-table schema registry (src/schemas/*.py).
+
+    FAILFAST, not the default PERMISSIVE: a row that can't parse into
+    the declared schema must abort the scan, the same way pd.read_csv
+    throws — silently nulling malformed rows would corrupt a lake
+    partition without a trace. (Empty strings are still typed NULLs —
+    FAILFAST rejects malformed values, not missing ones.)
     """
-    return spark.read.option("header", True).schema(schema).csv(path)
+    return (
+        spark.read.option("header", True)
+        .option("mode", "FAILFAST")
+        .schema(schema)
+        .csv(path)
+    )
