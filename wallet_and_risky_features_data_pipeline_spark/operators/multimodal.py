@@ -123,3 +123,48 @@ def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_MAX = 256  # fit box for the resize stage
+
+
+def resize_meta(df: DataFrame, max_side: int = RESIZE_MAX) -> DataFrame:
+    """Resize stage as a vectorized ``@pandas_udf``: fit (width,
+    height) into a ``max_side`` square preserving aspect ratio, never
+    upscaling — the metadata half of an image-resize stage (a real one
+    would also re-encode the payload; this container has no codecs).
+
+    All arithmetic is integer (``h*max_side // w``), so both engines
+    compute identical outputs — no float scale factor to drift. The
+    pandas_udf form (vs mapInPandas) is deliberate: scalar column in,
+    struct column out, composable inside a normal projection.
+    """
+    import pyspark.sql.functions as _F
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = T.StructType(
+        [T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType())]
+    )
+
+    @pandas_udf(out_t)
+    def fit(w: pd.Series, h: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        w = w.astype("int64").to_numpy()
+        h = h.astype("int64").to_numpy()
+        landscape = w >= h
+        new_w = np.where(landscape, max_side, (w * max_side) // np.maximum(h, 1))
+        new_h = np.where(landscape, (h * max_side) // np.maximum(w, 1), max_side)
+        keep = (w <= max_side) & (h <= max_side)
+        return pd.DataFrame(
+            {
+                "w": np.where(keep, w, new_w).astype("int32"),
+                "h": np.where(keep, h, new_h).astype("int32"),
+            }
+        )
+
+    return df.withColumn("__fit", fit("width", "height")).select(
+        *df.columns,
+        _F.col("__fit.w").alias("resized_w"),
+        _F.col("__fit.h").alias("resized_h"),
+    )

@@ -1021,3 +1021,35 @@ SELECT doc_id,
 FROM p, UNNEST(generate_series(0, CAST(floor((nb - 1) / 1024) AS BIGINT), 2)) AS u(f)
 WHERE nb > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Multimodal resize: decode → vectorized pandas_udf aspect-fit. The
+# only float-free resize (integer h*256 div w), so the pandas_udf
+# output is value-verified like every codegen op.
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_meta
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    decoded = decode_image_meta(attach_payload(docs, "doc_id", "text"))
+    return resize_meta(decoded).select(
+        "doc_id", "width", "height", "resized_w", "resized_h"
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+WITH decoded AS (
+    SELECT doc_id,
+           CAST(16 * ((ascii(substr(text, 1, 1)) % 64) + 1) AS INT) AS width,
+           CAST(16 * ((ascii(substr(text, 2, 1)) % 64) + 1) AS INT) AS height
+    FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(CASE WHEN width <= 256 AND height <= 256 THEN width
+                 WHEN width >= height THEN 256
+                 ELSE (width * 256) // greatest(height, 1) END AS INT) AS resized_w,
+       CAST(CASE WHEN width <= 256 AND height <= 256 THEN height
+                 WHEN width >= height THEN (height * 256) // greatest(width, 1)
+                 ELSE 256 END AS INT) AS resized_h
+FROM decoded
+"""

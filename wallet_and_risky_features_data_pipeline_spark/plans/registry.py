@@ -210,3 +210,5 @@ register("streaming_threshold_alerts", sj.stream_threshold_alerts, sj.STREAM_THR
 register("dedup_decisions", llm.dedup_decisions, llm.DEDUP_DECISIONS_ORACLE)
 # Variable-cardinality multimodal frame sampler (Arrow batches)
 register("multimodal_frame_sample", llm.multimodal_frame_sample, llm.MULTIMODAL_FRAME_SAMPLE_ORACLE)
+# Vectorized pandas_udf aspect-fit resize over the decode output
+register("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_ORACLE)
