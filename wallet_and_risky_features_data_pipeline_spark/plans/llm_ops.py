@@ -870,12 +870,24 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_bench.alias("is_bench"),
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle"),
     )
-    corpus_shingles = (
-        shingled.filter(~F.col("is_bench")).select("shingle").distinct()
+    # persist the (tiny, 1/97 of docs) bench index: it feeds both the
+    # probe key set and the final hit join — without the cache each
+    # consumer would be its own full scan of documents
+    bench = shingled.filter(F.col("is_bench")).select("doc_id", "shingle").persist()
+    bench_keys = bench.select("shingle").distinct()
+    # The corpus index is the huge side: probe it with the broadcast
+    # bench key set (leftsemi, no corpus shuffle), and only the matched
+    # subset — bounded by |bench shingles| — is deduped and broadcast
+    # back onto the bench rows. The corpus is scanned once and never
+    # exchanged.
+    matched = (
+        shingled.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_keys), "shingle", "leftsemi")
+        .select("shingle")
+        .distinct()
     )
-    bench = shingled.filter(F.col("is_bench")).select("doc_id", "shingle")
     hits = bench.join(
-        corpus_shingles.withColumn("__hit", F.lit(1)), "shingle", "left"
+        F.broadcast(matched.withColumn("__hit", F.lit(1))), "shingle", "left"
     )
     return (
         hits.groupBy("doc_id")
