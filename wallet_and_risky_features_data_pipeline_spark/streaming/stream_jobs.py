@@ -228,6 +228,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     row order within a batch (float summation order isn't) — which is
     what lets a streaming execution match an exact batch oracle.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import StructType
@@ -243,7 +244,11 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # floor(x+0.5), not pandas .round(): pandas rounds half to
+            # EVEN while the DuckDB oracle rounds half away from zero —
+            # identical on 2-decimal inputs, divergent the day the data
+            # gains precision. floor(x+0.5) == DuckDB round for x >= 0.
+            cents += int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
 
@@ -548,11 +553,15 @@ def _threshold_alert_rows(key, batch, total: int):
     process a user's batch in deterministic (ts, event_id) order,
     accumulate integer cents, and emit one alert row per crossed
     THRESHOLD_CENTS boundary. Returns (alert_frame, new_total)."""
+    import numpy as np
     import pandas as pd
 
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
     out = {k: [] for k in ("user_id", "event_id", "ts_us", "total_cents", "level")}
-    cents = (batch["value"] * 100).round().astype("int64")
+    # floor(x+0.5) matches DuckDB round-half-away for x >= 0 (pandas
+    # .round() is half-to-even — a latent oracle mismatch at higher
+    # value precision)
+    cents = np.floor(batch["value"] * 100 + 0.5).astype("int64")
     ts_us = batch["ts"].astype("int64") // 1000  # ns -> us
     for eid, c, t in zip(batch["event_id"], cents, ts_us):
         new_total = total + int(c)
