@@ -410,13 +410,21 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(attach_payload(docs, "doc_id", "text"))
 
 
-MULTIMODAL_DECODE_ORACLE = """
+# byte accessors, not ascii(substr(...)) codepoints: the Spark decoder
+# reads payload BYTES, and the two only agree while documents stay
+# pure ASCII — a regenerated corpus with unicode would silently split
+# the engines. b2 falls back to b1 for 1-byte payloads, mirroring the
+# decoder's fillna.
+_B1 = "CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS INT)"
+_B2 = f"COALESCE(TRY_CAST(('0x' || substring(hex(encode(text)), 3, 2)) AS INT), {_B1})"
+
+MULTIMODAL_DECODE_ORACLE = f"""
 SELECT
     doc_id,
     CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-    hex(encode(substr(text, 1, 4))) AS head_hex,
-    CAST(16 * ((ascii(substr(text, 1, 1)) % 64) + 1) AS INT) AS width,
-    CAST(16 * ((ascii(substr(text, 2, 1)) % 64) + 1) AS INT) AS height,
+    substring(hex(encode(text)), 1, 8) AS head_hex,
+    CAST(16 * (({_B1} % 64) + 1) AS INT) AS width,
+    CAST(16 * (({_B2} % 64) + 1) AS INT) AS height,
     CAST(ceil(octet_length(encode(text)) / 1024.0) AS INT) AS n_frames
 FROM documents
 """
@@ -1052,8 +1060,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_RESIZE_ORACLE = """
 WITH decoded AS (
     SELECT doc_id,
-           CAST(16 * ((ascii(substr(text, 1, 1)) % 64) + 1) AS INT) AS width,
-           CAST(16 * ((ascii(substr(text, 2, 1)) % 64) + 1) AS INT) AS height
+           CAST(16 * ((CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS INT) % 64) + 1) AS INT) AS width,
+           CAST(16 * ((COALESCE(TRY_CAST(('0x' || substring(hex(encode(text)), 3, 2)) AS INT),
+                                CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS INT)) % 64) + 1) AS INT) AS height
     FROM documents
 )
 SELECT doc_id, width, height,
