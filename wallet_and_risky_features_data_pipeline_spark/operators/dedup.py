@@ -217,10 +217,17 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
+    # Round 1 folded into initialization: label = min(node, neighbors)
+    # is one aggregation over the edge list — no join against a label
+    # table and no convergence probe (it always changes when edges
+    # exist). The loop below starts from round 2.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__mn")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
