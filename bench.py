@@ -56,12 +56,16 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     errors: dict[str, str] = {}
 
+    warm_times: dict[str, float] = {}
+
     def warm(item: tuple[str, object]) -> None:
         name, fn = item
+        start = time.perf_counter()
         try:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             errors[name] = traceback.format_exc(limit=3)
+        warm_times[name] = time.perf_counter() - start
 
     with ThreadPoolExecutor(CONCURRENCY) as pool:
         list(pool.map(warm, sorted(QUERIES.items())))
@@ -76,9 +80,16 @@ def main() -> None:
             return None
         return name, time.perf_counter() - start
 
+    # Longest-processing-time-first: submit the heavy queries (by warm
+    # time) before the cheap ones so they can't become tail stragglers
+    # holding the wall open alone at the end — classic LPT makespan
+    # scheduling over the fixed thread pool.
+    order = sorted(
+        QUERIES.items(), key=lambda kv: -warm_times.get(kv[0], 0.0)
+    )
     start = time.perf_counter()
     with ThreadPoolExecutor(CONCURRENCY) as pool:
-        timings = dict(t for t in pool.map(run, sorted(QUERIES.items())) if t)
+        timings = dict(t for t in pool.map(run, order) if t)
     wall = round(time.perf_counter() - start, 4)
 
     detail = {
