@@ -34,6 +34,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from wallet_and_risky_features_data_pipeline_spark.caching import cache_scope
 from wallet_and_risky_features_data_pipeline_spark.plans.registry import QUERIES
 from wallet_and_risky_features_data_pipeline_spark.session import get_spark
 
@@ -62,7 +63,8 @@ def main() -> None:
         name, fn = item
         start = time.perf_counter()
         try:
-            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            with cache_scope():
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             errors[name] = traceback.format_exc(limit=3)
         warm_times[name] = time.perf_counter() - start
@@ -74,7 +76,13 @@ def main() -> None:
         name, fn = item
         start = time.perf_counter()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # cache_scope releases every persist the query took as soon
+            # as its write finishes — without it each persisted
+            # intermediate (LSH band tables, inverted indexes) stays in
+            # CacheManager for the session's lifetime and the suite
+            # accumulates executor storage across all queries.
+            with cache_scope():
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             errors.setdefault(name, traceback.format_exc(limit=3))
             return None
@@ -105,10 +113,38 @@ def main() -> None:
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"), "w") as f:
         json.dump({**detail, "error_tracebacks": errors}, f, indent=1)
-    # Compact line: centisecond per-query precision, no whitespace —
-    # keeps 77 queries under ~2.5 KB so log-tail capture parses it.
-    compact = {**detail, "queries": {k: round(v, 2) for k, v in sorted(timings.items())}}
+    # Compact line: centisecond per-query precision, no whitespace.
+    # Field order matters for the driver's log-TAIL capture: with 80+
+    # queries the line can outgrow the capture window, and the window
+    # keeps the END of the line — so the bulky queries map goes FIRST
+    # and the headline fields (metric/value/n_errors) go LAST, where
+    # they survive truncation (r5 lost the wall number to the opposite
+    # order).
+    compact = {
+        "queries": {k: round(v, 2) for k, v in sorted(timings.items())},
+        "errors": detail["errors"],
+        "sf": sf,
+        "concurrency": CONCURRENCY,
+        "unit": "sec",
+        "metric": "headline_queries_total",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "value": wall,
+    }
     print(json.dumps(compact, separators=(",", ":")))
+    # Belt-and-braces: a second, tiny (<200 B) line that is ALWAYS a
+    # complete JSON object inside any reasonable tail window, carrying
+    # the headline alone. A parser taking the last parseable line gets
+    # this; one that regex-extracts "value" finds it in both.
+    headline = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "value": wall,
+    }
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -184,3 +184,15 @@ def test_read_csv_failfast_on_malformed(spark, tmp_path):
     bad.write_text("a,b\n1,2\nnot_a_number,3\n")
     with _pytest.raises(Exception, match="Malformed|FAILFAST"):
         read_csv(spark, str(bad), schema).collect()
+
+
+def test_rest_paged_source_bounds_runaway_paging(spark):
+    """An API that ignores offset and replays a non-empty page forever
+    must raise at max_pages instead of hanging while accumulating rows
+    driver-side."""
+    page = {"results": [
+        {"contract_address": "0xa", "symbol": "A", "name": "Alpha",
+         "decimals": 18, "created_timestamp": BLOCK_TS, "last_refreshed": None},
+    ]}
+    with pytest.raises(RuntimeError, match="misbehaving"):
+        rest_paged_source(spark, lambda limit, offset: page, limit=2, max_pages=5)

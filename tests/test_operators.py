@@ -473,3 +473,98 @@ def test_connected_components_matches_union_find(spark):
         assert got == expected
 
     check()
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-node path (diameter 59) converges under the default
+    max_iter because each round pairs neighbor propagation with
+    pointer doubling — a pure propagation loop would need 59 rounds
+    and silently mislabel the tail of the chain (the r5 advisory's
+    repro was a 40-node chain yielding 13 wrong cluster ids)."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_instead_of_silent_nonconvergence(spark):
+    """Exhausting max_iter while labels still move must raise — a
+    silently non-converged assignment would keep/drop the wrong docs."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with pytest.raises(RuntimeError, match="non-converged"):
+        connected_components(pairs, nodes, "doc_id", max_iter=0).collect()
+
+
+def test_cache_scope_releases_tracked_persists(spark):
+    """persist_tracked inside cache_scope is unpersisted at scope exit
+    (the bench's per-query storage hygiene); outside any scope it
+    behaves like a plain persist."""
+    from wallet_and_risky_features_data_pipeline_spark.caching import (
+        cache_scope,
+        persist_tracked,
+    )
+
+    df = spark.range(10)
+    with cache_scope():
+        df = persist_tracked(df)
+        df.count()
+        assert df.is_cached
+    assert not df.is_cached
+
+    unscoped = persist_tracked(spark.range(5))
+    try:
+        assert unscoped.is_cached
+    finally:
+        unscoped.unpersist()
+
+
+def test_threshold_alert_rows_sign_aware_cents_and_ts_unit():
+    """The stateful alert core: cent rounding is half-away-from-zero
+    for BOTH signs (refunds), and epoch-us derives from the ts series'
+    own resolution — a datetime64[us] batch (future pandas/Arrow
+    default) must not silently emit ms-scale ts_us."""
+    import pandas as pd
+
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        _threshold_alert_rows,
+    )
+
+    ts = pd.to_datetime(["2021-01-01 00:00:00"])
+    epoch_us = 1609459200 * 1_000_000
+
+    for unit in ("ns", "us"):
+        batch = pd.DataFrame(
+            {
+                "event_id": [1],
+                "ts": pd.Series(ts).astype(f"datetime64[{unit}]"),
+                "value": [1000.0],
+            }
+        )
+        alerts, total = _threshold_alert_rows(7, batch, 0)
+        assert total == 100_000
+        assert list(alerts["ts_us"]) == [epoch_us], unit
+        assert list(alerts["level"]) == [1]
+
+    # -1.125 dollars = -112.5 cents exactly (1.125 is binary-exact):
+    # half-away rounds to -113; the old floor(x+0.5) gave -112.
+    refund = pd.DataFrame(
+        {"event_id": [2], "ts": pd.Series(ts), "value": [-1.125]}
+    )
+    alerts, total = _threshold_alert_rows(7, refund, 0)
+    assert total == -113
+    assert alerts.empty

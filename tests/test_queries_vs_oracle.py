@@ -42,3 +42,17 @@ def test_driver_gate_slots_stable():
         gate = set(json.load(f))
     assert len(gate) == 50
     assert set(list(QUERIES)[:50]) == gate
+
+
+def test_cluster_assignment_memoized_per_session(spark):
+    """dedup_cluster_assign and dedup_decisions share one computed
+    assignment per (session, sf_dir) — the bench's two slowest entries
+    were each re-running the full MinHash→LSH→CC pipeline."""
+    from wallet_and_risky_features_data_pipeline_spark.plans import llm_ops
+
+    a = llm_ops._cluster_assignment(spark, SF_MEDIUM)
+    b = llm_ops._cluster_assignment(spark, SF_MEDIUM)
+    assert a is b
+    # the decisions table is derived from the same memoized frame
+    decided = llm_ops.dedup_decisions(spark, SF_MEDIUM)
+    assert decided.filter("keep = 1").count() > 0

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
+
 N_HASHES = 16
 BAND_SIZE = 8  # 2 bands × 8 rows — b·r = N_HASHES
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
@@ -156,9 +158,12 @@ def lsh_candidate_pairs(
     The exploded table is persisted (it feeds the guard plus both join
     sides, and the cache boundary stops Catalyst re-inlining the md5
     signature scan into each consumer); no eager count is needed
-    because the broadcast guard must materialize first, which fills
-    the cache before the join stages scan it."""
-    exploded = _banded_exploded(signed, id_col, n_hashes, band_size).persist()
+    because under AQE's stage-wise materialization the broadcast guard
+    materializes first, filling the cache before the join stages scan
+    it — and ``readers._ensure_session_confs`` pins
+    ``spark.sql.adaptive.enabled=true`` on every engine entry point, so
+    that ordering holds even under a caller-provided session."""
+    exploded = persist_tracked(_banded_exploded(signed, id_col, n_hashes, band_size))
     sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     capped = exploded.join(
         F.broadcast(sizes.filter(F.col("n") <= max_bucket)), ["band", "bucket"]
@@ -198,29 +203,42 @@ def connected_components(
     canonical id — the step that turns pairwise similarity output into
     keep/drop decisions.
 
-    Iterative (label(v) ← min over v and its neighbors), converging in
-    O(component diameter) rounds; near-dup clusters are shallow
-    (dozens of docs agreeing on shared content), so the loop is a
-    handful of hash joins, each a shuffle on the node id. Lineage is
-    cut with ``localCheckpoint`` per round — without it the plan
-    doubles every iteration and Catalyst analysis dominates. The
+    Each round does TWO monotone label updates, so rounds scale with
+    log(diameter), not diameter:
+
+    1. neighbor propagation — label(v) ← min(label(v), min over
+       neighbors u of label(u)): one hash join edge⋈label + groupBy.
+    2. pointer doubling — label(v) ← min(label(v), label(label(v))):
+       one self-join of the label table. Labels are always node ids
+       reachable from v (transitively), so this halves the remaining
+       hop-distance to the component minimum each round — the
+       classic shortcutting step (Shiloach-Vishkin / large-star
+       families use the same idea). A pure propagation loop needs
+       O(diameter) rounds and silently mislabels any chain longer
+       than ``max_iter``; with doubling, 25 rounds cover diameters
+       beyond 2^25.
+
+    Both updates only ever LOWER a label to another reachable node id,
+    and at a fixpoint every node's label equals the component minimum
+    (walk the path from the min: each hop's label is pinned equal by
+    the neighbor-min condition), so stopping on "no change" is exact.
+    If ``max_iter`` rounds pass while labels are still moving the
+    result would be silently wrong — that raises instead.
+
+    Lineage is cut with ``localCheckpoint`` per round — without it the
+    plan doubles every iteration and Catalyst analysis dominates. The
     convergence probe aggregates a single boolean, not the label table
     (no driver-side data). Nodes with no edges keep their own id.
-
-    At corpus scale prefer the alternating large-star/small-star
-    variant (fewer rounds on high-diameter graphs); the propagation
-    loop here is the same join primitive and the output contract is
-    identical.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
-    # Round 1 folded into initialization: label = min(node, neighbors)
-    # is one aggregation over the edge list — no join against a label
-    # table and no convergence probe (it always changes when edges
-    # exist). The loop below starts from round 2.
+    # Round 1's propagation folded into initialization: label =
+    # min(node, neighbors) is one aggregation over the edge list — no
+    # join against a label table and no convergence probe (it always
+    # changes when edges exist). The loop below starts from round 2.
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__mn"))
@@ -230,24 +248,49 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+                (F.col("nbr_label") < F.col("label")).alias("__c1"),
+            )
+        ).localCheckpoint(eager=True)
+        # Pointer doubling: look up the label's own label. The label
+        # is always a node that has edges (it starts as an edge
+        # endpoint and only ever moves to another one), so the lookup
+        # hits; left-join + coalesce keeps the no-match case total.
+        targets = stepped.select(
+            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        )
+        new_labels = (
+            stepped.join(targets, stepped.label == targets.__ln, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("__ll", "label")).alias("label"),
+                (
+                    F.coalesce("__c1", F.lit(False))
+                    | F.coalesce(F.col("__ll") < F.col("label"), F.lit(False))
+                ).alias("__changed"),
             )
         ).localCheckpoint(eager=True)
         changed = new_labels.agg(F.max(F.coalesce("__changed", F.lit(False)))).first()[0]
         labels = new_labels.drop("__changed")
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: labels still changing after {max_iter} rounds "
+            "— result would be silently non-converged; raise max_iter"
+        )
     return nodes.select(F.col(id_col)).join(
         labels.withColumnRenamed("node", id_col), id_col, "left"
     ).select(
@@ -302,12 +345,12 @@ def ngram_jaccard_pairs(
     # re-joined against a sizes table afterwards. The capped index is
     # persisted because it feeds both join sides and alias-renamed
     # window subtrees don't canonicalize to a ReusedExchange.
-    capped = (
+    capped = persist_tracked(
         shingled.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
         .filter(F.col("__df") <= max_df)
         .withColumn("sz", F.count("*").over(Window.partitionBy("doc")))
         .select("doc", "shingle", "sz")
-    ).persist()
+    )
     inter = (
         capped.alias("a")
         .join(capped.alias("b"), "shingle")
@@ -419,9 +462,9 @@ def incremental_lsh_pairs(
     all_signed = stored_signed.withColumn("__new", F.lit(False)).unionByName(
         new_signed.withColumn("__new", F.lit(True))
     )
-    exploded = _banded_exploded(
-        all_signed, id_col, n_hashes, band_size, extra_cols=("__new",)
-    ).persist()
+    exploded = persist_tracked(
+        _banded_exploded(all_signed, id_col, n_hashes, band_size, extra_cols=("__new",))
+    )
     sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     capped = exploded.join(
         F.broadcast(sizes.filter(F.col("n") <= max_bucket)), ["band", "bucket"]

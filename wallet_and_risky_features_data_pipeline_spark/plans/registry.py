@@ -183,9 +183,10 @@ register(
 register("window_ntile_deciles", rel.window_ntile_deciles, rel.WINDOW_NTILE_ORACLE)
 register("join_null_safe_counts", rel.join_null_safe_counts, rel.JOIN_NULL_SAFE_ORACLE)
 # Duplicate-oracle variants: the skew-salted running sum shares
-# window_running_balance's oracle (property also pinned in
-# tests/test_skew.py); the SQL-surface rendering shares
-# pricing_summary's oracle (pinned in tests).
+# window_running_balance's oracle (salted-vs-plain equivalence also
+# pinned in tests/test_scale_ops.py and
+# tests/test_reference_semantics.py); the SQL-surface rendering
+# shares pricing_summary's oracle (pinned in tests).
 register(
     "window_running_balance_salted",
     wp.window_running_balance_salted,
@@ -212,3 +213,10 @@ register("dedup_decisions", llm.dedup_decisions, llm.DEDUP_DECISIONS_ORACLE)
 register("multimodal_frame_sample", llm.multimodal_frame_sample, llm.MULTIMODAL_FRAME_SAMPLE_ORACLE)
 # Vectorized pandas_udf aspect-fit resize over the decode output
 register("multimodal_resize", llm.multimodal_resize, llm.MULTIMODAL_RESIZE_ORACLE)
+# PII scrub: regex detect + mask (codegen; deterministic fixtures
+# injected per doc_id residue so matches are value-exercised)
+register("text_pii_redact", llm.text_pii_redact, llm.TEXT_PII_REDACT_ORACLE)
+# Gopher-style repetition quality signal (dup-bigram + top-token share)
+register("text_repetition", llm.text_repetition, llm.TEXT_REPETITION_ORACLE)
+# Hash-bucketed stratified train/val/test split with stratum audit
+register("corpus_split_stratified", llm.corpus_split_stratified, llm.CORPUS_SPLIT_ORACLE)

@@ -322,6 +322,7 @@ def rest_paged_source(
     limit: int = 50_000,
     epoch_cols: Iterable[str] = ("created_timestamp", "last_refreshed"),
     fill_from: tuple[str, str] | None = ("last_refreshed", "created_timestamp"),
+    max_pages: int = 1_000,
 ) -> DataFrame:
     """S11: drain a limit/offset-paged REST API into one DataFrame.
 
@@ -336,16 +337,31 @@ def rest_paged_source(
 
     ``fetch_page(limit, offset)`` is the injectable transport: tests
     pass a closure over fixture pages; production wraps requests/urllib
-    with its own retry policy (the reference retries 2× per page)."""
+    with its own retry policy (the reference retries 2× per page).
+
+    ``max_pages`` bounds the drain (mirroring the reference's bounded
+    retry posture): a misbehaving API that never returns an empty page
+    — or one that ignores ``offset`` and replays page 1 forever —
+    would otherwise hang the job while accumulating rows driver-side
+    until the driver OOMs. Exceeding the bound raises rather than
+    silently truncating: a partial dimension table is corrupt input
+    for every downstream join."""
     rows: list[Mapping] = []
     offset = 0
-    while True:
+    for _ in range(max_pages):
         page = fetch_page(limit, offset)
         results = (page or {}).get("results") or []
         if not results:
             break
         rows.extend(results)
         offset += limit
+    else:
+        raise RuntimeError(
+            f"rest_paged_source: no empty page after {max_pages} pages "
+            f"({len(rows)} rows accumulated) — API paging is misbehaving "
+            "(offset ignored?) or the table is larger than the bound; "
+            "raise max_pages only if the latter"
+        )
     names = [f.name for f in schema.fields]
     df = spark.createDataFrame(
         [tuple(r.get(n) for n in names) for r in rows], schema

@@ -38,6 +38,14 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # AQE's stage-wise materialization is load-bearing for the dedup
+    # operators' persist-without-eager-count pattern (the broadcast
+    # bucket guard must fill the cache before the self-join stages
+    # scan it — see operators/dedup.py::lsh_candidate_pairs); with AQE
+    # off those stages race and recompute the signature scan. get_spark
+    # pins it at build time; pin it here too so a caller-provided
+    # session (the verification driver's) gets the same plan shape.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     # merge_upsert rewrites only the partitions present in the incoming
     # batch; under the default static mode the same write TRUNCATES the
     # whole table first. Any entry point that may reach the MERGE writer

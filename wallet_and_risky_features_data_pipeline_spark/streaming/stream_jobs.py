@@ -558,11 +558,20 @@ def _threshold_alert_rows(key, batch, total: int):
 
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
     out = {k: [] for k in ("user_id", "event_id", "ts_us", "total_cents", "level")}
-    # floor(x+0.5) matches DuckDB round-half-away for x >= 0 (pandas
-    # .round() is half-to-even — a latent oracle mismatch at higher
-    # value precision)
-    cents = np.floor(batch["value"] * 100 + 0.5).astype("int64")
-    ts_us = batch["ts"].astype("int64") // 1000  # ns -> us
+    # Sign-aware half-away-from-zero: floor(|x|+0.5) with the sign
+    # restored matches DuckDB/Spark ROUND for negatives (refunds) too;
+    # plain floor(x+0.5) would round -0.5 cents toward zero and pandas
+    # .round() is half-to-even — both latent oracle mismatches.
+    v = batch["value"].to_numpy() * 100
+    cents = (np.copysign(np.floor(np.abs(v) + 0.5), v)).astype("int64")
+    # Epoch micros derived from the series' OWN resolution — pandas 2
+    # can surface Arrow timestamps at ns or us depending on the
+    # conversion path, and a hard-coded //1000 silently yields
+    # ms-scale values on a datetime64[us] series.
+    ts_i = batch["ts"].astype("int64")
+    unit = getattr(batch["ts"].dt, "unit", "ns")
+    to_us = {"s": 1_000_000, "ms": 1_000, "us": 1}.get(unit)
+    ts_us = ts_i // 1_000 if to_us is None else ts_i * to_us
     for eid, c, t in zip(batch["event_id"], cents, ts_us):
         new_total = total + int(c)
         if new_total // THRESHOLD_CENTS > total // THRESHOLD_CENTS:
