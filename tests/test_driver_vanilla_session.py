@@ -48,3 +48,20 @@ def test_driver_contract_under_vanilla_session():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "VANILLA_OK" in proc.stdout
+
+
+def test_ensure_session_confs_pins_aqe(spark):
+    """The LSH persist-without-eager-count pattern depends on AQE's
+    stage-wise materialization (broadcast guard fills the cache before
+    the join stages scan it); a caller-provided session with AQE off
+    must be flipped on by the readers' self-provisioning."""
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        _ensure_session_confs,
+    )
+
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    _ensure_session_confs(clone)
+    assert clone.conf.get("spark.sql.adaptive.enabled") == "true"
+    # the shared fixture session must be untouched by the clone's flip
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -1,0 +1,95 @@
+"""Scale probe: replicate sf0.1 tables 10x with shifted ids and re-run
+heavy queries ISOLATED (one at a time, no co-scheduling noise) — the
+evidence beyond the bench SF that plan shapes hold under growth
+(PLANS.md §Scale probe). Sub-linear time growth means fixed overhead
+still dominates; a ~10x ratio is linear; anything >>10x is a quadratic
+shape that must be fixed before it meets 100 TB.
+
+Usage:
+    python tools/scale_probe.py [query ...]      # default: CC family
+
+Replication recipe (matches the r5 probe, so ratios stay comparable):
+doc_id/vec_id shifted by k*stride per copy k, text/embedding payloads
+unchanged — so each doc gains 9 exact near-dups, which GROWS cluster
+sizes and stresses exactly the iterative pipeline being probed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from wallet_and_risky_features_data_pipeline_spark.caching import cache_scope
+from wallet_and_risky_features_data_pipeline_spark.plans.registry import QUERIES
+from wallet_and_risky_features_data_pipeline_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/wrf_scale10"
+COPIES = 10
+STRIDE = 10_000_000
+
+ID_COLS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+
+
+def build_replica(spark, tables: set[str]) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for t in tables:
+        out = f"{DST}/{t}.parquet"
+        if os.path.exists(out):
+            continue
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        idc = ID_COLS.get(t)
+        if idc is None:
+            shutil.copyfile(f"{SRC}/{t}.parquet", out)
+            continue
+        copies = [
+            src.withColumn(idc, F.col(idc) + F.lit(k * STRIDE)) for k in range(COPIES)
+        ]
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    names = sys.argv[1:] or [
+        "dedup_cluster_assign",
+        "dedup_decisions",
+        "dedup_minhash_lsh",
+        "text_repetition",
+    ]
+    spark = get_spark("wrf-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # every probed query reads documents/embeddings/events only; copy
+    # the rest verbatim so read_table never 404s
+    build_replica(spark, {"documents", "embeddings", "events"})
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        if not os.path.exists(f"{DST}/{t}.parquet"):
+            shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    for name in names:
+        fn = QUERIES[name]
+        # warm at the smallest SF so the timed pairs measure the plan's
+        # execution, not first-run whole-stage-codegen compilation
+        # (which is per-plan, per-JVM — bench.py does the same)
+        with cache_scope():
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        for label, d in (("sf0.1", SRC), ("10x", DST)):
+            start = time.perf_counter()
+            with cache_scope():
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+            print(f"{name:28s} {label:6s} {time.perf_counter() - start:7.2f} s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -196,6 +196,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    escalate_after: int = 4,
 ) -> DataFrame:
     """Cluster formation over near-dup pairs: assign every node the
     MINIMUM id reachable through the pair graph (connected components
@@ -203,27 +204,29 @@ def connected_components(
     canonical id — the step that turns pairwise similarity output into
     keep/drop decisions.
 
-    Each round does TWO monotone label updates, so rounds scale with
-    log(diameter), not diameter:
-
-    1. neighbor propagation — label(v) ← min(label(v), min over
-       neighbors u of label(u)): one hash join edge⋈label + groupBy.
-    2. pointer doubling — label(v) ← min(label(v), label(label(v))):
-       one self-join of the label table. Labels are always node ids
-       reachable from v (transitively), so this halves the remaining
-       hop-distance to the component minimum each round — the
-       classic shortcutting step (Shiloach-Vishkin / large-star
-       families use the same idea). A pure propagation loop needs
-       O(diameter) rounds and silently mislabels any chain longer
-       than ``max_iter``; with doubling, 25 rounds cover diameters
-       beyond 2^25.
+    The base round is neighbor propagation — label(v) ← min(label(v),
+    min over neighbors u of label(u)): one hash join edge⋈label +
+    groupBy-min. That converges in O(component diameter) rounds, which
+    is 2-4 for the shallow clusters near-dup graphs actually form —
+    but a pure propagation loop silently mislabels any chain longer
+    than ``max_iter``. So from round ``escalate_after`` on, each round
+    ALSO applies pointer doubling — label(v) ← min(label(v),
+    label(label(v))), a self-join of the previous round's label table
+    — the classic shortcutting step (Shiloach-Vishkin / large-star
+    families): it halves the remaining pointer-chain depth per round,
+    so total rounds scale with log(diameter) and 25 rounds cover
+    diameters beyond 2^20. Escalation is adaptive for cost, not
+    correctness: the common shallow case converges before round 4 and
+    never pays the extra self-join; only genuinely deep graphs do.
+    The doubling lookup uses the PREVIOUS round's (checkpointed)
+    table, so each round still materializes exactly once.
 
     Both updates only ever LOWER a label to another reachable node id,
     and at a fixpoint every node's label equals the component minimum
     (walk the path from the min: each hop's label is pinned equal by
-    the neighbor-min condition), so stopping on "no change" is exact.
-    If ``max_iter`` rounds pass while labels are still moving the
-    result would be silently wrong — that raises instead.
+    the neighbor-min condition alone), so stopping on "no change" is
+    exact. If ``max_iter`` rounds pass while labels are still moving
+    the result would be silently wrong — that raises instead.
 
     Lineage is cut with ``localCheckpoint`` per round — without it the
     plan doubles every iteration and Catalyst analysis dominates. The
@@ -249,37 +252,30 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__c1"),
+        cur = labels.join(nbr_min, labels.node == nbr_min.src, "left")
+        best = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
+        moved = F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False))
+        if it >= escalate_after:
+            # Pointer doubling against the PREVIOUS round's table (it
+            # is checkpointed — the self-join neither recomputes nor
+            # needs its own materialization). The label is always a
+            # node with edges (it starts as an edge endpoint and only
+            # ever moves to another one), so the lookup hits;
+            # left-join + coalesce keeps the no-match case total.
+            targets = labels.select(
+                F.col("node").alias("__ln"), F.col("label").alias("__ll")
             )
-        ).localCheckpoint(eager=True)
-        # Pointer doubling: look up the label's own label. The label
-        # is always a node that has edges (it starts as an edge
-        # endpoint and only ever moves to another one), so the lookup
-        # hits; left-join + coalesce keeps the no-match case total.
-        targets = stepped.select(
-            F.col("node").alias("__ln"), F.col("label").alias("__ll")
-        )
-        new_labels = (
-            stepped.join(targets, stepped.label == targets.__ln, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("__ll", "label")).alias("label"),
-                (
-                    F.coalesce("__c1", F.lit(False))
-                    | F.coalesce(F.col("__ll") < F.col("label"), F.lit(False))
-                ).alias("__changed"),
-            )
+            cur = cur.join(targets, cur.label == targets.__ln, "left")
+            best = F.least(best, F.coalesce("__ll", "label"))
+            moved = moved | F.coalesce(F.col("__ll") < F.col("label"), F.lit(False))
+        new_labels = cur.select(
+            "node", best.alias("label"), moved.alias("__changed")
         ).localCheckpoint(eager=True)
         changed = new_labels.agg(F.max(F.coalesce("__changed", F.lit(False)))).first()[0]
         labels = new_labels.drop("__changed")

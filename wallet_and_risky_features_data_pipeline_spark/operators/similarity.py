@@ -241,6 +241,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 3,
+    sample_cap: int = 100_000,
 ) -> DataFrame:
     """Train IVF coarse centroids with MLlib k-means (the production
     path for ``ivf_topk`` — seed-vector centroids are only for
@@ -248,12 +249,24 @@ def train_ivf_centroids(
 
     KMeans over a sampled corpus is how IVF quantizers are trained at
     scale (the model is tiny; the fit is one cached pass per
-    iteration). Returns a (id, vec) DataFrame shaped exactly like the
-    seed-centroid input of ``ivf_topk``/``ivf_assign``.
+    iteration): training on every vector of a 100 TB corpus buys no
+    centroid quality over a ~100k sample, it only multiplies each
+    k-means pass by the corpus size. ``sample_cap`` enforces that —
+    corpora above the cap train on a deterministic hash-bucket sample
+    (``xxhash64`` of the id, not ``rand()``, so refits see the same
+    rows and the fixed-seed determinism tests hold). The assignment
+    phase downstream still covers EVERY vector. Returns a (id, vec)
+    DataFrame shaped exactly like the seed-centroid input of
+    ``ivf_topk``/``ivf_assign``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    n = vectors.count()
+    if n > sample_cap:
+        # keep ~sample_cap rows: one-in-m buckets on a stable id hash
+        m = -(-n // sample_cap)  # ceil
+        vectors = vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
     feats = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
     spark = vectors.sparkSession
