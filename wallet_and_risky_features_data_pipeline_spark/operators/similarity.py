@@ -268,7 +268,15 @@ def train_ivf_centroids(
         m = -(-n // sample_cap)  # ceil
         vectors = vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
     feats = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    # random init, not the default k-means||: the parallel init runs
+    # several full passes over the corpus to seed centroids — worth it
+    # for clustering quality, not for a coarse quantizer whose cells
+    # only route probes (faiss trains IVF the same way: random init on
+    # a subsample, a few Lloyd iterations). Deterministic under the
+    # fixed seed either way.
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, initMode="random"
+    ).fit(feats)
     spark = vectors.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return spark.createDataFrame(rows, f"{id_col} long, {vec_col} array<float>")
