@@ -196,3 +196,71 @@ def test_rest_paged_source_bounds_runaway_paging(spark):
     ]}
     with pytest.raises(RuntimeError, match="misbehaving"):
         rest_paged_source(spark, lambda limit, offset: page, limit=2, max_pages=5)
+
+
+def test_stage_traces_precision_guard_fuzz(spark, tmp_path):
+    """S3 + the reference's precision guard
+    (raw_data_ingestion_pipeline.py:655-670): wei values whose magnitude
+    exceeds 1e38 are truncated to their first 28 chars BEFORE the
+    Decimal cast, so a FAILFAST staging scan never aborts on them and
+    nothing silently nulls. Fuzzes 1e36..1e41-scale signed integer
+    strings through the real CSV staging path."""
+    from decimal import Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cols = [f.name for f in ENTITY_SCHEMAS["traces"].fields]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=36, max_value=41),  # digit count
+                st.integers(min_value=0, max_value=10**41),
+                st.booleans(),  # negate
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def run(specs):
+        values = []
+        for digits, seed, neg in specs:
+            v = 10 ** (digits - 1) + seed % (9 * 10 ** (digits - 1))
+            values.append(-v if neg else v)
+        rows = []
+        for i, v in enumerate(values):
+            row = {c: "" for c in cols}
+            row.update(block_number=1, trace_id=f"t{i}", value=str(v))
+            rows.append([row[c] for c in cols])
+        path = tmp_path / "traces.csv"
+        _write_csv(path, cols, rows)
+        out = {
+            r["trace_id"]: r["value"]
+            for r in stage_entity(spark, "traces", str(path)).collect()
+        }
+        for i, v in enumerate(values):
+            got = out[f"t{i}"]
+            assert got is not None, f"value {v} silently nulled"
+            s = str(v)
+            expect = Decimal(s if len(s.lstrip("-")) <= 38 else s[:28])
+            assert got == expect, f"{v}: got {got}, want {expect}"
+
+    run()
+
+
+def test_stage_traces_missing_value_stays_null(spark, tmp_path):
+    """The guard's garbage→0 must not convert genuinely missing CSV
+    fields: an empty value cell stages as a typed NULL."""
+    cols = [f.name for f in ENTITY_SCHEMAS["traces"].fields]
+    row = {c: "" for c in cols}
+    row.update(block_number=1, trace_id="t0")
+    path = tmp_path / "traces.csv"
+    _write_csv(path, cols, [[row[c] for c in cols]])
+    out = stage_entity(spark, "traces", str(path)).collect()[0]
+    assert out["value"] is None

@@ -210,3 +210,22 @@ def test_ngram_jaccard_no_pair_table_rejoin(spark):
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     assert n_joins == 1, f"expected only the shingle self-join, saw {n_joins}"
     assert plan.count("Window") >= 1, "df-cap / sz must be window counts"
+
+
+def test_token_budget_window_partitioned_by_band(spark):
+    """corpus_token_budget's running sum over DOCUMENTS must be
+    partitioned by the quality band — a global (empty partition spec)
+    window over the doc table would sort the whole corpus on one node.
+    The only unpartitioned window allowed is the band-offset prefix sum
+    over the tiny per-band aggregate."""
+    plan = _physical(QUERIES["corpus_token_budget"](spark, SF_MEDIUM))
+    assert "hashpartitioning(band" in plan  # doc window exchanges on band
+    # the band offsets re-enter via broadcast, not another shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_freq_topk_no_global_sort(spark):
+    """Top-K must plan as TakeOrderedAndProject (per-partition heaps),
+    never a full global Sort of the counted ngrams."""
+    plan = _physical(QUERIES["corpus_ngram_freq"](spark, SF_MEDIUM))
+    assert "TakeOrderedAndProject" in plan

@@ -56,3 +56,47 @@ def test_cluster_assignment_memoized_per_session(spark):
     # the decisions table is derived from the same memoized frame
     decided = llm_ops.dedup_decisions(spark, SF_MEDIUM)
     assert decided.filter("keep = 1").count() > 0
+
+
+def test_coverage_md_ids_map_to_gate_or_tests():
+    """SURVEY.md §2 audit automation: every reference-parity operator ID
+    row in COVERAGE.md must name at least one query inside the driver's
+    50-slot gate (or cite a pytest), and every `q:` token anywhere in
+    COVERAGE.md must name a registered query. Registry growth can then
+    never silently push §2 coverage past slot 50, and the doc can't
+    drift from the code."""
+    import re
+
+    with open("/root/repo/COVERAGE.md") as f:
+        text = f.read()
+
+    # Registry names all contain "_"; the underscore filter drops prose
+    # words swallowed by the comma continuation ("q: foo, the §2.9 ...").
+    def extract(s):
+        return {
+            n
+            for m in re.finditer(r"q:\s*([a-z0-9_]+(?:\s*,\s*[a-z0-9_]+)*)", s)
+            for n in re.split(r"\s*,\s*", m.group(1))
+            if "_" in n
+        }
+
+    assert all("_" in n for n in QUERIES)
+    q_names = extract(text)
+    unknown = q_names - set(QUERIES)
+    assert not unknown, f"COVERAGE.md cites unregistered queries: {sorted(unknown)}"
+
+    gate = set(list(QUERIES)[:50])
+    bad_rows = []
+    seen_ids = set()
+    for line in text.splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) < 3 or not re.match(r"^[SPJAWU]\d", cells[0]):
+            continue
+        seen_ids.add(cells[0])
+        row_qs = extract(line)
+        cites_test = "test" in line
+        if not (row_qs & gate) and not cites_test:
+            bad_rows.append(cells[0])
+    assert not bad_rows, f"§2 IDs with no in-gate query and no test: {bad_rows}"
+    # sanity: the parser actually saw the §2 inventory
+    assert len(seen_ids) >= 35, f"only parsed {len(seen_ids)} ID rows"

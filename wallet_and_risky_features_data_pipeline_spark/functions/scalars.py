@@ -12,8 +12,8 @@ inside whole-stage codegen. Each replicates a reference semantic:
   same cardinality and distribution properties.
 - ``norm_round``           — ``ROUND(x, 5)`` with ``-0.0 → 0.0``
   normalization (queries/ethereum_wallet_features.sql:102-107).
-- ``safe_high_precision``  — truncate string numerics longer than a
-  DECIMAL(38,9) can hold before casting, with try_cast + coalesce(0)
+- ``safe_high_precision``  — truncate string numerics whose magnitude
+  exceeds 1e38 before casting, with try_cast + coalesce(0)
   (raw_data_ingestion_pipeline.py:655-670;
   stage/transformations/ethereum_token_transfers.sql:13).
 - ``split_pow10``          — POWER(10,d/2)*POWER(10,d/2) decimal-safe
@@ -46,13 +46,27 @@ def norm_round(x: Column, scale: int = 5) -> Column:
     return F.when(r == 0.0, F.lit(0.0)).otherwise(r)
 
 
-def safe_high_precision(raw: Column, max_chars: int = 28) -> Column:
-    """String numeric → DECIMAL(38,9) with the reference's two guards:
-    truncate absurdly long digit strings, and try_cast→0 for garbage.
+def safe_high_precision(
+    raw: Column, max_chars: int = 28, target: str = VALUE_DECIMAL
+) -> Column:
+    """String numeric → decimal with the reference's two guards:
+    values whose magnitude exceeds 1e38 (too wide for any DECIMAL(38,_))
+    are truncated to their first ``max_chars`` characters before the
+    cast (raw_data_ingestion_pipeline.py:655-670
+    ``change_precision_for_high_numbers``: ``abs(int(value)) > 1e38 →
+    value[:28]``), and anything that still can't cast becomes 0
+    (stage/transformations/ethereum_token_transfers.sql:13 COALESCE
+    posture). The trigger is the *magnitude*, not the string length —
+    a 30-digit wei value fits DECIMAL(38,0) exactly and must pass
+    through undamaged; only 39+ integer digits trip the guard.
     """
-    s = raw.cast("string")
-    truncated = F.when(F.length(s) > max_chars, F.substring(s, 1, max_chars)).otherwise(s)
-    return F.coalesce(truncated.try_cast(VALUE_DECIMAL), F.lit(0).cast(VALUE_DECIMAL))
+    s = F.trim(raw.cast("string"))
+    # Integer-part digit count: strip sign, fraction, and leading zeros.
+    int_digits = F.length(
+        F.regexp_replace(F.regexp_replace(s, r"^[+-]|\..*$", ""), r"^0+", "")
+    )
+    truncated = F.when(int_digits > 38, F.substring(s, 1, max_chars)).otherwise(s)
+    return F.coalesce(truncated.try_cast(target), F.lit(0).cast(target))
 
 
 def floor_to_day(unix_seconds: Column) -> Column:

@@ -1312,3 +1312,153 @@ SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
                  ELSE 'test' END) AS BIGINT) AS stratum_size
 FROM assigned
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source quota capping: a web-scale corpus is dominated by a few
+# giant sources (one crawl bucket, one boilerplate-heavy domain);
+# training mixes cap each source's contribution and keep its best docs.
+# One window over source — the quota decision needs a rank for EVERY
+# row (the drop list is as important as the keep list for lineage), so
+# a full shuffle on source is inherent; per-source data is re-used by
+# the strict (quality, doc_id) order so the sort feeds the rank
+# directly. Hot sources: AQE skew-split handles the shuffle; the rank
+# itself is a streaming single-pass over each sorted partition.
+SOURCE_QUOTA = 15
+
+
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("source_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("kept", (F.col("source_rank") <= SOURCE_QUOTA).cast("int"))
+    )
+
+
+CORPUS_SOURCE_QUOTA_ORACLE = f"""
+SELECT doc_id, source, n_chars,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS BIGINT)
+           AS source_rank,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id)
+            <= {SOURCE_QUOTA} AS INT) AS kept
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Global token-budget selection: keep the best documents until a token
+# budget is exhausted — the "fill the training mix to N tokens" step.
+# The naive plan is a GLOBAL running sum (one partition sorts 100 TB —
+# a non-starter). Scale shape used here: band the quality key (band is
+# a monotone function of the sort key, so band-major order == global
+# order), aggregate per-band token totals (tiny), prefix-sum them on
+# the driver-side window (rows = #bands, not #docs), broadcast the
+# offsets back, and run the running sum per band in parallel. Each doc
+# then knows its exact global cumulative position without any single
+# node ever seeing more than one band.
+TOKEN_BUDGET = 12_000
+_N_TOKENS_EXPR = r"size(array_remove(split(trim(lower(text)), '\\s+'), ''))"
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(_N_TOKENS_EXPR).cast("bigint").alias("n_tokens"),
+        F.floor(F.col("n_chars") / 32).alias("band"),
+    )
+    band_tot = scored.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens"))
+    wb = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_tot.withColumn(
+        "band_offset", F.coalesce(F.sum("band_tokens").over(wb), F.lit(0))
+    ).select("band", "band_offset")
+    ww = (
+        Window.partitionBy("band")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.join(F.broadcast(offsets), "band")
+        .withColumn(
+            "cum_tokens",
+            (F.col("band_offset") + F.sum("n_tokens").over(ww)).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "cum_tokens",
+            ((F.col("cum_tokens") - F.col("n_tokens")) < TOKEN_BUDGET)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+CORPUS_TOKEN_BUDGET_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, n_chars, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM scored
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_tokens - n_tokens < {TOKEN_BUDGET} AS INT) AS kept
+FROM cum
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-level n-gram frequency table (top-K): the LM-stats /
+# boilerplate-discovery primitive (the most frequent trigrams ARE the
+# templated junk near-dup chains are made of). Explode → hash agg with
+# map-side partial combine (each executor pre-counts its shard before
+# the single shuffle on ngram) → TakeOrderedAndProject for the top-K —
+# no global sort ever materializes beyond K rows per partition.
+NGRAM_TOP_K = 100
+
+
+def corpus_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_shingles("text", 3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram"))
+        .limit(NGRAM_TOP_K)
+    )
+
+
+_TRIGRAMS_SQL = (
+    f"list_transform(generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),"
+    f" i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))"
+)
+
+CORPUS_NGRAM_FREQ_ORACLE = f"""
+WITH grams AS (
+    SELECT unnest({_TRIGRAMS_SQL}) AS ngram FROM documents
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq
+FROM grams GROUP BY 1
+ORDER BY freq DESC, ngram
+LIMIT {NGRAM_TOP_K}
+"""

@@ -220,3 +220,9 @@ register("text_pii_redact", llm.text_pii_redact, llm.TEXT_PII_REDACT_ORACLE)
 register("text_repetition", llm.text_repetition, llm.TEXT_REPETITION_ORACLE)
 # Hash-bucketed stratified train/val/test split with stratum audit
 register("corpus_split_stratified", llm.corpus_split_stratified, llm.CORPUS_SPLIT_ORACLE)
+# Per-source quota cap (rank every doc within its source; keep best N)
+register("corpus_source_quota", llm.corpus_source_quota, llm.CORPUS_SOURCE_QUOTA_ORACLE)
+# Global token-budget selection via banded distributed prefix sum
+register("corpus_token_budget", llm.corpus_token_budget, llm.CORPUS_TOKEN_BUDGET_ORACLE)
+# Corpus-level top-K n-gram frequency table (boilerplate discovery)
+register("corpus_ngram_freq", llm.corpus_ngram_freq, llm.CORPUS_NGRAM_FREQ_ORACLE)

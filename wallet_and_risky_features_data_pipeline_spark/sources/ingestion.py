@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.scalars import safe_high_precision
 from .readers import read_csv
 from .writers import write_partitioned
 
@@ -282,7 +283,33 @@ def stage_entity(
     tokens, …) partition by block bucket instead, matching how the
     reference backfills them from the joined block timestamp later in
     the stage layer."""
-    df = read_csv(spark, csv_path, ENTITY_SCHEMAS[entity])
+    declared = ENTITY_SCHEMAS[entity]
+    # Decimal (wei-scale) columns scan as strings, then pass through the
+    # reference's precision guard before the cast
+    # (raw_data_ingestion_pipeline.py:655-670 truncates >1e38 magnitudes
+    # to 28 chars BEFORE Decimal conversion). Scanning them as
+    # DecimalType directly would let one absurd on-chain value abort the
+    # whole FAILFAST scan — the exact failure the reference guards.
+    scan_schema = StructType(
+        [
+            StructField(f.name, StringType() if isinstance(f.dataType, DecimalType) else f.dataType)
+            for f in declared.fields
+        ]
+    )
+    df = read_csv(spark, csv_path, scan_schema)
+    for f in declared.fields:
+        if isinstance(f.dataType, DecimalType):
+            # Missing fields stay typed NULLs (like the direct decimal
+            # scan produced); the guard's garbage→0 applies only to
+            # values that were present.
+            df = df.withColumn(
+                f.name,
+                F.when(
+                    F.col(f.name).isNull(), F.lit(None).cast(f.dataType)
+                ).otherwise(
+                    safe_high_precision(F.col(f.name), target=f.dataType.simpleString())
+                ),
+            )
     if ts_col and ts_col in df.columns:
         df = df.withColumn(
             "timestamp_readable", F.timestamp_seconds(F.col(ts_col))
