@@ -110,13 +110,22 @@ def main() -> None:
     isolated: dict[str, float] = {}
     heaviest = sorted(timings, key=lambda k: -timings[k])[:n_isolated]
     for name in heaviest:
-        t0 = time.perf_counter()
-        try:
-            with cache_scope():
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            continue
-        isolated[name] = round(time.perf_counter() - t0, 4)
+        # min of two runs: the first isolated pass lands right after the
+        # concurrent pool and can absorb one-off JVM work (GC of the
+        # concurrent pass's garbage, shuffle-file cleanup) — observed as
+        # a 10x outlier on a single run.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                with cache_scope():
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                break
+            took = time.perf_counter() - t0
+            best = took if best is None else min(best, took)
+        if best is not None:
+            isolated[name] = round(best, 4)
 
     detail = {
         "metric": "headline_queries_total",

@@ -568,3 +568,31 @@ def test_threshold_alert_rows_sign_aware_cents_and_ts_unit():
     alerts, total = _threshold_alert_rows(7, refund, 0)
     assert total == -113
     assert alerts.empty
+
+
+def test_mix_rebalance_downsamples_skewed_source(spark):
+    """With a 90/10 source skew and a uniform target, the giant source
+    gets keep_bp = floor(10000*total/(n_src*src_docs)) and actually
+    drops docs, while the small source keeps everything (rate capped at
+    10000). The kept count must land within integer-rounding distance
+    of the target share."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        MIX_BP,
+        mix_rebalance,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_rebalance(docs).toPandas()
+    big = out[out.source == "big"]
+    small = out[out.source == "small"]
+    # exact rate math: 10000*1000 // (2*900) = 5555 bp; small capped
+    assert set(big.keep_bp) == {10000 * 1000 // (2 * 900)}
+    assert set(small.keep_bp) == {MIX_BP}
+    assert small.sampled.sum() == 100
+    # md5 buckets are ~uniform: kept big docs ≈ 900 * 0.5555 = 500 ± noise
+    kept = big.sampled.sum()
+    assert 400 < kept < 600, kept
+    # determinism: the same docs sample identically on a second run
+    again = mix_rebalance(docs).toPandas().sort_values("doc_id")
+    assert list(again.sampled) == list(out.sort_values("doc_id").sampled)

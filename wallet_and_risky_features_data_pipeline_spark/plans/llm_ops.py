@@ -1462,3 +1462,78 @@ FROM grams GROUP BY 1
 ORDER BY freq DESC, ngram
 LIMIT {NGRAM_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Mixture rebalancing: downsample over-represented sources toward a
+# uniform target mix — the "don't let one crawl dominate the run" step.
+# Per-source keep-rates derive from one tiny aggregate (rows =
+# #sources) broadcast back onto the scan-level filter; the sampling
+# decision is an md5 bucket of the doc id, so the kept set is stable
+# across runs, engines, and cluster sizes (no RNG state to seed or
+# ship). Rates are computed in basis points with INTEGER division so
+# Spark and the oracle agree bit-for-bit at the keep boundary.
+MIX_BP = 10_000  # rate resolution: basis points
+
+
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mix_rebalance(read_table(spark, sf_dir, "documents"))
+
+
+def mix_rebalance(docs: DataFrame) -> DataFrame:
+    counts = docs.groupBy("source").agg(F.count("*").alias("src_docs"))
+    n_sources = counts.select(F.count("*").alias("n_src"))
+    totals = docs.select(F.count("*").alias("total_docs"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_sources))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "src_docs",
+            # `div` keeps the arithmetic in exact 64-bit integers —
+            # `/` on bigints routes through double and can misplace the
+            # keep boundary once MIX_BP * total_docs exceeds 2^53.
+            F.least(
+                F.lit(MIX_BP).cast("bigint"),
+                F.expr(f"({MIX_BP} * total_docs) div (n_src * src_docs)"),
+            ).alias("keep_bp"),
+        )
+    )
+    bucket = F.expr(
+        f"cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+        f" % {MIX_BP}"
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "src_docs",
+            "keep_bp",
+            (F.col("bucket") < F.col("keep_bp")).cast("int").alias("sampled"),
+        )
+    )
+
+
+CORPUS_MIX_REBALANCE_ORACLE = f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS src_docs FROM documents GROUP BY 1
+),
+consts AS (
+    SELECT (SELECT COUNT(*) FROM counts) AS n_src,
+           (SELECT COUNT(*) FROM documents) AS total_docs
+),
+rates AS (
+    SELECT source, src_docs,
+           LEAST({MIX_BP}, ({MIX_BP} * total_docs) // (n_src * src_docs))
+               AS keep_bp
+    FROM counts, consts
+)
+SELECT d.doc_id, d.source,
+       CAST(r.src_docs AS BIGINT) AS src_docs,
+       CAST(r.keep_bp AS BIGINT) AS keep_bp,
+       CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % {MIX_BP} < r.keep_bp AS INT) AS sampled
+FROM documents d JOIN rates r ON d.source = r.source
+"""

@@ -226,3 +226,6 @@ register("corpus_source_quota", llm.corpus_source_quota, llm.CORPUS_SOURCE_QUOTA
 register("corpus_token_budget", llm.corpus_token_budget, llm.CORPUS_TOKEN_BUDGET_ORACLE)
 # Corpus-level top-K n-gram frequency table (boilerplate discovery)
 register("corpus_ngram_freq", llm.corpus_ngram_freq, llm.CORPUS_NGRAM_FREQ_ORACLE)
+# Mixture rebalancing toward a uniform per-source target (integer-exact
+# basis-point keep-rates, md5-bucket deterministic sampling)
+register("corpus_mix_rebalance", llm.corpus_mix_rebalance, llm.CORPUS_MIX_REBALANCE_ORACLE)
