@@ -596,3 +596,32 @@ def test_mix_rebalance_downsamples_skewed_source(spark):
     # determinism: the same docs sample identically on a second run
     again = mix_rebalance(docs).toPandas().sort_values("doc_id")
     assert list(again.sampled) == list(out.sort_values("doc_id").sampled)
+
+
+def test_audio_window_features_exact_math(spark):
+    """Windowed PCM stats on a crafted payload that the ASCII gate
+    corpus can't exercise: samples straddling the 128 midpoint (so
+    mid_crossings > 0) and a payload spanning a window boundary (257
+    bytes -> a full 256-sample window + a 1-sample tail)."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.multimodal import (
+        audio_window_features,
+    )
+
+    # 4 samples: 100, 200, 100, 200 -> 3 crossings; then 253 zeros to
+    # fill window 0; one 255 sample lands alone in window 1.
+    payload = bytes([100, 200, 100, 200] + [0] * 252 + [255])
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = {r["window_idx"]: r for r in audio_window_features(df).collect()}
+    w0, w1 = rows[0], rows[1]
+    assert w0["n_samples"] == 256
+    assert w0["sum_amp"] == 100 + 200 + 100 + 200
+    assert w0["sum_sq"] == 100**2 + 200**2 + 100**2 + 200**2
+    # crossings: 100->200, 200->100, 100->200, 200->0 = 4
+    assert w0["mid_crossings"] == 4
+    assert (w1["n_samples"], w1["sum_amp"], w1["sum_sq"], w1["mid_crossings"]) == (
+        1, 255, 255**2, 0,
+    )
+
+    # empty payload -> no rows, and the empty Arrow batch must not error
+    empty = spark.createDataFrame([(2, bytearray(b""))], "doc_id long, payload binary")
+    assert audio_window_features(empty).count() == 0

@@ -168,3 +168,57 @@ def resize_meta(df: DataFrame, max_side: int = RESIZE_MAX) -> DataFrame:
         _F.col("__fit.w").alias("resized_w"),
         _F.col("__fit.h").alias("resized_h"),
     )
+
+
+AUDIO_WINDOW = 256  # samples per analysis window for the audio stub
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("mid_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_window_features(df: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    """Audio feature-extraction stage over mapInPandas: per
+    non-overlapping ``window``-sample analysis window, emit amplitude
+    sum, energy (sum of squares), and midpoint-crossing count — the
+    RMS/zero-crossing-rate shape every audio curation pipeline computes
+    before filtering silence/clipping.
+
+    STUB note: a real implementation would decode the container
+    (soundfile/torchaudio) to PCM; neither codec is in this container,
+    so the payload bytes ARE the samples (unsigned 8-bit PCM. This is
+    how u8 WAV payloads actually look, minus the 44-byte header).
+    Every statistic is integer arithmetic, so the stub is value-checked
+    against the SQL oracle exactly — no float tolerance. The Arrow
+    plumbing is the real thing: variable-cardinality batches (rows out
+    = Σ windows per payload), numpy-vectorized inside each batch.
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "window_idx": [], "n_samples": [],
+                "sum_amp": [], "sum_sq": [], "mid_crossings": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), np.uint8).astype(np.int64)
+                for widx in range((len(arr) + window - 1) // window):
+                    seg = arr[widx * window : (widx + 1) * window]
+                    signs = seg >= 128
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(widx)
+                    out["n_samples"].append(len(seg))
+                    out["sum_amp"].append(int(seg.sum()))
+                    out["sum_sq"].append(int((seg * seg).sum()))
+                    out["mid_crossings"].append(int((signs[1:] != signs[:-1]).sum()))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    return df.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)

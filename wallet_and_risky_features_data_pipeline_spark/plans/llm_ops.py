@@ -1537,3 +1537,101 @@ SELECT d.doc_id, d.source,
             % {MIX_BP} < r.keep_bp AS INT) AS sampled
 FROM documents d JOIN rates r ON d.source = r.source
 """
+
+
+# --------------------------------------------------------------------------
+# Multimodal audio features: payload → windowed amplitude/energy/
+# crossing stats (the silence/clipping filter input). Completes the
+# image (decode/resize) / video (frame-sample) / audio triple on the
+# same attach_payload plumbing. Oracle reconstructs each u8 sample from
+# the hex payload and aggregates per window with a LAG crossing count —
+# all-integer stats, so the Arrow stage is hash-verified exactly.
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_window_features
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return audio_window_features(attach_payload(docs, "doc_id", "text"))
+
+
+MULTIMODAL_AUDIO_ORACLE = """
+WITH p AS (
+    SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+    FROM documents
+),
+w AS (
+    SELECT doc_id, hx, nb, f AS widx
+    FROM p, UNNEST(generate_series(0, CAST(floor((nb - 1) / 256.0) AS BIGINT), 1)) AS u(f)
+    WHERE nb > 0
+),
+s AS (
+    SELECT doc_id, widx, i,
+           CAST(('0x' || substr(hx, (widx * 256 + i) * 2 + 1, 2)) AS BIGINT) AS v
+    FROM w, UNNEST(generate_series(0, LEAST(256, nb - widx * 256) - 1, 1)) AS u(i)
+),
+flagged AS (
+    SELECT doc_id, widx, i, v,
+           CASE WHEN (v >= 128) <> LAG(v >= 128) OVER
+                (PARTITION BY doc_id, widx ORDER BY i)
+                THEN 1 ELSE 0 END AS crossed
+    FROM s
+)
+SELECT doc_id,
+       CAST(widx AS BIGINT) AS window_idx,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(crossed) AS INTEGER) AS mid_crossings
+FROM flagged
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# N-gram LM score (KenLM stand-in): score each document by how typical
+# its trigrams are of the corpus — the cheap perplexity proxy curation
+# uses to rank fluency/junk before any model-based scorer. Corpus
+# trigram counts (one map-side-combined agg) equi-join back onto each
+# doc's trigrams (the standard inverted-index shape, shuffled on the
+# ngram key both sides), then one per-doc aggregate. Integer sums plus
+# ONE final IEEE division, so the score is bit-identical cross-engine.
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    # Both the corpus count and the probe side consume the exploded
+    # grams — persist so the explode runs once (released by the
+    # caller's cache_scope).
+    grams = persist_tracked(
+        docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("ngram"))
+    )
+    corpus = grams.groupBy("ngram").agg(F.count("*").alias("freq"))
+    return (
+        grams.join(corpus, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "sum_freq",
+            (F.col("sum_freq") / F.col("n_ngrams")).alias("avg_ngram_freq"),
+        )
+    )
+
+
+TEXT_NGRAM_LM_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id, unnest({_TRIGRAMS_SQL}) AS ngram FROM documents
+),
+corpus AS (
+    SELECT ngram, COUNT(*) AS freq FROM grams GROUP BY 1
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(c.freq) AS BIGINT) AS sum_freq,
+       CAST(SUM(c.freq) AS DOUBLE) / COUNT(*) AS avg_ngram_freq
+FROM grams g JOIN corpus c ON g.ngram = c.ngram
+GROUP BY 1
+"""

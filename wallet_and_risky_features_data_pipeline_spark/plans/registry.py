@@ -229,3 +229,9 @@ register("corpus_ngram_freq", llm.corpus_ngram_freq, llm.CORPUS_NGRAM_FREQ_ORACL
 # Mixture rebalancing toward a uniform per-source target (integer-exact
 # basis-point keep-rates, md5-bucket deterministic sampling)
 register("corpus_mix_rebalance", llm.corpus_mix_rebalance, llm.CORPUS_MIX_REBALANCE_ORACLE)
+# Audio leg of the multimodal tier: windowed PCM amplitude/energy/
+# crossing stats (integer-exact Arrow stage)
+register("multimodal_audio_features", llm.multimodal_audio_features, llm.MULTIMODAL_AUDIO_ORACLE)
+# N-gram LM score: per-doc average corpus-frequency of its trigrams
+# (perplexity-proxy fluency ranking; integer sums + one IEEE division)
+register("text_ngram_lm_score", llm.text_ngram_lm_score, llm.TEXT_NGRAM_LM_ORACLE)
