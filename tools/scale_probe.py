@@ -30,8 +30,8 @@ from wallet_and_risky_features_data_pipeline_spark.plans.registry import QUERIES
 from wallet_and_risky_features_data_pipeline_spark.session import get_spark
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = "/tmp/wrf_scale10"
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+DST = f"/tmp/wrf_scale{COPIES}"
 STRIDE = 10_000_000
 
 ID_COLS = {
@@ -84,7 +84,7 @@ def main() -> None:
         # (which is per-plan, per-JVM — bench.py does the same)
         with cache_scope():
             fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-        for label, d in (("sf0.1", SRC), ("10x", DST)):
+        for label, d in (("sf0.1", SRC), (f"{COPIES}x", DST)):
             start = time.perf_counter()
             with cache_scope():
                 fn(spark, d).write.format("noop").mode("overwrite").save()

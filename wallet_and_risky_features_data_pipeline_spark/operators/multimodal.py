@@ -209,6 +209,8 @@ def audio_window_features(df: DataFrame, window: int = AUDIO_WINDOW) -> DataFram
                 "sum_amp": [], "sum_sq": [], "mid_crossings": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 arr = np.frombuffer(bytes(payload), np.uint8).astype(np.int64)
                 for widx in range((len(arr) + window - 1) // window):
                     seg = arr[widx * window : (widx + 1) * window]
