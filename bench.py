@@ -106,8 +106,13 @@ def main() -> None:
     # these sequential figures are the stable round-over-round signal
     # for per-query regressions. ``value`` stays the concurrent wall;
     # this tier only lands in bench_detail.json.
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        reset_session_memos,
+    )
+
     n_isolated = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "10"))
     isolated: dict[str, float] = {}
+    isolated_errors: dict[str, str] = {}
     heaviest = sorted(timings, key=lambda k: -timings[k])[:n_isolated]
     for name in heaviest:
         # min of two runs: the first isolated pass lands right after the
@@ -116,11 +121,16 @@ def main() -> None:
         # a 10x outlier on a single run.
         best = None
         for _ in range(2):
+            # drop session memos (cluster assignment) so memoized
+            # queries time their real pipeline, not a noop write of the
+            # concurrent tier's checkpointed result
+            reset_session_memos(spark)
             t0 = time.perf_counter()
             try:
                 with cache_scope():
                     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception:
+                isolated_errors[name] = traceback.format_exc(limit=3).splitlines()[-1]
                 break
             took = time.perf_counter() - t0
             best = took if best is None else min(best, took)
@@ -133,6 +143,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in sorted(timings.items())},
         "isolated": {k: isolated[k] for k in sorted(isolated)},
+        "isolated_errors": isolated_errors,
         "errors": {k: errors[k].splitlines()[-1] for k in sorted(errors)},
         "sf": sf,
         "concurrency": CONCURRENCY,

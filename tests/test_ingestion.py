@@ -152,7 +152,9 @@ def test_rest_paged_source_drains_and_normalizes(spark):
     df = rest_paged_source(spark, fetch_page, limit=2)
     rows = {r["contract_address"]: r for r in df.collect()}
     assert set(rows) == {"0xa", "0xb", "0xc"}
-    assert seen == [(2, 0), (2, 2), (2, 4)]
+    # the short second page (1 row < limit 2) ends the drain — the
+    # empty third fetch the old loop made is no longer needed
+    assert seen == [(2, 0), (2, 2)]
     assert dict(df.dtypes)["created_timestamp"] == "timestamp"
     # backfill: 0xa's last_refreshed == its created_timestamp
     assert rows["0xa"]["last_refreshed"] == rows["0xa"]["created_timestamp"]
@@ -187,15 +189,29 @@ def test_read_csv_failfast_on_malformed(spark, tmp_path):
 
 
 def test_rest_paged_source_bounds_runaway_paging(spark):
-    """An API that ignores offset and replays a non-empty page forever
-    must raise at max_pages instead of hanging while accumulating rows
-    driver-side."""
-    page = {"results": [
-        {"contract_address": "0xa", "symbol": "A", "name": "Alpha",
-         "decimals": 18, "created_timestamp": BLOCK_TS, "last_refreshed": None},
-    ]}
+    """An API that ignores offset and replays a FULL page forever must
+    raise at max_pages instead of hanging while accumulating rows
+    driver-side. A short page is the API's own end-of-table signal and
+    must not trip the guard, and neither must a healthy table of
+    exactly max_pages*limit rows (the probe fetch sees its empty page)."""
+    row = {"contract_address": "0xa", "symbol": "A", "name": "Alpha",
+           "decimals": 18, "created_timestamp": BLOCK_TS, "last_refreshed": None}
+    full = {"results": [row, row]}
     with pytest.raises(RuntimeError, match="misbehaving"):
-        rest_paged_source(spark, lambda limit, offset: page, limit=2, max_pages=5)
+        rest_paged_source(spark, lambda limit, offset: full, limit=2, max_pages=5)
+
+    # exactly max_pages full pages then empty: accepted via the probe
+    def exact(limit, offset):
+        return full if offset < 10 else {"results": []}
+
+    df = rest_paged_source(spark, exact, limit=2, max_pages=5)
+    assert df.count() == 10
+
+    # short page ends the drain without raising
+    def short(limit, offset):
+        return full if offset == 0 else {"results": [row]}
+
+    assert rest_paged_source(spark, short, limit=2, max_pages=5).count() == 3
 
 
 def test_stage_traces_precision_guard_fuzz(spark, tmp_path):
@@ -264,3 +280,21 @@ def test_stage_traces_missing_value_stays_null(spark, tmp_path):
     _write_csv(path, cols, [[row[c] for c in cols]])
     out = stage_entity(spark, "traces", str(path)).collect()[0]
     assert out["value"] is None
+
+
+def test_stage_blocks_difficulty_wide_value_truncates_not_zeroes(spark, tmp_path):
+    """blocks.difficulty is DECIMAL(38,9) — only 29 integer digits fit.
+    A 30-digit difficulty must come through TRUNCATED (the guard scales
+    the reference's 1e38 boundary to the target's integer capacity),
+    never silently coalesced to 0 by an overflowing try_cast."""
+    from decimal import Decimal
+
+    cols = [f.name for f in ENTITY_SCHEMAS["blocks"].fields]
+    wide = "9" * 30
+    row = {c: "" for c in cols}
+    row.update(number=1, hash="0xb", timestamp=BLOCK_TS, difficulty=wide)
+    path = tmp_path / "blocks.csv"
+    _write_csv(path, cols, [[row[c] for c in cols]])
+    out = stage_entity(spark, "blocks", str(path)).collect()[0]
+    assert out["difficulty"] == Decimal(wide[:28])
+    assert out["difficulty"] != 0

@@ -42,7 +42,21 @@ ID_COLS = {
 
 
 def build_replica(spark, tables: set[str]) -> None:
+    # A replica left by a crashed build (no _SUCCESS) or built from a
+    # different SRC must be rebuilt, not silently reused — the ratios
+    # would be computed over wrong data with no warning.
+    marker = f"{DST}/.built_from"
+    if os.path.exists(DST):
+        stale = not (os.path.exists(marker) and open(marker).read() == SRC) or any(
+            os.path.exists(f"{DST}/{t}.parquet")
+            and not os.path.exists(f"{DST}/{t}.parquet/_SUCCESS")
+            for t in ID_COLS
+        )
+        if stale:
+            shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(SRC)
     for t in tables:
         out = f"{DST}/{t}.parquet"
         if os.path.exists(out):

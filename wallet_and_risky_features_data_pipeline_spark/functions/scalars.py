@@ -50,22 +50,33 @@ def safe_high_precision(
     raw: Column, max_chars: int = 28, target: str = VALUE_DECIMAL
 ) -> Column:
     """String numeric → decimal with the reference's two guards:
-    values whose magnitude exceeds 1e38 (too wide for any DECIMAL(38,_))
-    are truncated to their first ``max_chars`` characters before the
-    cast (raw_data_ingestion_pipeline.py:655-670
+    values too wide for the target decimal are truncated to their first
+    ``max_chars`` characters before the cast
+    (raw_data_ingestion_pipeline.py:655-670
     ``change_precision_for_high_numbers``: ``abs(int(value)) > 1e38 →
     value[:28]``), and anything that still can't cast becomes 0
     (stage/transformations/ethereum_token_transfers.sql:13 COALESCE
-    posture). The trigger is the *magnitude*, not the string length —
-    a 30-digit wei value fits DECIMAL(38,0) exactly and must pass
-    through undamaged; only 39+ integer digits trip the guard.
+    posture). The trigger is the *magnitude* measured against the
+    target's integer capacity (precision − scale), not the string
+    length — a 30-digit wei value fits DECIMAL(38,0) exactly and must
+    pass through undamaged, while the same value against DECIMAL(38,9)
+    (29 integer digits) must be truncated, not silently zeroed by an
+    overflowing try_cast. (The reference hard-codes the 1e38 boundary
+    because its guarded column is an integer-wei string; scaling the
+    boundary to the target generalizes the same intent.)
     """
+    import re as _re
+
+    m = _re.fullmatch(r"decimal\((\d+)\s*,\s*(\d+)\)", target.strip().lower())
+    int_capacity = (int(m.group(1)) - int(m.group(2))) if m else 29
     s = F.trim(raw.cast("string"))
     # Integer-part digit count: strip sign, fraction, and leading zeros.
     int_digits = F.length(
         F.regexp_replace(F.regexp_replace(s, r"^[+-]|\..*$", ""), r"^0+", "")
     )
-    truncated = F.when(int_digits > 38, F.substring(s, 1, max_chars)).otherwise(s)
+    truncated = F.when(
+        int_digits > int_capacity, F.substring(s, 1, min(max_chars, int_capacity))
+    ).otherwise(s)
     return F.coalesce(truncated.try_cast(target), F.lit(0).cast(target))
 
 

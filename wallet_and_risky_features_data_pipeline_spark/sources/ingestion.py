@@ -382,13 +382,20 @@ def rest_paged_source(
             break
         rows.extend(results)
         offset += limit
+        if len(results) < limit:
+            break  # short page: the API itself says this was the last
     else:
-        raise RuntimeError(
-            f"rest_paged_source: no empty page after {max_pages} pages "
-            f"({len(rows)} rows accumulated) — API paging is misbehaving "
-            "(offset ignored?) or the table is larger than the bound; "
-            "raise max_pages only if the latter"
-        )
+        # max_pages full pages: a table of exactly max_pages*limit rows
+        # is still legal — one extra probe fetch distinguishes it from
+        # a runaway (offset-ignoring) API before raising.
+        probe = (fetch_page(limit, offset) or {}).get("results") or []
+        if probe:
+            raise RuntimeError(
+                f"rest_paged_source: no empty page after {max_pages} pages "
+                f"({len(rows)} rows accumulated) — API paging is misbehaving "
+                "(offset ignored?) or the table is larger than the bound; "
+                "raise max_pages only if the latter"
+            )
     names = [f.name for f in schema.fields]
     df = spark.createDataFrame(
         [tuple(r.get(n) for n in names) for r in rows], schema
