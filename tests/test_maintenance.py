@@ -61,3 +61,52 @@ def test_compact_partitions_noop_when_compact(spark, tmp_path):
     )
     ev.coalesce(1).write.partitionBy("date_partition").parquet(path)
     assert compact_partitions(spark, path, target_mb=128) == {}
+
+
+def test_propagate_deletes_rewrites_only_touched_partitions(spark, tmp_path):
+    """Rows matching the key set disappear; partitions without doomed
+    keys keep their files byte-identical (mtime/name preserved), and a
+    second run is an idempotent no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+        propagate_deletes,
+    )
+
+    store = str(tmp_path / "events")
+    df = spark.range(100).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") * 10).alias("amount"),
+    )
+    df.write.partitionBy("part").parquet(store)
+
+    # keys confined to partitions 0 and 1 (ids ≡ 0,1 mod 4)
+    keys = spark.createDataFrame([(0,), (4,), (17,)], "user_id long")
+
+    def files(p):
+        out = {}
+        for d, _, fs in os.walk(p):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(d, f)
+                    out[fp] = os.path.getmtime(fp)
+        return out
+
+    before = files(store)
+    res = propagate_deletes(spark, store, keys, "user_id")
+    assert len(res) == 2  # part=0 and part=1 touched
+    for d, (b, a) in res.items():
+        assert b - a in (1, 2)
+    back = spark.read.parquet(store)
+    assert back.count() == 97
+    assert back.filter(F.col("user_id").isin(0, 4, 17)).count() == 0
+    # untouched partitions: identical files
+    after = files(store)
+    untouched_before = {p: m for p, m in before.items() if "part=2" in p or "part=3" in p}
+    untouched_after = {p: m for p, m in after.items() if "part=2" in p or "part=3" in p}
+    assert untouched_before == untouched_after
+    # idempotent second run: no partitions touched
+    assert propagate_deletes(spark, store, keys, "user_id") == {}

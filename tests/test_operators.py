@@ -625,3 +625,34 @@ def test_audio_window_features_exact_math(spark):
     # empty payload -> no rows, and the empty Arrow batch must not error
     empty = spark.createDataFrame([(2, bytearray(b""))], "doc_id long, payload binary")
     assert audio_window_features(empty).count() == 0
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """The streaming file source must see the events table in BOTH
+    physical layouts: the driver testdata ships a single events.parquet
+    FILE, while any Spark-written store (scale-probe replicas, real
+    lakes) is an events.parquet/ DIRECTORY of part files — with the old
+    dir-name glob filter the directory layout silently streamed zero
+    batches (no leaf file matches 'events.parquet')."""
+    import tempfile
+
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        events_stream,
+    )
+
+    static = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dir_sf = str(tmp_path / "sfdir")
+    static.limit(50).write.parquet(f"{dir_sf}/events.parquet")
+
+    for sf_dir, want in (("/root/testdata/sf0.001", static.count()), (dir_sf, 50)):
+        out = tempfile.mkdtemp(prefix="wrf_layout_out_")
+        q = (
+            events_stream(spark, sf_dir, static.schema)
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="wrf_layout_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+        assert spark.read.parquet(out).count() == want, sf_dir

@@ -72,3 +72,57 @@ def compact_partitions(
         after = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
         rewritten[part_dir] = (n_files, after)
     return rewritten
+
+
+def propagate_deletes(
+    spark: SparkSession,
+    path: str,
+    keys,  # DataFrame of keys to erase
+    key_col: str,
+) -> dict[str, tuple[int, int]]:
+    """Right-to-erasure rewrite: remove every row whose ``key_col``
+    appears in ``keys`` from a Hive-partitioned parquet store, touching
+    only the partitions that actually contain such rows.
+
+    The lakehouse analog of Iceberg's ``DELETE FROM`` (the reference's
+    Athena tables get this for free from the table format; plain
+    parquet needs the rewrite spelled out): (1) one partition-pruned
+    probe pass finds the partitions holding doomed keys — a broadcast
+    semi join against the (dimension-sized) key set, aggregated to
+    distinct partition dirs; (2) each touched partition is rewritten
+    with a broadcast ANTI join and atomically swapped, same
+    crash-safety contract as ``compact_partitions`` (a torn run leaves
+    some partitions rewritten and the rest untouched — re-running is
+    idempotent because deletion is). Untouched partitions keep their
+    files byte-identical. Returns {partition_dir: (rows_before,
+    rows_after)} for rewritten partitions.
+
+    At 100 TB the probe is the cheap half (scan prunes to ``key_col``
+    only), and rewrite cost is bounded by the touched partitions — for
+    key-partitioned or bucketed stores that's |keys| directories, not
+    the table.
+    """
+    from pyspark.sql import functions as F
+
+    keys = F.broadcast(keys.select(F.col(key_col)).distinct())
+    touched: set[str] = set()
+    for part_dir in sorted(_list_partitions(path)):
+        probe = (
+            spark.read.parquet(part_dir)
+            .select(key_col)
+            .join(keys, key_col, "left_semi")
+            .limit(1)
+        )
+        if probe.count() > 0:
+            touched.add(part_dir)
+    results: dict[str, tuple[int, int]] = {}
+    for part_dir in sorted(touched):
+        df = spark.read.parquet(part_dir)
+        before = df.count()
+        kept = df.join(keys, key_col, "left_anti")
+        tmp = part_dir.rstrip("/") + "__delete_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.replace(tmp, part_dir)
+        results[part_dir] = (before, spark.read.parquet(part_dir).count())
+    return results

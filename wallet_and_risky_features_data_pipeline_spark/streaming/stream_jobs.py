@@ -21,6 +21,27 @@ from pyspark.sql import functions as F
 from ..sources.readers import _ensure_session_confs, normalize_event_ts
 
 
+
+def events_stream(spark: SparkSession, sf_dir: str, schema):
+    """Streaming reader for the events table, tolerant of BOTH physical
+    layouts a parquet table ships in: a single ``events.parquet`` FILE
+    (the driver's testdata) needs the directory scan glob-filtered down
+    to that file, while an ``events.parquet/`` DIRECTORY of part files
+    (any Spark-written store, the scale-probe replicas) is streamed
+    directly — a glob on the dir name would match no leaf file and the
+    stream would silently see zero batches. Local-FS check here; a
+    cloud deployment swaps in the FileSystem API."""
+    import os
+
+    table = f"{sf_dir}/events.parquet"
+    if os.path.isdir(table):
+        return spark.readStream.schema(schema).parquet(table)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
 def _stream_session(spark: SparkSession, shuffle_partitions: int = 4) -> SparkSession:
     """Isolated SQLConf for one streaming query.
 
@@ -65,9 +86,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The streaming file source wants a directory; glob-filter down to
     # the events table inside the sf dir.
     stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir, static.schema)
         .transform(normalize_event_ts)
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id"])
@@ -187,9 +206,7 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         monotone_user_upsert(spark, batch, store)
 
     q = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir, static.schema)
         .transform(normalize_event_ts)
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id"])
@@ -253,9 +270,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
 
     stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir, static.schema)
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
@@ -320,9 +335,7 @@ def session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_session_ckpt_")
 
     stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir, static.schema)
         .transform(normalize_event_ts)
         .withWatermark("ts", "1 hour")
         .groupBy(
@@ -408,9 +421,7 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(event_type: str, prefix: str):
         return (
-            spark.readStream.schema(static.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            events_stream(spark, sf_dir, static.schema)
             .transform(normalize_event_ts)
             .filter(F.col("event_type") == event_type)
             .select(
@@ -498,9 +509,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir, static.schema)
         .transform(normalize_event_ts)
         .filter(F.col("event_type") == "purchase")
         .withColumn("day", F.date_trunc("day", F.col("ts")))
@@ -628,9 +637,7 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir, static.schema)
         .transform(normalize_event_ts)
         .groupBy("user_id")
         .applyInPandasWithState(
