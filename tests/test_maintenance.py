@@ -98,8 +98,7 @@ def test_propagate_deletes_rewrites_only_touched_partitions(spark, tmp_path):
     before = files(store)
     res = propagate_deletes(spark, store, keys, "user_id")
     assert len(res) == 2  # part=0 and part=1 touched
-    for d, (b, a) in res.items():
-        assert b - a in (1, 2)
+    assert sorted(res.values()) == [1, 2]  # rows deleted per partition
     back = spark.read.parquet(store)
     assert back.count() == 97
     assert back.filter(F.col("user_id").isin(0, 4, 17)).count() == 0
@@ -110,3 +109,35 @@ def test_propagate_deletes_rewrites_only_touched_partitions(spark, tmp_path):
     assert untouched_before == untouched_after
     # idempotent second run: no partitions touched
     assert propagate_deletes(spark, store, keys, "user_id") == {}
+
+
+def test_propagate_deletes_partition_key_and_unpartitioned(spark, tmp_path):
+    """Erasing the PARTITION key removes whole directories without any
+    scan-and-rewrite; an unpartitioned store rewrites in place."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+        propagate_deletes,
+    )
+
+    # key-partitioned store: the advertised |keys|-directories case
+    store = str(tmp_path / "by_user")
+    spark.range(20).select(
+        (F.col("id") % 5).alias("user_id"), (F.col("id") * 2).alias("amount")
+    ).write.partitionBy("user_id").parquet(store)
+    keys = spark.createDataFrame([(1,), (3,)], "user_id long")
+    res = propagate_deletes(spark, store, keys, "user_id")
+    assert sorted(res.values()) == [4, 4]
+    assert not os.path.exists(f"{store}/user_id=1")
+    back = spark.read.parquet(store)
+    assert back.count() == 12
+    assert back.filter(F.col("user_id").isin(1, 3)).count() == 0
+
+    # unpartitioned store
+    flat = str(tmp_path / "flat")
+    spark.range(10).select(F.col("id").alias("user_id")).coalesce(1).write.parquet(flat)
+    res = propagate_deletes(spark, flat, spark.createDataFrame([(7,)], "user_id long"), "user_id")
+    assert list(res.values()) == [1]
+    assert spark.read.parquet(flat).count() == 9

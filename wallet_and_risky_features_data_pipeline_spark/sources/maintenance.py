@@ -62,16 +62,47 @@ def compact_partitions(
         want = max(1, math.ceil(size / target_bytes))
         if n_files <= want:
             continue
-        tmp = part_dir.rstrip("/") + "__compact_tmp"
         # The scan is confined to this partition; the partition-column
         # values live in the directory name, not the files, so the
-        # rewrite round-trips them untouched.
-        spark.read.parquet(part_dir).coalesce(want).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(part_dir)
-        os.replace(tmp, part_dir)
+        # rewrite round-trips them untouched. _swap_in stages OUTSIDE
+        # the table root — a tmp dir named part=X__compact_tmp inside it
+        # would be parsed as a bogus partition value by any concurrent
+        # (or post-crash) partition discovery.
+        _swap_in(spark.read.parquet(part_dir).coalesce(want), part_dir, path)
         after = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
         rewritten[part_dir] = (n_files, after)
     return rewritten
+
+
+def _swap_in(new_df, part_dir: str, table_root: str) -> None:
+    """Write ``new_df`` and swap it in place of ``part_dir``.
+
+    The staging directory lives OUTSIDE the table root (dot-prefixed
+    sibling), so partition discovery can never parse a half-finished
+    rewrite as a bogus partition value and concurrent readers never see
+    the partition twice. The swap itself is two renames; a crash
+    between them leaves the partition absent but BOTH copies intact in
+    the staging dir (old/ and new/) — recoverable by hand, never silent
+    corruption. (True multi-file atomicity is a table format's job —
+    that's the documented Iceberg gap.)"""
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(table_root.rstrip("/")))
+    staging = tempfile.mkdtemp(prefix=".wrf_rewrite_", dir=parent)
+    try:
+        tmp = os.path.join(staging, "new")
+        new_df.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(staging, "old")
+        os.replace(part_dir, old)
+        os.replace(tmp, part_dir)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _partition_kv(leaf: str, root: str) -> dict[str, str]:
+    """key=value partition pairs encoded in a leaf dir's relative path."""
+    rel = os.path.relpath(os.path.abspath(leaf), os.path.abspath(root))
+    return dict(s.split("=", 1) for s in rel.split(os.sep) if "=" in s)
 
 
 def propagate_deletes(
@@ -79,50 +110,52 @@ def propagate_deletes(
     path: str,
     keys,  # DataFrame of keys to erase
     key_col: str,
-) -> dict[str, tuple[int, int]]:
+) -> dict[str, int]:
     """Right-to-erasure rewrite: remove every row whose ``key_col``
-    appears in ``keys`` from a Hive-partitioned parquet store, touching
-    only the partitions that actually contain such rows.
+    appears in ``keys`` from a (possibly partitioned) parquet store,
+    touching only the partitions that actually contain such rows.
 
     The lakehouse analog of Iceberg's ``DELETE FROM`` (the reference's
-    Athena tables get this for free from the table format; plain
-    parquet needs the rewrite spelled out): (1) one partition-pruned
-    probe pass finds the partitions holding doomed keys — a broadcast
-    semi join against the (dimension-sized) key set, aggregated to
-    distinct partition dirs; (2) each touched partition is rewritten
-    with a broadcast ANTI join and atomically swapped, same
-    crash-safety contract as ``compact_partitions`` (a torn run leaves
-    some partitions rewritten and the rest untouched — re-running is
-    idempotent because deletion is). Untouched partitions keep their
-    files byte-identical. Returns {partition_dir: (rows_before,
-    rows_after)} for rewritten partitions.
-
-    At 100 TB the probe is the cheap half (scan prunes to ``key_col``
-    only), and rewrite cost is bounded by the touched partitions — for
-    key-partitioned or bucketed stores that's |keys| directories, not
-    the table.
+    Athena tables get this from the table format; plain parquet needs
+    the rewrite spelled out). ONE probe job over the whole table — a
+    broadcast semi join against the (dimension-sized) key set,
+    aggregated per partition — finds the touched partitions and their
+    doomed-row counts; Catalyst partition-prunes the probe when
+    ``key_col`` IS the partition column. Each touched partition is then
+    rewritten with a broadcast ANTI join and swapped in via the
+    crash-safe out-of-root staging of ``_swap_in``; when the erased key
+    is the partition key itself, the directory is simply removed — no
+    scan at all. Re-running is idempotent (deletion is). Returns
+    ``{partition_dir: rows_deleted}``.
     """
     from pyspark.sql import functions as F
 
-    keys = F.broadcast(keys.select(F.col(key_col)).distinct())
-    touched: set[str] = set()
-    for part_dir in sorted(_list_partitions(path)):
-        probe = (
-            spark.read.parquet(part_dir)
-            .select(key_col)
-            .join(keys, key_col, "left_semi")
-            .limit(1)
-        )
-        if probe.count() > 0:
-            touched.add(part_dir)
-    results: dict[str, tuple[int, int]] = {}
-    for part_dir in sorted(touched):
-        df = spark.read.parquet(part_dir)
-        before = df.count()
-        kept = df.join(keys, key_col, "left_anti")
-        tmp = part_dir.rstrip("/") + "__delete_tmp"
-        kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(part_dir)
-        os.replace(tmp, part_dir)
-        results[part_dir] = (before, spark.read.parquet(part_dir).count())
+    keys_b = F.broadcast(keys.select(F.col(key_col)).distinct())
+    leaves = sorted(_list_partitions(path))
+    pcols = list(_partition_kv(leaves[0], path)) if leaves else []
+
+    touched: dict[str, int] = {}
+    if pcols:
+        df = spark.read.parquet(path)
+        for r in (
+            df.join(keys_b, key_col, "left_semi")
+            .groupBy(*pcols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ):
+            d = os.path.join(path, *[f"{c}={r[c]}" for c in pcols])
+            touched[d] = r["n"]
+    else:
+        n = spark.read.parquet(path).join(keys_b, key_col, "left_semi").count()
+        if n:
+            touched[path.rstrip("/")] = n
+
+    results: dict[str, int] = {}
+    for part_dir, n_del in sorted(touched.items()):
+        if key_col in _partition_kv(part_dir, path):
+            shutil.rmtree(part_dir)  # erasing the partition key: whole dir
+        else:
+            df = spark.read.parquet(part_dir)
+            _swap_in(df.join(keys_b, key_col, "left_anti"), part_dir, path)
+        results[part_dir] = n_del
     return results

@@ -36,6 +36,11 @@ def events_stream(spark: SparkSession, sf_dir: str, schema):
     table = f"{sf_dir}/events.parquet"
     if os.path.isdir(table):
         return spark.readStream.schema(schema).parquet(table)
+    if not os.path.isfile(table):
+        # Without this, the glob branch over a missing/typo'd dir would
+        # stream ZERO batches and terminate "successfully" — the silent
+        # empty-result failure this helper exists to prevent.
+        raise FileNotFoundError(f"events table not found at {table}")
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -83,8 +88,6 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle default. Tiny local state → few instances; a production
     # job with millions of in-flight keys raises this.
 
-    # The streaming file source wants a directory; glob-filter down to
-    # the events table inside the sf dir.
     stream = (
         events_stream(spark, sf_dir, static.schema)
         .transform(normalize_event_ts)
