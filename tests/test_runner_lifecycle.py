@@ -56,3 +56,25 @@ def test_full_lifecycle(spark, work_dir):
     assert {r["col_name"] for r in prof.select("col_name").collect()} == {
         "user_id", "event_type", "value",
     }
+
+
+def test_erase_layer_removes_wallet(spark, work_dir):
+    """--layer erase: a wallet disappears from the feature store (and
+    only its rows), driven through the same CLI surface."""
+    from pyspark.sql import functions as F
+
+    store = f"{work_dir}/features/contract_state"
+    feats = spark.read.parquet(store)
+    total = feats.count()
+    victim = feats.select("wallet_address").first()[0]
+    doomed = feats.filter(F.col("wallet_address") == victim).count()
+    assert doomed > 0
+
+    runner.run_erase(spark, SF_SMALL, work_dir, wallets=victim)
+    back = spark.read.parquet(store)
+    assert back.count() == total - doomed
+    assert back.filter(F.col("wallet_address") == victim).count() == 0
+
+    # idempotent: nothing left to erase
+    runner.run_erase(spark, SF_SMALL, work_dir, wallets=victim)
+    assert spark.read.parquet(store).count() == total - doomed

@@ -193,6 +193,27 @@ def run_maintain(spark, sf_dir: str, work_dir: str) -> None:
     )
 
 
+
+def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
+    """Right-to-erasure: remove a comma-separated wallet list from the
+    feature store, rewriting only the partitions that hold them (an
+    engine extension — the reference has no deletion story beyond the
+    table format's DELETE)."""
+    from .sources.maintenance import propagate_deletes
+
+    target = f"{work_dir}/features/contract_state"
+    keys = [w.strip() for w in wallets.split(",") if w.strip()]
+    if not keys:
+        print("erase: no --erase-wallets given, nothing to do")
+        return
+    keys_df = spark.createDataFrame([(w,) for w in keys], "wallet_address string")
+    stats = propagate_deletes(spark, target, keys_df, "wallet_address")
+    print(
+        f"erase: removed {sum(stats.values())} rows across "
+        f"{len(stats)} partitions for {len(keys)} wallets"
+    )
+
+
 def run_profile(spark, sf_dir: str, work_dir: str) -> None:
     """Stats collection (the ANALYZE cron a warehouse runs after
     loads): per-column profile of the event stream written beside the
@@ -220,10 +241,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--layer",
         required=True,
-        choices=["raw", "stage", "features", "maintain", "serve", "profile", "dq"],
+        choices=["raw", "stage", "features", "maintain", "erase", "serve", "profile", "dq"],
     )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--work-dir", default="/tmp/wrf_work")
+    ap.add_argument("--erase-wallets", default="", help="comma-separated keys for --layer erase")
     args = ap.parse_args(argv)
 
     spark = get_spark(f"wrf-runner-{args.layer}")
@@ -234,6 +256,7 @@ def main(argv: list[str] | None = None) -> int:
         "stage": run_stage,
         "features": run_features,
         "maintain": run_maintain,
+        "erase": lambda s, sf, wd: run_erase(s, sf, wd, args.erase_wallets),
         "serve": run_serve,
         "profile": run_profile,
         "dq": run_dq,
