@@ -141,3 +141,35 @@ def test_propagate_deletes_partition_key_and_unpartitioned(spark, tmp_path):
     res = propagate_deletes(spark, flat, spark.createDataFrame([(7,)], "user_id long"), "user_id")
     assert list(res.values()) == [1]
     assert spark.read.parquet(flat).count() == 9
+
+
+def test_propagate_deletes_numeric_looking_string_partitions(spark, tmp_path):
+    """Partition values like '07' (2-hex-char md5 buckets — the feature
+    store's real layout) must be matched against the ON-DISK directory
+    names: with type inference on, '07' reads back as int 7 and the
+    rewrite would target a nonexistent dir or silently merge '0' and
+    '00' — incomplete erasure."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+        propagate_deletes,
+    )
+
+    store = str(tmp_path / "bucketed")
+    df = spark.createDataFrame(
+        [(1, "07"), (2, "07"), (3, "7"), (4, "a3")],
+        "user_id long, bucket string",
+    )
+    df.write.partitionBy("bucket").parquet(store)
+    assert os.path.exists(f"{store}/bucket=07") and os.path.exists(f"{store}/bucket=7")
+
+    res = propagate_deletes(
+        spark, store, spark.createDataFrame([(1,), (3,)], "user_id long"), "user_id"
+    )
+    # one doomed row in bucket=07, one in bucket=7 — both dirs rewritten
+    assert {os.path.basename(d) for d in res} == {"bucket=07", "bucket=7"}
+    back = spark.read.parquet(store)
+    assert back.count() == 2
+    assert {r["user_id"] for r in back.collect()} == {2, 4}

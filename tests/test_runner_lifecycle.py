@@ -59,9 +59,20 @@ def test_full_lifecycle(spark, work_dir):
 
 
 def test_erase_layer_removes_wallet(spark, work_dir):
-    """--layer erase: a wallet disappears from the feature store (and
-    only its rows), driven through the same CLI surface."""
+    """--layer erase: a wallet disappears from the feature store, the
+    staged event log, AND the serving documents (erasure that leaves
+    copies behind isn't erasure), driven through the same CLI surface.
+    Self-sufficient: (re)builds the stores first — features MERGE and
+    stage append are idempotent, so this is a no-op after the full
+    lifecycle test and a build when run in isolation."""
+    import json
+    import os
+
     from pyspark.sql import functions as F
+
+    runner.run_stage(spark, SF_SMALL, work_dir)
+    runner.run_features(spark, SF_SMALL, work_dir)
+    runner.run_serve(spark, SF_SMALL, work_dir)
 
     store = f"{work_dir}/features/contract_state"
     feats = spark.read.parquet(store)
@@ -69,11 +80,24 @@ def test_erase_layer_removes_wallet(spark, work_dir):
     victim = feats.select("wallet_address").first()[0]
     doomed = feats.filter(F.col("wallet_address") == victim).count()
     assert doomed > 0
+    staged = spark.read.parquet(f"{work_dir}/stage/events")
+    n_staged = staged.count()
+    staged_doomed = staged.filter(F.col("user_id") == int(victim)).count()
 
     runner.run_erase(spark, SF_SMALL, work_dir, wallets=victim)
+
     back = spark.read.parquet(store)
     assert back.count() == total - doomed
     assert back.filter(F.col("wallet_address") == victim).count() == 0
+    staged_after = spark.read.parquet(f"{work_dir}/stage/events")
+    assert staged_after.count() == n_staged - staged_doomed
+    assert staged_after.filter(F.col("user_id") == int(victim)).count() == 0
+    serve_dir = f"{work_dir}/serving_store"
+    for fname in os.listdir(serve_dir):
+        if fname.endswith(".jsonl"):
+            with open(os.path.join(serve_dir, fname)) as fh:
+                for ln in fh:
+                    assert str(json.loads(ln).get("wallet_address")) != victim
 
     # idempotent: nothing left to erase
     runner.run_erase(spark, SF_SMALL, work_dir, wallets=victim)

@@ -195,22 +195,62 @@ def run_maintain(spark, sf_dir: str, work_dir: str) -> None:
 
 
 def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
-    """Right-to-erasure: remove a comma-separated wallet list from the
-    feature store, rewriting only the partitions that hold them (an
-    engine extension — the reference has no deletion story beyond the
-    table format's DELETE)."""
+    """Right-to-erasure: remove a comma-separated wallet list from EVERY
+    store this pipeline materializes — the feature store, the staged
+    event log, and the serving documents. Erasing only the feature rows
+    while event/serving copies persist would report a fulfilled request
+    that wasn't (an engine extension — the reference has no deletion
+    story beyond the table format's DELETE)."""
+    import json
+    import os
+
     from .sources.maintenance import propagate_deletes
 
-    target = f"{work_dir}/features/contract_state"
     keys = [w.strip() for w in wallets.split(",") if w.strip()]
     if not keys:
         print("erase: no --erase-wallets given, nothing to do")
         return
-    keys_df = spark.createDataFrame([(w,) for w in keys], "wallet_address string")
-    stats = propagate_deletes(spark, target, keys_df, "wallet_address")
+
+    # 1) feature store (wallet_address, string)
+    feats = f"{work_dir}/features/contract_state"
+    n_feats = 0
+    if os.path.exists(feats):
+        keys_df = spark.createDataFrame([(w,) for w in keys], "wallet_address string")
+        n_feats = sum(propagate_deletes(spark, feats, keys_df, "wallet_address").values())
+
+    # 2) staged events (user_id; wallet_address is user_id stringified
+    #    in this model — plans/wallet_model.py:97)
+    stage = f"{work_dir}/stage/events"
+    n_stage = 0
+    uid_keys = [int(w) for w in keys if w.lstrip("-").isdigit()]
+    if os.path.exists(stage) and uid_keys:
+        uid_df = spark.createDataFrame([(u,) for u in uid_keys], "user_id long")
+        n_stage = sum(propagate_deletes(spark, stage, uid_df, "user_id").values())
+
+    # 3) serving documents (JSONL files from DictStoreClient) —
+    #    dimension-sized, rewritten driver-side
+    serve = f"{work_dir}/serving_store"
+    n_serve = 0
+    if os.path.isdir(serve):
+        doomed = set(keys)
+        for fname in os.listdir(serve):
+            if not fname.endswith(".jsonl"):
+                continue
+            fp = os.path.join(serve, fname)
+            with open(fp) as fh:
+                lines = fh.readlines()
+            kept = [
+                ln for ln in lines
+                if str(json.loads(ln).get("wallet_address")) not in doomed
+            ]
+            if len(kept) != len(lines):
+                n_serve += len(lines) - len(kept)
+                with open(fp, "w") as fh:
+                    fh.writelines(kept)
+
     print(
-        f"erase: removed {sum(stats.values())} rows across "
-        f"{len(stats)} partitions for {len(keys)} wallets"
+        f"erase: {len(keys)} wallets — {n_feats} feature rows, "
+        f"{n_stage} staged events, {n_serve} serving docs removed"
     )
 
 

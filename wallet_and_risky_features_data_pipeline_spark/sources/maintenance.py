@@ -36,7 +36,10 @@ from pyspark.sql import SparkSession
 def _list_partitions(path: str) -> dict[str, tuple[int, int]]:
     """Map partition dir → (parquet file count, total bytes)."""
     parts: dict[str, tuple[int, int]] = {}
-    for dirpath, _dirnames, filenames in os.walk(path):
+    for dirpath, dirnames, filenames in os.walk(path):
+        # hidden/underscore dirs are invisible to Spark's file index
+        # (and hold our own rewrite staging) — never treat them as data
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
         pq = [f for f in filenames if f.endswith(".parquet")]
         if pq:
             size = sum(os.path.getsize(os.path.join(dirpath, f)) for f in pq)
@@ -77,26 +80,56 @@ def compact_partitions(
 def _swap_in(new_df, part_dir: str, table_root: str) -> None:
     """Write ``new_df`` and swap it in place of ``part_dir``.
 
-    The staging directory lives OUTSIDE the table root (dot-prefixed
-    sibling), so partition discovery can never parse a half-finished
-    rewrite as a bogus partition value and concurrent readers never see
-    the partition twice. The swap itself is two renames; a crash
-    between them leaves the partition absent but BOTH copies intact in
-    the staging dir (old/ and new/) — recoverable by hand, never silent
-    corruption. (True multi-file atomicity is a table format's job —
-    that's the documented Iceberg gap.)"""
+    Staging lives INSIDE the table root under a dot-prefixed dir: the
+    same filesystem as the partition (renames can't fail with EXDEV and
+    no write access outside the table is needed), and invisible to both
+    Spark's file index and ``_list_partitions`` (hidden-path filtering)
+    — so a half-finished rewrite can never be parsed as a bogus
+    partition or double-count rows for a concurrent reader. The swap is
+    two renames; if anything fails after the first, the staging dir is
+    LEFT IN PLACE with BOTH copies (``old`` = the original partition,
+    ``new`` = the rewrite) and the raised error names it — recovery is
+    a rename, never forensics. Only a fully successful swap cleans up.
+    (True multi-file atomicity is a table format's job — the documented
+    Iceberg gap.)"""
     import tempfile
 
-    parent = os.path.dirname(os.path.abspath(table_root.rstrip("/")))
-    staging = tempfile.mkdtemp(prefix=".wrf_rewrite_", dir=parent)
+    staging = tempfile.mkdtemp(
+        prefix=".wrf_rewrite_", dir=os.path.abspath(table_root.rstrip("/"))
+    )
+    tmp = os.path.join(staging, "new")
     try:
-        tmp = os.path.join(staging, "new")
         new_df.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(staging, "old")
-        os.replace(part_dir, old)
-        os.replace(tmp, part_dir)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)  # no rename happened yet
+        raise
+    old = os.path.join(staging, "old")
+    try:
+        if os.path.abspath(part_dir.rstrip("/")) == os.path.abspath(
+            table_root.rstrip("/")
+        ):
+            # Rewriting the table ROOT itself (unpartitioned store):
+            # the root can't be renamed into its own staging subdir, so
+            # swap its entries instead — each move is a rename, and a
+            # crash mid-way still leaves every original entry either in
+            # place or in old/ (weaker than the single-rename swap, but
+            # the root dir inode stays stable, which mountpoints need).
+            os.makedirs(old)
+            for entry in os.listdir(part_dir):
+                if entry.startswith(".wrf_rewrite_"):
+                    continue
+                os.replace(os.path.join(part_dir, entry), os.path.join(old, entry))
+            for entry in os.listdir(tmp):
+                os.replace(os.path.join(tmp, entry), os.path.join(part_dir, entry))
+        else:
+            os.replace(part_dir, old)
+            os.replace(tmp, part_dir)
+    except BaseException as e:
+        raise RuntimeError(
+            f"partition swap interrupted for {part_dir}; both the original "
+            f"(old/) and rewritten (new/) copies are preserved in {staging}"
+        ) from e
+    shutil.rmtree(staging)
 
 
 def _partition_kv(leaf: str, root: str) -> dict[str, str]:
@@ -121,30 +154,53 @@ def propagate_deletes(
     broadcast semi join against the (dimension-sized) key set,
     aggregated per partition — finds the touched partitions and their
     doomed-row counts; Catalyst partition-prunes the probe when
-    ``key_col`` IS the partition column. Each touched partition is then
-    rewritten with a broadcast ANTI join and swapped in via the
-    crash-safe out-of-root staging of ``_swap_in``; when the erased key
-    is the partition key itself, the directory is simply removed — no
-    scan at all. Re-running is idempotent (deletion is). Returns
+    ``key_col`` IS the partition column. Partition values are read with
+    type inference DISABLED and matched back to the on-disk directory
+    names (inference would turn a stored ``part=07`` into int 7 and the
+    rewrite would miss or crash on the real dir — silent incomplete
+    erasure is the one unacceptable failure here). Each touched
+    partition is rewritten with a broadcast ANTI join and swapped in
+    via the crash-safe in-root staging of ``_swap_in``; when the erased
+    key is the partition key itself, the directory is simply removed —
+    no scan at all. Re-running is idempotent (deletion is). Returns
     ``{partition_dir: rows_deleted}``.
     """
+    from urllib.parse import unquote
+
     from pyspark.sql import functions as F
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"parquet store not found at {path}")
 
     keys_b = F.broadcast(keys.select(F.col(key_col)).distinct())
     leaves = sorted(_list_partitions(path))
-    pcols = list(_partition_kv(leaves[0], path)) if leaves else []
+    kvs = {leaf: _partition_kv(leaf, path) for leaf in leaves}
+    pcols = list(next(iter(kvs.values()))) if leaves and kvs[leaves[0]] else []
+
+    def disk_value(raw: str):
+        # on-disk partition token → the string Spark yields for it
+        return None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
 
     touched: dict[str, int] = {}
     if pcols:
-        df = spark.read.parquet(path)
-        for r in (
-            df.join(keys_b, key_col, "left_semi")
-            .groupBy(*pcols)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        ):
-            d = os.path.join(path, *[f"{c}={r[c]}" for c in pcols])
-            touched[d] = r["n"]
+        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(conf, "true")
+        spark.conf.set(conf, "false")
+        try:
+            probe = {
+                tuple(r[col] for col in pcols): r["n"]
+                for r in spark.read.parquet(path)
+                .join(keys_b, key_col, "left_semi")
+                .groupBy(*pcols)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        finally:
+            spark.conf.set(conf, prev)
+        for leaf, kv in kvs.items():
+            n = probe.get(tuple(disk_value(kv[col]) for col in pcols))
+            if n:
+                touched[leaf] = n
     else:
         n = spark.read.parquet(path).join(keys_b, key_col, "left_semi").count()
         if n:
@@ -152,7 +208,7 @@ def propagate_deletes(
 
     results: dict[str, int] = {}
     for part_dir, n_del in sorted(touched.items()):
-        if key_col in _partition_kv(part_dir, path):
+        if key_col in kvs.get(part_dir, {}):
             shutil.rmtree(part_dir)  # erasing the partition key: whole dir
         else:
             df = spark.read.parquet(part_dir)
