@@ -173,3 +173,37 @@ def test_propagate_deletes_numeric_looking_string_partitions(spark, tmp_path):
     back = spark.read.parquet(store)
     assert back.count() == 2
     assert {r["user_id"] for r in back.collect()} == {2, 4}
+
+
+def test_redact_json_field_scrubs_only_hit_rows(spark, tmp_path):
+    """redact_json_field removes the counterparty field from rows
+    whose reference is doomed, leaves other rows byte-identical, and
+    preserves the hit rows' other fields."""
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+        redact_json_field,
+    )
+
+    store = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [
+            (1, 0, '{"k":5,"x":1}'),
+            (2, 0, '{"k":6,"x":2}'),
+            (3, 1, '{"x":3}'),
+        ],
+        "event_id long, part int, props string",
+    )
+    df.write.partitionBy("part").parquet(store)
+
+    res = redact_json_field(spark, store, ["5"], "props", "k")
+    assert list(res.values()) == [1]  # one hit row, in part=0 only
+    back = {r["event_id"]: r["props"] for r in spark.read.parquet(store).collect()}
+    assert F is not None
+    import json
+
+    assert json.loads(back[1]) == {"x": "1"}  # k gone, x kept (string-typed)
+    assert back[2] == '{"k":6,"x":2}'  # untouched rows keep original bytes
+    assert back[3] == '{"x":3}'
+    # idempotent
+    assert redact_json_field(spark, store, ["5"], "props", "k") == {}

@@ -92,6 +92,15 @@ def test_erase_layer_removes_wallet(spark, work_dir):
     staged_after = spark.read.parquet(f"{work_dir}/stage/events")
     assert staged_after.count() == n_staged - staged_doomed
     assert staged_after.filter(F.col("user_id") == int(victim)).count() == 0
+    # counterparty references redacted: no surviving event's props.k
+    # names the erased wallet (its history must not be recoverable
+    # from rows other users own)
+    assert (
+        staged_after.filter(
+            F.get_json_object("props", "$.k") == victim
+        ).count()
+        == 0
+    )
     serve_dir = f"{work_dir}/serving_store"
     for fname in os.listdir(serve_dir):
         if fname.endswith(".jsonl"):

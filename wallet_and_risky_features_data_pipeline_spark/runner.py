@@ -196,15 +196,19 @@ def run_maintain(spark, sf_dir: str, work_dir: str) -> None:
 
 def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
     """Right-to-erasure: remove a comma-separated wallet list from EVERY
-    store this pipeline materializes — the feature store, the staged
-    event log, and the serving documents. Erasing only the feature rows
-    while event/serving copies persist would report a fulfilled request
-    that wasn't (an engine extension — the reference has no deletion
-    story beyond the table format's DELETE)."""
+    store this pipeline materializes — feature rows and serving docs
+    are deleted; staged events the subject OWNS are deleted; staged
+    events owned by OTHERS that merely reference the subject as a
+    counterparty get the reference REDACTED from their props map
+    (deleting them would destroy the owners' data, keeping them would
+    leave the erased wallet's history recoverable). An engine extension
+    — the reference has no deletion story beyond the table format's
+    DELETE."""
     import json
     import os
+    import tempfile
 
-    from .sources.maintenance import propagate_deletes
+    from .sources.maintenance import propagate_deletes, redact_json_field
 
     keys = [w.strip() for w in wallets.split(",") if w.strip()]
     if not keys:
@@ -218,17 +222,30 @@ def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
         keys_df = spark.createDataFrame([(w,) for w in keys], "wallet_address string")
         n_feats = sum(propagate_deletes(spark, feats, keys_df, "wallet_address").values())
 
-    # 2) staged events (user_id; wallet_address is user_id stringified
-    #    in this model — plans/wallet_model.py:97)
+    # 2) staged events: delete rows the wallet owns (user_id; wallet
+    #    ids are canonical str(int) in this model — plans/wallet_model
+    #    .py:97 — so only round-tripping keys map to a user id; '07'
+    #    matches no wallet anywhere and must not delete user 7), then
+    #    redact counterparty references from props
     stage = f"{work_dir}/stage/events"
-    n_stage = 0
-    uid_keys = [int(w) for w in keys if w.lstrip("-").isdigit()]
-    if os.path.exists(stage) and uid_keys:
-        uid_df = spark.createDataFrame([(u,) for u in uid_keys], "user_id long")
-        n_stage = sum(propagate_deletes(spark, stage, uid_df, "user_id").values())
+    n_stage = n_redact = 0
+    uid_keys = []
+    for w in keys:
+        try:
+            u = int(w)
+        except ValueError:
+            continue
+        if str(u) == w:
+            uid_keys.append(u)
+    if os.path.exists(stage):
+        if uid_keys:
+            uid_df = spark.createDataFrame([(u,) for u in uid_keys], "user_id long")
+            n_stage = sum(propagate_deletes(spark, stage, uid_df, "user_id").values())
+        n_redact = sum(redact_json_field(spark, stage, keys, "props", "k").values())
 
     # 3) serving documents (JSONL files from DictStoreClient) —
-    #    dimension-sized, rewritten driver-side
+    #    dimension-sized, rewritten driver-side; tmp + os.replace so a
+    #    crash never leaves a half-written file
     serve = f"{work_dir}/serving_store"
     n_serve = 0
     if os.path.isdir(serve):
@@ -245,12 +262,15 @@ def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
             ]
             if len(kept) != len(lines):
                 n_serve += len(lines) - len(kept)
-                with open(fp, "w") as fh:
+                fd, tmp = tempfile.mkstemp(dir=serve, prefix=".erase_")
+                with os.fdopen(fd, "w") as fh:
                     fh.writelines(kept)
+                os.replace(tmp, fp)
 
     print(
         f"erase: {len(keys)} wallets — {n_feats} feature rows, "
-        f"{n_stage} staged events, {n_serve} serving docs removed"
+        f"{n_stage} staged events deleted, {n_redact} counterparty "
+        f"references redacted, {n_serve} serving docs removed"
     )
 
 

@@ -67,10 +67,9 @@ def compact_partitions(
             continue
         # The scan is confined to this partition; the partition-column
         # values live in the directory name, not the files, so the
-        # rewrite round-trips them untouched. _swap_in stages OUTSIDE
-        # the table root — a tmp dir named part=X__compact_tmp inside it
-        # would be parsed as a bogus partition value by any concurrent
-        # (or post-crash) partition discovery.
+        # rewrite round-trips them untouched. _swap_in stages in a
+        # dot-prefixed dir INSIDE the table root (hidden from partition
+        # discovery; see its docstring for the crash-recovery contract).
         _swap_in(spark.read.parquet(part_dir).coalesce(want), part_dir, path)
         after = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
         rewritten[part_dir] = (n_files, after)
@@ -129,7 +128,10 @@ def _swap_in(new_df, part_dir: str, table_root: str) -> None:
             f"partition swap interrupted for {part_dir}; both the original "
             f"(old/) and rewritten (new/) copies are preserved in {staging}"
         ) from e
-    shutil.rmtree(staging)
+    # best-effort: a cleanup failure (NFS silly-renames, a scanner
+    # holding old/ open) must not fail a swap that already succeeded;
+    # leftover staging is dot-prefixed and invisible to discovery
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def _partition_kv(leaf: str, root: str) -> dict[str, str]:
@@ -154,11 +156,15 @@ def propagate_deletes(
     broadcast semi join against the (dimension-sized) key set,
     aggregated per partition — finds the touched partitions and their
     doomed-row counts; Catalyst partition-prunes the probe when
-    ``key_col`` IS the partition column. Partition values are read with
-    type inference DISABLED and matched back to the on-disk directory
-    names (inference would turn a stored ``part=07`` into int 7 and the
-    rewrite would miss or crash on the real dir — silent incomplete
-    erasure is the one unacceptable failure here). Each touched
+    ``key_col`` IS the partition column. The probe declares partition
+    columns as STRINGS in an explicit read schema and matches the
+    values back to the on-disk directory names (type inference would
+    turn a stored ``part=07`` into int 7 and the rewrite would miss or
+    crash on the real dir — silent incomplete erasure is the one
+    unacceptable failure here; an explicit schema also avoids flipping
+    any session-global conf under concurrent readers, and the keys are
+    cast to string for that join so two large ids can never collapse
+    into one double). Each touched
     partition is rewritten with a broadcast ANTI join and swapped in
     via the crash-safe in-root staging of ``_swap_in``; when the erased
     key is the partition key itself, the directory is simply removed —
@@ -168,6 +174,7 @@ def propagate_deletes(
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
 
     if not os.path.exists(path):
         raise FileNotFoundError(f"parquet store not found at {path}")
@@ -175,7 +182,7 @@ def propagate_deletes(
     keys_b = F.broadcast(keys.select(F.col(key_col)).distinct())
     leaves = sorted(_list_partitions(path))
     kvs = {leaf: _partition_kv(leaf, path) for leaf in leaves}
-    pcols = list(next(iter(kvs.values()))) if leaves and kvs[leaves[0]] else []
+    pcols = list(kvs[leaves[0]]) if leaves and kvs[leaves[0]] else []
 
     def disk_value(raw: str):
         # on-disk partition token → the string Spark yields for it
@@ -183,20 +190,34 @@ def propagate_deletes(
 
     touched: dict[str, int] = {}
     if pcols:
-        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        prev = spark.conf.get(conf, "true")
-        spark.conf.set(conf, "false")
-        try:
-            probe = {
-                tuple(r[col] for col in pcols): r["n"]
-                for r in spark.read.parquet(path)
-                .join(keys_b, key_col, "left_semi")
-                .groupBy(*pcols)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-        finally:
-            spark.conf.set(conf, prev)
+        # Explicit schema: data columns keep their file types (so the
+        # key join stays exactly typed), partition columns are declared
+        # STRING — the values come back verbatim as stored, matchable
+        # against the on-disk dir names, without flipping the
+        # session-global inference conf under concurrent readers.
+        data_schema = spark.read.parquet(leaves[0]).schema
+        probe_schema = StructType(
+            list(data_schema.fields)
+            + [StructField(col, StringType()) for col in pcols]
+        )
+        probe_keys = keys_b
+        if key_col in pcols:
+            # partition values are strings here; cast the keys to match
+            # so the join is exact string equality, never a lossy
+            # numeric promotion (two snowflake-scale ids must not
+            # collapse into one double and rmtree both dirs)
+            probe_keys = F.broadcast(
+                keys_b.select(F.col(key_col).cast("string").alias(key_col))
+            )
+        probe = {
+            tuple(r[col] for col in pcols): r["n"]
+            for r in spark.read.schema(probe_schema)
+            .parquet(path)
+            .join(probe_keys, key_col, "left_semi")
+            .groupBy(*pcols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         for leaf, kv in kvs.items():
             n = probe.get(tuple(disk_value(kv[col]) for col in pcols))
             if n:
@@ -214,4 +235,78 @@ def propagate_deletes(
             df = spark.read.parquet(part_dir)
             _swap_in(df.join(keys_b, key_col, "left_anti"), part_dir, path)
         results[part_dir] = n_del
+    return results
+
+
+def redact_json_field(
+    spark, path: str, doomed, json_col: str, field: str
+) -> dict[str, int]:
+    """Erasure's second half: rows owned by OTHER subjects that merely
+    reference the erased one (counterparty legs) must keep their
+    owners' data and lose only the reference — deleting them would
+    destroy someone else's records, keeping them intact would leave the
+    erased subject recoverable. Removes ``field`` from the ``json_col``
+    document wherever its value is in ``doomed``. Only hit rows are
+    re-serialized (string-typed values for their remaining fields);
+    untouched rows keep their original bytes. Same partition-probe +
+    crash-safe ``_swap_in`` machinery as ``propagate_deletes``;
+    returns ``{partition_dir: rows_redacted}``.
+    """
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"parquet store not found at {path}")
+    doomed = [str(k) for k in doomed]
+    if not doomed:
+        return {}
+    ref = F.get_json_object(F.col(json_col), f"$.{field}")
+    hit = ref.isin(doomed)
+
+    leaves = sorted(_list_partitions(path))
+    kvs = {leaf: _partition_kv(leaf, path) for leaf in leaves}
+    pcols = list(kvs[leaves[0]]) if leaves and kvs[leaves[0]] else []
+
+    touched: dict[str, int] = {}
+    if pcols:
+        data_schema = spark.read.parquet(leaves[0]).schema
+        probe_schema = StructType(
+            list(data_schema.fields)
+            + [StructField(col, StringType()) for col in pcols]
+        )
+        probe = {
+            tuple(r[col] for col in pcols): r["n"]
+            for r in spark.read.schema(probe_schema)
+            .parquet(path)
+            .filter(hit)
+            .groupBy(*pcols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for leaf, kv in kvs.items():
+            vals = tuple(
+                None if kv[col] == "__HIVE_DEFAULT_PARTITION__" else unquote(kv[col])
+                for col in pcols
+            )
+            if probe.get(vals):
+                touched[leaf] = probe[vals]
+    else:
+        n = spark.read.parquet(path).filter(hit).count()
+        if n:
+            touched[path.rstrip("/")] = n
+
+    results: dict[str, int] = {}
+    for part_dir, n_hit in sorted(touched.items()):
+        df = spark.read.parquet(part_dir)
+        scrubbed = F.to_json(
+            F.map_filter(
+                F.from_json(F.col(json_col), "map<string,string>"),
+                lambda k, _v: k != F.lit(field),
+            )
+        )
+        redacted = df.withColumn(json_col, F.when(hit, scrubbed).otherwise(F.col(json_col)))
+        _swap_in(redacted, part_dir, path)
+        results[part_dir] = n_hit
     return results
