@@ -100,16 +100,32 @@ def main() -> None:
     # ISOLATED per-query times stay flat) — best-of-2 keeps the headline
     # from reading as a 2x regression on an unlucky sample. Both raw
     # walls are recorded.
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        reset_session_memos,
+    )
+
     wall_runs: list[float] = []
-    timings: dict[str, float] = {}
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))):
+    passes: list[dict[str, float]] = []
+    for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))):
+        # drop session memos so every pass executes the full pipelines —
+        # otherwise pass 2 noop-writes pass 1's memoized cluster
+        # assignment and min() systematically picks the pass that
+        # skipped the work
+        reset_session_memos(spark)
         start = time.perf_counter()
         with ThreadPoolExecutor(CONCURRENCY) as pool:
-            pass_timings = dict(t for t in pool.map(run, order) if t)
+            passes.append(dict(t for t in pool.map(run, order) if t))
         wall_runs.append(round(time.perf_counter() - start, 4))
-        if not timings or wall_runs[-1] == min(wall_runs):
-            timings = pass_timings  # per-query figures from the best pass
-    wall = min(wall_runs)
+    # best pass = min wall AMONG the most-complete passes: a pass where
+    # a query errored out early has an artificially low wall and must
+    # not beat a complete one
+    most = max(len(p) for p in passes)
+    best = min(
+        (i for i in range(len(passes)) if len(passes[i]) == most),
+        key=lambda i: wall_runs[i],
+    )
+    timings = passes[best]
+    wall = wall_runs[best]
 
     # Isolated tier: the N heaviest queries (by concurrent latency)
     # re-run sequentially, one at a time. The concurrent numbers carry

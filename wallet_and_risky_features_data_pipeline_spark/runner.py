@@ -208,7 +208,7 @@ def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
     import os
     import tempfile
 
-    from .sources.maintenance import propagate_deletes, redact_json_field
+    from .sources.maintenance import erase_and_redact, propagate_deletes
 
     keys = [w.strip() for w in wallets.split(",") if w.strip()]
     if not keys:
@@ -222,11 +222,12 @@ def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
         keys_df = spark.createDataFrame([(w,) for w in keys], "wallet_address string")
         n_feats = sum(propagate_deletes(spark, feats, keys_df, "wallet_address").values())
 
-    # 2) staged events: delete rows the wallet owns (user_id; wallet
-    #    ids are canonical str(int) in this model — plans/wallet_model
-    #    .py:97 — so only round-tripping keys map to a user id; '07'
-    #    matches no wallet anywhere and must not delete user 7), then
-    #    redact counterparty references from props
+    # 2) staged events, ONE combined pass per touched partition:
+    #    delete rows the wallet owns (user_id; wallet ids are canonical
+    #    str(int) in this model — plans/wallet_model.py:97 — so only
+    #    round-tripping keys map to a user id; '07' matches no wallet
+    #    anywhere and must not delete user 7) and redact counterparty
+    #    references from props in the same rewrite
     stage = f"{work_dir}/stage/events"
     n_stage = n_redact = 0
     uid_keys = []
@@ -238,10 +239,11 @@ def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
         if str(u) == w:
             uid_keys.append(u)
     if os.path.exists(stage):
-        if uid_keys:
-            uid_df = spark.createDataFrame([(u,) for u in uid_keys], "user_id long")
-            n_stage = sum(propagate_deletes(spark, stage, uid_df, "user_id").values())
-        n_redact = sum(redact_json_field(spark, stage, keys, "props", "k").values())
+        stats = erase_and_redact(
+            spark, stage, uid_keys, "user_id", keys, "props", "k"
+        )
+        n_stage = sum(d for d, _ in stats.values())
+        n_redact = sum(r for _, r in stats.values())
 
     # 3) serving documents (JSONL files from DictStoreClient) —
     #    dimension-sized, rewritten driver-side; tmp + os.replace so a
@@ -265,6 +267,7 @@ def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
                 fd, tmp = tempfile.mkstemp(dir=serve, prefix=".erase_")
                 with os.fdopen(fd, "w") as fh:
                     fh.writelines(kept)
+                os.chmod(tmp, os.stat(fp).st_mode)  # mkstemp is 0600
                 os.replace(tmp, fp)
 
     print(

@@ -130,14 +130,75 @@ def _swap_in(new_df, part_dir: str, table_root: str) -> None:
         ) from e
     # best-effort: a cleanup failure (NFS silly-renames, a scanner
     # holding old/ open) must not fail a swap that already succeeded;
-    # leftover staging is dot-prefixed and invisible to discovery
+    # leftover staging is dot-prefixed and invisible to discovery — but
+    # for an ERASURE caller it still holds the pre-erasure copy, so a
+    # residue is loudly named, never silent
     shutil.rmtree(staging, ignore_errors=True)
+    if os.path.exists(staging):
+        print(
+            f"WARNING: could not fully remove rewrite staging {staging} — "
+            "it contains the pre-rewrite partition copy; remove it manually"
+        )
 
 
 def _partition_kv(leaf: str, root: str) -> dict[str, str]:
     """key=value partition pairs encoded in a leaf dir's relative path."""
     rel = os.path.relpath(os.path.abspath(leaf), os.path.abspath(root))
     return dict(s.split("=", 1) for s in rel.split(os.sep) if "=" in s)
+
+
+def _probe_touched(spark, path: str, doom_factory):
+    """Shared partition probe for the rewrite family.
+
+    Lists leaf partitions, derives the partition columns, and runs ONE
+    job over the whole table — ``doom_factory(pcols)`` returns a
+    ``df → df`` transform selecting the doomed rows — aggregated per
+    partition. Partition columns are declared STRING in an explicit
+    read schema and the values matched back to the ON-DISK directory
+    names (type inference would turn a stored ``part=07`` into int 7
+    and the rewrite would miss or crash on the real dir — silent
+    incomplete erasure is the one unacceptable failure here; an
+    explicit schema also avoids flipping any session-global conf under
+    concurrent readers). Returns ``(touched: {leaf_dir: n_rows}, kvs)``.
+    """
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"parquet store not found at {path}")
+    leaves = sorted(_list_partitions(path))
+    kvs = {leaf: _partition_kv(leaf, path) for leaf in leaves}
+    pcols = list(kvs[leaves[0]]) if leaves and kvs[leaves[0]] else []
+    doom = doom_factory(pcols)
+
+    touched: dict[str, int] = {}
+    if pcols:
+        data_schema = spark.read.parquet(leaves[0]).schema
+        probe_schema = StructType(
+            list(data_schema.fields)
+            + [StructField(col, StringType()) for col in pcols]
+        )
+        probe = {
+            tuple(r[col] for col in pcols): r["n"]
+            for r in doom(spark.read.schema(probe_schema).parquet(path))
+            .groupBy(*pcols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for leaf, kv in kvs.items():
+            vals = tuple(
+                None if kv[col] == "__HIVE_DEFAULT_PARTITION__" else unquote(kv[col])
+                for col in pcols
+            )
+            if probe.get(vals):
+                touched[leaf] = probe[vals]
+    else:
+        n = doom(spark.read.parquet(path)).count()
+        if n:
+            touched[path.rstrip("/")] = n
+    return touched, kvs
 
 
 def propagate_deletes(
@@ -152,81 +213,30 @@ def propagate_deletes(
 
     The lakehouse analog of Iceberg's ``DELETE FROM`` (the reference's
     Athena tables get this from the table format; plain parquet needs
-    the rewrite spelled out). ONE probe job over the whole table — a
-    broadcast semi join against the (dimension-sized) key set,
-    aggregated per partition — finds the touched partitions and their
-    doomed-row counts; Catalyst partition-prunes the probe when
-    ``key_col`` IS the partition column. The probe declares partition
-    columns as STRINGS in an explicit read schema and matches the
-    values back to the on-disk directory names (type inference would
-    turn a stored ``part=07`` into int 7 and the rewrite would miss or
-    crash on the real dir — silent incomplete erasure is the one
-    unacceptable failure here; an explicit schema also avoids flipping
-    any session-global conf under concurrent readers, and the keys are
-    cast to string for that join so two large ids can never collapse
-    into one double). Each touched
-    partition is rewritten with a broadcast ANTI join and swapped in
-    via the crash-safe in-root staging of ``_swap_in``; when the erased
-    key is the partition key itself, the directory is simply removed —
-    no scan at all. Re-running is idempotent (deletion is). Returns
+    the rewrite spelled out). One ``_probe_touched`` job — a broadcast
+    semi join against the (dimension-sized) key set — finds the touched
+    partitions; when ``key_col`` IS the partition column the keys are
+    cast to string so the join is exact string equality (two
+    snowflake-scale ids must never collapse into one double and rmtree
+    an innocent partition), and matched directories are simply removed
+    with no scan. Data-column keys get a broadcast ANTI-join rewrite
+    swapped in via the crash-safe in-root staging of ``_swap_in``.
+    Re-running is idempotent (deletion is). Returns
     ``{partition_dir: rows_deleted}``.
     """
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    if not os.path.exists(path):
-        raise FileNotFoundError(f"parquet store not found at {path}")
 
     keys_b = F.broadcast(keys.select(F.col(key_col)).distinct())
-    leaves = sorted(_list_partitions(path))
-    kvs = {leaf: _partition_kv(leaf, path) for leaf in leaves}
-    pcols = list(kvs[leaves[0]]) if leaves and kvs[leaves[0]] else []
 
-    def disk_value(raw: str):
-        # on-disk partition token → the string Spark yields for it
-        return None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
-
-    touched: dict[str, int] = {}
-    if pcols:
-        # Explicit schema: data columns keep their file types (so the
-        # key join stays exactly typed), partition columns are declared
-        # STRING — the values come back verbatim as stored, matchable
-        # against the on-disk dir names, without flipping the
-        # session-global inference conf under concurrent readers.
-        data_schema = spark.read.parquet(leaves[0]).schema
-        probe_schema = StructType(
-            list(data_schema.fields)
-            + [StructField(col, StringType()) for col in pcols]
-        )
+    def doom_factory(pcols):
         probe_keys = keys_b
         if key_col in pcols:
-            # partition values are strings here; cast the keys to match
-            # so the join is exact string equality, never a lossy
-            # numeric promotion (two snowflake-scale ids must not
-            # collapse into one double and rmtree both dirs)
             probe_keys = F.broadcast(
                 keys_b.select(F.col(key_col).cast("string").alias(key_col))
             )
-        probe = {
-            tuple(r[col] for col in pcols): r["n"]
-            for r in spark.read.schema(probe_schema)
-            .parquet(path)
-            .join(probe_keys, key_col, "left_semi")
-            .groupBy(*pcols)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        for leaf, kv in kvs.items():
-            n = probe.get(tuple(disk_value(kv[col]) for col in pcols))
-            if n:
-                touched[leaf] = n
-    else:
-        n = spark.read.parquet(path).join(keys_b, key_col, "left_semi").count()
-        if n:
-            touched[path.rstrip("/")] = n
+        return lambda df: df.join(probe_keys, key_col, "left_semi")
 
+    touched, kvs = _probe_touched(spark, path, doom_factory)
     results: dict[str, int] = {}
     for part_dir, n_del in sorted(touched.items()):
         if key_col in kvs.get(part_dir, {}):
@@ -238,6 +248,25 @@ def propagate_deletes(
     return results
 
 
+def _json_scrub(json_col: str, field: str):
+    """Expression dropping ``field`` from a flat JSON document.
+
+    KNOWN LIMITATION (documented, latent for this engine's flat
+    ``props`` payloads): the map<string,string> round-trip re-types the
+    hit row's surviving scalar values as strings, flattens nested
+    objects into embedded JSON strings, and drops null-valued fields.
+    A store with nested/typed JSON needs a real JSON surgeon here.
+    """
+    from pyspark.sql import functions as F
+
+    return F.to_json(
+        F.map_filter(
+            F.from_json(F.col(json_col), "map<string,string>"),
+            lambda k, _v: k != F.lit(field),
+        )
+    )
+
+
 def redact_json_field(
     spark, path: str, doomed, json_col: str, field: str
 ) -> dict[str, int]:
@@ -247,66 +276,78 @@ def redact_json_field(
     destroy someone else's records, keeping them intact would leave the
     erased subject recoverable. Removes ``field`` from the ``json_col``
     document wherever its value is in ``doomed``. Only hit rows are
-    re-serialized (string-typed values for their remaining fields);
-    untouched rows keep their original bytes. Same partition-probe +
-    crash-safe ``_swap_in`` machinery as ``propagate_deletes``;
-    returns ``{partition_dir: rows_redacted}``.
+    re-serialized (see ``_json_scrub`` for the flat-JSON limitation);
+    untouched rows keep their original bytes. Returns
+    ``{partition_dir: rows_redacted}``.
     """
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType, StructField, StructType
 
-    if not os.path.exists(path):
-        raise FileNotFoundError(f"parquet store not found at {path}")
     doomed = [str(k) for k in doomed]
     if not doomed:
         return {}
-    ref = F.get_json_object(F.col(json_col), f"$.{field}")
-    hit = ref.isin(doomed)
+    hit = F.get_json_object(F.col(json_col), f"$.{field}").isin(doomed)
 
-    leaves = sorted(_list_partitions(path))
-    kvs = {leaf: _partition_kv(leaf, path) for leaf in leaves}
-    pcols = list(kvs[leaves[0]]) if leaves and kvs[leaves[0]] else []
-
-    touched: dict[str, int] = {}
-    if pcols:
-        data_schema = spark.read.parquet(leaves[0]).schema
-        probe_schema = StructType(
-            list(data_schema.fields)
-            + [StructField(col, StringType()) for col in pcols]
-        )
-        probe = {
-            tuple(r[col] for col in pcols): r["n"]
-            for r in spark.read.schema(probe_schema)
-            .parquet(path)
-            .filter(hit)
-            .groupBy(*pcols)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        for leaf, kv in kvs.items():
-            vals = tuple(
-                None if kv[col] == "__HIVE_DEFAULT_PARTITION__" else unquote(kv[col])
-                for col in pcols
-            )
-            if probe.get(vals):
-                touched[leaf] = probe[vals]
-    else:
-        n = spark.read.parquet(path).filter(hit).count()
-        if n:
-            touched[path.rstrip("/")] = n
-
+    touched, _ = _probe_touched(spark, path, lambda pcols: lambda df: df.filter(hit))
     results: dict[str, int] = {}
     for part_dir, n_hit in sorted(touched.items()):
         df = spark.read.parquet(part_dir)
-        scrubbed = F.to_json(
-            F.map_filter(
-                F.from_json(F.col(json_col), "map<string,string>"),
-                lambda k, _v: k != F.lit(field),
-            )
+        redacted = df.withColumn(
+            json_col,
+            F.when(hit, _json_scrub(json_col, field)).otherwise(F.col(json_col)),
         )
-        redacted = df.withColumn(json_col, F.when(hit, scrubbed).otherwise(F.col(json_col)))
         _swap_in(redacted, part_dir, path)
         results[part_dir] = n_hit
     return results
+
+
+def erase_and_redact(
+    spark,
+    path: str,
+    owned_keys,
+    key_col: str,
+    ref_keys,
+    json_col: str,
+    field: str,
+) -> dict[str, tuple[int, int]]:
+    """Combined erasure pass for a store holding BOTH rows the subject
+    owns and rows that reference it: one probe job (OR of both
+    predicates) and ONE rewrite per touched partition that deletes the
+    owned rows and redacts the references — running the delete and
+    redact passes separately would probe the store twice and rewrite
+    every overlapping partition twice. Returns
+    ``{partition_dir: (rows_deleted, rows_redacted)}``.
+    """
+    from pyspark.sql import functions as F
+
+    ref_keys = [str(k) for k in ref_keys]
+    owned = (
+        F.col(key_col).isin(list(owned_keys)) if owned_keys else F.lit(False)
+    )
+    hit = (
+        F.get_json_object(F.col(json_col), f"$.{field}").isin(ref_keys)
+        if ref_keys
+        else F.lit(False)
+    )
+    if not owned_keys and not ref_keys:
+        return {}
+
+    touched, _ = _probe_touched(
+        spark, path, lambda pcols: lambda df: df.filter(owned | hit)
+    )
+    if not touched:
+        return {}
+    # one extra tiny aggregate splits the affected counts for reporting
+    counts = {}
+    for part_dir in touched:
+        df = spark.read.parquet(part_dir)
+        row = df.agg(
+            F.sum(owned.cast("int")).alias("d"),
+            F.sum((hit & ~owned).cast("int")).alias("r"),
+        ).first()
+        counts[part_dir] = (row["d"] or 0, row["r"] or 0)
+        kept = df.filter(~owned).withColumn(
+            json_col,
+            F.when(hit, _json_scrub(json_col, field)).otherwise(F.col(json_col)),
+        )
+        _swap_in(kept, part_dir, path)
+    return counts
