@@ -206,3 +206,142 @@ def test_redact_json_field_scrubs_only_hit_rows(spark, tmp_path):
     assert back[3] == '{"x":3}'
     # idempotent
     assert redact_json_field(spark, store, ["5"], "props", "k") == {}
+
+
+def test_erase_and_redact_keeps_null_keyed_rows(spark, tmp_path):
+    """Three-valued-logic trap: ``isin`` over a NULL key yields NULL,
+    and ``filter(~NULL)`` silently drops the row — a NULL-keyed row in
+    a touched partition must SURVIVE an erasure it was never named in
+    (and redaction via a NULL json value must not fire either)."""
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+        erase_and_redact,
+    )
+
+    store = str(tmp_path / "mixed")
+    df = spark.createDataFrame(
+        [
+            ("w1", 0, '{"cp":"w2","x":"1"}'),  # owned → deleted
+            ("w3", 0, '{"cp":"w2","x":"2"}'),  # references w2 → redacted
+            (None, 0, '{"x":"3"}'),            # NULL key, same partition → kept
+            ("w4", 0, None),                   # NULL props → kept intact
+            ("w5", 1, '{"x":"4"}'),            # untouched partition
+        ],
+        "wallet string, part int, props string",
+    )
+    df.write.partitionBy("part").parquet(store)
+
+    counts = erase_and_redact(
+        spark, store, ["w1"], "wallet", ["w2"], "props", "cp"
+    )
+    assert list(counts) == [f"{store}/part=0"]
+    assert counts[f"{store}/part=0"] == (1, 1)
+
+    back = spark.read.parquet(store)
+    rows = {r["wallet"]: r["props"] for r in back.collect()}
+    assert None in rows, "NULL-keyed row must survive erasure"
+    assert rows[None] == '{"x":"3"}'
+    assert rows["w4"] is None  # NULL json survives redaction untouched
+    assert "w1" not in rows
+    import json
+
+    assert json.loads(rows["w3"]) == {"x": "2"}  # cp gone
+    assert back.count() == 4
+
+
+def test_swap_in_concurrent_reader_never_sees_missing_partition(spark, tmp_path):
+    """Chaos check for the staged swap: a reader racing the two-rename
+    swap of a PARTITION dir must observe either the old or the new
+    contents — never a missing directory or an empty partition. We
+    interleave a polling thread with propagate_deletes and assert every
+    observation is one of the two legal states."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+        propagate_deletes,
+    )
+
+    store = str(tmp_path / "race")
+    spark.range(2000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 2).alias("part")
+    ).write.partitionBy("part").parquet(store)
+    part_dir = f"{store}/part=0"
+
+    observations: list[int] = []
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            if not os.path.exists(part_dir):
+                errors.append("partition dir vanished")
+                return
+            try:
+                n = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+            except FileNotFoundError:
+                errors.append("partition dir vanished mid-listdir")
+                return
+            if n == 0:
+                errors.append("partition dir observed empty")
+                return
+            observations.append(n)
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        keys = spark.range(0, 2000, 2).select(F.col("id").alias("user_id"))
+        res = propagate_deletes(spark, store, keys, "user_id")
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert errors == [], errors
+    assert observations, "poller never got to observe the partition"
+    assert res and f"{store}/part=0" in res
+    assert spark.read.parquet(store).filter(F.col("user_id") % 2 == 0).count() == 0
+
+
+def test_swap_in_strict_cleanup_raises_on_residue(tmp_path, monkeypatch):
+    """Erasure callers must FAIL (not warn) when the pre-erasure staging
+    copy cannot be removed — residual subject data on disk is an erasure
+    failure, not a housekeeping note."""
+    import pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import maintenance
+
+    # Simulate an undeletable staging dir by making rmtree a no-op.
+    monkeypatch.setattr(
+        maintenance.shutil, "rmtree", lambda *a, **k: None
+    )
+
+    class FakeWriter:
+        def __init__(self, outer):
+            self.outer = outer
+
+        def mode(self, _):
+            return self
+
+        def parquet(self, path):
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "part-0.parquet"), "wb") as f:
+                f.write(b"pq")
+
+    class FakeDF:
+        write = property(lambda self: FakeWriter(self))
+
+    root = str(tmp_path / "tbl")
+    part = os.path.join(root, "part=0")
+    os.makedirs(part)
+    with open(os.path.join(part, "part-old.parquet"), "wb") as f:
+        f.write(b"old")
+
+    with pytest.raises(RuntimeError, match="erasure incomplete"):
+        maintenance._swap_in(FakeDF(), part, root, strict_cleanup=True)
+    # non-strict path: same residue only warns
+    part2 = os.path.join(root, "part=1")
+    os.makedirs(part2)
+    with open(os.path.join(part2, "part-old.parquet"), "wb") as f:
+        f.write(b"old")
+    maintenance._swap_in(FakeDF(), part2, root, strict_cleanup=False)

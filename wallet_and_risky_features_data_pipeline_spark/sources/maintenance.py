@@ -76,7 +76,54 @@ def compact_partitions(
     return rewritten
 
 
-def _swap_in(new_df, part_dir: str, table_root: str) -> None:
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically EXCHANGE two directories via Linux
+    ``renameat2(RENAME_EXCHANGE)`` (kernel ≥3.15). Returns False when
+    the libc or the filesystem can't do it, so callers can fall back to
+    the two-rename dance. The exchange closes the only non-atomic
+    window in the partition swap: with two plain renames there is an
+    instant where the partition dir does not exist at all, and a reader
+    listing the table at that instant sees a missing partition."""
+    import ctypes
+    import ctypes.util
+    import errno
+
+    try:
+        libc = ctypes.CDLL(
+            ctypes.util.find_library("c") or "libc.so.6", use_errno=True
+        )
+    except OSError:
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    try:
+        rc = libc.renameat2(
+            AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b), RENAME_EXCHANGE
+        )
+    except AttributeError:
+        try:  # pre-2.28 glibc: raw syscall (x86_64: 316, aarch64: 276)
+            import platform
+
+            nr = {"x86_64": 316, "aarch64": 276}.get(platform.machine())
+            if nr is None:
+                return False
+            rc = libc.syscall(
+                nr, AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b),
+                RENAME_EXCHANGE,
+            )
+        except Exception:
+            return False
+    if rc != 0:
+        err = ctypes.get_errno()
+        if err in (errno.EINVAL, errno.ENOSYS, getattr(errno, "EOPNOTSUPP", 95)):
+            return False  # fs without RENAME_EXCHANGE → caller falls back
+        raise OSError(err, os.strerror(err), a)
+    return True
+
+
+def _swap_in(
+    new_df, part_dir: str, table_root: str, strict_cleanup: bool = False
+) -> None:
     """Write ``new_df`` and swap it in place of ``part_dir``.
 
     Staging lives INSIDE the table root under a dot-prefixed dir: the
@@ -85,7 +132,10 @@ def _swap_in(new_df, part_dir: str, table_root: str) -> None:
     Spark's file index and ``_list_partitions`` (hidden-path filtering)
     — so a half-finished rewrite can never be parsed as a bogus
     partition or double-count rows for a concurrent reader. The swap is
-    two renames; if anything fails after the first, the staging dir is
+    a single atomic ``renameat2(RENAME_EXCHANGE)`` where the kernel/fs
+    supports it (the partition dir never goes missing, even for a
+    nanosecond), else two renames; if anything fails mid-swap, the
+    staging dir is
     LEFT IN PLACE with BOTH copies (``old`` = the original partition,
     ``new`` = the rewrite) and the raised error names it — recovery is
     a rename, never forensics. Only a fully successful swap cleans up.
@@ -113,6 +163,13 @@ def _swap_in(new_df, part_dir: str, table_root: str) -> None:
             # crash mid-way still leaves every original entry either in
             # place or in old/ (weaker than the single-rename swap, but
             # the root dir inode stays stable, which mountpoints need).
+            # CONTRACT: this branch is NOT reader-atomic — between the
+            # drain into old/ and the refill, a concurrent reader sees
+            # an empty (or mixed) table. Callers rewriting an
+            # UNPARTITIONED store must quiesce readers first; the
+            # partitioned path (else-branch, two renames) has no such
+            # window. On a real lakehouse this is the table format's
+            # snapshot commit — the documented Iceberg gap.
             os.makedirs(old)
             for entry in os.listdir(part_dir):
                 if entry.startswith(".wrf_rewrite_"):
@@ -120,7 +177,15 @@ def _swap_in(new_df, part_dir: str, table_root: str) -> None:
                 os.replace(os.path.join(part_dir, entry), os.path.join(old, entry))
             for entry in os.listdir(tmp):
                 os.replace(os.path.join(tmp, entry), os.path.join(part_dir, entry))
+        elif _exchange_dirs(tmp, part_dir):
+            # atomic exchange: the partition dir NEVER goes missing —
+            # a concurrent reader sees the old files or the new files,
+            # nothing else. tmp now holds the original partition; park
+            # it under the recovery name the docstring promises.
+            os.replace(tmp, old)
         else:
+            # fs without RENAME_EXCHANGE: two renames, with a
+            # sub-millisecond window where the partition is absent
             os.replace(part_dir, old)
             os.replace(tmp, part_dir)
     except BaseException as e:
@@ -128,17 +193,27 @@ def _swap_in(new_df, part_dir: str, table_root: str) -> None:
             f"partition swap interrupted for {part_dir}; both the original "
             f"(old/) and rewritten (new/) copies are preserved in {staging}"
         ) from e
-    # best-effort: a cleanup failure (NFS silly-renames, a scanner
-    # holding old/ open) must not fail a swap that already succeeded;
-    # leftover staging is dot-prefixed and invisible to discovery — but
-    # for an ERASURE caller it still holds the pre-erasure copy, so a
-    # residue is loudly named, never silent
+    # Cleanup policy is caller-dependent. Compaction (strict_cleanup
+    # False): a cleanup failure (NFS silly-renames, a scanner holding
+    # old/ open) must not fail a swap that already succeeded; leftover
+    # staging is dot-prefixed and invisible to discovery, so warn and
+    # move on. ERASURE (strict_cleanup True): the staging dir still
+    # holds the PRE-ERASURE copy — residual subject data on disk is an
+    # erasure failure, so retry once and then RAISE rather than warn.
     shutil.rmtree(staging, ignore_errors=True)
     if os.path.exists(staging):
-        print(
-            f"WARNING: could not fully remove rewrite staging {staging} — "
-            "it contains the pre-rewrite partition copy; remove it manually"
+        shutil.rmtree(staging, ignore_errors=True)  # one retry
+    if os.path.exists(staging):
+        msg = (
+            f"could not fully remove rewrite staging {staging} — it "
+            "contains the pre-rewrite partition copy; remove it manually"
         )
+        if strict_cleanup:
+            raise RuntimeError(
+                f"erasure incomplete: {msg} (the swapped-in partition is "
+                "already erased; only the staging residue remains)"
+            )
+        print(f"WARNING: {msg}")
 
 
 def _partition_kv(leaf: str, root: str) -> dict[str, str]:
@@ -243,7 +318,12 @@ def propagate_deletes(
             shutil.rmtree(part_dir)  # erasing the partition key: whole dir
         else:
             df = spark.read.parquet(part_dir)
-            _swap_in(df.join(keys_b, key_col, "left_anti"), part_dir, path)
+            _swap_in(
+                df.join(keys_b, key_col, "left_anti"),
+                part_dir,
+                path,
+                strict_cleanup=True,
+            )
         results[part_dir] = n_del
     return results
 
@@ -295,7 +375,7 @@ def redact_json_field(
             json_col,
             F.when(hit, _json_scrub(json_col, field)).otherwise(F.col(json_col)),
         )
-        _swap_in(redacted, part_dir, path)
+        _swap_in(redacted, part_dir, path, strict_cleanup=True)
         results[part_dir] = n_hit
     return results
 
@@ -320,11 +400,22 @@ def erase_and_redact(
     from pyspark.sql import functions as F
 
     ref_keys = [str(k) for k in ref_keys]
+    # NULL-safety: ``isin`` is three-valued — a NULL key yields NULL, and
+    # ``~NULL`` is still NULL, so the ``kept = df.filter(~owned)`` below
+    # would silently DROP every NULL-keyed row in a touched partition
+    # (and never count it in the returned stats). Erasure must delete
+    # exactly the named subjects, so both predicates are pinned to
+    # two-valued logic: NULL key → not owned, not hit.
     owned = (
-        F.col(key_col).isin(list(owned_keys)) if owned_keys else F.lit(False)
+        F.coalesce(F.col(key_col).isin(list(owned_keys)), F.lit(False))
+        if owned_keys
+        else F.lit(False)
     )
     hit = (
-        F.get_json_object(F.col(json_col), f"$.{field}").isin(ref_keys)
+        F.coalesce(
+            F.get_json_object(F.col(json_col), f"$.{field}").isin(ref_keys),
+            F.lit(False),
+        )
         if ref_keys
         else F.lit(False)
     )
@@ -349,5 +440,5 @@ def erase_and_redact(
             json_col,
             F.when(hit, _json_scrub(json_col, field)).otherwise(F.col(json_col)),
         )
-        _swap_in(kept, part_dir, path)
+        _swap_in(kept, part_dir, path, strict_cleanup=True)
     return counts
