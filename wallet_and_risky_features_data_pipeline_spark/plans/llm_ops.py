@@ -1608,27 +1608,57 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 # N-gram LM score (KenLM stand-in): score each document by how typical
 # its trigrams are of the corpus — the cheap perplexity proxy curation
-# uses to rank fluency/junk before any model-based scorer. Corpus
-# trigram counts (one map-side-combined agg) equi-join back onto each
-# doc's trigrams (the standard inverted-index shape, shuffled on the
-# ngram key both sides), then one per-doc aggregate. Integer sums plus
-# ONE final IEEE division, so the score is bit-identical cross-engine.
-def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+# uses to rank fluency/junk before any model-based scorer.
+#
+# Skew design (the shape every LM-stats op should copy). A naive
+# ``exploded_grams JOIN corpus ON ngram`` keys the exchange on the raw
+# trigram: corpus gram frequencies are Zipf-distributed, so the head
+# grams ("one of the", …) each land on a single reducer with millions
+# of probe rows. The fix is a broadcast-head split:
+#
+#   The top ``hot_k`` grams by corpus frequency resolve via a broadcast
+#   LEFT join — a NARROW stage, zero shuffle for exactly the keys that
+#   would have been skewed, which by Zipf is the overwhelming majority
+#   of probe rows. Only rows that MISS the head shuffle to the
+#   corpus-frequency equi join, and by construction none of those keys
+#   is hot. The final per-doc aggregate needs no pre-collapse: explode
+#   is narrow, so a doc's head-hit rows stay co-located and map-side
+#   partial aggregation reduces them to ~one row per (task, doc)
+#   before the doc_id exchange. (A (doc_id, ngram) pre-aggregation was
+#   tried and REJECTED: docs' grams are mostly distinct, so it added a
+#   full extra shuffle for no reduction — 30× probe regressed.)
+#
+# Integer sums plus ONE final IEEE division, so the score is
+# bit-identical cross-engine.
+def text_ngram_lm_score(
+    spark: SparkSession, sf_dir: str, hot_k: int = 4096
+) -> DataFrame:
     from ..operators.dedup import word_shingles
 
     docs = fan_out(read_table(spark, sf_dir, "documents"))
-    # Both the corpus count and the probe side consume the exploded
-    # grams — persist so the explode runs once (released by the
-    # caller's cache_scope).
+    # Consumed by the corpus count and the probe — persist so the
+    # explode runs once (released by the caller's cache_scope).
     grams = persist_tracked(
         docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("ngram"))
     )
-    corpus = grams.groupBy("ngram").agg(F.count("*").alias("freq"))
+    # Corpus frequencies: map-side partial agg bounds the hot keys to
+    # one row per (map task, gram) pre-shuffle.
+    corpus = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("freq"))
+    # TakeOrderedAndProject — the head is driver-bounded at hot_k rows.
+    head = corpus.orderBy(F.desc("freq"), "ngram").limit(hot_k)
+
+    probed = grams.join(F.broadcast(head), "ngram", "left")
+    head_hits = probed.filter(F.col("freq").isNotNull())
+    # Tail probe keys are disjoint from the head by construction, so
+    # this (small) shuffle never sees a hot gram.
+    tail_hits = (
+        probed.filter(F.col("freq").isNull()).drop("freq").join(corpus, "ngram")
+    )
     return (
-        grams.join(corpus, "ngram")
+        head_hits.unionByName(tail_hits)
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
             F.sum("freq").cast("bigint").alias("sum_freq"),
         )
         .select(
