@@ -23,7 +23,7 @@ from wallet_and_risky_features_data_pipeline_spark.operators.quality import (
     feature_constraints,
     missing_sequence,
 )
-from wallet_and_risky_features_data_pipeline_spark.sources.writers import merge_upsert
+from wallet_and_risky_features_data_pipeline_spark.sources.writers import merge_upsert, read_store
 
 
 def test_norm_round_negative_zero(spark):
@@ -163,7 +163,7 @@ def test_merge_upsert(spark, tmp_path):
         "id long, name string, v double, part string",
     )
     merge_upsert(spark, updates, path, key=["id"], partition_cols=["part"])
-    got = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    got = {r["id"]: (r["name"], r["v"]) for r in read_store(spark, path).collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
 
 
@@ -178,7 +178,7 @@ def test_merge_upsert_empty_batch_is_noop(spark, tmp_path):
     merge_upsert(spark, base, path, key=["id"], partition_cols=["part"])
     empty = base.filter(F.lit(False))
     assert merge_upsert(spark, empty, path, key=["id"], partition_cols=["part"]) == 0
-    assert spark.read.parquet(path).count() == 1
+    assert read_store(spark, path).count() == 1
 
 
 def test_merge_upsert_under_static_overwrite_mode(spark, tmp_path):
@@ -200,7 +200,7 @@ def test_merge_upsert_under_static_overwrite_mode(spark, tmp_path):
         merge_upsert(spark, updates, path, key=["id"], partition_cols=["part"])
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    got = {r["id"] for r in read_store(spark, path).collect()}
     assert got == {1, 2, 3}  # p2 untouched, p1 merged
 
 
@@ -224,7 +224,7 @@ def test_stream_merge_upsert_monotone(spark, tmp_path):
     )
     monotone_user_upsert(spark, newer, store)
     monotone_user_upsert(spark, older, store)  # must not regress user 7
-    got = {r["user_id"]: r["last_event_type"] for r in spark.read.parquet(store).collect()}
+    got = {r["user_id"]: r["last_event_type"] for r in read_store(spark, store).collect()}
     assert got == {7: "purchase", 8: "signup"}
 
 
@@ -244,7 +244,7 @@ def test_monotone_upsert_backfills_missing_store_column(spark, tmp_path):
     )
     monotone_user_upsert(spark, fresh, store)
     # simulate the pre-last_event_id store schema
-    old = spark.read.parquet(store).drop("last_event_id").localCheckpoint(eager=True)
+    old = read_store(spark, store).drop("last_event_id").localCheckpoint(eager=True)
     import shutil
 
     shutil.rmtree(store)
@@ -255,7 +255,7 @@ def test_monotone_upsert_backfills_missing_store_column(spark, tmp_path):
         "user_id long, ts timestamp, event_type string, value double, event_id long",
     )
     monotone_user_upsert(spark, stale, store)
-    row = spark.read.parquet(store).filter(F.col("user_id") == 1).first()
+    row = read_store(spark, store).filter(F.col("user_id") == 1).first()
     assert row["last_value"] == 5.0  # stale batch rejected by the guard
 
 
@@ -656,3 +656,177 @@ def test_events_stream_reads_directory_layout(spark, tmp_path):
         )
         q.awaitTermination()
         assert spark.read.parquet(out).count() == want, sf_dir
+
+
+def test_merge_upsert_generation_commit_is_atomic(spark, tmp_path):
+    """The verdict's kill-between-partition-writes probe: inject a crash
+    AFTER the touched partitions landed in staging but BEFORE the
+    commit (the hardlink+rename+pointer-flip step). Readers must still
+    see generation N−1 complete and untouched; the retried merge must
+    succeed and converge to the same result."""
+    import pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "p1"), (2, "b", 20.0, "p1"), (3, "c", 30.0, "p2")],
+        "id long, name string, v double, part string",
+    )
+    merge_upsert(spark, base, path, key=["id"], partition_cols=["part"])
+    before = {r["id"]: (r["name"], r["v"]) for r in read_store(spark, path).collect()}
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0, "p1"), (4, "d", 40.0, "p1")],
+        "id long, name string, v double, part string",
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    real_link = writers._link_untouched
+
+    def crash(*a, **k):
+        raise Boom("injected crash mid-commit")
+
+    writers._link_untouched = crash
+    try:
+        with pytest.raises(Boom):
+            merge_upsert(spark, updates, path, key=["id"], partition_cols=["part"])
+    finally:
+        writers._link_untouched = real_link
+
+    # crash left staging behind but the live generation is intact
+    after_crash = {r["id"]: (r["name"], r["v"]) for r in read_store(spark, path).collect()}
+    assert after_crash == before
+    # retry converges; crashed staging is cleaned up, not committed
+    merge_upsert(spark, updates, path, key=["id"], partition_cols=["part"])
+    got = {r["id"]: (r["name"], r["v"]) for r in read_store(spark, path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_time_travel_and_vacuum(spark, tmp_path):
+    """Every merge commits a new immutable generation: old snapshots
+    stay readable (time travel) until vacuum_generations expires them,
+    and untouched partitions are hardlinked, not copied."""
+    import os
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+        vacuum_generations,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "p1"), (3, "c", 30.0, "p2")],
+        "id long, name string, v double, part string",
+    )
+    merge_upsert(spark, base, path, key=["id"], partition_cols=["part"])
+    updates = spark.createDataFrame(
+        [(2, "b", 20.0, "p1")], "id long, name string, v double, part string"
+    )
+    merge_upsert(spark, updates, path, key=["id"], partition_cols=["part"])
+    assert list_generations(path) == ["gen-000001", "gen-000002"]
+
+    # time travel: generation 1 still shows the pre-merge state
+    g1 = {r["id"] for r in read_store(spark, path, generation=1).collect()}
+    g2 = {r["id"] for r in read_store(spark, path, generation=2).collect()}
+    assert g1 == {1, 3} and g2 == {1, 2, 3}
+
+    # untouched partition p2 is hardlinked across generations (same inode)
+    def inodes(gen, part):
+        d = os.path.join(path, gen, f"part={part}")
+        return {os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d) if f.endswith(".parquet")}
+
+    assert inodes("gen-000001", "p2") == inodes("gen-000002", "p2")
+    assert inodes("gen-000001", "p1") != inodes("gen-000002", "p1")
+
+    removed = vacuum_generations(path, keep=1)
+    assert removed == ["gen-000001"]
+    assert read_store(spark, path).count() == 3  # live gen untouched
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_store(spark, path, generation=1)
+
+
+def test_merge_upsert_adopts_legacy_flat_store(spark, tmp_path):
+    """A store written by the pre-generational writer (flat partition
+    dirs, no _LATEST) is adopted crash-safely as generation 1 on the
+    first merge and the merge proceeds normally."""
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    path = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, "a", 10.0, "p1"), (3, "c", 30.0, "p2")],
+        "id long, name string, v double, part string",
+    ).write.partitionBy("part").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(1, "a2", 11.0, "p1")], "id long, name string, v double, part string"
+    )
+    merge_upsert(spark, updates, path, key=["id"], partition_cols=["part"])
+    assert list_generations(path) == ["gen-000001", "gen-000002"]
+    got = {r["id"]: r["v"] for r in read_store(spark, path).collect()}
+    assert got == {1: 11.0, 3: 30.0}
+
+
+def test_decoder_contract(spark):
+    """The decoder seam contract any real codec (PIL/ffmpeg/soundfile)
+    must satisfy to slot into the multimodal stages:
+
+    - image: ``decoder(payload: bytes) -> (width: int, height: int,
+      n_frames: int)``, total (never raises on valid payloads),
+      deterministic.
+    - frames: ``frame_decoder(payload) -> iterator of (frame_idx,
+      frame_bytes)`` with strictly increasing frame_idx from 0.
+    - audio: ``pcm_decoder(payload) -> integer ndarray`` of samples
+      (pass ``midpoint=0`` for signed PCM).
+
+    Drives all three stages with NON-stub decoders (a fake "header
+    codec" parsing dimensions from the payload, as a real container
+    parser would) and pins that the Spark-side plumbing — schema,
+    row cardinality, values — follows the injected decoder."""
+    import numpy as np
+
+    from wallet_and_risky_features_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+        audio_window_features,
+        decode_image_meta,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "\x03\x02abcdef"), (2, "\x05\x01xy")], "doc_id long, text string"
+    )
+    payload = attach_payload(docs, "doc_id", "text")
+
+    # image: "header codec" — first byte = width/16, second = height/16
+    def header_decoder(b: bytes):
+        return 16 * b[0], 16 * b[1], 1
+
+    rows = {r["doc_id"]: r for r in decode_image_meta(payload, decoder=header_decoder).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_frames"]) == (48, 32, 1)
+    assert (rows[2]["width"], rows[2]["height"]) == (80, 16)
+
+    # frames: 2-byte frames, every frame (every_nth=1)
+    def two_byte_frames(b: bytes):
+        for i in range((len(b) + 1) // 2):
+            yield i, b[2 * i : 2 * i + 2]
+
+    frames = sample_frames(payload, every_nth=1, frame_decoder=two_byte_frames)
+    per_doc = {r[0]: r[1] for r in frames.groupBy("doc_id").count().collect()}
+    assert per_doc == {1: 4, 2: 2}  # 8 bytes -> 4 frames, 4 bytes -> 2
+
+    # audio: signed-PCM decoder (midpoint 0)
+    def signed_pcm(b: bytes):
+        return np.frombuffer(b, np.uint8).astype(np.int64) - 128
+
+    feats = audio_window_features(
+        payload, window=4, pcm_decoder=signed_pcm, midpoint=0
+    ).collect()
+    assert {r["doc_id"] for r in feats} == {1, 2}
+    byte_sum = sum(r["sum_amp"] for r in feats if r["doc_id"] == 1)
+    assert byte_sum == sum(b - 128 for b in "\x03\x02abcdef".encode())

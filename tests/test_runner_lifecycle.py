@@ -20,6 +20,8 @@ def work_dir(tmp_path_factory):
 
 
 def test_full_lifecycle(spark, work_dir):
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import read_store
+
     runner.run_raw(spark, SF_SMALL, work_dir)
     blocks = spark.read.parquet(f"{work_dir}/raw/ethereum_blocks")
     assert blocks.count() == 100
@@ -36,18 +38,18 @@ def test_full_lifecycle(spark, work_dir):
     assert spark.read.parquet(f"{work_dir}/stage/events").count() == n_staged
 
     runner.run_features(spark, SF_SMALL, work_dir)
-    feats = spark.read.parquet(f"{work_dir}/features/contract_state")
+    feats = read_store(spark, f"{work_dir}/features/contract_state")
     n_feats = feats.count()
     assert n_feats > 0
 
     # features MERGE is idempotent under replay
     runner.run_features(spark, SF_SMALL, work_dir)
-    assert spark.read.parquet(f"{work_dir}/features/contract_state").count() == n_feats
+    assert read_store(spark, f"{work_dir}/features/contract_state").count() == n_feats
 
     runner.run_dq(spark, SF_SMALL, work_dir)
 
     runner.run_maintain(spark, SF_SMALL, work_dir)
-    assert spark.read.parquet(f"{work_dir}/features/contract_state").count() == n_feats
+    assert read_store(spark, f"{work_dir}/features/contract_state").count() == n_feats
 
     runner.run_serve(spark, SF_SMALL, work_dir)
 
@@ -74,8 +76,10 @@ def test_erase_layer_removes_wallet(spark, work_dir):
     runner.run_features(spark, SF_SMALL, work_dir)
     runner.run_serve(spark, SF_SMALL, work_dir)
 
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import read_store
+
     store = f"{work_dir}/features/contract_state"
-    feats = spark.read.parquet(store)
+    feats = read_store(spark, store)
     total = feats.count()
     victim = feats.select("wallet_address").first()[0]
     doomed = feats.filter(F.col("wallet_address") == victim).count()
@@ -86,7 +90,7 @@ def test_erase_layer_removes_wallet(spark, work_dir):
 
     runner.run_erase(spark, SF_SMALL, work_dir, wallets=victim)
 
-    back = spark.read.parquet(store)
+    back = read_store(spark, store)
     assert back.count() == total - doomed
     assert back.filter(F.col("wallet_address") == victim).count() == 0
     staged_after = spark.read.parquet(f"{work_dir}/stage/events")
@@ -110,4 +114,4 @@ def test_erase_layer_removes_wallet(spark, work_dir):
 
     # idempotent: nothing left to erase
     runner.run_erase(spark, SF_SMALL, work_dir, wallets=victim)
-    assert spark.read.parquet(store).count() == total - doomed
+    assert read_store(spark, store).count() == total - doomed

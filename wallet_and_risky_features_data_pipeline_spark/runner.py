@@ -33,7 +33,7 @@ from .plans.wallet_features import contract_state_from
 from .plans.wallet_model import wallet_transactions
 from .session import get_spark
 from .sources.readers import normalize_event_ts
-from .sources.writers import merge_upsert
+from .sources.writers import merge_upsert, read_store, resolve_store, vacuum_generations
 from .streaming.incremental import WatermarkStore, incremental_append, incremental_contract_state
 
 
@@ -61,7 +61,7 @@ def run_features(spark, sf_dir: str, work_dir: str) -> None:
     if wm is None:
         state = contract_state_from(wt)
     else:
-        prior = spark.read.parquet(target)
+        prior = read_store(spark, target)
         new_events = wt.filter(F.col("ts") > F.lit(wm).cast("timestamp"))
         state = incremental_contract_state(
             prior.select(
@@ -184,12 +184,17 @@ def run_maintain(spark, sf_dir: str, work_dir: str) -> None:
     from .sources.maintenance import compact_partitions
 
     target = f"{work_dir}/features/contract_state"
-    stats = compact_partitions(spark, target, target_mb=128)
+    # VACUUM half first: expire all but the two newest generations
+    # (keep one rollback snapshot), then bin-pack the LIVE generation
+    # only — compacting expired snapshots would be wasted IO.
+    expired = vacuum_generations(target, keep=2)
+    stats = compact_partitions(spark, resolve_store(target), target_mb=128)
     total_before = sum(b for b, _ in stats.values())
     total_after = sum(a for _, a in stats.values())
     print(
         f"maintain: compacted {len(stats)} partitions "
-        f"({total_before} -> {total_after} files)"
+        f"({total_before} -> {total_after} files); "
+        f"expired {len(expired)} generations"
     )
 
 
@@ -215,12 +220,20 @@ def run_erase(spark, sf_dir: str, work_dir: str, wallets: str = "") -> None:
         print("erase: no --erase-wallets given, nothing to do")
         return
 
-    # 1) feature store (wallet_address, string)
+    # 1) feature store (wallet_address, string). Generational stores
+    #    keep erased rows alive in every old snapshot, so erasure MUST
+    #    expire history first (Iceberg: expire_snapshots before DELETE
+    #    is effective) and then rewrite the live generation only.
     feats = f"{work_dir}/features/contract_state"
     n_feats = 0
     if os.path.exists(feats):
+        vacuum_generations(feats, keep=1)
         keys_df = spark.createDataFrame([(w,) for w in keys], "wallet_address string")
-        n_feats = sum(propagate_deletes(spark, feats, keys_df, "wallet_address").values())
+        n_feats = sum(
+            propagate_deletes(
+                spark, resolve_store(feats), keys_df, "wallet_address"
+            ).values()
+        )
 
     # 2) staged events, ONE combined pass per touched partition:
     #    delete rows the wallet owns (user_id; wallet ids are canonical

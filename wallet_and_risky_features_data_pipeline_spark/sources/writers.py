@@ -9,20 +9,47 @@ tables with MERGE INTO (features). Spark equivalents:
 - ``insert_incremental`` → anti-join dedup then append — the
   ``INSERT INTO ... WHERE NOT EXISTS`` half of every stage template
   (reference stage/transformations/ethereum_transactions.sql:40-77).
-- ``merge_upsert``       → join-based MERGE fallback in plain parquet
-  using dynamic partition overwrite; stands in for Iceberg
-  ``MERGE INTO`` (reference queries/ethereum_wallet_features.sql:760-833)
-  without a Delta/Iceberg runtime dependency. Only partitions present
-  in the incoming batch are rewritten, so write cost is bounded by the
+- ``merge_upsert``       → join-based MERGE in plain parquet with an
+  ATOMIC GENERATION COMMIT; stands in for Iceberg ``MERGE INTO``
+  (reference queries/ethereum_wallet_features.sql:760-833) without a
+  Delta/Iceberg runtime dependency. Only partitions present in the
+  incoming batch are rewritten, so write cost is bounded by the
   batch's partition fan-out, not table size — the same bounded-scope
   property the reference gets from 20-chunk sequential Iceberg MERGEs.
+
+Generation layout (the snapshot-commit half of the Iceberg gap)::
+
+    store/
+      _LATEST            # one line: name of the live generation
+      gen-000001/part=a/...   # immutable once committed
+      gen-000002/part=a/...   # untouched partitions are HARDLINKS
+                              # into the previous generation's files
+
+Each merge writes the touched partitions into a hidden staging dir,
+hardlinks every untouched partition's files from the live generation
+(a metadata-only operation — the local-fs stand-in for an Iceberg
+manifest re-listing unchanged data files; on S3/HDFS this step becomes
+a manifest write, not a data copy), renames the staging dir to
+``gen-N+1``, and finally flips ``_LATEST`` with one atomic rename.
+Readers resolve through ``resolve_store`` — a crash at ANY point
+leaves them on the previous complete generation; there is no window
+where a reader can observe a mixed-generation store. Old generations
+double as time travel (``read_store(..., generation=N)``) until
+``vacuum_generations`` prunes them. Single-writer assumption: Iceberg's
+optimistic-concurrency commit protocol remains the documented gap.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+_LATEST = "_LATEST"
+_GEN_PREFIX = "gen-"
+_STAGE_PREFIX = ".tmp-gen-"
 
 
 def write_partitioned(
@@ -66,6 +93,138 @@ def insert_incremental(
     write_partitioned(fresh, path, partition_cols, mode="append")
 
 
+def list_generations(path: str) -> list[str]:
+    """Committed generation dir names under ``path``, oldest first."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith(_GEN_PREFIX) and os.path.isdir(os.path.join(path, d))
+    )
+
+
+def resolve_store(path: str, generation: int | None = None) -> str:
+    """Resolve a store path to its readable data directory.
+
+    Generational stores (written by ``merge_upsert``) resolve through
+    the ``_LATEST`` pointer — or to an explicit ``generation`` for time
+    travel. Flat stores (plain ``write_partitioned`` output) resolve to
+    themselves, so this is safe to call on any store.
+    """
+    if generation is not None:
+        gen_dir = os.path.join(path, f"{_GEN_PREFIX}{generation:06d}")
+        if not os.path.isdir(gen_dir):
+            raise FileNotFoundError(
+                f"generation {generation} not found in {path} "
+                f"(have: {list_generations(path)})"
+            )
+        return gen_dir
+    manifest = os.path.join(path, _LATEST)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            return os.path.join(path, f.read().strip())
+    return path
+
+
+def read_store(
+    spark: SparkSession, path: str, generation: int | None = None
+) -> DataFrame:
+    """Read a store through its generation pointer (flat stores read
+    as-is). The one reader entry point every consumer of a
+    merge-written store must use."""
+    return spark.read.parquet(resolve_store(path, generation))
+
+
+def _flip_latest(path: str, gen_name: str) -> None:
+    """Atomically commit ``gen_name`` as the live generation: write the
+    pointer to a hidden temp file, fsync, and rename over ``_LATEST``
+    — the single-file atomic commit every reader resolves through."""
+    tmp = os.path.join(path, f".{_LATEST}.tmp")
+    with open(tmp, "w") as f:
+        f.write(gen_name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _LATEST))
+
+
+def _link_untouched(cur_gen: str, staged: str) -> None:
+    """Hardlink every file of ``cur_gen`` whose leaf partition dir was
+    NOT rewritten into ``staged``. Metadata-only (no data copied) —
+    the local-fs equivalent of an Iceberg manifest pointing at the
+    previous snapshot's unchanged data files."""
+    for dirpath, dirnames, filenames in os.walk(cur_gen):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        rel = os.path.relpath(dirpath, cur_gen)
+        if rel == ".":
+            continue  # root holds only markers (_SUCCESS), Spark rewrites them
+        dst_dir = os.path.join(staged, rel)
+        if os.path.isdir(dst_dir):
+            continue  # partition rewritten by this merge
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in filenames:
+            if f.startswith((".", "_")) and not f.endswith(".parquet"):
+                continue
+            os.link(os.path.join(dirpath, f), os.path.join(dst_dir, f))
+
+
+def _adopt_flat_store(path: str) -> None:
+    """Crash-safely convert a legacy flat store into generation 1:
+    hardlink the flat data files into ``gen-000001`` (the flat copy
+    stays readable the whole time), flip ``_LATEST``, then best-effort
+    remove the now-garbage flat entries (the links keep the inodes
+    alive, and a crash mid-removal only leaves invisible litter)."""
+    staged = os.path.join(path, f"{_STAGE_PREFIX}adopt")
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged)
+    flat_entries = [
+        e
+        for e in os.listdir(path)
+        if not e.startswith((".", "_")) and not e.startswith(_GEN_PREFIX)
+    ]
+    for entry in flat_entries:
+        src = os.path.join(path, entry)
+        if os.path.isdir(src):
+            for dirpath, dirnames, filenames in os.walk(src):
+                dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+                rel = os.path.relpath(dirpath, path)
+                os.makedirs(os.path.join(staged, rel), exist_ok=True)
+                for f in filenames:
+                    if not f.startswith((".", "_")):
+                        os.link(
+                            os.path.join(dirpath, f), os.path.join(staged, rel, f)
+                        )
+        else:
+            os.link(src, os.path.join(staged, entry))
+    gen1 = os.path.join(path, f"{_GEN_PREFIX}000001")
+    shutil.rmtree(gen1, ignore_errors=True)  # crashed prior adoption
+    os.rename(staged, gen1)
+    _flip_latest(path, f"{_GEN_PREFIX}000001")
+    for entry in flat_entries:  # garbage from here on; readers use _LATEST
+        p = os.path.join(path, entry)
+        shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.unlink(p)
+
+
+def vacuum_generations(path: str, keep: int = 1) -> list[str]:
+    """Drop all but the newest ``keep`` committed generations plus any
+    crashed staging dirs — Iceberg's ``expire_snapshots`` analog, and a
+    REQUIRED step of right-to-erasure (old snapshots retain erased
+    rows). Never touches the live generation. Returns removed names."""
+    removed: list[str] = []
+    if not os.path.isdir(path):
+        return removed
+    live = os.path.basename(resolve_store(path))
+    gens = list_generations(path)
+    doomed = [g for g in gens[: max(0, len(gens) - keep)] if g != live]
+    for d in os.listdir(path):
+        if d.startswith(_STAGE_PREFIX):
+            doomed.append(d)
+    for g in doomed:
+        shutil.rmtree(os.path.join(path, g), ignore_errors=False)
+        removed.append(g)
+    return removed
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,
@@ -73,19 +232,17 @@ def merge_upsert(
     key: Sequence[str],
     partition_cols: Sequence[str] = ("address_partition",),
 ) -> int:
-    """MERGE INTO stand-in: within each partition touched by ``updates``,
-    keep target rows whose key doesn't collide, union the updates, and
-    dynamically overwrite just those partitions. Requires
-    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
-    ``session.get_spark``). Returns the number of rows written.
-
-    The merged plan reads the very files the overwrite replaces, so the
-    lineage is cut with an eager ``localCheckpoint`` before writing —
-    the self-overwrite hazard Delta/Iceberg solve with snapshots; this
-    is the plain-parquet equivalent (write cost still bounded by the
-    touched partitions, like the reference's chunk-scoped Iceberg
-    MERGE, features_pipeline.py:96-126).
-    """
+    """MERGE INTO stand-in with snapshot semantics: within each
+    partition touched by ``updates``, keep target rows whose key
+    doesn't collide, union the updates, and commit the result as a new
+    GENERATION (touched partitions rewritten, untouched partitions
+    hardlinked from the live generation, one atomic ``_LATEST`` flip —
+    see the module docstring). Write cost is bounded by the batch's
+    partition fan-out, not table size, like the reference's
+    chunk-scoped Iceberg MERGE (features_pipeline.py:96-126), and a
+    crash at any point leaves readers on the previous complete
+    generation. Returns the number of rows written (merged rows of the
+    touched partitions)."""
     from pyspark.errors import AnalysisException
 
     from .readers import _ensure_session_confs
@@ -94,30 +251,57 @@ def merge_upsert(
     # probe, the touched-partition projection, the anti-join and the
     # final union — for monotone upserts that plan embeds a join against
     # the whole store and would otherwise re-execute per consumer
-    # (ADVICE r02). The checkpoint also cuts lineage from any store
-    # files the overwrite below replaces.
+    # (ADVICE r02).
     updates = updates.localCheckpoint(eager=True)
     # Defense in depth: an empty batch (e.g. the trailing availableNow
-    # micro-batch of a stream) must be a no-op, never an overwrite.
+    # micro-batch of a stream) must be a no-op, never a new generation.
     if updates.isEmpty():
         return 0
-    # The dynamic-overwrite conf is load-bearing (static mode truncates
-    # the whole table); self-provision it rather than trusting the
-    # caller's session.
     _ensure_session_confs(spark)
-    try:
-        target = spark.read.parquet(path)
-    except AnalysisException:
-        # Store-absent first write only; transient IO errors propagate
-        # (treating them as "no store" would overwrite the full table
-        # with just this batch — ADVICE r02).
-        write_partitioned(updates, path, partition_cols, mode="overwrite")
+
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, _LATEST)):
+        if any(not e.startswith((".", "_")) for e in os.listdir(path)):
+            # legacy flat store from an older writer: adopt as gen 1
+            _adopt_flat_store(path)
+    os.makedirs(path, exist_ok=True)
+
+    gens = list_generations(path)
+    if not gens:
+        staged = os.path.join(path, f"{_STAGE_PREFIX}000001")
+        shutil.rmtree(staged, ignore_errors=True)
+        updates.write.partitionBy(*partition_cols).mode("overwrite").parquet(staged)
+        os.rename(staged, os.path.join(path, f"{_GEN_PREFIX}000001"))
+        _flip_latest(path, f"{_GEN_PREFIX}000001")
         return updates.count()
+
+    cur_gen = resolve_store(path)
+    try:
+        target = spark.read.parquet(cur_gen)
+    except AnalysisException:
+        # A listing/IO failure must fail the merge — treating it as
+        # "no store" would commit a generation holding only this batch
+        # (ADVICE r02).
+        raise
     parts = updates.select(*partition_cols).distinct()
     # Restrict the rewrite to touched partitions (partition pruning on
     # the scan side; broadcast the partition list — it is tiny).
-    touched = target.join(parts.hint("broadcast"), on=list(partition_cols), how="left_semi")
+    touched = target.join(
+        parts.hint("broadcast"), on=list(partition_cols), how="left_semi"
+    )
     kept = touched.join(updates.select(*key), on=list(key), how="left_anti")
-    merged = kept.unionByName(updates.select(*kept.columns)).localCheckpoint(eager=True)
-    merged.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
-    return merged.count()
+    merged = kept.unionByName(updates.select(*kept.columns))
+
+    next_n = int(gens[-1][len(_GEN_PREFIX) :]) + 1
+    gen_name = f"{_GEN_PREFIX}{next_n:06d}"
+    staged = os.path.join(path, f"{_STAGE_PREFIX}{next_n:06d}")
+    shutil.rmtree(staged, ignore_errors=True)  # crashed prior attempt
+    # No lineage hazard: the write targets a FRESH dir while reading the
+    # still-immutable live generation, so no localCheckpoint is needed.
+    merged.write.partitionBy(*partition_cols).mode("overwrite").parquet(staged)
+    # Row count by reading back the staged files — cheaper than
+    # re-executing the merge plan and exact by construction.
+    n = spark.read.parquet(staged).count()
+    _link_untouched(cur_gen, staged)
+    os.rename(staged, os.path.join(path, gen_name))
+    _flip_latest(path, gen_name)
+    return n

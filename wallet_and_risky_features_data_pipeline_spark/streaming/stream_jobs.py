@@ -13,6 +13,7 @@ oracle can value-check an actual streaming execution.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,26 @@ def events_stream(spark: SparkSession, sf_dir: str, schema):
         .parquet(sf_dir)
     )
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_rocksdb_ok: bool | None = None
+
+
+def _rocksdb_available(spark: SparkSession) -> bool:
+    """Once-per-process probe for the RocksDB state-store provider on
+    the driver classpath (bundled with Spark ≥3.2; absent on stripped
+    builds — fall back to the default provider, never fail)."""
+    global _rocksdb_ok
+    if _rocksdb_ok is None:
+        try:
+            spark._jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER)
+            _rocksdb_ok = True
+        except Exception:
+            _rocksdb_ok = False
+    return _rocksdb_ok
+
+
 def _stream_session(spark: SparkSession, shuffle_partitions: int = 4) -> SparkSession:
     """Isolated SQLConf for one streaming query.
 
@@ -59,11 +80,47 @@ def _stream_session(spark: SparkSession, shuffle_partitions: int = 4) -> SparkSe
     the bench's concurrent pool this showed up as 2-6x swings on
     unrelated queries. ``newSession()`` shares the SparkContext but
     owns its SQLConf, so the setting is scoped to this query and
-    nothing needs restoring."""
+    nothing needs restoring.
+
+    State store: the default HDFS-backed provider keeps EVERY key's
+    state on the executor HEAP — at a 100 TB keyspace that is an OOM,
+    not a slowdown. RocksDB spills state to local disk with a bounded
+    block cache, so state volume is limited by disk, not heap; it is
+    the provider every stateful job here gets whenever the class is on
+    the classpath (disable with SPARK_GRAFT_STATE_STORE=hdfs — the
+    env-gated fallback, e.g. to reproduce heap-provider behavior)."""
     s = spark.newSession()
     _ensure_session_confs(s)
     s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if os.environ.get(
+        "SPARK_GRAFT_STATE_STORE", "rocksdb"
+    ).lower() == "rocksdb" and _rocksdb_available(s):
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
     return s
+
+
+def state_store_metrics(query) -> list[dict]:
+    """Per-batch state rows/bytes pulled from the finished query's
+    progress events (the StreamingQueryListener feed, read off
+    ``recentProgress`` once the availableNow run terminates) — the
+    observability hook that makes state growth a measurable number
+    instead of an executor-heap surprise. RocksDB reports file size;
+    the heap provider reports ``memoryUsedBytes``."""
+    out: list[dict] = []
+    for p in query.recentProgress:
+        for op in p.get("stateOperators", []):
+            custom = op.get("customMetrics", {}) or {}
+            out.append(
+                {
+                    "batch_id": p.get("batchId"),
+                    "operator": op.get("operatorName"),
+                    "state_rows": op.get("numRowsTotal"),
+                    "state_bytes": custom.get(
+                        "rocksdbSstFileSize", op.get("memoryUsedBytes")
+                    ),
+                }
+            )
+    return out
 
 
 
@@ -158,8 +215,10 @@ def monotone_user_upsert(spark: SparkSession, batch: DataFrame, store: str) -> N
     # degrade to an overwrite of partial state (ADVICE r02).
     from pyspark.errors import AnalysisException
 
+    from ..sources.writers import resolve_store
+
     try:
-        stored = spark.read.parquet(store)
+        stored = spark.read.parquet(resolve_store(store))
     except AnalysisException:
         stored = None
     if stored is not None:
@@ -219,7 +278,9 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(store).select(
+    from ..sources.writers import read_store
+
+    return read_store(spark, store).select(
         "user_id", "bucket", "last_ts_us", "last_event_type", "last_value"
     )
 
