@@ -37,6 +37,49 @@ DECODE_SCHEMA = T.StructType(
 FRAME_SIZE = 1024  # bytes per fake "frame" for the frame-sampler stub
 
 
+# ---------------------------------------------------------------------------
+# Decoder seam. Each stage takes an injectable decoder with the stub as
+# default, so dropping in a real codec (PIL / ffmpeg / soundfile, if
+# ever installed) is a call-site argument, not a stage rewrite — the
+# Spark-side plumbing (schemas, Arrow batches, partitioning) is decoder
+# agnostic. tests/test_operators.py::test_decoder_contract documents
+# the contract any real decoder must satisfy.
+
+
+def stub_image_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Default image decoder: deterministic fake ``(width, height,
+    n_frames)`` from the payload bytes (no codecs in this container).
+    A real one::
+
+        def pil_decoder(payload):
+            img = PIL.Image.open(io.BytesIO(payload))
+            return img.width, img.height, getattr(img, "n_frames", 1)
+    """
+    first = payload[0] if payload else 0
+    second = payload[1] if len(payload) > 1 else first
+    n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
+    return 16 * (first % 64 + 1), 16 * (second % 64 + 1), n_frames
+
+
+def stub_frame_decoder(payload: bytes):
+    """Default frame decoder: yields ``(frame_idx, frame_bytes)`` for
+    every fixed-size byte window — the stand-in for an ffmpeg container
+    demux (``for i, frame in enumerate(av.open(...).decode(video=0))``)."""
+    n = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
+    for i in range(n):
+        yield i, payload[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+
+
+def stub_pcm_decoder(payload: bytes):
+    """Default audio decoder: the payload bytes ARE unsigned 8-bit PCM
+    samples (u8 WAV minus the 44-byte header). A real one returns
+    ``soundfile.read(io.BytesIO(payload))[0]`` scaled to integer
+    amplitudes."""
+    import numpy as np
+
+    return np.frombuffer(payload, np.uint8).astype(np.int64)
+
+
 def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Materialize an opaque binary payload column (here: utf-8 bytes of
     the text; in production: the image/audio blob) plus metadata."""
@@ -47,35 +90,46 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image_meta(df: DataFrame) -> DataFrame:
-    """STUB decoder over mapInPandas.
+def decode_image_meta(df: DataFrame, decoder=None) -> DataFrame:
+    """Image decode stage over mapInPandas.
 
-    A real implementation would do ``PIL.Image.open(io.BytesIO(b))``
-    per payload inside the batch loop; this container has no image
-    codecs, so dimensions are derived deterministically from the first
-    two payload bytes. The Arrow plumbing (binary batches in, struct
-    rows out, one invocation per partition batch) is the real thing.
+    ``decoder(payload) -> (width, height, n_frames)`` is injectable
+    (``stub_image_decoder`` by default — this container has no image
+    codecs; see its docstring for the PIL form). When no decoder is
+    given, the stub's math runs fully VECTORIZED over the Arrow batch —
+    a real codec is per-element anyway, so injection costs nothing it
+    wasn't already paying. The Arrow plumbing (binary batches in,
+    struct rows out, one invocation per partition batch) is identical
+    either way.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            # Vectorized byte accessors — a real decoder would be the
-            # per-element codec call; everything around it should stay
-            # columnar so the batch loop doesn't drown it in Python.
             n_bytes = payloads.str.len()
-            first = payloads.str[0].astype("int64")
-            second = payloads.str[1].fillna(first).astype("int64")  # b[1 % len(b)]
+            if decoder is None:
+                # Vectorized stub fast path — columnar byte accessors,
+                # no per-row Python.
+                first = payloads.str[0].astype("int64")
+                second = payloads.str[1].fillna(first).astype("int64")
+                width = (16 * (first % 64 + 1)).astype("int32")
+                height = (16 * (second % 64 + 1)).astype("int32")
+                n_frames = ((n_bytes + FRAME_SIZE - 1) // FRAME_SIZE).astype("int32")
+            else:
+                decoded = [decoder(bytes(b)) for b in payloads]
+                width = pd.Series([d[0] for d in decoded], dtype="int32")
+                height = pd.Series([d[1] for d in decoded], dtype="int32")
+                n_frames = pd.Series([d[2] for d in decoded], dtype="int32")
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "head_hex": payloads.map(lambda b: b[:4].hex().upper()),
-                    # STUB: fake dims from payload bytes (deterministic).
-                    "width": (16 * (first % 64 + 1)).astype("int32"),
-                    "height": (16 * (second % 64 + 1)).astype("int32"),
-                    # frame-sample stub: ceil(n_bytes / FRAME_SIZE)
-                    "n_frames": ((n_bytes + FRAME_SIZE - 1) // FRAME_SIZE).astype("int32"),
+                    "doc_id": pdf["doc_id"].reset_index(drop=True),
+                    "n_bytes": n_bytes.astype("int32").reset_index(drop=True),
+                    "head_hex": payloads.map(
+                        lambda b: b[:4].hex().upper()
+                    ).reset_index(drop=True),
+                    "width": width.reset_index(drop=True),
+                    "height": height.reset_index(drop=True),
+                    "n_frames": n_frames.reset_index(drop=True),
                 }
             )
 
@@ -92,28 +146,30 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
+def sample_frames(df: DataFrame, every_nth: int = 2, frame_decoder=None) -> DataFrame:
     """Frame-sampling stage over mapInPandas: emit every ``every_nth``
-    fixed-size byte window ("frame") of each payload with a content
-    digest — the variable-cardinality Arrow pattern a video pipeline
-    uses (rows out ≠ rows in, sized by payload length, all inside one
-    batch invocation per partition).
+    decoded frame of each payload with a content digest — the
+    variable-cardinality Arrow pattern a video pipeline uses (rows out
+    ≠ rows in, sized by payload length, all inside one batch invocation
+    per partition).
 
-    STUB note: a real sampler would decode container frames (ffmpeg);
-    the fixed ``FRAME_SIZE`` byte window stands in for the codec, and
-    the digest is md5 over the frame's uppercase hex — chosen because
-    both engines can express it, so even this stub is value-verified
-    end-to-end.
+    ``frame_decoder(payload) -> Iterator[(frame_idx, frame_bytes)]`` is
+    injectable (``stub_frame_decoder`` by default: fixed byte windows
+    standing in for an ffmpeg demux). The digest is md5 over the
+    frame's uppercase hex — chosen because both engines can express it,
+    so even the stub path is value-verified end-to-end.
     """
     import hashlib
+
+    decode_frames = frame_decoder or stub_frame_decoder
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_digest": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                for f in range(0, max((len(b) + FRAME_SIZE - 1) // FRAME_SIZE, 0), every_nth):
-                    frame = b[f * FRAME_SIZE : (f + 1) * FRAME_SIZE]
+                for f, frame in decode_frames(bytes(payload)):
+                    if f % every_nth:
+                        continue
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(f)
                     out["frame_bytes"].append(len(frame))
@@ -184,23 +240,25 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def audio_window_features(df: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+def audio_window_features(
+    df: DataFrame, window: int = AUDIO_WINDOW, pcm_decoder=None, midpoint: int = 128
+) -> DataFrame:
     """Audio feature-extraction stage over mapInPandas: per
     non-overlapping ``window``-sample analysis window, emit amplitude
     sum, energy (sum of squares), and midpoint-crossing count — the
     RMS/zero-crossing-rate shape every audio curation pipeline computes
     before filtering silence/clipping.
 
-    STUB note: a real implementation would decode the container
-    (soundfile/torchaudio) to PCM; neither codec is in this container,
-    so the payload bytes ARE the samples (unsigned 8-bit PCM. This is
-    how u8 WAV payloads actually look, minus the 44-byte header).
+    ``pcm_decoder(payload) -> int ndarray of samples`` is injectable
+    (``stub_pcm_decoder`` by default: the payload bytes ARE the samples
+    — unsigned 8-bit PCM, i.e. u8 WAV minus the 44-byte header; a real
+    soundfile/torchaudio decoder slots in per its docstring).
     Every statistic is integer arithmetic, so the stub is value-checked
     against the SQL oracle exactly — no float tolerance. The Arrow
     plumbing is the real thing: variable-cardinality batches (rows out
     = Σ windows per payload), numpy-vectorized inside each batch.
     """
-    import numpy as np
+    decode_pcm = pcm_decoder or stub_pcm_decoder
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -211,10 +269,12 @@ def audio_window_features(df: DataFrame, window: int = AUDIO_WINDOW) -> DataFram
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                arr = np.frombuffer(bytes(payload), np.uint8).astype(np.int64)
+                arr = decode_pcm(bytes(payload))
                 for widx in range((len(arr) + window - 1) // window):
                     seg = arr[widx * window : (widx + 1) * window]
-                    signs = seg >= 128
+                    # midpoint 128 fits the u8 stub; a signed-PCM
+                    # decoder passes midpoint=0 for true zero crossings
+                    signs = seg >= midpoint
                     out["doc_id"].append(doc_id)
                     out["window_idx"].append(widx)
                     out["n_samples"].append(len(seg))
