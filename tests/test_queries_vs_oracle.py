@@ -94,7 +94,10 @@ def test_coverage_md_ids_map_to_gate_or_tests():
             continue
         seen_ids.add(cells[0])
         row_qs = extract(line)
-        cites_test = "test" in line
+        # A citation must be an actual test reference (file or function),
+        # not a prose substring like "latest" or "train/val/test split"
+        # (ADVICE r6: the loose `"test" in line` passed vacuously).
+        cites_test = re.search(r"tests/test_\w+\.py|\btest_\w+\b", line)
         if not (row_qs & gate) and not cites_test:
             bad_rows.append(cells[0])
     assert not bad_rows, f"§2 IDs with no in-gate query and no test: {bad_rows}"

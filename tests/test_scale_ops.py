@@ -160,3 +160,66 @@ def test_mllib_tier_mechanics(spark):
     labels = {r.label for r in scored.select("label").distinct().collect()}
     preds = {r.predicted_label for r in scored.select("predicted_label").distinct().collect()}
     assert preds <= labels  # argmax stays in the trained class set
+
+
+def _canonical_assignment_digest(pairs):
+    """Permutation-invariant digest of a (vec_id, cell_id) assignment:
+    relabel cells in order of their smallest member vec_id, then md5
+    the sorted pairs. Stable under k-means label renumbering; any
+    change in the actual PARTITION of vectors changes the digest."""
+    import hashlib
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for vec_id, cell_id in pairs:
+        members[cell_id].append(vec_id)
+    relabel = {
+        cell: i
+        for i, cell in enumerate(sorted(members, key=lambda c: min(members[c])))
+    }
+    canon = sorted((v, relabel[c]) for v, c in pairs)
+    sizes = sorted(len(m) for m in members.values())
+    digest = hashlib.md5(";".join(f"{v}:{c}" for v, c in canon).encode()).hexdigest()
+    return digest, sizes
+
+
+def test_kmeans_assignment_matches_golden(spark):
+    """Determinism harness for the MLlib IVF trainer wiring (the
+    rows-only registry entry the DuckDB gate can't value-check):
+    fixed-seed k-means at sf0.01 must reproduce the STORED golden
+    assignment — cell membership (canonicalized ids, not float
+    distances) and cluster-size histogram. A regression in the trainer
+    plumbing (sampling, seeding, feature assembly, argmax tie-break)
+    changes the digest. Regenerate after an intentional change with
+    SPARK_GRAFT_REGEN_GOLDEN=1 (also auto-writes on first run; the
+    file then pins every later run of the same testdata)."""
+    import json
+    import os
+
+    from wallet_and_risky_features_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    centroids = train_ivf_centroids(emb, n_cells=16, seed=42)
+    pairs = [
+        (r["c_id"], r["cell_id"])
+        for r in ivf_assign(emb, centroids).select("c_id", "cell_id").collect()
+    ]
+    digest, sizes = _canonical_assignment_digest(pairs)
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden", "kmeans_ivf_sf001.json")
+    if os.environ.get("SPARK_GRAFT_REGEN_GOLDEN") == "1" or not os.path.exists(golden_path):
+        with open(golden_path, "w") as f:
+            json.dump(
+                {"digest": digest, "cluster_sizes": sizes, "n_vectors": len(pairs)},
+                f,
+                indent=1,
+            )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    assert len(pairs) == golden["n_vectors"]
+    assert sizes == golden["cluster_sizes"], "cluster-size histogram drifted"
+    assert digest == golden["digest"], "assignment partition drifted"

@@ -75,6 +75,60 @@ def build_replica(spark, tables: set[str]) -> None:
         df.write.mode("overwrite").parquet(out)
 
 
+def erase_probe(spark) -> None:
+    """Scale evidence for the right-to-erasure path: build a
+    bucket-partitioned store from events at 1× and COPIES×, erase the
+    same key set (same touched-partition count at both scales), and
+    assert (a) untouched partitions stay BYTE-IDENTICAL (md5 of every
+    file) and (b) runtime grows far slower than store size — the
+    rewrite is bounded by touched partitions; only the column-pruned
+    probe scan sees the whole store."""
+    import hashlib
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+        propagate_deletes,
+    )
+
+    def file_md5s(root: str, skip_parts: set[str]) -> dict[str, str]:
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            if any(p in dirpath for p in skip_parts):
+                continue
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    fp = os.path.join(dirpath, fn)
+                    out[fp] = hashlib.md5(open(fp, "rb").read()).hexdigest()
+        return out
+
+    # 3 doomed users → 3 touched buckets of 64, at BOTH scales (the
+    # replica shifts event ids, not user ids)
+    doomed_users = [1, 2, 3]
+    skip = {f"bucket={u % 64}" for u in doomed_users}
+    keys = spark.createDataFrame([(u,) for u in doomed_users], "user_id long")
+    for label, d in (("sf0.1", SRC), (f"{COPIES}x", DST)):
+        store = f"/tmp/wrf_erase_probe_{label}"
+        shutil.rmtree(store, ignore_errors=True)
+        ev = spark.read.parquet(f"{d}/events.parquet")
+        ev.withColumn("bucket", F.col("user_id") % 64).write.partitionBy(
+            "bucket"
+        ).parquet(store)
+        before = file_md5s(store, skip)
+        start = time.perf_counter()
+        touched = propagate_deletes(spark, store, keys, "user_id")
+        took = time.perf_counter() - start
+        after = file_md5s(store, skip)
+        assert before == after, (
+            f"{label}: untouched partitions were rewritten "
+            f"({len(set(before) ^ set(after))} files differ)"
+        )
+        print(
+            f"erase_probe {label:6s} {took:7.2f} s  "
+            f"touched={len(touched)} partitions, untouched byte-identical",
+            flush=True,
+        )
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def main() -> None:
     names = sys.argv[1:] or [
         "dedup_cluster_assign",
@@ -82,6 +136,12 @@ def main() -> None:
         "dedup_minhash_lsh",
         "text_repetition",
     ]
+    if names == ["erase"]:
+        spark = get_spark("wrf-scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replica(spark, {"documents", "embeddings", "events"})
+        erase_probe(spark)
+        return
     spark = get_spark("wrf-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     # every probed query reads documents/embeddings/events only; copy
