@@ -830,3 +830,71 @@ def test_decoder_contract(spark):
     assert {r["doc_id"] for r in feats} == {1, 2}
     byte_sum = sum(r["sum_amp"] for r in feats if r["doc_id"] == 1)
     assert byte_sum == sum(b - 128 for b in "\x03\x02abcdef".encode())
+
+
+def test_merge_upsert_detects_concurrent_commit(spark, tmp_path):
+    """Optimistic concurrency: a merge computed against snapshot N must
+    NOT publish if another writer committed N+1 meanwhile (publishing
+    would silently drop the other writer's rows). Simulated by
+    committing a second merge inside the loser's link step."""
+    import pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        ConcurrentCommitError,
+        list_generations,
+    )
+
+    path = str(tmp_path / "t")
+    schema = "id long, name string, v double, part string"
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "a", 10.0, "p1")], schema),
+        path,
+        key=["id"],
+        partition_cols=["part"],
+    )
+
+    real_link = writers._link_untouched
+    raced = {"done": False}
+
+    def racing_link(cur_gen, staged):
+        # the RIVAL writer lands a full commit while we are mid-commit
+        if not raced["done"]:
+            raced["done"] = True
+            merge_upsert(
+                spark,
+                spark.createDataFrame([(2, "rival", 20.0, "p1")], schema),
+                path,
+                key=["id"],
+                partition_cols=["part"],
+            )
+        real_link(cur_gen, staged)
+
+    writers._link_untouched = racing_link
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            merge_upsert(
+                spark,
+                spark.createDataFrame([(3, "loser", 30.0, "p1")], schema),
+                path,
+                key=["id"],
+                partition_cols=["part"],
+            )
+    finally:
+        writers._link_untouched = real_link
+
+    # rival's commit survives untouched; loser left no published rows
+    got = {r["id"]: r["name"] for r in read_store(spark, path).collect()}
+    assert got == {1: "a", 2: "rival"}
+    # loser's retry against the new snapshot now succeeds
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(3, "loser", 30.0, "p1")], schema),
+        path,
+        key=["id"],
+        partition_cols=["part"],
+    )
+    got = {r["id"]: r["name"] for r in read_store(spark, path).collect()}
+    assert got == {1: "a", 2: "rival", 3: "loser"}
+    assert len(list_generations(path)) >= 3

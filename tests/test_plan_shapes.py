@@ -229,3 +229,21 @@ def test_ngram_freq_topk_no_global_sort(spark):
     never a full global Sort of the counted ngrams."""
     plan = _physical(QUERIES["corpus_ngram_freq"](spark, SF_MEDIUM))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_lm_score_head_resolves_via_broadcast(spark):
+    """The r7 de-skew contract for text_ngram_lm_score: the Zipf-head
+    gram frequencies must resolve through a BROADCAST join (narrow — no
+    exchange keyed on the raw ngram for head hits), with at most the
+    tail taking a shuffled equi join. Regressing to a single shuffled
+    grams-by-ngram join reintroduces the hot-reducer skew."""
+    from wallet_and_risky_features_data_pipeline_spark.caching import cache_scope
+
+    with cache_scope():
+        plan = _physical(QUERIES["text_ngram_lm_score"](spark, SF_MEDIUM))
+        assert "BroadcastHashJoin" in plan
+        # the head probe is a LEFT join against the broadcast top-K
+        assert "LeftOuter, BuildRight" in plan
+        # the only shuffled join allowed is the tail's frequency join
+        shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+        assert shuffled <= 1, f"{shuffled} shuffled joins (expected <=1, tail only)"

@@ -115,3 +115,52 @@ def test_erase_layer_removes_wallet(spark, work_dir):
     # idempotent: nothing left to erase
     runner.run_erase(spark, SF_SMALL, work_dir, wallets=victim)
     assert read_store(spark, store).count() == total - doomed
+
+
+def test_erase_expires_generation_history(spark, work_dir):
+    """Erasure on a generational store must expire old snapshots first:
+    after N merges the victim's rows live in every generation, and an
+    erase that rewrote only the live one would leave them recoverable
+    via time travel. Asserts no surviving generation dir contains the
+    victim anywhere on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+        read_store,
+    )
+
+    runner.run_stage(spark, SF_SMALL, work_dir)
+    runner.run_features(spark, SF_SMALL, work_dir)
+    runner.run_features(spark, SF_SMALL, work_dir)  # second merge -> 2nd gen
+    store = f"{work_dir}/features/contract_state"
+    assert len(list_generations(store)) >= 2
+
+    feats = read_store(spark, store)
+    victim = feats.select("wallet_address").first()[0]
+    assert feats.filter(F.col("wallet_address") == victim).count() > 0
+
+    runner.run_erase(spark, SF_SMALL, work_dir, wallets=victim)
+
+    # live view clean
+    assert (
+        read_store(spark, store).filter(F.col("wallet_address") == victim).count()
+        == 0
+    )
+    # NO surviving snapshot (generation dir) holds the victim: read
+    # every parquet file left under the store root directly
+    survivors = [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(store)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert survivors
+    leftover = (
+        spark.read.parquet(*survivors)
+        .filter(F.col("wallet_address") == victim)
+        .count()
+    )
+    assert leftover == 0, "erased wallet recoverable from an old generation"

@@ -136,16 +136,42 @@ def read_store(
     return spark.read.parquet(resolve_store(path, generation))
 
 
-def _flip_latest(path: str, gen_name: str) -> None:
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a generation after this merge read its
+    base snapshot — the losing writer must re-run its merge against the
+    new live generation (same retry contract as Iceberg's optimistic
+    ``CommitFailedException``)."""
+
+
+def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> None:
     """Atomically commit ``gen_name`` as the live generation: write the
     pointer to a hidden temp file, fsync, and rename over ``_LATEST``
-    — the single-file atomic commit every reader resolves through."""
+    — the single-file atomic commit every reader resolves through.
+
+    ``expected_base`` makes the flip a COMPARE-and-swap: if the live
+    pointer no longer names the generation this merge was computed
+    against, a concurrent writer won the race and publishing would
+    silently drop its rows — raise ``ConcurrentCommitError`` instead.
+    (On a local/posix fs the check-then-rename pair is not one atomic
+    CAS; the window is the microseconds between them, vs the whole
+    merge runtime unguarded. A production deployment backs this with a
+    real CAS — an Iceberg/Glue/Hive catalog commit or S3
+    conditional-put — which is the documented remaining gap.)"""
+    manifest = os.path.join(path, _LATEST)
+    if expected_base is not None and os.path.exists(manifest):
+        with open(manifest) as f:
+            live = f.read().strip()
+        if live != expected_base:
+            raise ConcurrentCommitError(
+                f"store {path}: merge was computed against {expected_base} "
+                f"but {live} is now live; re-run the merge on the new snapshot"
+            )
     tmp = os.path.join(path, f".{_LATEST}.tmp")
     with open(tmp, "w") as f:
         f.write(gen_name)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, _LATEST))
+    os.replace(tmp, manifest)
 
 
 def _link_untouched(cur_gen: str, staged: str) -> None:
@@ -302,6 +328,24 @@ def merge_upsert(
     # re-executing the merge plan and exact by construction.
     n = spark.read.parquet(staged).count()
     _link_untouched(cur_gen, staged)
-    os.rename(staged, os.path.join(path, gen_name))
-    _flip_latest(path, gen_name)
+    dest = os.path.join(path, gen_name)
+    if os.path.exists(dest):
+        # Same next-number already on disk: either a concurrent writer
+        # published it (live pointer moved off our base — conflict), or
+        # a crashed commit left it unreferenced (safe to clear).
+        if os.path.basename(resolve_store(path)) != os.path.basename(cur_gen):
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"store {path}: generation {gen_name} was committed by "
+                "another writer while this merge ran; re-run on the new snapshot"
+            )
+        shutil.rmtree(dest)
+    os.rename(staged, dest)
+    # compare-and-swap on the base snapshot: if another writer
+    # committed while this merge ran, fail rather than drop its rows
+    try:
+        _flip_latest(path, gen_name, expected_base=os.path.basename(cur_gen))
+    except ConcurrentCommitError:
+        shutil.rmtree(dest, ignore_errors=True)
+        raise
     return n
