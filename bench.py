@@ -159,7 +159,7 @@ def main() -> None:
                     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 isolated_errors[name] = traceback.format_exc(limit=3).splitlines()[-1]
-                return
+                break  # keep any timing already measured
             took = time.perf_counter() - t0
             best = took if best is None else min(best, took)
         if best is not None:

@@ -898,3 +898,73 @@ def test_merge_upsert_detects_concurrent_commit(spark, tmp_path):
     got = {r["id"]: r["name"] for r in read_store(spark, path).collect()}
     assert got == {1: "a", 2: "rival", 3: "loser"}
     assert len(list_generations(path)) >= 3
+
+
+def test_merge_upsert_recovers_crashed_first_commit(spark, tmp_path):
+    """A first commit that crashed between the generation rename and
+    the _LATEST flip left an UNPUBLISHED gen dir. The retry must NOT
+    mis-adopt it as a flat store (that used to wedge the store with an
+    empty generation) — it clears the unpublished dir and converges."""
+    import os
+
+    import pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers
+
+    path = str(tmp_path / "t")
+    schema = "id long, name string, v double, part string"
+    base = spark.createDataFrame([(1, "a", 10.0, "p1")], schema)
+
+    real_flip = writers._flip_latest
+
+    def crash_flip(*a, **k):
+        raise RuntimeError("injected crash before publish")
+
+    writers._flip_latest = crash_flip
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            merge_upsert(spark, base, path, key=["id"], partition_cols=["part"])
+    finally:
+        writers._flip_latest = real_flip
+
+    # no committed snapshot exists: readers refuse rather than misread
+    assert os.path.isdir(os.path.join(path, "gen-000001"))
+    with pytest.raises(FileNotFoundError, match="no _LATEST"):
+        read_store(spark, path)
+
+    # retry converges to a correct published snapshot
+    merge_upsert(spark, base, path, key=["id"], partition_cols=["part"])
+    got = {r["id"]: r["name"] for r in read_store(spark, path).collect()}
+    assert got == {1: "a"}
+
+
+def test_vacuum_removes_uncommitted_generation(spark, tmp_path):
+    """A commit that crashed between rename and flip leaves a gen dir
+    NEWER than the live pointer. vacuum_generations must remove it —
+    erasure depends on this: an unpublished snapshot still holds the
+    erased subject's rows on disk."""
+    import os
+    import shutil
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+        vacuum_generations,
+    )
+
+    path = str(tmp_path / "t")
+    schema = "id long, name string, v double, part string"
+    merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "a", 10.0, "p1")], schema),
+        path,
+        key=["id"],
+        partition_cols=["part"],
+    )
+    # simulate the crash leftover: a complete but unreferenced gen-000002
+    shutil.copytree(os.path.join(path, "gen-000001"), os.path.join(path, "gen-000002"))
+    assert list_generations(path) == ["gen-000001", "gen-000002"]
+
+    removed = vacuum_generations(path, keep=1)
+    assert "gen-000002" in removed
+    assert list_generations(path) == ["gen-000001"]
+    assert read_store(spark, path).count() == 1  # live gen untouched

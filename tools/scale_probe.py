@@ -92,7 +92,10 @@ def erase_probe(spark) -> None:
     def file_md5s(root: str, skip_parts: set[str]) -> dict[str, str]:
         out = {}
         for dirpath, _, files in os.walk(root):
-            if any(p in dirpath for p in skip_parts):
+            # exact path-component match: a substring test would also
+            # skip bucket=10..19 when bucket=1 is doomed, silently
+            # shrinking the byte-identity check
+            if os.path.basename(dirpath) in skip_parts:
                 continue
             for fn in files:
                 if fn.endswith(".parquet"):

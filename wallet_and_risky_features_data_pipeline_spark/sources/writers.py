@@ -124,6 +124,16 @@ def resolve_store(path: str, generation: int | None = None) -> str:
     if os.path.exists(manifest):
         with open(manifest) as f:
             return os.path.join(path, f.read().strip())
+    # A generation is COMMITTED iff _LATEST names it (Iceberg's
+    # metadata-swap rule). Generation dirs without any pointer mean a
+    # first commit crashed before publishing — there is no readable
+    # snapshot, and silently reading the store root would mis-parse
+    # the gen dirs as data. The next merge_upsert clears and redoes it.
+    if list_generations(path):
+        raise FileNotFoundError(
+            f"store {path} has generation dirs but no {_LATEST} pointer "
+            "(a first commit crashed before publishing); re-run the merge"
+        )
     return path
 
 
@@ -232,16 +242,38 @@ def _adopt_flat_store(path: str) -> None:
 
 
 def vacuum_generations(path: str, keep: int = 1) -> list[str]:
-    """Drop all but the newest ``keep`` committed generations plus any
-    crashed staging dirs — Iceberg's ``expire_snapshots`` analog, and a
-    REQUIRED step of right-to-erasure (old snapshots retain erased
-    rows). Never touches the live generation. Returns removed names."""
+    """Drop (a) all but the newest ``keep`` COMMITTED generations,
+    (b) every UNCOMMITTED generation — dirs newer than the live
+    pointer, left by a commit that crashed between rename and flip —
+    and (c) crashed staging dirs. Iceberg's ``expire_snapshots``
+    analog, and a REQUIRED step of right-to-erasure: BOTH old snapshots
+    and unpublished crash leftovers retain erased subjects' rows, so an
+    erase that skipped either would silently leave data recoverable.
+    Never touches the live generation. Returns removed names.
+
+    Single-maintainer assumption: do not run concurrently with an
+    in-flight merge (its rename-but-not-yet-flipped generation is
+    indistinguishable from a crash leftover)."""
     removed: list[str] = []
     if not os.path.isdir(path):
         return removed
-    live = os.path.basename(resolve_store(path))
     gens = list_generations(path)
-    doomed = [g for g in gens[: max(0, len(gens) - keep)] if g != live]
+    manifest = os.path.join(path, _LATEST)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            live = f.read().strip()
+    else:
+        live = None
+    if live is not None and live in gens:
+        idx = gens.index(live)
+        committed, uncommitted = gens[: idx + 1], gens[idx + 1 :]
+    else:
+        # no pointer → nothing is committed; every gen dir is a crash
+        # leftover (resolve_store refuses these stores for the same
+        # reason)
+        committed, uncommitted = [], gens
+    doomed = committed[: max(0, len(committed) - keep)] + uncommitted
+    doomed = [g for g in doomed if g != live]
     for d in os.listdir(path):
         if d.startswith(_STAGE_PREFIX):
             doomed.append(d)
@@ -285,18 +317,54 @@ def merge_upsert(
         return 0
     _ensure_session_confs(spark)
 
-    if os.path.isdir(path) and not os.path.exists(os.path.join(path, _LATEST)):
-        if any(not e.startswith((".", "_")) for e in os.listdir(path)):
+    import uuid
+
+    has_latest = os.path.isdir(path) and os.path.exists(os.path.join(path, _LATEST))
+    if os.path.isdir(path) and not has_latest:
+        # gen-* dirs do NOT count as flat data: with no pointer they are
+        # an unpublished crashed first commit, not a legacy store —
+        # adopting here would destroy the real gen and wedge the store.
+        if any(
+            not e.startswith((".", "_", _GEN_PREFIX)) for e in os.listdir(path)
+        ):
             # legacy flat store from an older writer: adopt as gen 1
             _adopt_flat_store(path)
+            has_latest = True
     os.makedirs(path, exist_ok=True)
 
+    # Clear UNCOMMITTED generations (renamed but never published — the
+    # pointer is the commit) so retries converge and gen numbering
+    # can't collide with a ghost. Narrow caveat shared with the CAS
+    # below: a rival writer between ITS rename and flip looks identical
+    # to a crash leftover — the same rename→flip window a real catalog
+    # CAS would close.
     gens = list_generations(path)
+    if gens:
+        if not has_latest:
+            for g in gens:
+                shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+            gens = []
+        else:
+            live = os.path.basename(resolve_store(path))
+            if live in gens:
+                for g in gens[gens.index(live) + 1 :]:
+                    shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+                gens = gens[: gens.index(live) + 1]
+
     if not gens:
-        staged = os.path.join(path, f"{_STAGE_PREFIX}000001")
-        shutil.rmtree(staged, ignore_errors=True)
+        staged = os.path.join(
+            path, f"{_STAGE_PREFIX}000001-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+        )
         updates.write.partitionBy(*partition_cols).mode("overwrite").parquet(staged)
-        os.rename(staged, os.path.join(path, f"{_GEN_PREFIX}000001"))
+        dest = os.path.join(path, f"{_GEN_PREFIX}000001")
+        try:
+            os.rename(staged, dest)
+        except OSError as e:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"store {path}: another writer created {dest} during this "
+                "first write; re-run the merge on the new snapshot"
+            ) from e
         _flip_latest(path, f"{_GEN_PREFIX}000001")
         return updates.count()
 
@@ -319,8 +387,12 @@ def merge_upsert(
 
     next_n = int(gens[-1][len(_GEN_PREFIX) :]) + 1
     gen_name = f"{_GEN_PREFIX}{next_n:06d}"
-    staged = os.path.join(path, f"{_STAGE_PREFIX}{next_n:06d}")
-    shutil.rmtree(staged, ignore_errors=True)  # crashed prior attempt
+    # Unique per-writer staging: a shared .tmp-gen-N name would let a
+    # rival's startup cleanup delete THIS writer's in-flight Spark
+    # output mid-write (and both jobs would collide on _temporary).
+    staged = os.path.join(
+        path, f"{_STAGE_PREFIX}{next_n:06d}-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    )
     # No lineage hazard: the write targets a FRESH dir while reading the
     # still-immutable live generation, so no localCheckpoint is needed.
     merged.write.partitionBy(*partition_cols).mode("overwrite").parquet(staged)
@@ -329,18 +401,22 @@ def merge_upsert(
     n = spark.read.parquet(staged).count()
     _link_untouched(cur_gen, staged)
     dest = os.path.join(path, gen_name)
+    # crash leftovers with this number were cleared at merge start, so
+    # an existing dest now means a rival renamed it during this merge
     if os.path.exists(dest):
-        # Same next-number already on disk: either a concurrent writer
-        # published it (live pointer moved off our base — conflict), or
-        # a crashed commit left it unreferenced (safe to clear).
-        if os.path.basename(resolve_store(path)) != os.path.basename(cur_gen):
-            shutil.rmtree(staged, ignore_errors=True)
-            raise ConcurrentCommitError(
-                f"store {path}: generation {gen_name} was committed by "
-                "another writer while this merge ran; re-run on the new snapshot"
-            )
-        shutil.rmtree(dest)
-    os.rename(staged, dest)
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"store {path}: generation {gen_name} was created by another "
+            "writer while this merge ran; re-run on the new snapshot"
+        )
+    try:
+        os.rename(staged, dest)
+    except OSError as e:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"store {path}: generation {gen_name} was created by another "
+            "writer while this merge ran; re-run on the new snapshot"
+        ) from e
     # compare-and-swap on the base snapshot: if another writer
     # committed while this merge ran, fail rather than drop its rows
     try:

@@ -243,6 +243,15 @@ def monotone_user_upsert(spark: SparkSession, batch: DataFrame, store: str) -> N
             .drop("__ts", "__eid")
         )
     merge_upsert(spark, snapshot, store, key=["user_id"], partition_cols=["bucket"])
+    # A long-running stream commits one generation per micro-batch;
+    # without retention the store accretes hardlink forests and keeps
+    # every superseded row alive (bad for disk AND for erasure — old
+    # snapshots retain deleted subjects). Keep the live generation plus
+    # one rollback snapshot, exactly like the reference's scheduled
+    # VACUUM after its MERGE loop (features_pipeline.py:128-138).
+    from ..sources.writers import vacuum_generations
+
+    vacuum_generations(store, keep=2)
 
 
 def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
