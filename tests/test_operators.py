@@ -968,3 +968,37 @@ def test_vacuum_removes_uncommitted_generation(spark, tmp_path):
     assert "gen-000002" in removed
     assert list_generations(path) == ["gen-000001"]
     assert read_store(spark, path).count() == 1  # live gen untouched
+
+
+def test_semantic_dedup_keep_first_exemplar(spark):
+    """SemDeDup keep/drop semantics on hand-crafted vectors: within a
+    cell, a vector is dropped iff a SMALLER-id near-identical vector
+    exists; near-dups in different cells are untouched; the exemplar
+    (smallest id of each duplicate group) is always kept."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # two orthogonal cells; ids 10,11 near-identical in cell A,
+    # id 12 distinct in cell A, id 20 alone in cell B
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid B
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (11, [0.9, 0.1001, 0.0, 0.0]),  # ~= vec 10 -> dropped
+        (12, [0.7, 0.0, 0.7, 0.0]),     # cell A but dissimilar -> kept
+        (20, [0.1, 0.9, 0.0, 0.0]),     # cell B -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 2)
+    got = {
+        r["vec_id"]: (r["cell_id"], r["keep"])
+        for r in semantic_dedup(df, cents, tau=0.995).collect()
+    }
+    assert got[10][1] == 1 and got[11][1] == 0  # keep-first within the pair
+    assert got[12][1] == 1                       # dissimilar survives
+    assert got[20][1] == 1                       # other cell untouched
+    assert got[10][0] == got[11][0] == got[12][0] == 0  # cell A
+    assert got[20][0] == 1                               # cell B
+    # every input vector gets exactly one verdict row
+    assert set(got) == {0, 1, 10, 11, 12, 20}

@@ -369,6 +369,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def _quantized_cosine(a_vec: str, b_vec: str) -> F.Column:
+    """Integer-quantized cosine between two array columns — elements
+    are quantized to BIGINT at 1e-6 resolution BEFORE the dot product,
+    so dot and norms are pure integer arithmetic and the cosine is one
+    integer-double division: correctly-rounded IEEE ops only, hence
+    bit-identical between Spark and DuckDB (see the determinism note on
+    ``embedding_near_dup_pairs`` for why the DECIMAL recipe is not)."""
+    qvec = "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    idot = (
+        "aggregate(zip_with(" + qvec.format(v="{a}") + ", " + qvec.format(v="{b}") + ","
+        " (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+    def _idot(a: str, b: str) -> F.Column:
+        return F.expr(idot.format(a=a, b=b))
+
+    return _idot(a_vec, b_vec).cast("double") / (
+        F.sqrt(_idot(a_vec, a_vec).cast("double"))
+        * F.sqrt(_idot(b_vec, b_vec).cast("double"))
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    k-means cells bound the comparison scope, then within each cell any
+    vector with a NEAR-IDENTICAL earlier (smaller-id) vector is
+    dropped — the keep-first rendering of "keep one exemplar per
+    semantic duplicate group". Returns one row per input vector:
+    ``(id, cell_id, keep)`` with keep ∈ {0, 1}.
+
+    Scale shape: cell assignment is a broadcast-centroid ``max_by``
+    (``similarity.ivf_assign`` — no shuffle beyond the per-vector
+    combine), and the duplicate scan is an equi self-join on
+    ``cell_id`` — never an all-pairs product. Cell population is the
+    quadratic knob: production sizes ``|centroids| ∝ corpus`` (SemDeDup
+    uses k in the tens of thousands) so cells stay ~constant-sized,
+    exactly like ``max_bucket`` bounds the LSH join. Cosines use
+    integer quantization (``_quantized_cosine``) so the keep/drop
+    boundary is bit-identical cross-engine."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    left = assigned.select(
+        F.col("c_id").alias("a_id"), F.col("c_vec").alias("a_vec"), "cell_id"
+    )
+    right = assigned.select(
+        F.col("c_id").alias("b_id"), F.col("c_vec").alias("b_vec"), "cell_id"
+    )
+    drops = (
+        left.join(right, "cell_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(_quantized_cosine("a_vec", "b_vec") >= F.lit(tau))
+        .select(F.col("b_id").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col("c_id").alias(id_col), "cell_id")
+        .join(drops, F.col(id_col) == F.col("drop_id"), "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.when(F.col("drop_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     tau: float = 0.3,

@@ -1684,3 +1684,59 @@ SELECT g.doc_id,
 FROM grams g JOIN corpus c ON g.ngram = c.ngram
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): coarse cells bound the
+# comparison scope; within a cell, any vector with a near-identical
+# earlier vector is dropped (keep-first exemplar rule). Centroids are
+# the deterministic seed vectors (vec_id < 16) so DuckDB can replay the
+# exact cell assignment — production trains them with
+# `similarity.train_ivf_centroids` (k-means), same shape. Assignment
+# cosine mirrors `ivf_assign` (_DOT_SQL decimal recipe); the pair
+# cosine uses integer quantization (_IDOT_SQL) for a boundary-free
+# keep/drop threshold.
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semantic_dedup
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < 16)
+    return semantic_dedup(emb, centroids, tau=0.3)
+
+
+DEDUP_SEMANTIC_ORACLE = f"""
+WITH normed AS (
+    SELECT vec_id, embedding,
+           {_DOT_SQL.format(a="embedding", b="embedding")} AS norm2
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cell_id, embedding AS cell_vec, norm2 AS cell_norm2
+    FROM normed WHERE vec_id < 16
+),
+assigned AS (
+    SELECT vec_id, embedding, cell_id
+    FROM (
+        SELECT v.*, c.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DOT_SQL.format(a="v.embedding", b="c.cell_vec")}
+                            / (sqrt(v.norm2) * sqrt(c.cell_norm2)) DESC,
+                            c.cell_id
+               ) AS rn
+        FROM normed v, cents c
+    ) WHERE rn = 1
+),
+drops AS (
+    SELECT DISTINCT b.vec_id AS drop_id
+    FROM assigned a JOIN assigned b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE CAST({_IDOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+            / (sqrt(CAST({_IDOT_SQL.format(a="a.embedding", b="a.embedding")} AS DOUBLE))
+               * sqrt(CAST({_IDOT_SQL.format(a="b.embedding", b="b.embedding")} AS DOUBLE)))
+          >= 0.3
+)
+SELECT v.vec_id, v.cell_id,
+       CAST(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM assigned v LEFT JOIN drops d ON v.vec_id = d.drop_id
+"""

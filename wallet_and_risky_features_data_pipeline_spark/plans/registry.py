@@ -235,3 +235,6 @@ register("multimodal_audio_features", llm.multimodal_audio_features, llm.MULTIMO
 # N-gram LM score: per-doc average corpus-frequency of its trigrams
 # (perplexity-proxy fluency ranking; integer sums + one IEEE division)
 register("text_ngram_lm_score", llm.text_ngram_lm_score, llm.TEXT_NGRAM_LM_ORACLE)
+# Semantic dedup (SemDeDup): cell-bounded embedding near-dup dropping,
+# keep-first exemplar per duplicate group (r7).
+register("dedup_semantic", llm.dedup_semantic, llm.DEDUP_SEMANTIC_ORACLE)
