@@ -417,16 +417,37 @@ def semantic_dedup(
     from .similarity import ivf_assign
 
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    left = assigned.select(
-        F.col("c_id").alias("a_id"), F.col("c_vec").alias("a_vec"), "cell_id"
+    # Pre-quantize each vector and its norm ONCE per row: the naive
+    # per-pair cosine evaluates three interpreted-lambda dot products
+    # per candidate pair; hoisting the quantized array and its self-dot
+    # to the row level leaves exactly one zip_with per pair.
+    qvec = "transform(c_vec, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
-    right = assigned.select(
-        F.col("c_id").alias("b_id"), F.col("c_vec").alias("b_vec"), "cell_id"
+    prepped = assigned.select(
+        "c_id", "cell_id", F.expr(qvec).alias("qv")
+    ).withColumn("qn2", F.expr(idot.format(a="qv", b="qv")))
+    left = prepped.select(
+        F.col("c_id").alias("a_id"),
+        F.col("qv").alias("a_qv"),
+        F.col("qn2").alias("a_qn2"),
+        "cell_id",
+    )
+    right = prepped.select(
+        F.col("c_id").alias("b_id"),
+        F.col("qv").alias("b_qv"),
+        F.col("qn2").alias("b_qn2"),
+        "cell_id",
+    )
+    cosine = F.expr(idot.format(a="a_qv", b="b_qv")).cast("double") / (
+        F.sqrt(F.col("a_qn2").cast("double")) * F.sqrt(F.col("b_qn2").cast("double"))
     )
     drops = (
         left.join(right, "cell_id")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(_quantized_cosine("a_vec", "b_vec") >= F.lit(tau))
+        .filter(cosine >= F.lit(tau))
         .select(F.col("b_id").alias("drop_id"))
         .distinct()
     )

@@ -1690,17 +1690,26 @@ GROUP BY 1
 # Semantic dedup (SemDeDup, Abbas et al. 2023): coarse cells bound the
 # comparison scope; within a cell, any vector with a near-identical
 # earlier vector is dropped (keep-first exemplar rule). Centroids are
-# the deterministic seed vectors (vec_id < 16) so DuckDB can replay the
-# exact cell assignment — production trains them with
-# `similarity.train_ivf_centroids` (k-means), same shape. Assignment
-# cosine mirrors `ivf_assign` (_DOT_SQL decimal recipe); the pair
-# cosine uses integer quantization (_IDOT_SQL) for a boundary-free
-# keep/drop threshold.
+# the deterministic seed vectors vec_id < max(16, ⌊√n⌋) — the
+# canonical IVF sizing: k ≈ √N balances the n·k assignment sweep
+# against the n·(n/k) within-cell pair scan at O(n^1.5) each (the 10×
+# scale probe caught the fixed-16 version at 476 s: (n/16)² pairs; a
+# n/50 rule merely moved the quadratic into the n·k assignment).
+# DuckDB replays the same rule via a scalar subquery; production
+# trains the centroids with `similarity.train_ivf_centroids` (k-means),
+# same shape and same ∝-corpus sizing. Assignment cosine mirrors
+# `ivf_assign` (_DOT_SQL decimal recipe); the pair cosine uses integer
+# quantization (_IDOT_SQL) for a boundary-free keep/drop threshold.
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import semantic_dedup
 
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))
-    centroids = emb.filter(F.col("vec_id") < 16)
+    import math
+
+    # one metadata-cheap count; ids are dense from 0, so the first
+    # max(16, isqrt(n)) vectors are a deterministic, SQL-replayable seed
+    n_cells = max(16, math.isqrt(emb.count()))
+    centroids = emb.filter(F.col("vec_id") < n_cells)
     return semantic_dedup(emb, centroids, tau=0.3)
 
 
@@ -1712,7 +1721,8 @@ WITH normed AS (
 ),
 cents AS (
     SELECT vec_id AS cell_id, embedding AS cell_vec, norm2 AS cell_norm2
-    FROM normed WHERE vec_id < 16
+    FROM normed
+    WHERE vec_id < greatest(16, CAST(floor(sqrt((SELECT COUNT(*) FROM embeddings))) AS BIGINT))
 ),
 assigned AS (
     SELECT vec_id, embedding, cell_id
