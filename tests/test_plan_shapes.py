@@ -247,3 +247,23 @@ def test_ngram_lm_score_head_resolves_via_broadcast(spark):
         # the only shuffled join allowed is the tail's frequency join
         shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
         assert shuffled <= 1, f"{shuffled} shuffled joins (expected <=1, tail only)"
+
+
+def test_semantic_dedup_no_cartesian_broadcast_assignment(spark):
+    """dedup_semantic's scale contract: the n×k centroid sweep runs as
+    a BROADCAST nested-loop (the ⌊√n⌋ centroid side is driver-bounded
+    and shipped to every task — the intended plan for an
+    every-vector-scores-every-centroid sweep), while the potentially
+    quadratic duplicate scan must be a hash/merge EQUI join on cell_id,
+    never an un-keyed product over the full corpus."""
+    plan = _physical(QUERIES["dedup_semantic"](spark, SF_MEDIUM))
+    # un-keyed full-corpus product = the cell bounding silently broke
+    assert "CartesianProduct" not in plan
+    # centroid sweep: broadcast, small side only
+    assert "BroadcastExchange" in plan
+    # duplicate scan: keyed on cell_id
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or plan.count("BroadcastHashJoin") > 0
+    )
