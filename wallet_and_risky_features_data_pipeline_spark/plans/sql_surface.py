@@ -17,7 +17,7 @@ from .relational import PRICING_SUMMARY_ORACLE
 
 
 def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("lineitem",))
     return spark.sql(
         """
         SELECT
