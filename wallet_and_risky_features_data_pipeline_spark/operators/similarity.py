@@ -350,3 +350,35 @@ def pandas_topk(
         ),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, k: int = 5, rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists — the standard
+    hybrid-search merge (Cormack/Clarke/Buettcher, SIGIR'09): each list
+    contributes 1/(rrf_k + rank) and candidates re-rank by the summed
+    score. Inputs are ``(q_id, c_id, rank, ...)`` tables as produced by
+    ``lsh_topk``/``ivf_topk``/``brute_force_topk``.
+
+    Scale shape: both inputs are already top-k-per-query (≤ k rows per
+    q_id), so the FULL OUTER equi join on ``(q_id, c_id)`` is bounded
+    at 2k rows per query and the re-rank window is a per-query sort of
+    ≤ 2k rows — no stage grows with corpus size. The score is
+    1.0/(rrf_k + rank) on INTEGER ranks: a single IEEE division plus
+    one fixed-order addition, so it is bit-identical across engines
+    (the fused ranks carry a full value oracle, unlike raw cosines).
+    """
+    a_r = a.select("q_id", "c_id", F.col("rank").alias("rank_a"))
+    b_r = b.select("q_id", "c_id", F.col("rank").alias("rank_b"))
+    fused = a_r.join(b_r, ["q_id", "c_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_a")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0))
+    ranked = fused.withColumn("rrf_score", score).withColumn(
+        "rrf_rank",
+        F.row_number()
+        .over(Window.partitionBy("q_id").orderBy(F.col("rrf_score").desc(), F.col("c_id")))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rrf_rank") <= k).select(
+        "q_id", "c_id", "rrf_rank", "rrf_score"
+    )

@@ -40,6 +40,7 @@ from ..operators.similarity import (
     lsh_bucket,
     lsh_topk,
     pandas_topk,
+    rrf_fuse,
 )
 from ..sources.readers import fan_out, read_table
 
@@ -1749,4 +1750,161 @@ drops AS (
 SELECT v.vec_id, v.cell_id,
        CAST(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
 FROM assigned v LEFT JOIN drops d ON v.vec_id = d.drop_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the two bounded ANN
+# paths (LSH buckets + IVF probes). Rank-based fusion sidesteps float
+# score calibration entirely — the fused scores are 1/(60+rank) on
+# integer ranks, so unlike raw cosines they carry a full value oracle.
+# Both inputs are top-k-per-query, so every post-retrieval stage is
+# bounded at 2k rows per query regardless of corpus size.
+
+
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_fuse(
+        similarity_lsh_topk(spark, sf_dir), similarity_ivf_topk(spark, sf_dir), k=5
+    )
+
+
+SIMILARITY_RRF_ORACLE = f"""
+WITH lsh AS ({SIMILARITY_LSH_TOPK_ORACLE}),
+ivf AS ({SIMILARITY_IVF_ORACLE}),
+fused AS (
+    SELECT COALESCE(l.q_id, i.q_id) AS q_id,
+           COALESCE(l.c_id, i.c_id) AS c_id,
+           COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank), CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + i.rank), CAST(0 AS DOUBLE))
+             AS rrf_score
+    FROM lsh l FULL OUTER JOIN ivf i
+      ON l.q_id = i.q_id AND l.c_id = i.c_id
+)
+SELECT q_id, c_id, rrf_rank, rrf_score FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY rrf_score DESC, c_id) AS INT) AS rrf_rank
+    FROM fused
+) WHERE rrf_rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-vocab build: top-V corpus tokens with cumulative coverage
+# share — the first step of BPE/unigram tokenizer training ("how big a
+# vocab covers 95% of the corpus?"). The heavy stage is one hash agg
+# on token (map-side partial combine); top-V is TakeOrderedAndProject
+# (K rows per partition, no global sort); the cumulative window then
+# runs over exactly V rows, and the corpus-total denominator is a
+# one-row broadcast — so nothing after the first shuffle scales with
+# corpus size.
+VOCAB_TOP_V = 256
+
+
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    freqs = (
+        docs.select(F.explode(tokens("lower(text)")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    totals = freqs.agg(F.sum("freq").alias("total_tokens"))
+    top = freqs.orderBy(F.col("freq").desc(), "token").limit(VOCAB_TOP_V)
+    order = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("vocab_rank", F.row_number().over(order).cast("int"))
+        .withColumn(
+            "cum_coverage",
+            F.sum("freq").over(cum).cast("double") / F.col("total_tokens"),
+        )
+        .select("vocab_rank", "token", "freq", "cum_coverage")
+    )
+
+
+CORPUS_VOCAB_ORACLE = f"""
+WITH freqs AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+    GROUP BY 1
+),
+top AS (
+    SELECT * FROM freqs ORDER BY freq DESC, token LIMIT {VOCAB_TOP_V}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS vocab_rank,
+       token, freq,
+       CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / (SELECT SUM(freq) FROM freqs) AS cum_coverage
+FROM top
+"""
+
+
+# --------------------------------------------------------------------------
+# Curation funnel report: per-stage attrition of the quality cascade
+# (the "where did my corpus go" table every pipeline run prints).
+# Stages reuse corpus_curation's exact predicates — length gate →
+# stopword-ratio gate → exact-dup collapse — and each doc is charged
+# to its FIRST failing stage. One scan + one fp-keyed equi join (the
+# canonical-doc lookup, bounded by surviving docs) + a stage hash agg;
+# shares divide by a one-row broadcast total.
+
+
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    enriched = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        marker_count("text", STOPWORDS).alias("stop_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    stop_ratio = F.col("stop_tokens").cast("double") / F.col("n_tokens")
+    passes = (F.col("n_tokens") >= 20) & (stop_ratio <= 0.25)
+    canon = (
+        enriched.filter(passes).groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    )
+    staged = enriched.join(canon, "fp", "left").withColumn(
+        "stage",
+        F.when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(stop_ratio > 0.25, F.lit("low_quality"))
+        .when(F.col("doc_id") != F.col("canon_id"), F.lit("duplicate"))
+        .otherwise(F.lit("kept")),
+    )
+    totals = enriched.agg(F.count("*").alias("total_docs"))
+    return (
+        staged.groupBy("stage")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("doc_share", F.col("n_docs").cast("double") / F.col("total_docs"))
+        .select("stage", "n_docs", "total_tokens", "doc_share")
+    )
+
+
+CORPUS_FUNNEL_ORACLE = rf"""
+WITH enriched AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS n_tokens,
+           {marker_count_sql("text", STOPWORDS)} AS stop_tokens,
+           md5(lower(trim(text))) AS fp
+    FROM documents
+),
+canon AS (
+    SELECT fp, MIN(doc_id) AS canon_id FROM enriched
+    WHERE n_tokens >= 20 AND CAST(stop_tokens AS DOUBLE) / n_tokens <= 0.25
+    GROUP BY fp
+),
+staged AS (
+    SELECT e.*,
+           CASE WHEN e.n_tokens < 20 THEN 'too_short'
+                WHEN CAST(e.stop_tokens AS DOUBLE) / e.n_tokens > 0.25 THEN 'low_quality'
+                WHEN e.doc_id <> c.canon_id THEN 'duplicate'
+                ELSE 'kept' END AS stage
+    FROM enriched e LEFT JOIN canon c USING (fp)
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM enriched) AS doc_share
+FROM staged GROUP BY 1
 """

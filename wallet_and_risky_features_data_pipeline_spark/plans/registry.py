@@ -238,3 +238,10 @@ register("text_ngram_lm_score", llm.text_ngram_lm_score, llm.TEXT_NGRAM_LM_ORACL
 # Semantic dedup (SemDeDup): cell-bounded embedding near-dup dropping,
 # keep-first exemplar per duplicate group (r7).
 register("dedup_semantic", llm.dedup_semantic, llm.DEDUP_SEMANTIC_ORACLE)
+# Hybrid retrieval: reciprocal-rank fusion of the LSH and IVF top-k
+# lists (integer-rank scores → full value oracle, unlike raw cosines)
+register("similarity_rrf_fusion", llm.similarity_rrf_fusion, llm.SIMILARITY_RRF_ORACLE)
+# Tokenizer-vocab build: top-V tokens + cumulative corpus coverage
+register("corpus_vocab_coverage", llm.corpus_vocab_coverage, llm.CORPUS_VOCAB_ORACLE)
+# Curation funnel: per-stage attrition of the quality cascade
+register("corpus_quality_funnel", llm.corpus_quality_funnel, llm.CORPUS_FUNNEL_ORACLE)
