@@ -1002,3 +1002,57 @@ def test_semantic_dedup_keep_first_exemplar(spark):
     assert got[20][0] == 1                               # cell B
     # every input vector gets exactly one verdict row
     assert set(got) == {0, 1, 10, 11, 12, 20}
+
+
+def test_rrf_fusion_dual_list_outranks_and_tie_breaks(spark):
+    """A candidate on BOTH lists must outrank one holding a better rank
+    on a single list (1/61+1/62 > 1/61), and equal scores break by
+    c_id — the determinism the value oracle depends on."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 13, 3)], "q_id long, c_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (1, 14, 3)], "q_id long, c_id long, rank int"
+    )
+    got = {r.c_id: (r.rrf_rank, r.rrf_score) for r in rrf_fuse(a, b, k=5).collect()}
+    # 11 is rank 2 + rank 1 -> beats 10 (single rank 1)
+    assert got[11][0] == 1
+    assert got[10][0] == 2
+    # 12 (single rank 2) and 13/14 (single rank 3): 12 next, then c_id
+    # breaks the 13-vs-14 score tie (both 1/63) in id order
+    assert got[12][0] == 3
+    assert (got[13][0], got[14][0]) == (4, 5)
+    assert abs(got[11][1] - (1 / 62 + 1 / 61)) < 1e-15
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        corpus_vocab_coverage,
+    )
+    from .conftest import SF_SMALL
+
+    rows = corpus_vocab_coverage(spark, SF_SMALL).orderBy("vocab_rank").collect()
+    assert rows, "vocab must be non-empty"
+    cov = [r.cum_coverage for r in rows]
+    assert all(b >= a for a, b in zip(cov, cov[1:])), "coverage must be monotone"
+    assert 0 < cov[-1] <= 1.0
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True), "rank order is by frequency"
+
+
+def test_quality_funnel_partitions_the_corpus(spark):
+    """Every doc lands in exactly one stage: stage counts sum to the
+    corpus size and shares sum to 1 (first-failing-stage attribution)."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        corpus_quality_funnel,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    rows = corpus_quality_funnel(spark, SF_SMALL).collect()
+    total = read_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-9
+    assert {r.stage for r in rows} <= {"kept", "too_short", "low_quality", "duplicate"}
