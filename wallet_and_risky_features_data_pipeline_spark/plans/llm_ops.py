@@ -1800,15 +1800,28 @@ SELECT q_id, c_id, rrf_rank, rrf_score FROM (
 VOCAB_TOP_V = 256
 
 
-def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = fan_out(read_table(spark, sf_dir, "documents"))
-    freqs = (
+def token_freqs(docs: DataFrame) -> DataFrame:
+    """Per-token corpus counts — the merge-able partial aggregate the
+    vocab family is built from (explode → hash agg, map-side combine)."""
+    return (
         docs.select(F.explode(tokens("lower(text)")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
+
+
+def merge_token_stats(prior: DataFrame, batch: DataFrame) -> DataFrame:
+    """Combine two freq tables by summed counts — the same merge shape
+    sketch stores use (union + re-agg on the key, map-side combinable),
+    so corpus stats maintain incrementally: per-batch cost is the NEW
+    batch's tokenization plus one bounded-key agg, never a re-scan of
+    the historical corpus."""
+    return prior.unionByName(batch).groupBy("token").agg(F.sum("freq").alias("freq"))
+
+
+def _vocab_from_freqs(freqs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
     totals = freqs.agg(F.sum("freq").alias("total_tokens"))
     top = freqs.orderBy(F.col("freq").desc(), "token").limit(VOCAB_TOP_V)
     order = Window.orderBy(F.col("freq").desc(), F.col("token"))
@@ -1822,6 +1835,24 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vocab_rank", "token", "freq", "cum_coverage")
     )
+
+
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return _vocab_from_freqs(token_freqs(docs))
+
+
+def corpus_vocab_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vocab maintenance: the stored stats table (even doc
+    ids — in production, the persisted freq store) merges with the new
+    batch's partial counts (odd doc ids); the result is held to the
+    FULL-recompute oracle, proving count-merge equivalence. Sum of
+    counts is exactly associative (bigints, no floats), so batch
+    boundaries can never drift the vocabulary."""
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    prior = token_freqs(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = token_freqs(docs.filter(F.col("doc_id") % 2 == 1))
+    return _vocab_from_freqs(merge_token_stats(prior, batch))
 
 
 CORPUS_VOCAB_ORACLE = f"""

@@ -245,3 +245,6 @@ register("similarity_rrf_fusion", llm.similarity_rrf_fusion, llm.SIMILARITY_RRF_
 register("corpus_vocab_coverage", llm.corpus_vocab_coverage, llm.CORPUS_VOCAB_ORACLE)
 # Curation funnel: per-stage attrition of the quality cascade
 register("corpus_quality_funnel", llm.corpus_quality_funnel, llm.CORPUS_FUNNEL_ORACLE)
+# Incremental vocab maintenance (stored freq table + new-batch partial
+# counts merged by summed bigints) held to the FULL-recompute oracle
+register("corpus_vocab_incremental", llm.corpus_vocab_incremental, llm.CORPUS_VOCAB_ORACLE)
