@@ -1056,3 +1056,42 @@ def test_quality_funnel_partitions_the_corpus(spark):
     assert sum(r.n_docs for r in rows) == total
     assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-9
     assert {r.stage for r in rows} <= {"kept", "too_short", "low_quality", "duplicate"}
+
+
+def test_commit_generation_snapshots_time_travel_and_self_merge(spark, tmp_path):
+    """Full-snapshot commits: monotone gen numbering, time travel to
+    any committed generation, and the stats-merge loop's self-reference
+    (the next snapshot computed FROM the live one) all hold; an
+    unpublished crash leftover is cleared, not counted."""
+    import os
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        commit_generation,
+        read_store,
+        vacuum_generations,
+    )
+
+    store = str(tmp_path / "freqs")
+    g1 = commit_generation(
+        spark.createDataFrame([("a", 1), ("b", 2)], "token string, freq long"), store
+    )
+    assert g1 == "gen-000001"
+    # self-merge: next snapshot reads the live one
+    prior = read_store(spark, store)
+    merged = prior.unionByName(
+        spark.createDataFrame([("a", 3)], "token string, freq long")
+    ).groupBy("token").agg(F.sum("freq").alias("freq"))
+    assert commit_generation(merged, store) == "gen-000002"
+    live = {(r.token, r.freq) for r in read_store(spark, store).collect()}
+    assert live == {("a", 4), ("b", 2)}
+    old = {(r.token, r.freq) for r in read_store(spark, store, generation=1).collect()}
+    assert old == {("a", 1), ("b", 2)}
+    # a renamed-but-never-published generation is a crash leftover:
+    # cleared on the next commit, and numbering does not skip past it
+    os.makedirs(os.path.join(store, "gen-000009"))
+    g3 = commit_generation(
+        spark.createDataFrame([("c", 9)], "token string, freq long"), store
+    )
+    assert g3 == "gen-000003"
+    assert not os.path.exists(os.path.join(store, "gen-000009"))
+    assert vacuum_generations(store, keep=1) == ["gen-000001", "gen-000002"]

@@ -248,3 +248,7 @@ register("corpus_quality_funnel", llm.corpus_quality_funnel, llm.CORPUS_FUNNEL_O
 # Incremental vocab maintenance (stored freq table + new-batch partial
 # counts merged by summed bigints) held to the FULL-recompute oracle
 register("corpus_vocab_incremental", llm.corpus_vocab_incremental, llm.CORPUS_VOCAB_ORACLE)
+# Streaming corpus-stats maintenance: per-batch partial counts merged
+# into the generation-committed freq store; held to the full-recompute
+# vocab oracle (batch boundaries can never drift the stats)
+register("streaming_vocab_maintenance", sj.stream_vocab_maintenance, llm.CORPUS_VOCAB_ORACLE)

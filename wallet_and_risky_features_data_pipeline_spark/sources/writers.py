@@ -241,6 +241,43 @@ def _adopt_flat_store(path: str) -> None:
         shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.unlink(p)
 
 
+def commit_generation(df: DataFrame, path: str) -> str:
+    """Commit a FULL snapshot of ``df`` as the store's next generation
+    — the whole-table cousin of ``merge_upsert`` for callers that
+    replace the table each commit (rolling corpus stats, dimension
+    snapshots): same staged-write → rename → atomic ``_LATEST``
+    compare-and-swap, same reader contract (a racing reader sees the
+    previous complete snapshot, never a partial one), same time travel
+    and ``vacuum_generations`` history. ``df`` may read FROM the live
+    generation of the same store (the stats-merge loop does): the
+    staged write scans the old files while writing new ones, and the
+    pointer only flips after the write completes. Returns the committed
+    generation name."""
+    os.makedirs(path, exist_ok=True)
+    # Base = the LIVE generation (the pointer is the commit); gen dirs
+    # past it are unpublished crash leftovers — clear them so retries
+    # converge and numbering can't collide with a ghost (same policy,
+    # and same narrow rival-writer caveat, as merge_upsert).
+    gens = list_generations(path)
+    base = None
+    if os.path.exists(os.path.join(path, _LATEST)):
+        base = os.path.basename(resolve_store(path))
+        if base in gens:
+            for g in gens[gens.index(base) + 1 :]:
+                shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+    else:
+        for g in gens:
+            shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+    n = (int(base[len(_GEN_PREFIX) :]) if base else 0) + 1
+    gen_name = f"{_GEN_PREFIX}{n:06d}"
+    staged = os.path.join(path, f"{_STAGE_PREFIX}{n:06d}")
+    shutil.rmtree(staged, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staged)
+    os.rename(staged, os.path.join(path, gen_name))
+    _flip_latest(path, gen_name, expected_base=base)
+    return gen_name
+
+
 def vacuum_generations(path: str, keep: int = 1) -> list[str]:
     """Drop (a) all but the newest ``keep`` COMMITTED generations,
     (b) every UNCOMMITTED generation — dirs newer than the live

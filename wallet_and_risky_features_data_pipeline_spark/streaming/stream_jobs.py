@@ -745,3 +745,48 @@ SELECT user_id, event_id, ts_us,
 FROM ordered
 WHERE run // {THRESHOLD_CENTS} > (run - cents) // {THRESHOLD_CENTS}
 """
+
+
+def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-stats maintenance: documents land as files, and
+    every micro-batch's partial token counts MERGE into a generation-
+    committed frequency store (``merge_token_stats`` inside
+    ``foreachBatch``); the final vocabulary derives from the store and
+    is held to the FULL-recompute vocab oracle — batching can never
+    drift the stats, because bigint count-merge is exactly associative.
+
+    The corpus is landed as a 4-file staging dir streamed with
+    ``maxFilesPerTrigger=1``, so the merge loop REALLY runs multiple
+    times (store generations 1→4), not once. Each commit goes through
+    ``commit_generation``'s staged-write → atomic ``_LATEST`` flip, so
+    a stats reader concurrent with maintenance sees one complete
+    snapshot, and the generation history doubles as stats time travel
+    (which corpus state produced yesterday's tokenizer?).
+    """
+    from ..plans.llm_ops import _vocab_from_freqs, merge_token_stats, token_freqs
+    from ..sources.writers import commit_generation, list_generations, read_store
+
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    land = tempfile.mkdtemp(prefix="wrf_vocab_land_")
+    static.repartition(4).write.mode("overwrite").parquet(land)
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_vocab_ckpt_")
+    store = tempfile.mkdtemp(prefix="wrf_vocab_store_") + "/token_freqs"
+
+    def merge_batch(batch: DataFrame, _epoch: int) -> None:
+        counts = token_freqs(batch)
+        if list_generations(store):
+            counts = merge_token_stats(read_store(spark, store), counts)
+        commit_generation(counts, store)
+
+    q = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(merge_batch)
+        .start()
+    )
+    q.awaitTermination()
+    return _vocab_from_freqs(read_store(spark, store))
