@@ -1903,12 +1903,19 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") != F.col("canon_id"), F.lit("duplicate"))
         .otherwise(F.lit("kept")),
     )
-    totals = enriched.agg(F.count("*").alias("total_docs"))
+    # corpus total = Σ stage counts (stages partition the corpus), so
+    # the share denominator is a window over the ≤4 aggregate rows —
+    # no third scan of the table for a COUNT(*)
+    from pyspark.sql import Window
+
     return (
         staged.groupBy("stage")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
-        .crossJoin(F.broadcast(totals))
-        .withColumn("doc_share", F.col("n_docs").cast("double") / F.col("total_docs"))
+        .withColumn(
+            "doc_share",
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy()),
+        )
         .select("stage", "n_docs", "total_tokens", "doc_share")
     )
 
