@@ -1095,3 +1095,40 @@ def test_commit_generation_snapshots_time_travel_and_self_merge(spark, tmp_path)
     assert g3 == "gen-000003"
     assert not os.path.exists(os.path.join(store, "gen-000009"))
     assert vacuum_generations(store, keep=1) == ["gen-000001", "gen-000002"]
+
+
+def test_generation_commit_cas_excludes_rival_and_unwedges_ghosts(spark, tmp_path):
+    """The commit marker is a true filesystem CAS: the second publisher
+    of the same generation number fails with ConcurrentCommitError even
+    though the pointer check alone would have passed; and a marker left
+    by a CRASHED publish (marker exists, pointer never flipped) is
+    cleared on the next commit instead of wedging the store."""
+    import os
+
+    import pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        ConcurrentCommitError,
+        _flip_latest,
+        commit_generation,
+        read_store,
+    )
+
+    store = str(tmp_path / "s")
+    df = spark.createDataFrame([("a", 1)], "token string, freq long")
+    commit_generation(df, store)
+    # rival publishing gen-000002: simulate its winning CAS by staging
+    # the dir and creating the marker, but NOT flipping the pointer yet
+    # (the exact window the old check-then-rename left unguarded)
+    os.makedirs(os.path.join(store, "gen-000002"))
+    open(os.path.join(store, ".commit-gen-000002"), "x").close()
+    with pytest.raises(ConcurrentCommitError):
+        _flip_latest(store, "gen-000002", expected_base="gen-000001")
+    # crash recovery: rival died before flipping — its dir AND marker
+    # are uncommitted leftovers; the next commit clears both, reuses
+    # the number, and the store stays readable throughout
+    g = commit_generation(
+        spark.createDataFrame([("b", 2)], "token string, freq long"), store
+    )
+    assert g == "gen-000002"
+    assert {(r.token, r.freq) for r in read_store(spark, store).collect()} == {("b", 2)}

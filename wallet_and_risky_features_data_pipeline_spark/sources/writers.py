@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 _LATEST = "_LATEST"
 _GEN_PREFIX = "gen-"
 _STAGE_PREFIX = ".tmp-gen-"
+_MARKER_PREFIX = ".commit-"
 
 
 def write_partitioned(
@@ -153,25 +154,70 @@ class ConcurrentCommitError(RuntimeError):
     ``CommitFailedException``)."""
 
 
-def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> None:
-    """Atomically commit ``gen_name`` as the live generation: write the
-    pointer to a hidden temp file, fsync, and rename over ``_LATEST``
-    — the single-file atomic commit every reader resolves through.
+def _marker(path: str, gen_name: str) -> str:
+    return os.path.join(path, f"{_MARKER_PREFIX}{gen_name}")
 
-    ``expected_base`` makes the flip a COMPARE-and-swap: if the live
-    pointer no longer names the generation this merge was computed
-    against, a concurrent writer won the race and publishing would
-    silently drop its rows — raise ``ConcurrentCommitError`` instead.
-    (On a local/posix fs the check-then-rename pair is not one atomic
-    CAS; the window is the microseconds between them, vs the whole
-    merge runtime unguarded. A production deployment backs this with a
-    real CAS — an Iceberg/Glue/Hive catalog commit or S3
-    conditional-put — which is the documented remaining gap.)"""
+
+def _clear_uncommitted(path: str, live: str | None) -> None:
+    """Remove generation dirs AND commit markers PAST the live
+    generation (all of them when nothing is committed) — leftovers of
+    a publish that crashed between its steps. Clearing the marker
+    along with the dir is what lets a RETRY of the same generation
+    number pass the CAS instead of wedging on a ghost's EEXIST.
+    Zero-padded gen names make string compare = numeric compare."""
+    for g in list_generations(path):
+        if live is None or g > live:
+            shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+    for e in os.listdir(path):
+        if e.startswith(_MARKER_PREFIX):
+            g = e[len(_MARKER_PREFIX) :]
+            if live is None or g > live:
+                try:
+                    os.unlink(os.path.join(path, e))
+                except FileNotFoundError:
+                    pass
+
+
+def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> None:
+    """Atomically commit ``gen_name`` as the live generation.
+
+    Two steps, both atomic:
+
+    1. **CAS** — create the per-generation commit marker with
+       ``O_CREAT|O_EXCL``: the filesystem hands exactly ONE writer of
+       generation N the win; a rival publishing the same N gets
+       ``EEXIST`` → ``ConcurrentCommitError`` (its staged work is
+       leftovers the next writer clears). This is the same
+       one-winner-per-snapshot-id protocol an Iceberg catalog commit
+       or S3 conditional-put provides; on a shared filesystem without
+       atomic exclusive-create semantics, swap this single call for
+       the real catalog CAS.
+    2. **Publish** — write the pointer to a hidden temp file, fsync,
+       rename over ``_LATEST`` — the single-file commit every reader
+       resolves through.
+
+    ``expected_base`` (defense in depth behind the CAS) re-checks that
+    the live pointer still names the generation this merge was
+    computed against — a rival that advanced the store FURTHER than
+    one generation is caught here."""
+    marker = _marker(path, gen_name)
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"store {path}: another writer already committed {gen_name}; "
+            "re-run the merge on the new snapshot"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(expected_base or "")
+        f.flush()
+        os.fsync(f.fileno())
     manifest = os.path.join(path, _LATEST)
     if expected_base is not None and os.path.exists(manifest):
         with open(manifest) as f:
             live = f.read().strip()
         if live != expected_base:
+            os.unlink(marker)  # we lost; leave no ghost for the winner
             raise ConcurrentCommitError(
                 f"store {path}: merge was computed against {expected_base} "
                 f"but {live} is now live; re-run the merge on the new snapshot"
@@ -210,6 +256,7 @@ def _adopt_flat_store(path: str) -> None:
     stays readable the whole time), flip ``_LATEST``, then best-effort
     remove the now-garbage flat entries (the links keep the inodes
     alive, and a crash mid-removal only leaves invisible litter)."""
+    _clear_uncommitted(path, None)  # ghost gens/markers of a crashed adoption
     staged = os.path.join(path, f"{_STAGE_PREFIX}adopt")
     shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged)
@@ -258,16 +305,10 @@ def commit_generation(df: DataFrame, path: str) -> str:
     # past it are unpublished crash leftovers — clear them so retries
     # converge and numbering can't collide with a ghost (same policy,
     # and same narrow rival-writer caveat, as merge_upsert).
-    gens = list_generations(path)
     base = None
     if os.path.exists(os.path.join(path, _LATEST)):
         base = os.path.basename(resolve_store(path))
-        if base in gens:
-            for g in gens[gens.index(base) + 1 :]:
-                shutil.rmtree(os.path.join(path, g), ignore_errors=True)
-    else:
-        for g in gens:
-            shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+    _clear_uncommitted(path, base)
     n = (int(base[len(_GEN_PREFIX) :]) if base else 0) + 1
     gen_name = f"{_GEN_PREFIX}{n:06d}"
     staged = os.path.join(path, f"{_STAGE_PREFIX}{n:06d}")
@@ -316,6 +357,10 @@ def vacuum_generations(path: str, keep: int = 1) -> list[str]:
             doomed.append(d)
     for g in doomed:
         shutil.rmtree(os.path.join(path, g), ignore_errors=False)
+        try:  # drop the expired generation's commit marker with it
+            os.unlink(_marker(path, g))
+        except FileNotFoundError:
+            pass
         removed.append(g)
     return removed
 
@@ -378,14 +423,12 @@ def merge_upsert(
     gens = list_generations(path)
     if gens:
         if not has_latest:
-            for g in gens:
-                shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+            _clear_uncommitted(path, None)
             gens = []
         else:
             live = os.path.basename(resolve_store(path))
             if live in gens:
-                for g in gens[gens.index(live) + 1 :]:
-                    shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+                _clear_uncommitted(path, live)
                 gens = gens[: gens.index(live) + 1]
 
     if not gens:
