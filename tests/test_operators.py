@@ -1086,15 +1086,21 @@ def test_commit_generation_snapshots_time_travel_and_self_merge(spark, tmp_path)
     assert live == {("a", 4), ("b", 2)}
     old = {(r.token, r.freq) for r in read_store(spark, store, generation=1).collect()}
     assert old == {("a", 1), ("b", 2)}
-    # a renamed-but-never-published generation is a crash leftover:
-    # cleared on the next commit, and numbering does not skip past it
+    # a renamed-but-never-published generation is a ghost: the hot path
+    # SKIPS its number (clearing it could delete a rival mid-publish);
+    # vacuum_generations (single-maintainer) reclaims it
     os.makedirs(os.path.join(store, "gen-000009"))
     g3 = commit_generation(
         spark.createDataFrame([("c", 9)], "token string, freq long"), store
     )
-    assert g3 == "gen-000003"
-    assert not os.path.exists(os.path.join(store, "gen-000009"))
-    assert vacuum_generations(store, keep=1) == ["gen-000001", "gen-000002"]
+    assert g3 == "gen-000010"
+    assert os.path.exists(os.path.join(store, "gen-000009"))  # left for vacuum
+    assert vacuum_generations(store, keep=1) == [
+        "gen-000001",
+        "gen-000002",
+        "gen-000009",
+    ]
+    assert {(r.token, r.freq) for r in read_store(spark, store).collect()} == {("c", 9)}
 
 
 def test_generation_commit_cas_excludes_rival_and_unwedges_ghosts(spark, tmp_path):
@@ -1124,11 +1130,67 @@ def test_generation_commit_cas_excludes_rival_and_unwedges_ghosts(spark, tmp_pat
     open(os.path.join(store, ".commit-gen-000002"), "x").close()
     with pytest.raises(ConcurrentCommitError):
         _flip_latest(store, "gen-000002", expected_base="gen-000001")
-    # crash recovery: rival died before flipping — its dir AND marker
-    # are uncommitted leftovers; the next commit clears both, reuses
-    # the number, and the store stays readable throughout
+    # crash recovery: rival died before flipping — its dir and marker
+    # are ghosts; the next commit SKIPS their number (never clears in
+    # the hot path) and the store stays readable throughout
     g = commit_generation(
         spark.createDataFrame([("b", 2)], "token string, freq long"), store
     )
-    assert g == "gen-000002"
+    assert g == "gen-000003"
     assert {(r.token, r.freq) for r in read_store(spark, store).collect()} == {("b", 2)}
+
+
+def test_generation_commit_race_one_winner_store_always_readable(spark, tmp_path):
+    """8 threads race commit_generation on one store. Invariants: every
+    generation number has exactly ONE winner (losers raise
+    ConcurrentCommitError, nobody silently 'succeeds' into a rival's
+    number), the live snapshot after the storm is one thread's intact
+    payload, and a reader polling mid-storm always resolves a complete
+    committed snapshot."""
+    import threading
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        ConcurrentCommitError,
+        commit_generation,
+        read_store,
+    )
+
+    store = str(tmp_path / "raced")
+    commit_generation(
+        spark.createDataFrame([(0, 0)], "writer int, payload int"), store
+    )
+    wins, losses, reader_errors = [], [], []
+    barrier = threading.Barrier(9)
+
+    def writer(i: int) -> None:
+        df = spark.createDataFrame([(i, j) for j in range(5)], "writer int, payload int")
+        barrier.wait()
+        for _ in range(4):
+            try:
+                wins.append((commit_generation(df, store), i))
+            except ConcurrentCommitError:
+                losses.append(i)
+
+    def reader() -> None:
+        barrier.wait()
+        for _ in range(20):
+            try:
+                rows = read_store(spark, store).collect()
+                ws = {r.writer for r in rows}
+                if len(ws) != 1:  # a torn snapshot would mix writers
+                    reader_errors.append(f"mixed snapshot: {ws}")
+            except Exception as e:  # noqa: BLE001 — any read failure is the bug
+                reader_errors.append(repr(e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, 9)]
+    threads.append(threading.Thread(target=reader))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    gens = [g for g, _ in wins]
+    assert len(gens) == len(set(gens)), f"two winners for one generation: {wins}"
+    assert wins, "at least one commit must win"
+    assert not reader_errors, reader_errors
+    final = read_store(spark, store).collect()
+    assert len({r.writer for r in final}) == 1 and len(final) == 5

@@ -161,9 +161,11 @@ def _marker(path: str, gen_name: str) -> str:
 def _clear_uncommitted(path: str, live: str | None) -> None:
     """Remove generation dirs AND commit markers PAST the live
     generation (all of them when nothing is committed) — leftovers of
-    a publish that crashed between its steps. Clearing the marker
-    along with the dir is what lets a RETRY of the same generation
-    number pass the CAS instead of wedging on a ghost's EEXIST.
+    a publish that crashed between its steps. NOT safe concurrent with
+    writers (a crash leftover is indistinguishable from a rival's
+    in-flight publish), so only single-maintainer paths call it:
+    ``vacuum_generations`` and flat-store adoption. The hot commit
+    paths never clear — they SKIP ghosts via ``_next_gen_number``.
     Zero-padded gen names make string compare = numeric compare."""
     for g in list_generations(path):
         if live is None or g > live:
@@ -176,6 +178,38 @@ def _clear_uncommitted(path: str, live: str | None) -> None:
                     os.unlink(os.path.join(path, e))
                 except FileNotFoundError:
                     pass
+
+
+def _next_gen_number(path: str) -> int:
+    """1 + the highest generation number visible in dirs, commit
+    markers, or the live pointer. Ghosts of crashed publishes are
+    SKIPPED, never cleared here: from the hot path a crash leftover is
+    indistinguishable from a rival writer between its rename and flip,
+    and clearing would delete the rival's data mid-publish —
+    reclamation belongs to ``vacuum_generations`` (single-maintainer).
+    Monotone numbering instead makes rivals collide on the SAME next
+    number, where the marker CAS picks exactly one winner."""
+    seen = [0]
+    for g in list_generations(path):
+        try:
+            seen.append(int(g[len(_GEN_PREFIX) :]))
+        except ValueError:
+            pass
+    for e in os.listdir(path):
+        if e.startswith(_MARKER_PREFIX + _GEN_PREFIX):
+            try:
+                seen.append(int(e[len(_MARKER_PREFIX) + len(_GEN_PREFIX) :]))
+            except ValueError:
+                pass
+    manifest = os.path.join(path, _LATEST)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            live = f.read().strip()
+        try:
+            seen.append(int(live[len(_GEN_PREFIX) :]))
+        except ValueError:
+            pass
+    return max(seen) + 1
 
 
 def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> None:
@@ -300,22 +334,35 @@ def commit_generation(df: DataFrame, path: str) -> str:
     staged write scans the old files while writing new ones, and the
     pointer only flips after the write completes. Returns the committed
     generation name."""
+    import uuid
+
     os.makedirs(path, exist_ok=True)
-    # Base = the LIVE generation (the pointer is the commit); gen dirs
-    # past it are unpublished crash leftovers — clear them so retries
-    # converge and numbering can't collide with a ghost (same policy,
-    # and same narrow rival-writer caveat, as merge_upsert).
+    # Base = the LIVE generation (the pointer is the commit). Ghost
+    # dirs/markers past it are skipped by the numbering, not cleared —
+    # see _next_gen_number; vacuum_generations reclaims them.
     base = None
     if os.path.exists(os.path.join(path, _LATEST)):
         base = os.path.basename(resolve_store(path))
-    _clear_uncommitted(path, base)
-    n = (int(base[len(_GEN_PREFIX) :]) if base else 0) + 1
+    n = _next_gen_number(path)
     gen_name = f"{_GEN_PREFIX}{n:06d}"
-    staged = os.path.join(path, f"{_STAGE_PREFIX}{n:06d}")
-    shutil.rmtree(staged, ignore_errors=True)
+    staged = os.path.join(
+        path, f"{_STAGE_PREFIX}{n:06d}-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    )
     df.write.mode("overwrite").parquet(staged)
-    os.rename(staged, os.path.join(path, gen_name))
-    _flip_latest(path, gen_name, expected_base=base)
+    dest = os.path.join(path, gen_name)
+    try:
+        os.rename(staged, dest)
+    except OSError as e:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"store {path}: generation {gen_name} was created by another "
+            "writer while this snapshot was staged; re-run on the new snapshot"
+        ) from e
+    try:
+        _flip_latest(path, gen_name, expected_base=base)
+    except ConcurrentCommitError:
+        shutil.rmtree(dest, ignore_errors=True)
+        raise
     return gen_name
 
 
@@ -414,29 +461,29 @@ def merge_upsert(
             has_latest = True
     os.makedirs(path, exist_ok=True)
 
-    # Clear UNCOMMITTED generations (renamed but never published — the
-    # pointer is the commit) so retries converge and gen numbering
-    # can't collide with a ghost. Narrow caveat shared with the CAS
-    # below: a rival writer between ITS rename and flip looks identical
-    # to a crash leftover — the same rename→flip window a real catalog
-    # CAS would close.
+    # UNCOMMITTED generations (renamed but never published — the
+    # pointer is the commit) are ghosts: numbering SKIPS them
+    # (_next_gen_number) rather than clearing them here, because from
+    # this path a crash leftover is indistinguishable from a rival
+    # writer between its rename and flip; vacuum_generations
+    # (single-maintainer) reclaims them.
     gens = list_generations(path)
     if gens:
         if not has_latest:
-            _clear_uncommitted(path, None)
-            gens = []
+            gens = []  # nothing committed; ghosts of a crashed first write
         else:
             live = os.path.basename(resolve_store(path))
-            if live in gens:
-                _clear_uncommitted(path, live)
-                gens = gens[: gens.index(live) + 1]
+            gens = gens[: gens.index(live) + 1] if live in gens else gens
+
+    next_n = _next_gen_number(path)
+    gen_name = f"{_GEN_PREFIX}{next_n:06d}"
 
     if not gens:
         staged = os.path.join(
-            path, f"{_STAGE_PREFIX}000001-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+            path, f"{_STAGE_PREFIX}{next_n:06d}-{os.getpid()}-{uuid.uuid4().hex[:6]}"
         )
         updates.write.partitionBy(*partition_cols).mode("overwrite").parquet(staged)
-        dest = os.path.join(path, f"{_GEN_PREFIX}000001")
+        dest = os.path.join(path, gen_name)
         try:
             os.rename(staged, dest)
         except OSError as e:
@@ -445,7 +492,11 @@ def merge_upsert(
                 f"store {path}: another writer created {dest} during this "
                 "first write; re-run the merge on the new snapshot"
             ) from e
-        _flip_latest(path, f"{_GEN_PREFIX}000001")
+        try:
+            _flip_latest(path, gen_name)
+        except ConcurrentCommitError:
+            shutil.rmtree(dest, ignore_errors=True)
+            raise
         return updates.count()
 
     cur_gen = resolve_store(path)
@@ -465,8 +516,7 @@ def merge_upsert(
     kept = touched.join(updates.select(*key), on=list(key), how="left_anti")
     merged = kept.unionByName(updates.select(*kept.columns))
 
-    next_n = int(gens[-1][len(_GEN_PREFIX) :]) + 1
-    gen_name = f"{_GEN_PREFIX}{next_n:06d}"
+    # gen_name/next_n computed up front by _next_gen_number (ghost-skip).
     # Unique per-writer staging: a shared .tmp-gen-N name would let a
     # rival's startup cleanup delete THIS writer's in-flight Spark
     # output mid-write (and both jobs would collide on _temporary).
@@ -481,8 +531,8 @@ def merge_upsert(
     n = spark.read.parquet(staged).count()
     _link_untouched(cur_gen, staged)
     dest = os.path.join(path, gen_name)
-    # crash leftovers with this number were cleared at merge start, so
-    # an existing dest now means a rival renamed it during this merge
+    # the numbering skipped every ghost visible at merge start, so an
+    # existing dest now means a rival renamed it during this merge
     if os.path.exists(dest):
         shutil.rmtree(staged, ignore_errors=True)
         raise ConcurrentCommitError(
