@@ -223,3 +223,50 @@ def test_kmeans_assignment_matches_golden(spark):
     assert len(pairs) == golden["n_vectors"]
     assert sizes == golden["cluster_sizes"], "cluster-size histogram drifted"
     assert digest == golden["digest"], "assignment partition drifted"
+
+
+def test_lr_prediction_matches_golden(spark):
+    """Determinism harness for the LR risk scorer (the other rows-only
+    MLlib entry): the convex L2 fit at sf0.01 must reproduce the STORED
+    golden — per-class prediction histogram, training accuracy, and a
+    digest of the predicted-label sequence in vec_id order (integer
+    labels only, no float scores). A regression in feature assembly,
+    label casting, or solver config changes the digest. Regenerate with
+    SPARK_GRAFT_REGEN_GOLDEN=1."""
+    import hashlib
+    import json
+    import os
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.ml_ops import risk_score_lr
+
+    rows = sorted(
+        (r.vec_id, r.label, r.predicted_label)
+        for r in risk_score_lr(spark, "/root/testdata/sf0.01").collect()
+    )
+    digest = hashlib.md5(
+        ";".join(f"{v}:{p}" for v, _, p in rows).encode()
+    ).hexdigest()
+    hist: dict[str, int] = {}
+    for _, _, p in rows:
+        hist[str(p)] = hist.get(str(p), 0) + 1
+    acc = sum(1 for _, y, p in rows if y == p) / len(rows)
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden", "lr_risk_sf001.json")
+    if os.environ.get("SPARK_GRAFT_REGEN_GOLDEN") == "1" or not os.path.exists(golden_path):
+        with open(golden_path, "w") as f:
+            json.dump(
+                {
+                    "digest": digest,
+                    "prediction_hist": hist,
+                    "train_accuracy": round(acc, 6),
+                    "n_rows": len(rows),
+                },
+                f,
+                indent=1,
+            )
+    with open(golden_path) as f:
+        golden = json.load(f)
+    assert len(rows) == golden["n_rows"]
+    assert hist == golden["prediction_hist"], "prediction histogram drifted"
+    assert round(acc, 6) == golden["train_accuracy"], "training accuracy drifted"
+    assert digest == golden["digest"], "prediction sequence drifted"
