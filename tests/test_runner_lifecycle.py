@@ -164,3 +164,29 @@ def test_erase_expires_generation_history(spark, work_dir):
         .count()
     )
     assert leftover == 0, "erased wallet recoverable from an old generation"
+
+
+def test_stats_layer_merges_across_runs(spark, work_dir):
+    """Two --layer stats runs over the same corpus: the freq store
+    advances gen-000001 → gen-000002, every token's count exactly
+    doubles (additive merge, no drift), and the published vocab/funnel
+    reports exist and partition the corpus."""
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+        read_store,
+    )
+
+    runner.run_stats(spark, SF_SMALL, work_dir)
+    store = f"{work_dir}/stats/token_freqs"
+    assert list_generations(store) == ["gen-000001"]
+    first = {r.token: r.freq for r in read_store(spark, store).collect()}
+
+    runner.run_stats(spark, SF_SMALL, work_dir)
+    assert list_generations(store)[-1] == "gen-000002"
+    second = {r.token: r.freq for r in read_store(spark, store).collect()}
+    assert second == {t: 2 * f for t, f in first.items()}
+
+    vocab = spark.read.parquet(f"{work_dir}/stats/vocab_coverage").collect()
+    assert vocab and 0 < max(r.cum_coverage for r in vocab) <= 1.0
+    funnel = spark.read.parquet(f"{work_dir}/stats/quality_funnel").collect()
+    assert abs(sum(r.doc_share for r in funnel) - 1.0) < 1e-9

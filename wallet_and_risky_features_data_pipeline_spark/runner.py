@@ -303,6 +303,43 @@ def run_profile(spark, sf_dir: str, work_dir: str) -> None:
     print(f"profile: wrote {stats.count()} column profiles to {out}")
 
 
+def run_stats(spark, sf_dir: str, work_dir: str) -> None:
+    """Corpus-stats maintenance (the tokenizer/quality cron of an LLM
+    data pipeline): merge this run's token counts into the generation-
+    committed frequency store — additive partial aggregates, so the
+    per-run cost is the new batch's tokenization, never a re-scan of
+    history — and publish the vocab-coverage and curation-funnel
+    reports beside it. Repeated runs advance the store's generations;
+    time travel answers "which corpus state trained yesterday's
+    tokenizer" and ``vacuum_generations`` (--layer maintain) expires
+    the history."""
+    from .plans.llm_ops import (
+        _vocab_from_freqs,
+        corpus_quality_funnel,
+        merge_token_stats,
+        token_freqs,
+    )
+    from .sources.readers import fan_out, read_table
+    from .sources.writers import commit_generation, list_generations, read_store
+
+    store = f"{work_dir}/stats/token_freqs"
+    counts = token_freqs(fan_out(read_table(spark, sf_dir, "documents")))
+    if list_generations(store):
+        counts = merge_token_stats(read_store(spark, store), counts)
+    gen = commit_generation(counts, store)
+    vocab = _vocab_from_freqs(read_store(spark, store))
+    vocab_out = f"{work_dir}/stats/vocab_coverage"
+    vocab.coalesce(1).write.mode("overwrite").parquet(vocab_out)
+    funnel_out = f"{work_dir}/stats/quality_funnel"
+    corpus_quality_funnel(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(
+        funnel_out
+    )
+    print(
+        f"stats: committed {gen} of {store}; vocab -> {vocab_out}; "
+        f"funnel -> {funnel_out}"
+    )
+
+
 def run_dq(spark, sf_dir: str, work_dir: str) -> None:
     from .plans.wallet_features import wallet_features
 
@@ -317,7 +354,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--layer",
         required=True,
-        choices=["raw", "stage", "features", "maintain", "erase", "serve", "profile", "dq"],
+        choices=[
+            "raw",
+            "stage",
+            "features",
+            "maintain",
+            "erase",
+            "serve",
+            "profile",
+            "stats",
+            "dq",
+        ],
     )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--work-dir", default="/tmp/wrf_work")
@@ -335,6 +382,7 @@ def main(argv: list[str] | None = None) -> int:
         "erase": lambda s, sf, wd: run_erase(s, sf, wd, args.erase_wallets),
         "serve": run_serve,
         "profile": run_profile,
+        "stats": run_stats,
         "dq": run_dq,
     }[args.layer](spark, args.sf_dir, args.work_dir)
     return 0
