@@ -16,6 +16,8 @@ Layers:
   incremental seeding path and MERGE-upsert only touched partitions
   (EP3's 20-chunk Iceberg MERGE, minus the chunk choreography — the
   shuffle partitioner replaces it).
+- **stats**    — corpus-stats cron: token counts merged into the
+  generation-committed freq store, vocab/funnel reports published.
 - **dq**       — constraint checks, raising like the reference's
   final DAG gate.
 """
