@@ -345,3 +345,51 @@ def test_swap_in_strict_cleanup_raises_on_residue(tmp_path, monkeypatch):
     with open(os.path.join(part2, "part-old.parquet"), "wb") as f:
         f.write(b"old")
     maintenance._swap_in(FakeDF(), part2, root, strict_cleanup=False)
+
+
+def test_swap_in_crash_after_exchange_is_self_describing(spark, tmp_path, monkeypatch):
+    """Kill between the atomic exchange and the old/ parking: the
+    staging copy must be identifiable as the DISPLACED ORIGINAL by the
+    absent _REWRITE tag (directory names lie in this state), the live
+    partition must hold the rewrite, and a successful swap must leave
+    no tag behind."""
+    import glob
+
+    import pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import maintenance as m
+
+    root = str(tmp_path / "table")
+    part = os.path.join(root, "p=1")
+    spark.createDataFrame([(1, "orig")], "id long, v string").write.parquet(part)
+    new_df = spark.createDataFrame([(1, "rewrite")], "id long, v string")
+
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if dst.endswith("/old") or dst.endswith(os.sep + "old"):
+            raise OSError("simulated crash between exchange and parking")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(m.os, "replace", exploding_replace)
+    with pytest.raises(RuntimeError, match="_REWRITE tag"):
+        m._swap_in(new_df, part, root)
+    monkeypatch.setattr(m.os, "replace", real_replace)
+
+    # live partition holds the rewrite (swap DID land)
+    assert [r.v for r in spark.read.parquet(part).collect()] == ["rewrite"]
+    staging = glob.glob(os.path.join(root, ".wrf_rewrite_*"))
+    assert len(staging) == 1
+    stage_copy = os.path.join(staging[0], "new")
+    # the staging copy is the displaced ORIGINAL: no _REWRITE tag —
+    # an operator must NOT rename it back on an erasure path
+    assert os.path.isdir(stage_copy)
+    assert not os.path.exists(os.path.join(stage_copy, "_REWRITE"))
+    assert [r.v for r in spark.read.parquet(stage_copy).collect()] == ["orig"]
+
+    # clean swap leaves no tag in the live partition
+    import shutil as sh
+
+    sh.rmtree(staging[0])
+    m._swap_in(new_df, part, root)
+    assert not os.path.exists(os.path.join(part, "_REWRITE"))

@@ -1103,13 +1103,13 @@ def test_commit_generation_snapshots_time_travel_and_self_merge(spark, tmp_path)
     assert {(r.token, r.freq) for r in read_store(spark, store).collect()} == {("c", 9)}
 
 
-def test_generation_commit_cas_excludes_rival_and_unwedges_ghosts(spark, tmp_path):
-    """The commit marker is a true filesystem CAS: the second publisher
-    of the same generation number fails with ConcurrentCommitError even
-    though the pointer check alone would have passed; and a marker left
-    by a CRASHED publish (marker exists, pointer never flipped) is
-    cleared on the next commit instead of wedging the store."""
+def test_generation_commit_cas_excludes_stale_base_any_number(spark, tmp_path):
+    """The advance marker is a CAS on the BASE snapshot: a writer that
+    computed against a stale base fails even when it targets a
+    DIFFERENT generation number than the winner — the lost-update the
+    per-number check could not catch."""
     import os
+    import shutil as sh
 
     import pytest
 
@@ -1121,18 +1121,53 @@ def test_generation_commit_cas_excludes_rival_and_unwedges_ghosts(spark, tmp_pat
     )
 
     store = str(tmp_path / "s")
-    df = spark.createDataFrame([("a", 1)], "token string, freq long")
-    commit_generation(df, store)
-    # rival publishing gen-000002: simulate its winning CAS by staging
-    # the dir and creating the marker, but NOT flipping the pointer yet
-    # (the exact window the old check-then-rename left unguarded)
-    os.makedirs(os.path.join(store, "gen-000002"))
-    open(os.path.join(store, ".commit-gen-000002"), "x").close()
+    commit_generation(spark.createDataFrame([("a", 1)], "token string, freq long"), store)
+    # writer A advances gen-000001 → gen-000002 and fully publishes
+    sh.copytree(os.path.join(store, "gen-000001"), os.path.join(store, "gen-000002"))
+    _flip_latest(store, "gen-000002", expected_base="gen-000001")
+    # writer B computed against gen-000001 too, but — having seen A's
+    # renamed dir — picked number 3: the old per-number CAS would have
+    # let it publish over A; the per-base CAS must refuse
+    sh.copytree(os.path.join(store, "gen-000001"), os.path.join(store, "gen-000003"))
     with pytest.raises(ConcurrentCommitError):
-        _flip_latest(store, "gen-000002", expected_base="gen-000001")
-    # crash recovery: rival died before flipping — its dir and marker
-    # are ghosts; the next commit SKIPS their number (never clears in
-    # the hot path) and the store stays readable throughout
+        _flip_latest(store, "gen-000003", expected_base="gen-000001")
+    assert read_store(spark, store) is not None
+    with open(os.path.join(store, "_LATEST")) as f:
+        assert f.read().strip() == "gen-000002", "A's committed rows were lost"
+
+
+def test_generation_commit_rolls_crashed_intent_forward(spark, tmp_path):
+    """A winner that crashed between its advance marker and the pointer
+    flip leaves a write-ahead intent; the next writer from the same
+    base COMPLETES the crashed publish (no wedge, no lost rows) and its
+    own retry then lands on top."""
+    import os
+    import shutil as sh
+
+    import pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        ConcurrentCommitError,
+        commit_generation,
+        read_store,
+    )
+
+    store = str(tmp_path / "s")
+    commit_generation(spark.createDataFrame([("a", 1)], "token string, freq long"), store)
+    # crashed writer: renamed gen-000002 and won the advance marker for
+    # gen-000001, but died before flipping the pointer
+    sh.copytree(os.path.join(store, "gen-000001"), os.path.join(store, "gen-000002"))
+    with open(os.path.join(store, ".advance-gen-000001"), "w") as f:
+        f.write("gen-000002")
+    # next writer (computed against the still-live gen-000001) loses —
+    # and rolls the crashed intent forward as it does
+    with pytest.raises(ConcurrentCommitError):
+        commit_generation(
+            spark.createDataFrame([("b", 2)], "token string, freq long"), store
+        )
+    with open(os.path.join(store, "_LATEST")) as f:
+        assert f.read().strip() == "gen-000002", "crashed commit was not completed"
+    # the retry now computes against gen-000002 and succeeds
     g = commit_generation(
         spark.createDataFrame([("b", 2)], "token string, freq long"), store
     )
@@ -1194,3 +1229,25 @@ def test_generation_commit_race_one_winner_store_always_readable(spark, tmp_path
     assert not reader_errors, reader_errors
     final = read_store(spark, store).collect()
     assert len({r.writer for r in final}) == 1 and len(final) == 5
+
+
+def test_decode_image_meta_empty_payload(spark):
+    """An empty payload must not crash the vectorized stub path, and
+    both stub paths (vectorized default and injected scalar) must agree
+    on it — the guard the scalar stub always had."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+        decode_image_meta,
+        stub_image_decoder,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "x"), (3, "some longer payload")], "doc_id long, text string"
+    )
+    payloads = attach_payload(docs, "doc_id", "text")
+    fast = {r.doc_id: (r.width, r.height, r.n_frames)
+            for r in decode_image_meta(payloads).collect()}
+    slow = {r.doc_id: (r.width, r.height, r.n_frames)
+            for r in decode_image_meta(payloads, decoder=stub_image_decoder).collect()}
+    assert fast == slow
+    assert fast[1] == (16, 16, 0)  # empty: byte 0 → 16x16, zero frames

@@ -369,26 +369,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def _quantized_cosine(a_vec: str, b_vec: str) -> F.Column:
-    """Integer-quantized cosine between two array columns — elements
-    are quantized to BIGINT at 1e-6 resolution BEFORE the dot product,
-    so dot and norms are pure integer arithmetic and the cosine is one
-    integer-double division: correctly-rounded IEEE ops only, hence
-    bit-identical between Spark and DuckDB (see the determinism note on
-    ``embedding_near_dup_pairs`` for why the DECIMAL recipe is not)."""
-    qvec = "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
-    idot = (
-        "aggregate(zip_with(" + qvec.format(v="{a}") + ", " + qvec.format(v="{b}") + ","
-        " (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-
-    def _idot(a: str, b: str) -> F.Column:
-        return F.expr(idot.format(a=a, b=b))
-
-    return _idot(a_vec, b_vec).cast("double") / (
-        F.sqrt(_idot(a_vec, a_vec).cast("double"))
-        * F.sqrt(_idot(b_vec, b_vec).cast("double"))
-    )
+# Integer-quantization recipe shared by the vector dedup family —
+# quantize to BIGINT at 1e-6 BEFORE the dot product so dot and norms
+# are pure integer arithmetic and the cosine is one integer-double
+# division (see embedding_near_dup_pairs' determinism note). ONE
+# definition, so the scale can never drift between operators while the
+# oracles' SQL mirror (llm_ops._IDOT_SQL) pins the same recipe.
+QUANT_VEC = "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+QUANT_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
 
 
 def semantic_dedup(
@@ -412,7 +403,7 @@ def semantic_dedup(
     quadratic knob: production sizes ``|centroids| ∝ corpus`` (SemDeDup
     uses k in the tens of thousands) so cells stay ~constant-sized,
     exactly like ``max_bucket`` bounds the LSH join. Cosines use
-    integer quantization (``_quantized_cosine``) so the keep/drop
+    integer quantization (``QUANT_VEC``/``QUANT_DOT``) so the keep/drop
     boundary is bit-identical cross-engine."""
     from .similarity import ivf_assign
 
@@ -421,14 +412,9 @@ def semantic_dedup(
     # per-pair cosine evaluates three interpreted-lambda dot products
     # per candidate pair; hoisting the quantized array and its self-dot
     # to the row level leaves exactly one zip_with per pair.
-    qvec = "transform(c_vec, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
-    idot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
     prepped = assigned.select(
-        "c_id", "cell_id", F.expr(qvec).alias("qv")
-    ).withColumn("qn2", F.expr(idot.format(a="qv", b="qv")))
+        "c_id", "cell_id", F.expr(QUANT_VEC.format(v="c_vec")).alias("qv")
+    ).withColumn("qn2", F.expr(QUANT_DOT.format(a="qv", b="qv")))
     left = prepped.select(
         F.col("c_id").alias("a_id"),
         F.col("qv").alias("a_qv"),
@@ -441,7 +427,7 @@ def semantic_dedup(
         F.col("qn2").alias("b_qn2"),
         "cell_id",
     )
-    cosine = F.expr(idot.format(a="a_qv", b="b_qv")).cast("double") / (
+    cosine = F.expr(QUANT_DOT.format(a="a_qv", b="b_qv")).cast("double") / (
         F.sqrt(F.col("a_qn2").cast("double")) * F.sqrt(F.col("b_qn2").cast("double"))
     )
     drops = (
@@ -499,11 +485,7 @@ def embedding_near_dup_pairs(
     """
     from .similarity import lsh_bucket
 
-    qvec = "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
-    idot = (
-        "aggregate(zip_with(" + qvec.format(v="{a}") + ", " + qvec.format(v="{b}") + ","
-        " (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
+    idot = QUANT_DOT.format(a=QUANT_VEC.format(v="{a}"), b=QUANT_VEC.format(v="{b}"))
 
     def _idot(a: str, b: str) -> F.Column:
         return F.expr(idot.format(a=a, b=b))

@@ -110,8 +110,12 @@ def decode_image_meta(df: DataFrame, decoder=None) -> DataFrame:
             if decoder is None:
                 # Vectorized stub fast path — columnar byte accessors,
                 # no per-row Python.
-                first = payloads.str[0].astype("int64")
-                second = payloads.str[1].fillna(first).astype("int64")
+                # .str[i] is NaN past the end — mirror the scalar
+                # stub's guards (byte 0 for an EMPTY payload, first
+                # byte when there is no second) or empty payloads
+                # crash the whole Arrow batch on the int cast
+                first = payloads.str[0].fillna(0).astype("int64")
+                second = payloads.str[1].fillna(first).fillna(0).astype("int64")
                 width = (16 * (first % 64 + 1)).astype("int32")
                 height = (16 * (second % 64 + 1)).astype("int32")
                 n_frames = ((n_bytes + FRAME_SIZE - 1) // FRAME_SIZE).astype("int32")

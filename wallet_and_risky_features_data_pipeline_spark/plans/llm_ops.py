@@ -430,7 +430,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure ASCII — a regenerated corpus with unicode would silently split
 # the engines. b2 falls back to b1 for 1-byte payloads, mirroring the
 # decoder's fillna.
-_B1 = "CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS INT)"
+_B1 = "COALESCE(TRY_CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS INT), 0)"
 _B2 = f"COALESCE(TRY_CAST(('0x' || substring(hex(encode(text)), 3, 2)) AS INT), {_B1})"
 
 MULTIMODAL_DECODE_ORACLE = f"""

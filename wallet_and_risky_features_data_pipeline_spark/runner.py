@@ -190,6 +190,9 @@ def run_maintain(spark, sf_dir: str, work_dir: str) -> None:
     # (keep one rollback snapshot), then bin-pack the LIVE generation
     # only — compacting expired snapshots would be wasted IO.
     expired = vacuum_generations(target, keep=2)
+    # the stats cron's freq store is generation-committed too — sweep
+    # it here as well so a stalled stats cron can't grow it unbounded
+    expired += vacuum_generations(f"{work_dir}/stats/token_freqs", keep=3)
     stats = compact_partitions(spark, resolve_store(target), target_mb=128)
     total_before = sum(b for b, _ in stats.values())
     total_after = sum(a for _, a in stats.values())
@@ -313,8 +316,11 @@ def run_stats(spark, sf_dir: str, work_dir: str) -> None:
     history — and publish the vocab-coverage and curation-funnel
     reports beside it. Repeated runs advance the store's generations;
     time travel answers "which corpus state trained yesterday's
-    tokenizer" and ``vacuum_generations`` (--layer maintain) expires
-    the history."""
+    tokenizer". Each full-snapshot commit is a complete copy of the
+    freq table, so this cron — the store's single maintainer — expires
+    its own history down to three generations after committing
+    (--layer maintain sweeps it too); without that, a daily run grows
+    the store by one uncompacted snapshot per day, unbounded."""
     from .plans.llm_ops import (
         _vocab_from_freqs,
         corpus_quality_funnel,
@@ -322,13 +328,19 @@ def run_stats(spark, sf_dir: str, work_dir: str) -> None:
         token_freqs,
     )
     from .sources.readers import fan_out, read_table
-    from .sources.writers import commit_generation, list_generations, read_store
+    from .sources.writers import (
+        commit_generation,
+        read_store,
+        store_committed,
+        vacuum_generations,
+    )
 
     store = f"{work_dir}/stats/token_freqs"
     counts = token_freqs(fan_out(read_table(spark, sf_dir, "documents")))
-    if list_generations(store):
+    if store_committed(store):
         counts = merge_token_stats(read_store(spark, store), counts)
     gen = commit_generation(counts, store)
+    expired = vacuum_generations(store, keep=3)
     vocab = _vocab_from_freqs(read_store(spark, store))
     vocab_out = f"{work_dir}/stats/vocab_coverage"
     vocab.coalesce(1).write.mode("overwrite").parquet(vocab_out)
@@ -337,8 +349,8 @@ def run_stats(spark, sf_dir: str, work_dir: str) -> None:
         funnel_out
     )
     print(
-        f"stats: committed {gen} of {store}; vocab -> {vocab_out}; "
-        f"funnel -> {funnel_out}"
+        f"stats: committed {gen} of {store} (expired {len(expired)}); "
+        f"vocab -> {vocab_out}; funnel -> {funnel_out}"
     )
 
 

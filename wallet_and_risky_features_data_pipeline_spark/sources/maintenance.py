@@ -135,12 +135,20 @@ def _swap_in(
     a single atomic ``renameat2(RENAME_EXCHANGE)`` where the kernel/fs
     supports it (the partition dir never goes missing, even for a
     nanosecond), else two renames; if anything fails mid-swap, the
-    staging dir is
-    LEFT IN PLACE with BOTH copies (``old`` = the original partition,
-    ``new`` = the rewrite) and the raised error names it — recovery is
-    a rename, never forensics. Only a fully successful swap cleans up.
-    (True multi-file atomicity is a table format's job — the documented
-    Iceberg gap.)"""
+    staging dir is LEFT IN PLACE and the raised error names it.
+    RECOVERY CONTRACT — which copy is which is self-describing, never
+    positional: the rewrite's data dir carries a ``_REWRITE`` tag file
+    (underscore-prefixed, invisible to Spark) from before the first
+    rename until the swap completes. A staging dir whose copy CONTAINS
+    ``_REWRITE`` is the un-swapped rewrite (the partition still holds
+    the original — nothing happened); a copy WITHOUT it is the
+    displaced ORIGINAL (the swap landed — on an erasure path that copy
+    must be destroyed, never renamed back). Directory names alone
+    (``old``/``new``) are NOT trustworthy after a kill: the atomic
+    exchange necessarily passes through a state where the displaced
+    original still sits under the rewrite's staging name. Only a fully
+    successful swap cleans up. (True multi-file atomicity is a table
+    format's job — the documented Iceberg gap.)"""
     import tempfile
 
     staging = tempfile.mkdtemp(
@@ -149,6 +157,9 @@ def _swap_in(
     tmp = os.path.join(staging, "new")
     try:
         new_df.write.mode("overwrite").parquet(tmp)
+        # self-describing state tag (see docstring): rides inside the
+        # rewrite until the swap completes
+        open(os.path.join(tmp, "_REWRITE"), "w").close()
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)  # no rename happened yet
         raise
@@ -190,9 +201,16 @@ def _swap_in(
             os.replace(tmp, part_dir)
     except BaseException as e:
         raise RuntimeError(
-            f"partition swap interrupted for {part_dir}; both the original "
-            f"(old/) and rewritten (new/) copies are preserved in {staging}"
+            f"partition swap interrupted for {part_dir}; staging {staging} "
+            "preserves the copies — identify them by the _REWRITE tag "
+            "(present = un-swapped rewrite, absent = displaced original), "
+            "not by directory name"
         ) from e
+    # the swap landed: drop the state tag from the live partition
+    try:
+        os.unlink(os.path.join(part_dir, "_REWRITE"))
+    except FileNotFoundError:
+        pass
     # Cleanup policy is caller-dependent. Compaction (strict_cleanup
     # False): a cleanup failure (NFS silly-renames, a scanner holding
     # old/ open) must not fail a swap that already succeeded; leftover

@@ -30,13 +30,17 @@ hardlinks every untouched partition's files from the live generation
 (a metadata-only operation — the local-fs stand-in for an Iceberg
 manifest re-listing unchanged data files; on S3/HDFS this step becomes
 a manifest write, not a data copy), renames the staging dir to
-``gen-N+1``, and finally flips ``_LATEST`` with one atomic rename.
-Readers resolve through ``resolve_store`` — a crash at ANY point
-leaves them on the previous complete generation; there is no window
-where a reader can observe a mixed-generation store. Old generations
-double as time travel (``read_store(..., generation=N)``) until
-``vacuum_generations`` prunes them. Single-writer assumption: Iceberg's
-optimistic-concurrency commit protocol remains the documented gap.
+``gen-N+1``, and finally publishes through ``_flip_latest`` — an
+intent-logged compare-and-swap on the base snapshot (atomic
+``link(2)`` advance marker; one winner per parent snapshot, losers get
+``ConcurrentCommitError`` to retry, a winner that crashes mid-publish
+is rolled forward by the next writer). Readers resolve through
+``resolve_store`` — a crash at ANY point leaves them on the previous
+complete generation; there is no window where a reader can observe a
+mixed-generation store. Old generations double as time travel
+(``read_store(..., generation=N)``) until ``vacuum_generations``
+prunes them (single-maintainer; hot paths skip ghosts via
+``_next_gen_number`` instead of clearing).
 """
 
 from __future__ import annotations
@@ -50,7 +54,8 @@ from pyspark.sql import DataFrame, SparkSession
 _LATEST = "_LATEST"
 _GEN_PREFIX = "gen-"
 _STAGE_PREFIX = ".tmp-gen-"
-_MARKER_PREFIX = ".commit-"
+_MARKER_PREFIX = ".advance-"
+_GENESIS = "genesis"
 
 
 def write_partitioned(
@@ -92,6 +97,16 @@ def insert_incremental(
         return
     fresh = df.join(existing, on=list(natural_key), how="left_anti")
     write_partitioned(fresh, path, partition_cols, mode="append")
+
+
+def store_committed(path: str) -> bool:
+    """True iff the store has a COMMITTED generation (a ``_LATEST``
+    pointer). The right "does prior state exist" probe for merge loops:
+    gen dirs without a pointer are ghosts of a crashed first commit —
+    testing for them instead would send the caller into a read that
+    ``resolve_store`` refuses, permanently wedging a retrying cron on
+    a store that one fresh commit would heal."""
+    return os.path.exists(os.path.join(path, _LATEST))
 
 
 def list_generations(path: str) -> list[str]:
@@ -154,26 +169,51 @@ class ConcurrentCommitError(RuntimeError):
     ``CommitFailedException``)."""
 
 
-def _marker(path: str, gen_name: str) -> str:
-    return os.path.join(path, f"{_MARKER_PREFIX}{gen_name}")
+def _marker(path: str, base: str | None) -> str:
+    """Advance-marker path for a base snapshot (None = empty store)."""
+    return os.path.join(path, f"{_MARKER_PREFIX}{base or _GENESIS}")
+
+
+def _read_pointer(path: str) -> str | None:
+    manifest = os.path.join(path, _LATEST)
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as f:
+        return f.read().strip()
+
+
+def _replace_pointer(path: str, gen_name: str) -> None:
+    """fsync'd write to a writer-unique temp, atomic rename over
+    ``_LATEST`` (a shared temp name would let one writer's replace
+    consume another's in-flight file)."""
+    import uuid
+
+    tmp = os.path.join(path, f".{_LATEST}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}")
+    with open(tmp, "w") as f:
+        f.write(gen_name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _LATEST))
 
 
 def _clear_uncommitted(path: str, live: str | None) -> None:
-    """Remove generation dirs AND commit markers PAST the live
-    generation (all of them when nothing is committed) — leftovers of
-    a publish that crashed between its steps. NOT safe concurrent with
-    writers (a crash leftover is indistinguishable from a rival's
-    in-flight publish), so only single-maintainer paths call it:
-    ``vacuum_generations`` and flat-store adoption. The hot commit
-    paths never clear — they SKIP ghosts via ``_next_gen_number``.
-    Zero-padded gen names make string compare = numeric compare."""
+    """Remove generation dirs PAST the live generation (all of them
+    when nothing is committed) plus the advance markers whose base is
+    at-or-past live — i.e. the pending intent of a crashed publish,
+    whose target dir this sweep just destroyed (a rollback). NOT safe
+    concurrent with writers (a crash leftover is indistinguishable
+    from a rival's in-flight publish), so only single-maintainer paths
+    call it: ``vacuum_generations`` and flat-store adoption. The hot
+    commit paths never clear — they SKIP ghosts via
+    ``_next_gen_number``. Zero-padded gen names make string compare =
+    numeric compare."""
     for g in list_generations(path):
         if live is None or g > live:
             shutil.rmtree(os.path.join(path, g), ignore_errors=True)
     for e in os.listdir(path):
         if e.startswith(_MARKER_PREFIX):
-            g = e[len(_MARKER_PREFIX) :]
-            if live is None or g > live:
+            base = e[len(_MARKER_PREFIX) :]
+            if live is None or base >= live or (base == _GENESIS and live is None):
                 try:
                     os.unlink(os.path.join(path, e))
                 except FileNotFoundError:
@@ -181,30 +221,22 @@ def _clear_uncommitted(path: str, live: str | None) -> None:
 
 
 def _next_gen_number(path: str) -> int:
-    """1 + the highest generation number visible in dirs, commit
-    markers, or the live pointer. Ghosts of crashed publishes are
-    SKIPPED, never cleared here: from the hot path a crash leftover is
-    indistinguishable from a rival writer between its rename and flip,
-    and clearing would delete the rival's data mid-publish —
-    reclamation belongs to ``vacuum_generations`` (single-maintainer).
-    Monotone numbering instead makes rivals collide on the SAME next
-    number, where the marker CAS picks exactly one winner."""
+    """1 + the highest generation number visible in dirs or the live
+    pointer. Ghosts of crashed publishes are SKIPPED, never cleared
+    here: from the hot path a crash leftover is indistinguishable from
+    a rival writer between its rename and flip, and clearing would
+    delete the rival's data mid-publish — reclamation belongs to
+    ``vacuum_generations`` (single-maintainer). Monotone numbering
+    makes same-base rivals collide on the same next number, where the
+    rename and the advance CAS pick exactly one winner."""
     seen = [0]
     for g in list_generations(path):
         try:
             seen.append(int(g[len(_GEN_PREFIX) :]))
         except ValueError:
             pass
-    for e in os.listdir(path):
-        if e.startswith(_MARKER_PREFIX + _GEN_PREFIX):
-            try:
-                seen.append(int(e[len(_MARKER_PREFIX) + len(_GEN_PREFIX) :]))
-            except ValueError:
-                pass
-    manifest = os.path.join(path, _LATEST)
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            live = f.read().strip()
+    live = _read_pointer(path)
+    if live:
         try:
             seen.append(int(live[len(_GEN_PREFIX) :]))
         except ValueError:
@@ -213,55 +245,79 @@ def _next_gen_number(path: str) -> int:
 
 
 def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> None:
-    """Atomically commit ``gen_name`` as the live generation.
+    """Atomically commit ``gen_name`` as the live generation — an
+    intent-logged compare-and-swap on the BASE snapshot.
 
-    Two steps, both atomic:
-
-    1. **CAS** — create the per-generation commit marker with
-       ``O_CREAT|O_EXCL``: the filesystem hands exactly ONE writer of
-       generation N the win; a rival publishing the same N gets
-       ``EEXIST`` → ``ConcurrentCommitError`` (its staged work is
-       leftovers the next writer clears). This is the same
-       one-winner-per-snapshot-id protocol an Iceberg catalog commit
-       or S3 conditional-put provides; on a shared filesystem without
-       atomic exclusive-create semantics, swap this single call for
+    1. **Intent + CAS** — the writer records its intent (``gen_name``)
+       in a writer-unique temp file, then ``os.link``s it to the
+       per-base advance marker ``.advance-<base>``: link(2) is atomic
+       and exclusive, so the filesystem hands exactly ONE writer the
+       right to advance FROM that base, and the marker can never exist
+       without its intent content. A rival that computed against the
+       same base gets ``EEXIST`` → ``ConcurrentCommitError`` —
+       closing the lost-update where two writers advancing the same
+       base to DIFFERENT generation numbers could both publish. This
+       is the same one-winner-per-parent-snapshot protocol an Iceberg
+       catalog commit or S3 conditional-put provides; on a shared
+       filesystem without atomic link semantics, swap this call for
        the real catalog CAS.
-    2. **Publish** — write the pointer to a hidden temp file, fsync,
-       rename over ``_LATEST`` — the single-file commit every reader
-       resolves through.
+    2. **Publish** — fsync'd pointer write + atomic rename over
+       ``_LATEST``, the single file every reader resolves through.
 
-    ``expected_base`` (defense in depth behind the CAS) re-checks that
-    the live pointer still names the generation this merge was
-    computed against — a rival that advanced the store FURTHER than
-    one generation is caught here."""
-    marker = _marker(path, gen_name)
-    try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise ConcurrentCommitError(
-            f"store {path}: another writer already committed {gen_name}; "
-            "re-run the merge on the new snapshot"
-        ) from None
-    with os.fdopen(fd, "w") as f:
-        f.write(expected_base or "")
-        f.flush()
-        os.fsync(f.fileno())
-    manifest = os.path.join(path, _LATEST)
-    if expected_base is not None and os.path.exists(manifest):
-        with open(manifest) as f:
-            live = f.read().strip()
-        if live != expected_base:
-            os.unlink(marker)  # we lost; leave no ghost for the winner
-            raise ConcurrentCommitError(
-                f"store {path}: merge was computed against {expected_base} "
-                f"but {live} is now live; re-run the merge on the new snapshot"
-            )
-    tmp = os.path.join(path, f".{_LATEST}.tmp")
+    **Roll-forward recovery**: a winner that crashes between marker
+    and publish leaves the marker as a write-ahead intent. The next
+    writer from the same base reads it and COMPLETES the crashed flip
+    (the renamed generation dir is already in place) before raising
+    its own retry — the crashed commit becomes durable, the store
+    never wedges, and no one's rows are lost. A loser whose intended
+    dir is gone (vacuumed) is skipped; ``vacuum_generations`` rolls
+    such pending intents back instead."""
+    marker = _marker(path, expected_base)
+    tmp = f"{marker}.intent-{os.getpid()}-{os.urandom(4).hex()}"
     with open(tmp, "w") as f:
         f.write(gen_name)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, manifest)
+    try:
+        os.link(tmp, marker)
+    except FileExistsError:
+        try:
+            with open(marker) as f:
+                intended = f.read().strip()
+        except FileNotFoundError:
+            intended = ""
+        if intended and intended != gen_name and _read_pointer(path) == expected_base:
+            if os.path.isdir(os.path.join(path, intended)):
+                # the rival crashed (or is mid-flip) after winning this
+                # base: complete its publish — idempotent if it's alive
+                _replace_pointer(path, intended)
+            else:
+                # dangling intent: its target was vacuumed but the
+                # marker survived (vacuum crashed mid-sweep) — roll it
+                # back so the next retry can win this base
+                try:
+                    os.unlink(marker)
+                except FileNotFoundError:
+                    pass
+        raise ConcurrentCommitError(
+            f"store {path}: another writer already advanced "
+            f"{expected_base or 'the empty store'}; re-run on the new snapshot"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+    # Defense in depth behind the CAS: having won the advance from
+    # expected_base, the pointer can only be expected_base (normal) or
+    # already gen_name (a helpful rival rolled our intent forward).
+    live = _read_pointer(path)
+    if live not in (expected_base, gen_name):
+        raise ConcurrentCommitError(
+            f"store {path}: merge was computed against {expected_base} "
+            f"but {live} is now live; re-run the merge on the new snapshot"
+        )
+    _replace_pointer(path, gen_name)
 
 
 def _link_untouched(cur_gen: str, staged: str) -> None:
@@ -404,11 +460,26 @@ def vacuum_generations(path: str, keep: int = 1) -> list[str]:
             doomed.append(d)
     for g in doomed:
         shutil.rmtree(os.path.join(path, g), ignore_errors=False)
-        try:  # drop the expired generation's commit marker with it
+        try:  # drop the expired generation's advance marker with it
             os.unlink(_marker(path, g))
         except FileNotFoundError:
             pass
         removed.append(g)
+    # Roll BACK any pending intent whose target this sweep destroyed
+    # (advance marker at the live base pointing at a now-removed
+    # uncommitted gen), and the inert genesis marker once a pointer
+    # exists — otherwise a future commit from this base would wedge on
+    # a marker naming a vanished generation.
+    if uncommitted and live is not None:
+        try:
+            os.unlink(_marker(path, live))
+        except FileNotFoundError:
+            pass
+    if live is not None:
+        try:
+            os.unlink(_marker(path, None))
+        except FileNotFoundError:
+            pass
     return removed
 
 
@@ -430,8 +501,6 @@ def merge_upsert(
     crash at any point leaves readers on the previous complete
     generation. Returns the number of rows written (merged rows of the
     touched partitions)."""
-    from pyspark.errors import AnalysisException
-
     from .readers import _ensure_session_confs
 
     # Materialize the updates plan ONCE: it is consumed by the isEmpty
@@ -500,13 +569,10 @@ def merge_upsert(
         return updates.count()
 
     cur_gen = resolve_store(path)
-    try:
-        target = spark.read.parquet(cur_gen)
-    except AnalysisException:
-        # A listing/IO failure must fail the merge — treating it as
-        # "no store" would commit a generation holding only this batch
-        # (ADVICE r02).
-        raise
+    # A listing/IO failure here must fail the merge — swallowing it as
+    # "no store" would commit a generation holding only this batch
+    # (ADVICE r02); the first-write fallback lives in the branch above.
+    target = spark.read.parquet(cur_gen)
     parts = updates.select(*partition_cols).distinct()
     # Restrict the rewrite to touched partitions (partition pruning on
     # the scan side; broadcast the partition list — it is tiny).

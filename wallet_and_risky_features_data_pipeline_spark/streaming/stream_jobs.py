@@ -249,6 +249,12 @@ def monotone_user_upsert(spark: SparkSession, batch: DataFrame, store: str) -> N
     # snapshots retain deleted subjects). Keep the live generation plus
     # one rollback snapshot, exactly like the reference's scheduled
     # VACUUM after its MERGE loop (features_pipeline.py:128-138).
+    # SINGLE-MAINTAINER precondition (vacuum's contract): it holds here
+    # because a Structured Streaming query owns its sink store
+    # exclusively — the checkpoint lock serializes epochs, so no rival
+    # writer can be mid-publish when this batch's vacuum runs. Do NOT
+    # copy this call into a multi-writer merge loop; vacuum there can
+    # delete a rival's renamed-but-unflipped generation mid-commit.
     from ..sources.writers import vacuum_generations
 
     vacuum_generations(store, keep=2)
@@ -764,7 +770,7 @@ def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which corpus state produced yesterday's tokenizer?).
     """
     from ..plans.llm_ops import _vocab_from_freqs, merge_token_stats, token_freqs
-    from ..sources.writers import commit_generation, list_generations, read_store
+    from ..sources.writers import commit_generation, read_store, store_committed
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -775,7 +781,10 @@ def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge_batch(batch: DataFrame, _epoch: int) -> None:
         counts = token_freqs(batch)
-        if list_generations(store):
+        # pointer probe, not a gen-dir probe: a crashed first commit
+        # leaves ghost dirs that resolve_store refuses — the next
+        # commit must heal the store, not wedge on reading it
+        if store_committed(store):
             counts = merge_token_stats(read_store(spark, store), counts)
         commit_generation(counts, store)
 
