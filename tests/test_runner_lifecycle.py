@@ -190,3 +190,11 @@ def test_stats_layer_merges_across_runs(spark, work_dir):
     assert vocab and 0 < max(r.cum_coverage for r in vocab) <= 1.0
     funnel = spark.read.parquet(f"{work_dir}/stats/quality_funnel").collect()
     assert abs(sum(r.doc_share for r in funnel) - 1.0) < 1e-9
+
+    # history stays bounded: the cron expires its own store to 3 gens
+    runner.run_stats(spark, SF_SMALL, work_dir)
+    runner.run_stats(spark, SF_SMALL, work_dir)
+    gens = list_generations(store)
+    assert len(gens) <= 3 and gens[-1] == "gen-000004"
+    final = {r.token: r.freq for r in read_store(spark, store).collect()}
+    assert final == {t: 4 * f for t, f in first.items()}
