@@ -393,3 +393,59 @@ def test_swap_in_crash_after_exchange_is_self_describing(spark, tmp_path, monkey
     sh.rmtree(staging[0])
     m._swap_in(new_df, part, root)
     assert not os.path.exists(os.path.join(part, "_REWRITE"))
+
+
+def test_zorder_compaction_bounds_file_ranges_on_both_columns(spark, tmp_path):
+    """Z-order rewrite: each output file must cover a bounded rectangle
+    of (user, day) — the property that lets parquet min/max stats prune
+    scans on EITHER column. A lexicographic sort would bound only the
+    leading column; unsorted input bounds neither."""
+    import random
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+        compact_partitions,
+    )
+
+    root = str(tmp_path / "t")
+    part = os.path.join(root, "p=1")
+    rows = [(i % 64, i // 64) for i in range(4096)]
+    random.Random(7).shuffle(rows)
+    (
+        spark.createDataFrame(rows, "user long, day long")
+        .repartition(4)
+        .write.parquet(part)
+    )
+
+    def file_ranges():
+        out = []
+        for f in sorted(os.listdir(part)):
+            if f.endswith(".parquet"):
+                df = spark.read.parquet(os.path.join(part, f))
+                r = df.agg(
+                    F.min("user"), F.max("user"), F.min("day"), F.max("day")
+                ).first()
+                out.append((r[1] - r[0], r[3] - r[2]))
+        return out
+
+    # unsorted input: files span (almost) the full range of both cols
+    assert all(u > 40 and d > 40 for u, d in file_ranges())
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
+        _list_partitions,
+    )
+
+    # exactly 4 output files (z-curve QUARTILES are quadrants; thirds
+    # would not be rectangles and the range assertion would be vacuous)
+    size = _list_partitions(root)[part][1]
+    stats = compact_partitions(
+        spark, root, target_mb=size / 4 / (1024 * 1024) * 1.01, zorder=("user", "day")
+    )
+    assert part in stats
+    ranges = file_ranges()
+    assert len(ranges) == 4
+    # z-ordered: every file covers a bounded rectangle — the leading
+    # interleaved bit (day) splits cleanly; range-sampled boundaries
+    # make user corners approximate, so bound the covered AREA (z-curve
+    # locality: a quarter of the curve covers far less than the grid)
+    assert all(d <= 40 for _, d in ranges), ranges
+    assert all(u * d <= 0.6 * 63 * 63 for u, d in ranges), ranges

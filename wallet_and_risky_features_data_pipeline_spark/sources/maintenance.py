@@ -47,10 +47,43 @@ def _list_partitions(path: str) -> dict[str, tuple[int, int]]:
     return parts
 
 
+def zorder_column(df, cols, bits: int = 16):
+    """Append a Morton (Z-order) key column ``__z`` interleaving the
+    rank-quantized values of ``cols``: each column is ntile'd into
+    2^bits rank buckets (value-distribution-proof — skew and outliers
+    cost nothing, exactly why Delta's OPTIMIZE ZORDER ranks before
+    interleaving), then the bucket ids' bits are interleaved so rows
+    close in __z are close in EVERY clustered column at once. Sorting
+    files by __z gives each file a bounded hyper-rectangle of the key
+    space — parquet min/max row-group stats then prune scans on ANY of
+    the clustered columns, not just the first of a lexicographic sort.
+
+    The ntile windows are unpartitioned (a global rank per column):
+    correct ONLY because callers apply this to one partition directory
+    at a time, where the data is bounded — a cluster external-sorts it,
+    and the rewrite below is already a per-partition job."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    for c in cols:
+        df = df.withColumn(
+            f"__zb_{c}",
+            (F.ntile(2**bits).over(Window.orderBy(F.col(c))) - 1).cast("long"),
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(f"__zb_{c}"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return df.withColumn("__z", z).drop(*[f"__zb_{c}" for c in cols])
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
-    target_mb: int = 128,
+    target_mb: float = 128,
+    zorder: tuple[str, ...] = (),
 ) -> dict[str, tuple[int, int]]:
     """Bin-pack compaction: rewrite fragmented partition directories of
     a Hive-partitioned parquet table to ``ceil(bytes / target_mb)``
@@ -58,19 +91,35 @@ def compact_partitions(
     for the partitions actually rewritten; already-compact partitions
     are untouched (their data files keep their identity, like Iceberg's
     bin-pack skipping well-sized files).
-    """
-    target_bytes = target_mb * 1024 * 1024
+
+    ``zorder``: when set, EVERY partition is rewritten (a re-clustering
+    pass, like ``OPTIMIZE ... ZORDER BY`` — schedule it deliberately,
+    not weekly) with rows range-partitioned and sorted by the Morton
+    key of these columns, so each output file covers a bounded
+    rectangle of the clustered key space and parquet min/max stats
+    prune scans on any of them (``zorder_column``)."""
+    target_bytes = int(target_mb * 1024 * 1024)
     rewritten: dict[str, tuple[int, int]] = {}
     for part_dir, (n_files, size) in sorted(_list_partitions(path).items()):
         want = max(1, math.ceil(size / target_bytes))
-        if n_files <= want:
+        if n_files <= want and not zorder:
             continue
         # The scan is confined to this partition; the partition-column
         # values live in the directory name, not the files, so the
         # rewrite round-trips them untouched. _swap_in stages in a
         # dot-prefixed dir INSIDE the table root (hidden from partition
         # discovery; see its docstring for the crash-recovery contract).
-        _swap_in(spark.read.parquet(part_dir).coalesce(want), part_dir, path)
+        df = spark.read.parquet(part_dir)
+        if zorder:
+            df = zorder_column(df, list(zorder))
+            if want > 1:
+                df = df.repartitionByRange(want, "__z")
+            else:
+                df = df.coalesce(1)
+            df = df.sortWithinPartitions("__z").drop("__z")
+        else:
+            df = df.coalesce(want)
+        _swap_in(df, part_dir, path)
         after = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
         rewritten[part_dir] = (n_files, after)
     return rewritten
