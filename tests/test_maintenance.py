@@ -427,8 +427,10 @@ def test_zorder_compaction_bounds_file_ranges_on_both_columns(spark, tmp_path):
                 out.append((r[1] - r[0], r[3] - r[2]))
         return out
 
-    # unsorted input: files span (almost) the full range of both cols
-    assert all(u > 40 and d > 40 for u, d in file_ranges())
+    # unsorted input: every file's bounding box is (almost) the grid
+    before = file_ranges()
+    full = 63 * 63
+    assert sum(u * d for u, d in before) > 0.9 * len(before) * full
 
     from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
         _list_partitions,
@@ -443,9 +445,11 @@ def test_zorder_compaction_bounds_file_ranges_on_both_columns(spark, tmp_path):
     assert part in stats
     ranges = file_ranges()
     assert len(ranges) == 4
-    # z-ordered: every file covers a bounded rectangle — the leading
-    # interleaved bit (day) splits cleanly; range-sampled boundaries
-    # make user corners approximate, so bound the covered AREA (z-curve
-    # locality: a quarter of the curve covers far less than the grid)
-    assert all(d <= 40 for _, d in ranges), ranges
-    assert all(u * d <= 0.6 * 63 * 63 for u, d in ranges), ranges
+    # z-ordered: the summed bounding-box area — what parquet min/max
+    # pruning actually sees — collapses to a fraction of the unsorted
+    # baseline. Per-file corners wobble with repartitionByRange's
+    # boundary sampling (an unaligned quarter of the z-curve can span
+    # parts of two quadrants), so assert the robust aggregate property
+    # plus a loose per-file cap instead of exact quadrants.
+    assert all(u * d <= 0.8 * full for u, d in ranges), ranges
+    assert sum(u * d for u, d in ranges) <= 0.5 * len(ranges) * full, ranges
