@@ -1251,3 +1251,38 @@ def test_decode_image_meta_empty_payload(spark):
             for r in decode_image_meta(payloads, decoder=stub_image_decoder).collect()}
     assert fast == slow
     assert fast[1] == (16, 16, 0)  # empty: byte 0 → 16x16, zero frames
+
+
+def test_line_dedup_cuts_corpus_boilerplate_and_reassembles(spark):
+    """C4-rule contract: a 5-token passage shared by >=3 docs is cut
+    from every doc; passage boundaries are non-overlapping windows, so
+    the same boilerplate OFF the window grid survives; surviving
+    passages reassemble in original order."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import line_dedup
+
+    boiler = "all rights reserved click here"
+    rows = [
+        # boilerplate on the grid (tokens 1-5) in three docs
+        (0, f"{boiler} alpha beta gamma delta eps"),
+        (1, f"{boiler} one two three four five"),
+        (2, f"{boiler} six seven eight nine ten"),
+        # same words shifted one token: off-grid, must survive
+        (3, f"pad {boiler} tail1 tail2 tail3 tail4"),
+        # unique doc: untouched
+        (4, "totally unique words only here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+
+    for d in (0, 1, 2):
+        assert out[d]["n_dropped"] == 1, out[d]
+        assert boiler not in out[d]["clean_text"]
+        assert out[d]["kept_tokens"] == 5
+    # off-grid shift: its windows are 'pad all rights reserved click'
+    # and 'here tail1 ...' — neither matches the doomed passage
+    assert out[3]["n_dropped"] == 0
+    assert boiler in out[3]["clean_text"]
+    assert out[4]["n_dropped"] == 0
+    assert out[4]["clean_text"] == "totally unique words only here now"
+    # order preserved: doc 0's survivor is its second window verbatim
+    assert out[0]["clean_text"] == "alpha beta gamma delta eps"

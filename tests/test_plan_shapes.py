@@ -267,3 +267,19 @@ def test_semantic_dedup_no_cartesian_broadcast_assignment(spark):
         or "ShuffledHashJoin" in plan
         or plan.count("BroadcastHashJoin") > 0
     )
+
+
+def test_line_dedup_doomed_set_broadcasts(spark):
+    """corpus_line_dedup's scale contract: the boilerplate (doomed)
+    passage set — tiny vs the corpus — must come back via a BROADCAST
+    left join; the corpus units are never shuffled by passage text for
+    the probe. The only wide exchanges are the count-distinct document
+    frequency agg and the per-doc reassembly."""
+    from wallet_and_risky_features_data_pipeline_spark.caching import cache_scope
+
+    with cache_scope():
+        plan = _physical(QUERIES["corpus_line_dedup"](spark, SF_MEDIUM))
+        assert "BroadcastHashJoin" in plan
+        assert "LeftOuter, BuildRight" in plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan

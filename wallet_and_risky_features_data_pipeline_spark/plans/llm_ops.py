@@ -1946,3 +1946,110 @@ SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM enriched) AS doc_share
 FROM staged GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# C4-style duplicate-passage removal (Raffel et al. 2020 §2.2: "we
+# discarded ... any line that occurred more than once in the data
+# set" — the boilerplate scrub every web-scrape corpus runs). The
+# corpus has no newlines, so a "passage" is a non-overlapping
+# PASSAGE_TOKENS-token window; a passage seen in >= LINE_DUP_MIN_DOCS
+# distinct docs is boilerplate and is cut from EVERY doc, which then
+# reassembles from its surviving passages in order. Unlike
+# corpus_ngram_freq (which only *reports* hot n-grams) this rewrites
+# the text — the removal half of the boilerplate story.
+#
+# Scale shape: the passage explode is narrow; the document-frequency
+# agg is a two-phase count-distinct (partial dedup of (passage, doc)
+# per map task, so a passage in a billion docs still ships one row
+# per task); the doomed set — corpus-wide boilerplate — is orders of
+# magnitude smaller than the corpus and is broadcast back, so the
+# corpus itself is never shuffled by passage. Reassembly groups by
+# doc_id (the natural co-location key) with an array_sort on the
+# window start offset — no per-doc window function, one shuffle total.
+PASSAGE_TOKENS = 5
+LINE_DUP_MIN_DOCS = 3
+
+
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup(fan_out(read_table(spark, sf_dir, "documents")))
+
+
+def line_dedup(docs: DataFrame) -> DataFrame:
+    w = PASSAGE_TOKENS
+    units = persist_tracked(
+        docs.select("doc_id", tokens("lower(text)").alias("__toks"))
+        .select(
+            "doc_id",
+            F.expr(f"explode(sequence(1, greatest(size(__toks), 1), {w}))").alias(
+                "start_tok"
+            ),
+            "__toks",
+        )
+        .select(
+            "doc_id",
+            "start_tok",
+            F.expr(f"concat_ws(' ', slice(__toks, start_tok, {w}))").alias(
+                "unit_text"
+            ),
+            F.expr(f"size(slice(__toks, start_tok, {w}))")
+            .cast("bigint")
+            .alias("unit_len"),
+        )
+    )
+    doomed = (
+        units.groupBy("unit_text")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= LINE_DUP_MIN_DOCS)
+        .select("unit_text", F.lit(True).alias("__doomed"))
+    )
+    flagged = units.join(F.broadcast(doomed), "unit_text", "left")
+    kept = F.col("__doomed").isNull()
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        F.coalesce(F.sum(F.when(kept, F.col("unit_len"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct("start_tok", "unit_text"))
+                    )
+                ),
+                lambda s: s.unit_text,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+CORPUS_LINE_DEDUP_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+units AS (
+    SELECT doc_id, s AS start_tok,
+           array_to_string(t[s:s + {PASSAGE_TOKENS - 1}], ' ') AS unit_text,
+           len(t[s:s + {PASSAGE_TOKENS - 1}]) AS unit_len
+    FROM toks, UNNEST(generate_series(1, greatest(len(t), 1), {PASSAGE_TOKENS}))
+         AS g(s)
+),
+doomed AS (
+    SELECT unit_text FROM units
+    GROUP BY unit_text
+    HAVING COUNT(DISTINCT doc_id) >= {LINE_DUP_MIN_DOCS}
+)
+SELECT u.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_units,
+       CAST(COUNT(d.unit_text) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(SUM(u.unit_len) FILTER (WHERE d.unit_text IS NULL), 0)
+            AS BIGINT) AS kept_tokens,
+       COALESCE(
+           string_agg(u.unit_text, ' ' ORDER BY u.start_tok)
+               FILTER (WHERE d.unit_text IS NULL),
+           '') AS clean_text
+FROM units u LEFT JOIN doomed d USING (unit_text)
+GROUP BY u.doc_id
+"""

@@ -252,3 +252,6 @@ register("corpus_vocab_incremental", llm.corpus_vocab_incremental, llm.CORPUS_VO
 # into the generation-committed freq store; held to the full-recompute
 # vocab oracle (batch boundaries can never drift the stats)
 register("streaming_vocab_maintenance", sj.stream_vocab_maintenance, llm.CORPUS_VOCAB_ORACLE)
+# C4-style duplicate-passage removal: corpus-wide boilerplate passages
+# cut from every doc, text reassembled from the survivors in order
+register("corpus_line_dedup", llm.corpus_line_dedup, llm.CORPUS_LINE_DEDUP_ORACLE)
