@@ -198,3 +198,45 @@ def test_stats_layer_merges_across_runs(spark, work_dir):
     assert len(gens) <= 3 and gens[-1] == "gen-000004"
     final = {r.token: r.freq for r in read_store(spark, store).collect()}
     assert final == {t: 4 * f for t, f in first.items()}
+
+
+def test_curate_layer_snapshots_training_set(spark, work_dir):
+    """--layer curate commits the full curation chain as one
+    generation: packs tile each (split, lang) stratum contiguously
+    over the CLEANED token counts, splits partition the kept docs, and
+    a re-run advances the generation with identical content (the chain
+    is deterministic) while history stays bounded."""
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+        read_store,
+    )
+
+    runner.run_curate(spark, SF_SMALL, work_dir)
+    store = f"{work_dir}/curate/training_set"
+    assert list_generations(store) == ["gen-000001"]
+    snap = read_store(spark, store)
+    rows = snap.collect()
+    assert rows
+
+    # every kept doc has exactly one split; offsets tile each stratum
+    by_stratum: dict[tuple, list] = {}
+    for r in rows:
+        by_stratum.setdefault((r.split, r.lang), []).append(r)
+    for rs in by_stratum.values():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.start_offset == off
+            assert r.pack_id == off // 4096
+            off += r.kept_tokens
+    # boilerplate cut is visible in the cleaned text
+    for r in rows:
+        assert len(r.clean_text.split()) == r.kept_tokens or r.kept_tokens == 0
+
+    # deterministic re-run: new generation, identical snapshot
+    runner.run_curate(spark, SF_SMALL, work_dir)
+    assert list_generations(store)[-1] == "gen-000002"
+    again = {r.doc_id: r for r in read_store(spark, store).collect()}
+    assert len(again) == len(rows)
+    for r in rows:
+        assert again[r.doc_id] == r

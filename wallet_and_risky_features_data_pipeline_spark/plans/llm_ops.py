@@ -2053,3 +2053,160 @@ SELECT u.doc_id,
 FROM units u LEFT JOIN doomed d USING (unit_text)
 GROUP BY u.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-set snapshot: the chain a curation cron actually
+# ships — quality gate (length + stopword ratio, corpus_curation's
+# predicates) → exact dedup to the canonical min-id doc → C4
+# boilerplate-passage removal (line_dedup, corpus-wide doomed set
+# computed over the DEDUPED corpus) → hash-bucket train/val/test
+# assignment (corpus_split_stratified's md5 recipe) → context-window
+# pack offsets over the CLEANED token counts (corpus_pack_offsets'
+# running sum, partitioned by (split, lang) so every stratum packs
+# independently). Each stage is the already-oracle-verified shape; the
+# composition is itself held to one composed DuckDB oracle, so stage
+# wiring bugs (gating after dedup, packing pre-clean counts, ...)
+# hash-mismatch instead of passing silently.
+#
+# Scale: gate+fingerprint are scan-level; dedup is one hash agg on the
+# digest (min_by carries the payload — no self-join); line_dedup
+# broadcasts only the doomed set; the pack window sorts within
+# (split, lang) strata — bounded bands, the same contract
+# corpus_pack_offsets documents.
+def corpus_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_training_set(fan_out(read_table(spark, sf_dir, "documents")))
+
+
+def curate_training_set(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        marker_count("text", STOPWORDS).alias("stop_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    kept = enriched.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("stop_tokens").cast("double") / F.col("n_tokens") <= 0.25)
+    )
+    canonical = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    canonical = persist_tracked(canonical)
+    cleaned = line_dedup(canonical.select("doc_id", "text"))
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"
+    )
+    assigned = (
+        canonical.select("doc_id", "lang", "source", "n_tokens")
+        .join(cleaned, "doc_id")
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < SPLIT_TRAIN_PCT, "train")
+            .when(F.col("bucket") < SPLIT_VAL_PCT, "val")
+            .otherwise("test"),
+        )
+    )
+    w = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        assigned.select(
+            "doc_id",
+            "lang",
+            "source",
+            "split",
+            "n_tokens",
+            "kept_tokens",
+            F.col("n_dropped").alias("dropped_passages"),
+            "clean_text",
+        )
+        .withColumn(
+            "start_offset",
+            (F.sum("kept_tokens").over(w) - F.col("kept_tokens")).cast("bigint"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("start_offset") / F.lit(_PACK_TOKENS)).cast("bigint"),
+        )
+    )
+
+
+_PACK_W = """SUM(kept_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - kept_tokens"""
+
+CORPUS_TRAINING_SNAPSHOT_ORACLE = rf"""
+WITH enriched AS (
+    SELECT doc_id, text, lang, source,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           {marker_count_sql("text", STOPWORDS)} AS stop_tokens,
+           md5(lower(trim(text))) AS fp
+    FROM documents
+),
+kept AS (
+    SELECT * FROM enriched
+    WHERE n_tokens >= 20 AND CAST(stop_tokens AS DOUBLE) / n_tokens <= 0.25
+),
+canonical AS (
+    SELECT k.* FROM kept k
+    JOIN (SELECT fp, MIN(doc_id) AS d FROM kept GROUP BY fp) c ON k.doc_id = c.d
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+    FROM canonical
+),
+units AS (
+    SELECT doc_id, s AS start_tok,
+           array_to_string(t[s:s + {PASSAGE_TOKENS - 1}], ' ') AS unit_text,
+           len(t[s:s + {PASSAGE_TOKENS - 1}]) AS unit_len
+    FROM toks, UNNEST(generate_series(1, greatest(len(t), 1), {PASSAGE_TOKENS}))
+         AS g(s)
+),
+doomed AS (
+    SELECT unit_text FROM units
+    GROUP BY unit_text
+    HAVING COUNT(DISTINCT doc_id) >= {LINE_DUP_MIN_DOCS}
+),
+cleaned AS (
+    SELECT u.doc_id,
+           CAST(COUNT(d.unit_text) AS BIGINT) AS dropped_passages,
+           CAST(COALESCE(SUM(u.unit_len) FILTER (WHERE d.unit_text IS NULL), 0)
+                AS BIGINT) AS kept_tokens,
+           COALESCE(
+               string_agg(u.unit_text, ' ' ORDER BY u.start_tok)
+                   FILTER (WHERE d.unit_text IS NULL),
+               '') AS clean_text
+    FROM units u LEFT JOIN doomed d USING (unit_text)
+    GROUP BY u.doc_id
+),
+labeled AS (
+    SELECT c.doc_id, c.lang, c.source, c.n_tokens,
+           cl.kept_tokens, cl.dropped_passages, cl.clean_text,
+           CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM canonical c
+    JOIN cleaned cl ON c.doc_id = cl.doc_id
+    CROSS JOIN LATERAL (SELECT CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) % 100 AS b) x
+)
+SELECT doc_id, lang, source, split, n_tokens, kept_tokens, dropped_passages,
+       clean_text,
+       CAST({_PACK_W} AS BIGINT) AS start_offset,
+       CAST(floor(({_PACK_W}) / {_PACK_TOKENS}) AS BIGINT) AS pack_id
+FROM labeled
+"""

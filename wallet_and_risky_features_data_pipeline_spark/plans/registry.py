@@ -255,3 +255,12 @@ register("streaming_vocab_maintenance", sj.stream_vocab_maintenance, llm.CORPUS_
 # C4-style duplicate-passage removal: corpus-wide boilerplate passages
 # cut from every doc, text reassembled from the survivors in order
 register("corpus_line_dedup", llm.corpus_line_dedup, llm.CORPUS_LINE_DEDUP_ORACLE)
+# End-to-end training-set snapshot: gate → exact dedup → boilerplate
+# removal → split assignment → pack offsets, one composed oracle so
+# stage WIRING bugs hash-mismatch (each stage is also individually
+# oracle-verified above); `runner --layer curate` snapshots it
+register(
+    "corpus_training_snapshot",
+    llm.corpus_training_snapshot,
+    llm.CORPUS_TRAINING_SNAPSHOT_ORACLE,
+)

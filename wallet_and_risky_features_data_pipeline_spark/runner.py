@@ -18,6 +18,9 @@ Layers:
   shuffle partitioner replaces it).
 - **stats**    — corpus-stats cron: token counts merged into the
   generation-committed freq store, vocab/funnel reports published.
+- **curate**   — training-set snapshot: quality gate → exact dedup →
+  boilerplate-passage removal → split assignment → pack offsets,
+  committed as one immutable generation of the training_set store.
 - **dq**       — constraint checks, raising like the reference's
   final DAG gate.
 """
@@ -354,6 +357,45 @@ def run_stats(spark, sf_dir: str, work_dir: str) -> None:
     )
 
 
+def run_curate(spark, sf_dir: str, work_dir: str) -> None:
+    """Training-set snapshot (the curation DAG of an LLM data
+    pipeline): quality gate → exact dedup → C4 boilerplate-passage
+    removal → train/val/test assignment → context-window pack offsets,
+    committed as ONE generation of the training_set store — a training
+    run reads a complete, immutable snapshot (never a half-written
+    mix), yesterday's snapshot stays time-travelable for repro, and
+    the cron bounds its own history to three generations like the
+    stats layer. The chain itself is oracle-verified end to end
+    (q: corpus_training_snapshot); this layer adds the snapshot
+    lifecycle around it."""
+    from .plans.llm_ops import curate_training_set
+    from .sources.readers import fan_out, read_table
+    from .sources.writers import commit_generation, read_store, vacuum_generations
+
+    store = f"{work_dir}/curate/training_set"
+    snapshot = curate_training_set(fan_out(read_table(spark, sf_dir, "documents")))
+    gen = commit_generation(snapshot, store)
+    expired = vacuum_generations(store, keep=3)
+    summary = (
+        read_store(spark, store)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept_tokens").alias("tokens"),
+            F.sum("dropped_passages").alias("boilerplate_cut"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+        )
+        .orderBy("split")
+        .collect()
+    )
+    for r in summary:
+        print(
+            f"curate[{r['split']}]: {r['n_docs']} docs, {r['tokens']} tokens, "
+            f"{r['n_packs']} packs, {r['boilerplate_cut']} boilerplate passages cut"
+        )
+    print(f"curate: committed {gen} of {store} (expired {len(expired)})")
+
+
 def run_dq(spark, sf_dir: str, work_dir: str) -> None:
     from .plans.wallet_features import wallet_features
 
@@ -377,6 +419,7 @@ def main(argv: list[str] | None = None) -> int:
             "serve",
             "profile",
             "stats",
+            "curate",
             "dq",
         ],
     )
@@ -397,6 +440,7 @@ def main(argv: list[str] | None = None) -> int:
         "serve": run_serve,
         "profile": run_profile,
         "stats": run_stats,
+        "curate": run_curate,
         "dq": run_dq,
     }[args.layer](spark, args.sf_dir, args.work_dir)
     return 0
