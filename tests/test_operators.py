@@ -1286,3 +1286,29 @@ def test_line_dedup_cuts_corpus_boilerplate_and_reassembles(spark):
     assert out[4]["clean_text"] == "totally unique words only here now"
     # order preserved: doc 0's survivor is its second window verbatim
     assert out[0]["clean_text"] == "alpha beta gamma delta eps"
+
+
+def test_hll_merge_replay_idempotent(spark):
+    """Register-MAX merge is idempotent: re-merging an already-merged
+    batch leaves the sketch bit-identical — at-least-once delivery
+    into the sketch store needs no dedup fence (the additive vocab
+    store, by contrast, would double-count; that contrast is the point
+    of pinning this)."""
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.operators.sketches import (
+        hll_finalize,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, f"u{i % 37}", "click" if i % 3 else "view") for i in range(500)],
+        "event_id long, user_id string, event_type string",
+    )
+    batch = hll_registers(ev, F.col("user_id"), ["event_type"])
+    once = hll_finalize(batch, ["event_type"]).collect()
+    twice = hll_finalize(
+        hll_merge(batch, batch, ["event_type"]), ["event_type"]
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))

@@ -264,3 +264,11 @@ register(
     llm.corpus_training_snapshot,
     llm.CORPUS_TRAINING_SNAPSHOT_ORACLE,
 )
+# Incremental NDV maintenance: stored HLL registers ∪ new batch via
+# per-register MAX (idempotent merge — replay-safe, unlike the vocab
+# store's additive SUM); held to the full-recompute oracle
+register(
+    "hll_distinct_incremental",
+    sk.hll_distinct_incremental,
+    sk.HLL_DISTINCT_INCREMENTAL_ORACLE,
+)

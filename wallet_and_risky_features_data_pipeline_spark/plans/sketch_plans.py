@@ -402,3 +402,63 @@ FROM c, UNNEST([{", ".join(str(p) for p in _QUANTILES)}]) AS t(p)
 WHERE cum >= FLOOR((n_total - 1) * p) + 1
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Incremental NDV maintenance: the stored per-group register
+# accumulator (here the even event_ids stand in for the persisted
+# store) merges with the new batch's registers by per-register MAX —
+# associative, commutative AND idempotent, so batch boundaries can
+# never drift the estimate and replaying an already-merged batch is a
+# no-op (at-least-once delivery needs no dedup fence, unlike additive
+# counters). Held to the FULL-recompute oracle: the merged sketch must
+# be BIT-IDENTICAL to sketching all events in one pass — the property
+# that lets a 100 TB rolling NDV ("distinct users per event type, all
+# time") be maintained at per-batch cost with the history never
+# re-scanned. Same maintenance shape as corpus_vocab_incremental; the
+# vocab store merges by SUM (additive, NOT idempotent), this one by
+# MAX — the two sketch-store merge disciplines, both oracle-pinned.
+def hll_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_finalize, hll_merge, hll_registers
+
+    ev = read_table(spark, sf_dir, "events")
+    prior = hll_registers(
+        ev.filter(F.col("event_id") % 2 == 0), F.col("user_id"), ["event_type"]
+    )
+    batch = hll_registers(
+        ev.filter(F.col("event_id") % 2 == 1), F.col("user_id"), ["event_type"]
+    )
+    return hll_finalize(hll_merge(prior, batch, ["event_type"]), ["event_type"])
+
+
+HLL_DISTINCT_INCREMENTAL_ORACLE = f"""
+WITH hashed AS (
+    SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+    FROM events
+),
+ranked AS (
+    SELECT event_type,
+           substr(h, 1, 2) AS reg,
+           {hll_rank_expr("h")} AS rho
+    FROM hashed
+),
+regs AS (
+    SELECT event_type, reg, MAX(rho) AS max_rho
+    FROM ranked GROUP BY 1, 2
+),
+grouped AS (
+    SELECT event_type,
+           SUM(CAST(1 AS BIGINT) << ({_RANK_CAP} - max_rho)) AS observed_sum,
+           COUNT(*) AS observed_regs
+    FROM regs GROUP BY 1
+)
+SELECT event_type,
+       CAST(observed_sum
+            + ({HLL_M} - observed_regs) * (CAST(1 AS BIGINT) << {_RANK_CAP})
+            AS BIGINT) AS register_sum,
+       CAST({HLL_M} - observed_regs AS BIGINT) AS zero_registers,
+       {HLL_NUMERATOR!r} / CAST(observed_sum
+            + ({HLL_M} - observed_regs) * (CAST(1 AS BIGINT) << {_RANK_CAP})
+            AS DOUBLE) AS hll_estimate
+FROM grouped
+"""
