@@ -270,3 +270,41 @@ def test_lr_prediction_matches_golden(spark):
     assert hist == golden["prediction_hist"], "prediction histogram drifted"
     assert round(acc, 6) == golden["train_accuracy"], "training accuracy drifted"
     assert digest == golden["digest"], "prediction sequence drifted"
+
+
+def test_doc_quality_lr_matches_golden(spark):
+    """Determinism harness for the quality-classifier filter (third
+    rows-only MLlib entry): the convex L2 fit at sf0.01 must reproduce
+    the STORED golden — keep-rate histogram and a digest of the integer
+    keep decisions in doc_id order (no float scores in the digest).
+    Also pins the filter semantics: every doc is scored, score in
+    [0, 1], keep == (score >= 0.5). Regenerate with
+    SPARK_GRAFT_REGEN_GOLDEN=1."""
+    import hashlib
+    import json
+    import os
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.ml_ops import doc_quality_lr
+
+    out = doc_quality_lr(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 500
+    for r in out:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.keep == int(r.quality_score >= 0.5)
+    rows = sorted((r.doc_id, r.keep) for r in out)
+    digest = hashlib.md5(";".join(f"{d}:{k}" for d, k in rows).encode()).hexdigest()
+    kept = sum(k for _, k in rows)
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "lr_quality_sf001.json"
+    )
+    if os.environ.get("SPARK_GRAFT_REGEN_GOLDEN") == "1" or not os.path.exists(
+        golden_path
+    ):
+        with open(golden_path, "w") as f:
+            json.dump({"digest": digest, "n_kept": kept, "n_rows": len(rows)}, f, indent=1)
+    with open(golden_path) as f:
+        golden = json.load(f)
+    assert digest == golden["digest"]
+    assert kept == golden["n_kept"]
+    assert len(rows) == golden["n_rows"]

@@ -58,3 +58,66 @@ def risk_score_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("label"),
         F.col("prediction").cast("int").alias("predicted_label"),
     )
+
+
+def doc_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality-classifier filter (Brown et al. 2020
+    Appendix A): train a classifier to distinguish a curated reference
+    slice from the rest of the crawl, score EVERY doc with the
+    reference-class probability, keep docs above the threshold. The
+    reference slice here is the deterministic md5-parity half of the
+    sources (a stand-in for "WebText-like"); features are the engine's
+    own text-quality signals — token count, stopword ratio, mean token
+    length, distinct-token ratio — assembled JVM-side (no Python row
+    loop), fit with convex L2 logistic regression, scored distributed.
+
+    Rows-only entry: the trained model isn't SQL-expressible. The
+    mechanics are pinned by a stored golden (integer keep decisions in
+    doc_id order) like the other two MLlib entries.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from ..functions.text import STOPWORDS, marker_count, token_count
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = token_count("text").cast("double")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        toks.alias("n_tokens"),
+        (marker_count("text", STOPWORDS).cast("double") / F.greatest(toks, F.lit(1.0))).alias(
+            "stop_ratio"
+        ),
+        (F.length("text").cast("double") / F.greatest(toks, F.lit(1.0))).alias(
+            "avg_token_len"
+        ),
+        (
+            F.expr(r"size(array_distinct(split(trim(lower(text)), '\\s+')))").cast(
+                "double"
+            )
+            / F.greatest(toks, F.lit(1.0))
+        ).alias("distinct_ratio"),
+        (F.expr("conv(substr(md5(source), 1, 2), 16, 10) % 2").cast("double")).alias(
+            "is_reference"
+        ),
+    )
+    assembled = VectorAssembler(
+        inputCols=["n_tokens", "stop_ratio", "avg_token_len", "distinct_ratio"],
+        outputCol="features",
+    ).transform(feats)
+    lr = LogisticRegression(
+        maxIter=10, regParam=0.01, elasticNetParam=0.0, labelCol="is_reference"
+    )
+    model = lr.fit(assembled)
+    scored = model.transform(assembled)
+    return scored.select(
+        "doc_id",
+        "source",
+        F.col("is_reference").cast("int").alias("is_reference"),
+        vector_to_array(F.col("probability")).getItem(1).alias("quality_score"),
+        (vector_to_array(F.col("probability")).getItem(1) >= 0.5)
+        .cast("int")
+        .alias("keep"),
+    )

@@ -197,6 +197,7 @@ register("pricing_summary_sql", sqls.pricing_summary_sql, sqls.PRICING_SUMMARY_S
 register("similarity_pandas_topk", llm.similarity_pandas_topk, None)  # BLAS float order
 register("similarity_ivf_kmeans_topk", ml.similarity_ivf_kmeans_topk, None)
 register("risk_score_lr", ml.risk_score_lr, None)
+register("doc_quality_lr", ml.doc_quality_lr, None)  # trained model, rows-only
 # Cluster formation over near-dup pairs: iterative min-label
 # propagation held to a DuckDB recursive-CTE transitive closure
 register("dedup_cluster_assign", llm.dedup_cluster_assign, llm.DEDUP_CLUSTER_ORACLE)
