@@ -291,6 +291,9 @@ def test_doc_quality_lr_matches_golden(spark):
     for r in out:
         assert 0.0 <= r.quality_score <= 1.0
         assert r.keep == int(r.quality_score >= 0.5)
+    # discriminative, not vacuous: the filter must actually split
+    kept_n = sum(r.keep for r in out)
+    assert 0 < kept_n < len(out)
     rows = sorted((r.doc_id, r.keep) for r in out)
     digest = hashlib.md5(";".join(f"{d}:{k}" for d, k in rows).encode()).hexdigest()
     kept = sum(k for _, k in rows)

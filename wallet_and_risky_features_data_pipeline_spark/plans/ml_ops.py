@@ -11,8 +11,11 @@ Spark MLlib so features never leave the cluster:
 - ``risk_score_lr`` — multinomial logistic regression over the
   ``embeddings`` table (features = embedding vector, label = the
   table's label column): assemble → fit → score, all distributed.
+- ``doc_quality_lr`` — the curation DAG's quality-classifier filter:
+  LR distilling the heuristic gate into a calibrated keep score over
+  every document (CCNet-style rule-label training).
 
-Both are registered rows-only: a trained model is not SQL-expressible,
+All are registered rows-only: a trained model is not SQL-expressible,
 so the driver applies the weaker row-count check and the unit tests pin
 the mechanics (row preservation, prediction domain, determinism under a
 fixed seed).
@@ -64,12 +67,18 @@ def doc_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style quality-classifier filter (Brown et al. 2020
     Appendix A): train a classifier to distinguish a curated reference
     slice from the rest of the crawl, score EVERY doc with the
-    reference-class probability, keep docs above the threshold. The
-    reference slice here is the deterministic md5-parity half of the
-    sources (a stand-in for "WebText-like"); features are the engine's
-    own text-quality signals — token count, stopword ratio, mean token
-    length, distinct-token ratio — assembled JVM-side (no Python row
-    loop), fit with convex L2 logistic regression, scored distributed.
+    reference-class probability, keep docs above the threshold. This
+    sandbox corpus carries no real "WebText-like" signal (every lang's
+    text is the same synthetic word soup), so the reference label is
+    the heuristic quality gate itself (n_tokens >= 20 AND stop_ratio
+    <= 0.25, corpus_curation's predicates) and the model DISTILLS the
+    hard rule into a calibrated score — the CCNet move (Wenzek et al.
+    2020: train on rule labels, filter on the smooth score). Features
+    are the engine's own text-quality signals — token count, stopword
+    ratio, mean token length, distinct-token ratio, per-lang marker
+    ratios — assembled JVM-side (no Python row loop), fit with convex
+    L2 logistic regression, scored distributed; with a real curated
+    reference set, only the label expression changes.
 
     Rows-only entry: the trained model isn't SQL-expressible. The
     mechanics are pinned by a stored golden (integer keep decisions in
@@ -79,32 +88,43 @@ def doc_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
-    from ..functions.text import STOPWORDS, marker_count, token_count
+    from ..functions.text import LANG_MARKERS, STOPWORDS, marker_count, token_count
 
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = token_count("text").cast("double")
+    denom = F.greatest(toks, F.lit(1.0))
+    marker_feats = {
+        f"{code}_marker_ratio": (marker_count("text", words).cast("double") / denom)
+        for code, words in LANG_MARKERS.items()
+    }
     feats = docs.select(
         "doc_id",
         "source",
         toks.alias("n_tokens"),
-        (marker_count("text", STOPWORDS).cast("double") / F.greatest(toks, F.lit(1.0))).alias(
-            "stop_ratio"
-        ),
-        (F.length("text").cast("double") / F.greatest(toks, F.lit(1.0))).alias(
-            "avg_token_len"
-        ),
+        (marker_count("text", STOPWORDS).cast("double") / denom).alias("stop_ratio"),
+        (F.length("text").cast("double") / denom).alias("avg_token_len"),
         (
             F.expr(r"size(array_distinct(split(trim(lower(text)), '\\s+')))").cast(
                 "double"
             )
-            / F.greatest(toks, F.lit(1.0))
+            / denom
         ).alias("distinct_ratio"),
-        (F.expr("conv(substr(md5(source), 1, 2), 16, 10) % 2").cast("double")).alias(
-            "is_reference"
-        ),
+        *[c.alias(name) for name, c in marker_feats.items()],
+        (
+            (toks >= 20)
+            & (marker_count("text", STOPWORDS).cast("double") / denom <= 0.25)
+        )
+        .cast("double")
+        .alias("is_reference"),
     )
     assembled = VectorAssembler(
-        inputCols=["n_tokens", "stop_ratio", "avg_token_len", "distinct_ratio"],
+        inputCols=[
+            "n_tokens",
+            "stop_ratio",
+            "avg_token_len",
+            "distinct_ratio",
+            *marker_feats,
+        ],
         outputCol="features",
     ).transform(feats)
     lr = LogisticRegression(
