@@ -69,3 +69,101 @@ def test_stateful_stream_reports_state_metrics(spark):
     assert metrics, "no state operator metrics captured"
     assert any(m["state_rows"] == 7 for m in metrics)
     assert all(m["state_bytes"] is not None for m in metrics)
+
+
+def test_vocab_merge_replay_fence_prevents_double_count(spark):
+    """At-least-once redelivery of an already-committed epoch must be a
+    no-op: additive count merges are NOT idempotent, so without the
+    epoch fence a crash between commit and checkpoint ack would double
+    every redelivered token count."""
+    import tempfile
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+        read_store,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        vocab_merge_batch,
+    )
+
+    store = tempfile.mkdtemp(prefix="wrf_fence_") + "/token_freqs"
+    b0 = spark.createDataFrame([(0, "alpha beta alpha")], "doc_id long, text string")
+    b1 = spark.createDataFrame([(1, "beta gamma")], "doc_id long, text string")
+
+    assert vocab_merge_batch(spark, store, b0, epoch=0) is True
+    assert vocab_merge_batch(spark, store, b1, epoch=1) is True
+    counts = {r.token: r.freq for r in read_store(spark, store).collect()}
+    assert counts == {"alpha": 2, "beta": 2, "gamma": 1}
+    gens = list_generations(store)
+
+    # the crash replay: same epoch, same batch — must be skipped
+    assert vocab_merge_batch(spark, store, b1, epoch=1) is False
+    assert {r.token: r.freq for r in read_store(spark, store).collect()} == counts
+    assert list_generations(store) == gens
+
+    # the stream moves on: a genuinely new epoch still applies
+    b2 = spark.createDataFrame([(2, "gamma")], "doc_id long, text string")
+    assert vocab_merge_batch(spark, store, b2, epoch=2) is True
+    assert {r.token: r.freq for r in read_store(spark, store).collect()} == {
+        "alpha": 2,
+        "beta": 2,
+        "gamma": 2,
+    }
+
+
+def test_vocab_stream_crash_restart_is_exactly_once(spark):
+    """Kill the vocab-maintenance stream AFTER an epoch's store commit
+    but BEFORE its checkpoint acknowledgment — the worst-case crash
+    window — then restart from the same checkpoint. Structured
+    Streaming replays the unacknowledged epoch; the fence skips it;
+    the final store must equal the one-pass recompute exactly."""
+    import tempfile
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import token_freqs
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import read_store
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        _stream_session,
+        vocab_merge_batch,
+    )
+
+    ss = _stream_session(spark)
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    land = tempfile.mkdtemp(prefix="wrf_crash_land_")
+    docs.repartition(4).write.mode("overwrite").parquet(land)
+    ckpt = tempfile.mkdtemp(prefix="wrf_crash_ckpt_")
+    store = tempfile.mkdtemp(prefix="wrf_crash_store_") + "/token_freqs"
+
+    def crashing(batch, epoch):
+        vocab_merge_batch(ss, store, batch, epoch)
+        if epoch == 2:
+            raise RuntimeError("injected crash after commit, before ack")
+
+    def run(fn):
+        return (
+            ss.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(land)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(fn)
+            .start()
+        )
+
+    with pytest.raises(StreamingQueryException):
+        run(crashing).awaitTermination()
+
+    # restart from the SAME checkpoint with the healthy merge: epoch 2
+    # is redelivered (its offsets were never committed), fenced out,
+    # and the remaining files process normally
+    q = run(lambda b, e: vocab_merge_batch(ss, store, b, e))
+    q.awaitTermination()
+
+    merged = {r.token: r.freq for r in read_store(spark, store).collect()}
+    expected = {r.token: r.freq for r in token_freqs(docs).collect()}
+    assert merged == expected

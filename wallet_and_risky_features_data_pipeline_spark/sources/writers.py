@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 _LATEST = "_LATEST"
 _GEN_PREFIX = "gen-"
 _STAGE_PREFIX = ".tmp-gen-"
+_TAG = "_TAG"
 _MARKER_PREFIX = ".advance-"
 _GENESIS = "genesis"
 
@@ -97,6 +98,20 @@ def insert_incremental(
         return
     fresh = df.join(existing, on=list(natural_key), how="left_anti")
     write_partitioned(fresh, path, partition_cols, mode="append")
+
+
+def generation_tag(path: str) -> str | None:
+    """The ``tag`` recorded with the LIVE generation's commit (None for
+    untagged commits or uncommitted stores). Read this BEFORE merging
+    an at-least-once delivery: if the incoming epoch is <= the recorded
+    one, the batch already committed and must be skipped."""
+    if not os.path.exists(os.path.join(path, _LATEST)):
+        return None
+    tag_file = os.path.join(resolve_store(path), _TAG)
+    if not os.path.exists(tag_file):
+        return None
+    with open(tag_file) as f:
+        return f.read()
 
 
 def store_committed(path: str) -> bool:
@@ -378,7 +393,7 @@ def _adopt_flat_store(path: str) -> None:
         shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.unlink(p)
 
 
-def commit_generation(df: DataFrame, path: str) -> str:
+def commit_generation(df: DataFrame, path: str, tag: str | None = None) -> str:
     """Commit a FULL snapshot of ``df`` as the store's next generation
     — the whole-table cousin of ``merge_upsert`` for callers that
     replace the table each commit (rolling corpus stats, dimension
@@ -389,7 +404,16 @@ def commit_generation(df: DataFrame, path: str) -> str:
     generation of the same store (the stats-merge loop does): the
     staged write scans the old files while writing new ones, and the
     pointer only flips after the write completes. Returns the committed
-    generation name."""
+    generation name.
+
+    ``tag`` (optional) is recorded in a ``_TAG`` file INSIDE the staged
+    generation before the rename, so it commits or vanishes atomically
+    WITH the snapshot — the idempotence fence for at-least-once
+    callers: a streaming ``foreachBatch`` passes its epoch id and, on
+    replay after a crash that committed but never acknowledged the
+    batch, reads ``generation_tag`` and skips the already-applied
+    epoch. (The underscore name keeps the file invisible to parquet
+    readers, like ``_SUCCESS``.)"""
     import uuid
 
     os.makedirs(path, exist_ok=True)
@@ -405,6 +429,9 @@ def commit_generation(df: DataFrame, path: str) -> str:
         path, f"{_STAGE_PREFIX}{n:06d}-{os.getpid()}-{uuid.uuid4().hex[:6]}"
     )
     df.write.mode("overwrite").parquet(staged)
+    if tag is not None:
+        with open(os.path.join(staged, _TAG), "w") as f:
+            f.write(tag)
     dest = os.path.join(path, gen_name)
     try:
         os.rename(staged, dest)

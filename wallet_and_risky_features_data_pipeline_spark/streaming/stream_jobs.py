@@ -753,6 +753,39 @@ WHERE run // {THRESHOLD_CENTS} > (run - cents) // {THRESHOLD_CENTS}
 """
 
 
+def vocab_merge_batch(spark: SparkSession, store: str, batch: DataFrame, epoch: int) -> bool:
+    """One fenced merge step of the vocab-maintenance stream — the
+    at-least-once discipline for an ADDITIVE (non-idempotent) store
+    merge. ``foreachBatch`` redelivers an epoch whose commit succeeded
+    but whose checkpoint acknowledgment didn't (crash in between); the
+    epoch id recorded atomically WITH the committed generation
+    (``commit_generation(tag=...)``) is the fence — a replayed epoch
+    <= the live generation's tag is skipped, so counts can never
+    double. (The HLL register store's MAX-merge wouldn't need this
+    fence — idempotent merges are replay-proof by algebra; additive
+    SUM is not, hence the explicit epoch gate.) Returns True iff the
+    batch was applied."""
+    from ..plans.llm_ops import merge_token_stats, token_freqs
+    from ..sources.writers import (
+        commit_generation,
+        generation_tag,
+        read_store,
+        store_committed,
+    )
+
+    applied = generation_tag(store)
+    if applied is not None and int(applied) >= epoch:
+        return False
+    counts = token_freqs(batch)
+    # pointer probe, not a gen-dir probe: a crashed first commit
+    # leaves ghost dirs that resolve_store refuses — the next
+    # commit must heal the store, not wedge on reading it
+    if store_committed(store):
+        counts = merge_token_stats(read_store(spark, store), counts)
+    commit_generation(counts, store, tag=str(epoch))
+    return True
+
+
 def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus-stats maintenance: documents land as files, and
     every micro-batch's partial token counts MERGE into a generation-
@@ -769,8 +802,8 @@ def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot, and the generation history doubles as stats time travel
     (which corpus state produced yesterday's tokenizer?).
     """
-    from ..plans.llm_ops import _vocab_from_freqs, merge_token_stats, token_freqs
-    from ..sources.writers import commit_generation, read_store, store_committed
+    from ..plans.llm_ops import _vocab_from_freqs
+    from ..sources.writers import read_store
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -779,14 +812,8 @@ def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_vocab_ckpt_")
     store = tempfile.mkdtemp(prefix="wrf_vocab_store_") + "/token_freqs"
 
-    def merge_batch(batch: DataFrame, _epoch: int) -> None:
-        counts = token_freqs(batch)
-        # pointer probe, not a gen-dir probe: a crashed first commit
-        # leaves ghost dirs that resolve_store refuses — the next
-        # commit must heal the store, not wedge on reading it
-        if store_committed(store):
-            counts = merge_token_stats(read_store(spark, store), counts)
-        commit_generation(counts, store)
+    def merge_batch(batch: DataFrame, epoch: int) -> None:
+        vocab_merge_batch(spark, store, batch, epoch)
 
     q = (
         spark.readStream.schema(static.schema)
