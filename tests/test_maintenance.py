@@ -453,3 +453,43 @@ def test_zorder_compaction_bounds_file_ranges_on_both_columns(spark, tmp_path):
     # plus a loose per-file cap instead of exact quadrants.
     assert all(u * d <= 0.8 * full for u, d in ranges), ranges
     assert sum(u * d for u, d in ranges) <= 0.5 * len(ranges) * full, ranges
+
+
+def test_range_clustered_export_files_are_disjoint_and_sorted(spark, tmp_path):
+    """write_range_clustered contract: output files cover DISJOINT
+    ranges of the order key (a predicate on it prunes to one file's
+    min/max stripe), rows are sorted inside each file, and nothing is
+    lost — all without a single-reducer global sort."""
+    import pyarrow.parquet as pq
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        write_range_clustered,
+    )
+
+    df = spark.range(0, 10_000).selectExpr(
+        "cast(hash(id) % 100000 as long) as k", "id as payload"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, ["k"], n_files=8)
+
+    files = sorted(
+        f"{out}/{f}" for f in __import__("os").listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) > 1
+    spans, n_rows = [], 0
+    for f in files:
+        t = pq.read_table(f, columns=["k"])
+        ks = t.column("k").to_pylist()
+        if not ks:
+            continue
+        assert ks == sorted(ks), "rows not sorted within file"
+        spans.append((min(ks), max(ks)))
+        n_rows += len(ks)
+    assert n_rows == 10_000
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+    # content is exact: same multiset of keys as the input
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.agg({"payload": "sum"}).first()[0] == sum(range(10_000))

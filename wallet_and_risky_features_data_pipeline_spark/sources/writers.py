@@ -50,6 +50,7 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LATEST = "_LATEST"
 _GEN_PREFIX = "gen-"
@@ -75,6 +76,37 @@ def write_partitioned(
     set the conf to ``static`` around the call explicitly.
     """
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    order_cols: Sequence[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Globally range-clustered parquet export: every output file
+    covers a DISJOINT range of ``order_cols`` and is sorted inside —
+    the distributed "write it sorted" (Hive's SORTED BY, Delta's
+    OPTIMIZE ... ZORDER for the 1-key case) without ever collapsing to
+    one reducer. ``repartitionByRange`` samples the key distribution
+    (reservoir per partition — the classic TeraSort partitioner) to cut
+    ~equal-row boundaries, so a Zipf-hot key costs one fat file, not a
+    serial global sort; ``sortWithinPartitions`` then orders each range
+    locally. Downstream scans with a predicate on the leading order
+    column prune to the files whose parquet min/max straddle it —
+    ``zorder_column`` is the multi-dimensional sibling when no single
+    leading column dominates.
+
+    The boundary sampling is the one nondeterminism seam (file SIZES
+    may shift run to run); the row CONTENT and per-file ordering are
+    exact, which is what the range-disjointness test pins."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def insert_incremental(
