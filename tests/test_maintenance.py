@@ -493,3 +493,32 @@ def test_range_clustered_export_files_are_disjoint_and_sorted(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 10_000
     assert back.agg({"payload": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_snapshot_diff_classifies_changes_between_generations(spark, tmp_path):
+    """snapshot_diff derives a row-level change feed from the
+    generation history alone: added / removed / changed (with
+    before/after payloads), unchanged rows absent."""
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        commit_generation,
+        snapshot_diff,
+    )
+
+    store = str(tmp_path / "snap_store")
+    g1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    g2 = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)], "id long, s string, v long"
+    )
+    commit_generation(g1, store)
+    commit_generation(g2, store)
+
+    diff = {r.id: r for r in snapshot_diff(spark, store, ["id"], 1, 2).collect()}
+    assert set(diff) == {1, 3, 4}  # 2 is unchanged and absent
+    assert diff[1].change_type == "removed" and diff[1].before.v == 10
+    assert diff[3].change_type == "changed"
+    assert (diff[3].before.v, diff[3].after.v) == (30, 99)
+    assert diff[4].change_type == "added" and diff[4].after.v == 40
+    # reflexive diff is empty
+    assert snapshot_diff(spark, store, ["id"], 2, 2).count() == 0

@@ -481,6 +481,49 @@ def commit_generation(df: DataFrame, path: str, tag: str | None = None) -> str:
     return gen_name
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    key: Sequence[str],
+    gen_old: int,
+    gen_new: int,
+) -> DataFrame:
+    """Row-level change feed between two committed generations of a
+    store — Delta's CHANGE DATA FEED / Iceberg's changelog scan analog,
+    derived entirely from the generation HISTORY (no change log
+    maintained at write time, so it works retroactively on any two
+    snapshots): ``added`` / ``removed`` / ``changed`` per key. The
+    training-data question it answers: "what moved between yesterday's
+    and today's training snapshot" — the audit trail for a model-diff.
+
+    One full-outer shuffle join on the key; non-key columns compare as
+    a single null-safe struct equality (codegen, no per-column Python).
+    Unchanged rows are dropped before the join output materializes.
+    """
+    old = read_store(spark, path, generation=gen_old)
+    new = read_store(spark, path, generation=gen_new)
+    value_cols = [c for c in old.columns if c not in key]
+    o = old.select(
+        *key, F.struct(*value_cols).alias("__old"), F.lit(True).alias("__in_old")
+    )
+    n = new.select(
+        *key, F.struct(*value_cols).alias("__new"), F.lit(True).alias("__in_new")
+    )
+    joined = o.join(n, on=list(key), how="full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key, "change_type", "__old", "__new")
+        .withColumnRenamed("__old", "before")
+        .withColumnRenamed("__new", "after")
+    )
+
+
 def vacuum_generations(path: str, keep: int = 1) -> list[str]:
     """Drop (a) all but the newest ``keep`` COMMITTED generations,
     (b) every UNCOMMITTED generation — dirs newer than the live
