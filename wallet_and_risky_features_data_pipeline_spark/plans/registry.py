@@ -273,3 +273,8 @@ register(
     sk.hll_distinct_incremental,
     sk.HLL_DISTINCT_INCREMENTAL_ORACLE,
 )
+# Strict-order funnel (view → click-after-view → purchase-after-click)
+# over one user-window exchange, and weekly cohort retention — the two
+# canonical behavioral rollups on the event stream
+register("funnel_conversion", sess.funnel_conversion, sess.FUNNEL_CONVERSION_ORACLE)
+register("cohort_retention", sess.cohort_retention, sess.COHORT_RETENTION_ORACLE)

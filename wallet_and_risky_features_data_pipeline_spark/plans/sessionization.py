@@ -71,3 +71,164 @@ SELECT
 FROM sessioned
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Strict-order funnel conversion: view → click → purchase, where each
+# stage must happen AFTER the user's previous stage (a click before
+# the first view doesn't count — the ordering is the analysis). Three
+# chained selects over ONE (user) window partition: stage k's
+# timestamp is min(ts WHERE type=k AND ts > stage k−1), so the whole
+# funnel reuses a single user_id exchange — no self-joins, no
+# per-stage scans. The final rollup is a few-row aggregate.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+
+    def stage_ts(evtype: str, after) -> F.Column:
+        cond = F.col("event_type") == evtype
+        if after is not None:
+            cond = cond & (F.col("ts") > after)
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    staged = (
+        ev.withColumn("t_view", stage_ts("view", None))
+        .withColumn("t_click", stage_ts("click", F.col("t_view")))
+        .withColumn("t_purchase", stage_ts("purchase", F.col("t_click")))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.count("t_click").cast("bigint").alias("n_click"),
+        F.count("t_purchase").cast("bigint").alias("n_purchase"),
+    )
+    stages = F.array(
+        F.struct(F.lit("1_view").alias("stage"), F.col("n_view").alias("n_reached")),
+        F.struct(F.lit("2_click").alias("stage"), F.col("n_click").alias("n_reached")),
+        F.struct(
+            F.lit("3_purchase").alias("stage"), F.col("n_purchase").alias("n_reached")
+        ),
+    )
+    return counts.select(
+        F.explode(stages).alias("s"), "n_users", "n_view"
+    ).select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_reached").alias("n_reached"),
+        (F.col("s.n_reached").cast("double") / F.col("n_users")).alias("user_share"),
+        (F.col("s.n_reached").cast("double") / F.col("n_view")).alias(
+            "conversion_from_view"
+        ),
+    )
+
+
+FUNNEL_CONVERSION_ORACLE = """
+WITH u1 AS (
+    SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t_view
+    FROM events GROUP BY 1
+),
+u2 AS (
+    SELECT u1.user_id, u1.t_view,
+           MIN(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > u1.t_view)
+               AS t_click
+    FROM u1 LEFT JOIN events e USING (user_id)
+    GROUP BY 1, 2
+),
+u3 AS (
+    SELECT u2.user_id, u2.t_view, u2.t_click,
+           MIN(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > u2.t_click)
+               AS t_purchase
+    FROM u2 LEFT JOIN events e USING (user_id)
+    GROUP BY 1, 2, 3
+),
+counts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(t_click) AS BIGINT) AS n_click,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase
+    FROM u3
+)
+SELECT s.stage,
+       s.n_reached,
+       CAST(s.n_reached AS DOUBLE) / c.n_users AS user_share,
+       CAST(s.n_reached AS DOUBLE) / c.n_view AS conversion_from_view
+FROM counts c,
+     LATERAL (VALUES ('1_view', c.n_view), ('2_click', c.n_click),
+                     ('3_purchase', c.n_purchase)) AS s(stage, n_reached)
+"""
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by first-activity week; for
+# each (cohort, week-offset) cell, how many of the cohort were active.
+# Shape: per-user first-ts agg (one user shuffle) → distinct
+# (user, active-week) pairs (reuses the same keying) → broadcast-sized
+# cohort dimension joined back → one (cohort, offset) agg. The
+# retention matrix is weeks × weeks — always driver-tiny.
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+COHORT_RETENTION_ORACLE = """
+WITH first AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY 1
+),
+active AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+    FROM events
+),
+sizes AS (
+    SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM first GROUP BY 1
+),
+cells AS (
+    SELECT f.cohort_week,
+           CAST((a.active_week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+       c.week_offset, c.n_active, s.cohort_size,
+       CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM cells c JOIN sizes s USING (cohort_week)
+"""
