@@ -283,3 +283,29 @@ def test_line_dedup_doomed_set_broadcasts(spark):
         assert "LeftOuter, BuildRight" in plan
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" not in plan
+
+
+def test_funnel_reuses_one_user_exchange(spark):
+    """funnel_conversion's scale contract: all three chained stage
+    windows cluster by user_id, so the plan must shuffle the events
+    scan ONCE — three sequential Window operators over a single
+    hashpartitioning(user_id) exchange, then the few-row rollup. A
+    second event-shuffle means a stage broke window reuse."""
+    plan = _physical(QUERIES["funnel_conversion"](spark, SF_MEDIUM))
+    user_exchanges = plan.count("hashpartitioning(user_id")
+    assert user_exchanges == 1, f"{user_exchanges} user_id exchanges (expected 1)"
+    assert plan.count("Window") >= 3
+
+
+def test_training_snapshot_broadcasts_doomed_passages(spark):
+    """corpus_training_snapshot inherits line_dedup's contract inside
+    the composed chain: the boilerplate set must come back via a
+    broadcast join — composing stages must not regress the doomed-set
+    probe into a corpus-wide shuffle by passage text."""
+    from wallet_and_risky_features_data_pipeline_spark.caching import cache_scope
+
+    with cache_scope():
+        plan = _physical(QUERIES["corpus_training_snapshot"](spark, SF_MEDIUM))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
