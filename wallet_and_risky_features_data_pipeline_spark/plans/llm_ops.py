@@ -884,14 +884,19 @@ def _cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def reset_session_memos(spark: SparkSession) -> None:
-    """Drop this session's memoized frames (cluster assignment).
+    """Drop this session's memoized frames (cluster assignment + the
+    wallet leg table).
 
     For callers that need to MEASURE the pipeline rather than consume
     it — bench.py's isolated tier calls this before each timed run so
     dedup_cluster_assign/dedup_decisions time the real MinHash → LSH →
-    CC computation instead of a noop write of the memoized result."""
+    CC computation (and the wallet family its real scan + explosion)
+    instead of a noop write of the memoized result."""
+    from .wallet_model import reset_wallet_memo
+
     with _ASSIGN_LOCK:
         _ASSIGN_MEMO.pop(spark, None)
+    reset_wallet_memo(spark)
 
 
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,9 @@ model, shared by every feature-plan oracle.
 
 from __future__ import annotations
 
+import threading
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +44,21 @@ from ..sources.readers import read_table
 ORDER_COLS = ("ts", "priority", "transaction_index", "role_rank", "event_id")
 
 
+# Per-session memo for the role-exploded leg table: ~a dozen registry
+# queries (feature rollups, DQ gates, every window family, the
+# incremental engine) all start from the same scan → JSON-extract →
+# inline() explosion; memoizing the persisted legs per (session,
+# sf_dir) computes that base once per session instead of once per
+# query. Same discipline as llm_ops._ASSIGN_MEMO: weak session keys,
+# lock for concurrent first callers, reset_session_memos clears it so
+# the bench's isolated tier still times the real pipeline. Blacklisted
+# variants bypass the memo (different row set).
+_WT_LOCK = threading.Lock()
+_WT_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def wallet_transactions(
     spark: SparkSession, sf_dir: str, blacklist: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -51,6 +69,28 @@ def wallet_transactions(
     queries/ethereum_wallet_features.sql:381-390); combine with
     ``operators.skew.salted_running_sum`` when dropping them isn't
     acceptable."""
+    if blacklist:
+        return _wallet_transactions_build(spark, sf_dir, blacklist)
+    with _WT_LOCK:
+        per_session = _WT_MEMO.setdefault(spark, {})
+        wt = per_session.get(sf_dir)
+        if wt is None:
+            wt = _wallet_transactions_build(spark, sf_dir, ()).persist()
+            per_session[sf_dir] = wt
+        return wt
+
+
+def reset_wallet_memo(spark: SparkSession) -> None:
+    """Drop (and unpersist) this session's memoized leg tables."""
+    with _WT_LOCK:
+        dropped = _WT_MEMO.pop(spark, None)
+    for df in (dropped or {}).values():
+        df.unpersist()
+
+
+def _wallet_transactions_build(
+    spark: SparkSession, sf_dir: str, blacklist: tuple[str, ...]
+) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     base = ev.select(
         "event_id",
