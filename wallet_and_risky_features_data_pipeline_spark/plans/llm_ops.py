@@ -2215,3 +2215,61 @@ SELECT doc_id, lang, source, split, n_tokens, kept_tokens, dropped_passages,
        CAST(floor(({_PACK_W}) / {_PACK_TOKENS}) AS BIGINT) AS pack_id
 FROM labeled
 """
+
+
+# --------------------------------------------------------------------------
+# Training-set decontamination — the INVERSE direction of
+# corpus_contamination: that one scores each benchmark doc's leakage
+# INTO the corpus (the eval-integrity report); this one scores each
+# TRAINING doc's overlap with the benchmark set and emits the keep
+# decision (GPT-3's actual decontamination step: drop training docs
+# that share enough n-grams with an eval set). Same scale shape — the
+# tiny benchmark shingle set broadcasts onto the corpus-side explode,
+# so the corpus is scanned once, never shuffled by shingle, and the
+# per-doc fraction aggregates on the co-located doc_id.
+DECONTAM_TAU = 0.2  # drop a training doc when >= 20% of its shingles are bench
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    is_bench = F.col("doc_id") % 97 == 0
+    shingles = F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle")
+    grams = docs.filter(~is_bench).select("doc_id", shingles)
+    bench_keys = docs.filter(is_bench).select(shingles).distinct()
+    hits = grams.join(
+        F.broadcast(bench_keys.withColumn("__hit", F.lit(1))), "shingle", "left"
+    )
+    overlap = F.round(F.col("n_bench_shingles") / F.col("n_shingles"), 6)
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_bench_shingles"),
+        )
+        .withColumn("bench_overlap", overlap)
+        .withColumn("keep", (F.col("bench_overlap") < DECONTAM_TAU).cast("int"))
+    )
+
+
+CORPUS_DECONTAMINATE_ORACLE = f"""
+WITH shingled AS (
+    SELECT doc_id, doc_id % 97 = 0 AS is_bench, shingle
+    FROM documents, UNNEST({_SHINGLES_SQL}) AS u(shingle)
+),
+bench AS (SELECT DISTINCT shingle FROM shingled WHERE is_bench),
+grams AS (SELECT doc_id, shingle FROM shingled WHERE NOT is_bench)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bench_shingles,
+       ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bench_overlap,
+       CAST(ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) < {DECONTAM_TAU} AS INTEGER) AS keep
+FROM grams g LEFT JOIN bench b ON g.shingle = b.shingle
+GROUP BY 1
+"""

@@ -278,3 +278,6 @@ register(
 # canonical behavioral rollups on the event stream
 register("funnel_conversion", sess.funnel_conversion, sess.FUNNEL_CONVERSION_ORACLE)
 register("cohort_retention", sess.cohort_retention, sess.COHORT_RETENTION_ORACLE)
+# Training-set decontamination (per-TRAINING-doc bench overlap + keep
+# decision — the inverse of corpus_contamination's per-bench report)
+register("corpus_decontaminate", llm.corpus_decontaminate, llm.CORPUS_DECONTAMINATE_ORACLE)
