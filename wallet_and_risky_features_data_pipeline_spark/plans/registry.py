@@ -281,3 +281,6 @@ register("cohort_retention", sess.cohort_retention, sess.COHORT_RETENTION_ORACLE
 # Training-set decontamination (per-TRAINING-doc bench overlap + keep
 # decision — the inverse of corpus_contamination's per-bench report)
 register("corpus_decontaminate", llm.corpus_decontaminate, llm.CORPUS_DECONTAMINATE_ORACLE)
+# Sliding-window distinct (trailing-7d active users): dedup-first pair
+# table, fixed-factor explode to window ends, two-phase COUNT(DISTINCT)
+register("rolling_active_users", sess.rolling_active_users, sess.ROLLING_ACTIVE_USERS_ORACLE)

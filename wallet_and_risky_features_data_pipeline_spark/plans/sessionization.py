@@ -232,3 +232,50 @@ SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
        CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
 FROM cells c JOIN sizes s USING (cohort_week)
 """
+
+
+# --------------------------------------------------------------------------
+# Trailing-7-day active users per day — the sliding-window DISTINCT
+# aggregate (DAU/WAU board metric). Distinct counts don't decompose
+# over overlapping windows, so the textbook distributed shape is:
+# dedup to (user, day) FIRST (the event stream is the huge side; the
+# pair table is bounded by users × days), then explode each pair to
+# the <= 7 window-ends it serves, then a two-phase COUNT(DISTINCT)
+# per window end. The explode factor equals the window length — fixed,
+# never data-sized — and both aggs combine map-side. Window ends past
+# the last active day are kept (they are real trailing windows); the
+# series ends 6 days after the final event.
+ROLLING_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    exploded = pairs.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {ROLLING_DAYS - 1}))")
+        ).alias("window_end"),
+    )
+    return (
+        exploded.groupBy("window_end")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users_7d"))
+        .select(F.col("window_end").cast("string").alias("window_end"), "active_users_7d")
+    )
+
+
+ROLLING_ACTIVE_USERS_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+exploded AS (
+    SELECT user_id, day + CAST(i AS INTEGER) AS window_end
+    FROM pairs, UNNEST(generate_series(0, {ROLLING_DAYS - 1})) AS u(i)
+)
+SELECT CAST(window_end AS VARCHAR) AS window_end,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+FROM exploded
+GROUP BY 1
+"""
