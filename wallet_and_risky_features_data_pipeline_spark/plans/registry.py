@@ -284,3 +284,6 @@ register("corpus_decontaminate", llm.corpus_decontaminate, llm.CORPUS_DECONTAMIN
 # Sliding-window distinct (trailing-7d active users): dedup-first pair
 # table, fixed-factor explode to window ends, two-phase COUNT(DISTINCT)
 register("rolling_active_users", sess.rolling_active_users, sess.ROLLING_ACTIVE_USERS_ORACLE)
+# Group-wise winsorization: exact-rank [p01, p99] thresholds broadcast
+# back onto the scan; clip is a codegen projection, no fact reshuffle
+register("winsorized_values", sk.winsorized_values, sk.WINSORIZED_VALUES_ORACLE)

@@ -462,3 +462,67 @@ SELECT event_type,
             AS DOUBLE) AS hll_estimate
 FROM grouped
 """
+
+
+# --------------------------------------------------------------------------
+# Group-wise winsorization: clip each event's value to its group's
+# exact [p01, p99] band — the outlier-capping step of feature
+# engineering (the reference caps feature values with fixed literals;
+# this is the data-driven version). The thresholds come from the same
+# exact-rank formula quantiles_exact pins (rank = floor((n−1)p) + 1 on
+# the strict (value, event_id) order — no builtin percentile
+# convention drift), computed in ONE window pass and aggregated to a
+# groups-sized threshold table that broadcasts back onto the scan.
+# At 100 TB: one sort-based window per group for the ranks, a tiny
+# broadcast, and a codegen clip projection — the clip never reshuffles
+# the fact table.
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    lo_rn = F.floor((F.col("n") - 1) * F.lit(WINSOR_LO)) + 1
+    hi_rn = F.floor((F.col("n") - 1) * F.lit(WINSOR_HI)) + 1
+    bounds = (
+        ranked.filter((F.col("rn") == lo_rn) | (F.col("rn") == hi_rn))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        clipped.alias("clipped_value"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .cast("int")
+        .alias("was_clipped"),
+    )
+
+
+WINSORIZED_VALUES_ORACLE = f"""
+WITH ranked AS (
+    SELECT event_id, event_type, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+bounds AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+    FROM ranked
+    WHERE rn = floor((n - 1) * {WINSOR_LO}) + 1
+       OR rn = floor((n - 1) * {WINSOR_HI}) + 1
+    GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
+       least(greatest(e.value, b.lo), b.hi) AS clipped_value,
+       CAST(e.value < b.lo OR e.value > b.hi AS INTEGER) AS was_clipped
+FROM events e JOIN bounds b USING (event_type)
+"""
