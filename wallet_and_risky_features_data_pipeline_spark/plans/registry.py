@@ -287,3 +287,6 @@ register("rolling_active_users", sess.rolling_active_users, sess.ROLLING_ACTIVE_
 # Group-wise winsorization: exact-rank [p01, p99] thresholds broadcast
 # back onto the scan; clip is a codegen projection, no fact reshuffle
 register("winsorized_values", sk.winsorized_values, sk.WINSORIZED_VALUES_ORACLE)
+# SCD-2 point-in-time join: versioned dimension resolved at fact time
+# (equi join on the entity key, interval predicate IN the join)
+register("scd2_point_in_time", sess.scd2_point_in_time, sess.SCD2_POINT_IN_TIME_ORACLE)

@@ -279,3 +279,80 @@ SELECT CAST(window_end AS VARCHAR) AS window_end,
 FROM exploded
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# SCD-2 point-in-time join: facts joined to the dimension VERSION that
+# was valid at fact time. The versioned dimension is built from the
+# event stream itself (each signup opens a new version for its user;
+# valid_to = next signup's ts, half-open [from, to)), and every
+# purchase resolves the version covering its timestamp — the
+# slowly-changing-dimension staple of every warehouse. Scale shape:
+# version intervals PER ENTITY are disjoint, so the lookup is an EQUI
+# join on the entity key with an interval predicate as a post-join
+# filter — never a blind range join; both sides key on user_id, one
+# co-partitioned shuffle. Facts before the first version (or for users
+# with no version) keep NULL version columns via the left join.
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("valid_from", F.col("ts"))
+        .withColumn(
+            "valid_to",
+            F.lead("ts").over(w),  # NULL = current version, open-ended
+        )
+        .select(
+            "user_id",
+            "version",
+            "valid_from",
+            "valid_to",
+            F.col("value").alias("version_value"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    f, d = facts.alias("f"), dim.alias("d")
+    in_window = (F.col("f.ts") >= F.col("d.valid_from")) & (
+        F.col("d.valid_to").isNull() | (F.col("f.ts") < F.col("d.valid_to"))
+    )
+    return f.join(
+        d, (F.col("f.user_id") == F.col("d.user_id")) & in_window, "left"
+    ).select(
+        F.col("f.event_id").alias("event_id"),
+        F.col("f.user_id").alias("user_id"),
+        F.unix_micros("f.ts").alias("ts_us"),
+        F.col("f.value").alias("value"),
+        F.col("d.version").alias("version"),
+        F.unix_micros("d.valid_from").alias("valid_from_us"),
+        (F.col("f.value") * F.col("d.version_value")).alias("version_weighted"),
+    )
+
+
+SCD2_POINT_IN_TIME_ORACLE = """
+WITH dim AS (
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           value AS version_value
+    FROM events WHERE event_type = 'signup'
+),
+facts AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us, f.value,
+       d.version, epoch_us(d.valid_from) AS valid_from_us,
+       f.value * d.version_value AS version_weighted
+FROM facts f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
