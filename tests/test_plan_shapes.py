@@ -309,3 +309,23 @@ def test_training_snapshot_broadcasts_doomed_passages(spark):
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_interval_predicate_rides_the_equi_join(spark):
+    """scd2_point_in_time must plan as an EQUI join keyed on user_id
+    with the validity interval as a join-condition residual — never a
+    BroadcastNestedLoopJoin/CartesianProduct (the plan a naive ts-range
+    join degenerates to when the equi key is lost)."""
+    plan = _physical(QUERIES["scd2_point_in_time"](spark, SF_MEDIUM))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "user_id" in plan.split("Join")[1][:200]
+
+
+def test_winsorize_thresholds_broadcast_back(spark):
+    """winsorized_values' clip join must broadcast the groups-sized
+    threshold table onto the fact scan — the fact table never
+    reshuffles for the clip."""
+    plan = _physical(QUERIES["winsorized_values"](spark, SF_MEDIUM))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
