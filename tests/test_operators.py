@@ -1312,3 +1312,41 @@ def test_hll_merge_replay_idempotent(spark):
         hll_merge(batch, batch, ["event_type"]), ["event_type"]
     ).collect()
     assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+def test_funnel_stage_rows_state_machine(spark):
+    """The streaming funnel core: strict order (a click before the
+    first view doesn't advance), one alert per user ever (stage 4
+    absorbs), state carries across batches."""
+    import pandas as pd
+
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        _funnel_stage_rows,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:00"]
+    )
+    # click first, then view: only the view advances
+    b1 = pd.DataFrame(
+        {"ts": ts, "event_id": [1, 2, 3], "event_type": ["click", "view", "click"]}
+    )
+    alerts, stage = _funnel_stage_rows(7, b1, 0)
+    assert alerts.empty and stage == 2  # view at #2, click-after-view at #3
+
+    # next batch completes it; a second purchase does NOT re-alert
+    b2 = pd.DataFrame(
+        {
+            "ts": ts,
+            "event_id": [4, 5, 6],
+            "event_type": ["purchase", "purchase", "view"],
+        }
+    )
+    alerts, stage = _funnel_stage_rows(7, b2, stage)
+    assert stage == 4
+    assert list(alerts["user_id"]) == [7]
+    assert len(alerts) == 1
+
+    # absorbed forever after
+    alerts, stage = _funnel_stage_rows(7, b2, stage)
+    assert alerts.empty and stage == 4

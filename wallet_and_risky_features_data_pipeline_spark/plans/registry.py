@@ -290,3 +290,6 @@ register("winsorized_values", sk.winsorized_values, sk.WINSORIZED_VALUES_ORACLE)
 # SCD-2 point-in-time join: versioned dimension resolved at fact time
 # (equi join on the entity key, interval predicate IN the join)
 register("scd2_point_in_time", sess.scd2_point_in_time, sess.SCD2_POINT_IN_TIME_ORACLE)
+# Stateful streaming sequence detector: first strict view→click→
+# purchase completion per user (the streaming funnel_conversion)
+register("streaming_funnel_alerts", sj.stream_funnel_alerts, sj.STREAM_FUNNEL_ALERTS_ORACLE)

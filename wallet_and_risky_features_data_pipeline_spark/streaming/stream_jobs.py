@@ -826,3 +826,107 @@ def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return _vocab_from_freqs(read_store(spark, store))
+
+
+def _funnel_stage_rows(key, batch, stage: int):
+    """Row-level funnel state machine shared by the stateful stream and
+    its unit tests: advance view → click → purchase in deterministic
+    (ts, event_id) order, emit ONE completion row the moment stage 3 is
+    reached (stage 4 = already alerted, absorb everything after).
+    Returns (alert_frame, new_stage)."""
+    import pandas as pd
+
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    out = {"user_id": [], "completed_ts_us": []}
+    types = batch["event_type"].to_numpy()
+    ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
+    for i in range(len(batch)):
+        t = types[i]
+        if stage == 0 and t == "view":
+            stage = 1
+        elif stage == 1 and t == "click":
+            stage = 2
+        elif stage == 2 and t == "purchase":
+            stage = 3
+            out["user_id"].append(key)
+            out["completed_ts_us"].append(int(ts_us[i]))
+            stage = 4
+    return pd.DataFrame(out), stage
+
+
+def stream_funnel_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sequence detection: alert the FIRST time a user
+    completes the strict view → click → purchase funnel — a multi-step
+    pattern no windowed aggregation expresses (the alert depends on
+    the path through per-user state, not on any window's contents).
+    The per-user stage lives in group state (one tiny int per user —
+    RocksDB-backed like every stateful job here); rows advance the
+    machine in deterministic (ts, event_id) order, so the streaming
+    run reproduces the batch funnel oracle exactly — the streaming
+    rendering of ``funnel_conversion``'s per-user stage logic.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_funnel_ckpt_")
+
+    out_schema = StructType.fromDDL("user_id long, completed_ts_us long")
+    state_schema = StructType.fromDDL("stage long")
+
+    def update(key, pdfs, state: GroupState):
+        stage = state.get[0] if state.exists else 0
+        frames = []
+        for pdf in pdfs:
+            frame, stage = _funnel_stage_rows(key[0], pdf, stage)
+            frames.append(frame)
+        state.update((stage,))
+        yield pd.concat(frames) if frames else pd.DataFrame(
+            {"user_id": [], "completed_ts_us": []}
+        )
+
+    stream = (
+        events_stream(spark, sf_dir, static.schema)
+        .transform(normalize_event_ts)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "wrf_funnel_alerts"
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+STREAM_FUNNEL_ALERTS_ORACLE = """
+WITH u1 AS (
+    SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t_view
+    FROM events GROUP BY 1
+),
+u2 AS (
+    SELECT u1.user_id, u1.t_view,
+           MIN(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > u1.t_view)
+               AS t_click
+    FROM u1 LEFT JOIN events e USING (user_id)
+    GROUP BY 1, 2
+),
+u3 AS (
+    SELECT u2.user_id,
+           MIN(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > u2.t_click)
+               AS t_purchase
+    FROM u2 LEFT JOIN events e USING (user_id)
+    GROUP BY 1
+)
+SELECT user_id, epoch_us(t_purchase) AS completed_ts_us
+FROM u3 WHERE t_purchase IS NOT NULL
+"""
