@@ -1331,22 +1331,39 @@ def test_funnel_stage_rows_state_machine(spark):
     b1 = pd.DataFrame(
         {"ts": ts, "event_id": [1, 2, 3], "event_type": ["click", "view", "click"]}
     )
-    alerts, stage = _funnel_stage_rows(7, b1, 0)
+    alerts, stage, last = _funnel_stage_rows(7, b1, 0, 0)
     assert alerts.empty and stage == 2  # view at #2, click-after-view at #3
 
-    # next batch completes it; a second purchase does NOT re-alert
+    # next batch (later timestamps) completes it; a second purchase
+    # does NOT re-alert
+    ts2 = pd.to_datetime(
+        ["2024-01-01 00:03:00", "2024-01-01 00:04:00", "2024-01-01 00:05:00"]
+    )
     b2 = pd.DataFrame(
         {
-            "ts": ts,
+            "ts": ts2,
             "event_id": [4, 5, 6],
             "event_type": ["purchase", "purchase", "view"],
         }
     )
-    alerts, stage = _funnel_stage_rows(7, b2, stage)
+    alerts, stage, last = _funnel_stage_rows(7, b2, stage, last)
     assert stage == 4
     assert list(alerts["user_id"]) == [7]
     assert len(alerts) == 1
 
     # absorbed forever after
-    alerts, stage = _funnel_stage_rows(7, b2, stage)
+    alerts, stage, last = _funnel_stage_rows(7, b2, stage, last)
     assert alerts.empty and stage == 4
+
+    # equal-ts tie: a click at EXACTLY the first view's timestamp must
+    # NOT advance (the oracle's strict e.ts > t_view), regardless of
+    # event_id order
+    tie = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+            "event_id": [1, 2],
+            "event_type": ["view", "click"],
+        }
+    )
+    alerts, stage, last = _funnel_stage_rows(9, tie, 0, 0)
+    assert alerts.empty and stage == 1

@@ -828,12 +828,20 @@ def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _vocab_from_freqs(read_store(spark, store))
 
 
-def _funnel_stage_rows(key, batch, stage: int):
+def _funnel_stage_rows(key, batch, stage: int, last_ts_us: int):
     """Row-level funnel state machine shared by the stateful stream and
     its unit tests: advance view → click → purchase in deterministic
     (ts, event_id) order, emit ONE completion row the moment stage 3 is
     reached (stage 4 = already alerted, absorb everything after).
-    Returns (alert_frame, new_stage)."""
+
+    Each advance requires the event's ts STRICTLY greater than the
+    previous stage's ts (carried in state) — matching the batch
+    oracle's ``e.ts > t_prev`` comparisons exactly. Without it, a
+    click/purchase sharing the previous stage's timestamp would
+    advance or not depending on event_id sort order — an equal-ts
+    divergence the micros-resolution corpus never exercises but a
+    coarser clock would. Returns (alert_frame, new_stage, new_last_ts).
+    """
     import pandas as pd
 
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
@@ -841,17 +849,16 @@ def _funnel_stage_rows(key, batch, stage: int):
     types = batch["event_type"].to_numpy()
     ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
     for i in range(len(batch)):
-        t = types[i]
+        t, t_us = types[i], int(ts_us[i])
         if stage == 0 and t == "view":
-            stage = 1
-        elif stage == 1 and t == "click":
-            stage = 2
-        elif stage == 2 and t == "purchase":
-            stage = 3
+            stage, last_ts_us = 1, t_us
+        elif stage == 1 and t == "click" and t_us > last_ts_us:
+            stage, last_ts_us = 2, t_us
+        elif stage == 2 and t == "purchase" and t_us > last_ts_us:
+            stage, last_ts_us = 4, t_us
             out["user_id"].append(key)
-            out["completed_ts_us"].append(int(ts_us[i]))
-            stage = 4
-    return pd.DataFrame(out), stage
+            out["completed_ts_us"].append(t_us)
+    return pd.DataFrame(out), stage, last_ts_us
 
 
 def stream_funnel_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,15 +881,17 @@ def stream_funnel_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_funnel_ckpt_")
 
     out_schema = StructType.fromDDL("user_id long, completed_ts_us long")
-    state_schema = StructType.fromDDL("stage long")
+    state_schema = StructType.fromDDL("stage long, last_ts_us long")
 
     def update(key, pdfs, state: GroupState):
-        stage = state.get[0] if state.exists else 0
+        stage, last_ts_us = state.get if state.exists else (0, 0)
         frames = []
         for pdf in pdfs:
-            frame, stage = _funnel_stage_rows(key[0], pdf, stage)
+            frame, stage, last_ts_us = _funnel_stage_rows(
+                key[0], pdf, stage, last_ts_us
+            )
             frames.append(frame)
-        state.update((stage,))
+        state.update((stage, last_ts_us))
         yield pd.concat(frames) if frames else pd.DataFrame(
             {"user_id": [], "completed_ts_us": []}
         )
