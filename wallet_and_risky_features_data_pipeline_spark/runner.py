@@ -193,9 +193,10 @@ def run_maintain(spark, sf_dir: str, work_dir: str) -> None:
     # (keep one rollback snapshot), then bin-pack the LIVE generation
     # only — compacting expired snapshots would be wasted IO.
     expired = vacuum_generations(target, keep=2)
-    # the stats cron's freq store is generation-committed too — sweep
-    # it here as well so a stalled stats cron can't grow it unbounded
+    # the stats and curate crons' stores are generation-committed too —
+    # sweep them here as well so a stalled cron can't grow one unbounded
     expired += vacuum_generations(f"{work_dir}/stats/token_freqs", keep=3)
+    expired += vacuum_generations(f"{work_dir}/curate/training_set", keep=3)
     stats = compact_partitions(spark, resolve_store(target), target_mb=128)
     total_before = sum(b for b, _ in stats.values())
     total_after = sum(a for _, a in stats.values())
