@@ -293,3 +293,8 @@ register("scd2_point_in_time", sess.scd2_point_in_time, sess.SCD2_POINT_IN_TIME_
 # Stateful streaming sequence detector: first strict view→click→
 # purchase completion per user (the streaming funnel_conversion)
 register("streaming_funnel_alerts", sj.stream_funnel_alerts, sj.STREAM_FUNNEL_ALERTS_ORACLE)
+# Hourly OHLC candles (min_by/max_by one-agg, no per-bucket sort) and
+# wallet reciprocity (directed-edge self-join on the reversed pair —
+# the wash-trading structural signal)
+register("hourly_ohlc", rf.hourly_ohlc, rf.HOURLY_OHLC_ORACLE)
+register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

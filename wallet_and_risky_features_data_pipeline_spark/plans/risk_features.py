@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.windows import lead_delta, running_sum
+from ..sources.readers import read_table
 from .wallet_model import (
     ORACLE_ORDER,
     ORDER_COLS,
@@ -141,5 +142,159 @@ SELECT
     SUM(CASE WHEN bal > 0 THEN dt_us ELSE 0 END) / 86400000000 AS days_above_zero,
     CAST(MAX(first_signed) AS DOUBLE) AS first_signed_value
 FROM with_auc
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Hourly OHLC candles per event type — the financial time-bucket
+# rollup (open/high/low/close + volume) every trading/risk pipeline
+# derives from a tick stream. Open/close are min_by/max_by against the
+# strict (ts, event_id) order struct — ONE hash aggregation, no
+# window, no sort: at 100 TB this is a single map-side-combinable
+# shuffle on (event_type, hour), where a window-rank formulation would
+# sort every bucket. Money math stays decimal until the final
+# projection (the engine-wide determinism rule).
+def hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        # one sortable scalar for first/last: zero-padded micros + id
+        # (lexicographic == chronological; a struct key would be the
+        # natural form but DuckDB's arg_min can't order by STRUCT)
+        F.expr(
+            "concat(lpad(cast(unix_micros(ts) as string), 20, '0'), ':',"
+            " lpad(cast(event_id as string), 12, '0'))"
+        ).alias("ord"),
+    )
+    return (
+        ev.groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("v", "ord").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", "ord").alias("close"),
+            F.sum("v").alias("volume"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("bucket").alias("bucket_us"),
+            F.col("open").cast("double").alias("open"),
+            F.col("high").cast("double").alias("high"),
+            F.col("low").cast("double").alias("low"),
+            F.col("close").cast("double").alias("close"),
+            F.col("volume").cast("double").alias("volume"),
+            "n_ticks",
+        )
+    )
+
+
+HOURLY_OHLC_ORACLE = """
+SELECT event_type,
+       epoch_us(date_trunc('hour', ts)) AS bucket_us,
+       CAST(arg_min(CAST(value AS DECIMAL(18,4)),
+                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE) AS open,
+       CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS high,
+       CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS low,
+       CAST(arg_max(CAST(value AS DECIMAL(18,4)),
+                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE) AS close,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Wallet reciprocity — the wash-trading signal: for every wallet, how
+# many of its outgoing counterparties also sent value BACK, and how
+# much of its outflow is "round-trippable" (min of the two directed
+# flows per pair — the upper bound on value that merely cycled). The
+# graph primitive underneath is the directed-edge self-join on the
+# REVERSED key ((a,b) ⋈ (b,a)) — one edges aggregation (map-side
+# combinable) and one equi join on the pair key; nothing quadratic,
+# nothing windowed. The reference's risk features flag wallets by
+# volume caps; this is the structural sibling those models add next.
+def wallet_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    out_legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    )
+    edges = out_legs.groupBy(
+        F.col("wallet_address").alias("src"), F.col("interacted_with").alias("dst")
+    ).agg(
+        (-F.sum("signed_value")).alias("sent"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tx"),
+    )
+    rev = edges.select(
+        F.col("src").alias("dst"),
+        F.col("dst").alias("src"),
+        F.col("sent").alias("returned"),
+    )
+    paired = edges.join(rev, ["src", "dst"], "left")
+    return (
+        paired.groupBy(F.col("src").alias("wallet_address"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("out_degree"),
+            F.count("returned").cast("bigint").alias("reciprocal_partners"),
+            F.sum("n_tx").cast("bigint").alias("out_tx"),
+            F.sum("sent").alias("total_sent_dec"),
+            # explicit reciprocal-only min, spelled as a comparison:
+            # Spark's least() SKIPS NULLs (a one-way edge would count
+            # its full outflow as round-trippable) and DuckDB's
+            # least(DECIMAL, DECIMAL) silently promotes to DOUBLE —
+            # both engine quirks disappear under a plain CASE, which
+            # stays exact decimal end to end
+            F.sum(
+                F.when(
+                    F.col("returned").isNotNull(),
+                    F.when(
+                        F.col("sent") <= F.col("returned"), F.col("sent")
+                    ).otherwise(F.col("returned")),
+                )
+            ).alias("round_trip_dec"),
+        )
+        .select(
+            "wallet_address",
+            "out_degree",
+            "reciprocal_partners",
+            "out_tx",
+            F.col("total_sent_dec").cast("double").alias("total_sent"),
+            F.coalesce(F.col("round_trip_dec"), F.lit(0))
+            .cast("double")
+            .alias("round_trip_value"),
+        )
+    )
+
+
+WALLET_RECIPROCITY_ORACLE = f"""
+WITH {WALLET_TX_ORACLE_CTE},
+edges AS (
+    SELECT wallet_address AS src, interacted_with AS dst,
+           -SUM(signed_value) AS sent, CAST(COUNT(*) AS BIGINT) AS n_tx
+    FROM wallet_tx
+    WHERE address_role = 'sender' AND interacted_with IS NOT NULL
+    GROUP BY 1, 2
+),
+paired AS (
+    SELECT e.*, r.sent AS returned
+    FROM edges e
+    LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+)
+SELECT src AS wallet_address,
+       CAST(COUNT(*) AS BIGINT) AS out_degree,
+       CAST(COUNT(returned) AS BIGINT) AS reciprocal_partners,
+       CAST(SUM(n_tx) AS BIGINT) AS out_tx,
+       CAST(SUM(sent) AS DOUBLE) AS total_sent,
+       CAST(COALESCE(SUM(CASE WHEN returned IS NOT NULL
+                              THEN CASE WHEN sent <= returned
+                                        THEN sent ELSE returned END
+                         END), 0) AS DOUBLE)
+           AS round_trip_value
+FROM paired
 GROUP BY 1
 """
