@@ -2273,3 +2273,63 @@ SELECT g.doc_id,
 FROM grams g LEFT JOIN bench b ON g.shingle = b.shingle
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Per-doc OOV rate: fraction of a doc's tokens OUTSIDE the corpus
+# top-V vocabulary — the "garbled/noisy text" curation signal a
+# tokenizer team reads next to coverage (a doc that's mostly OOV is
+# mojibake, code, or the wrong language). The vocab is driver-bounded
+# (top-V = TakeOrderedAndProject) and BROADCAST onto the exploded
+# tokens; per-doc fractions aggregate on the co-located doc_id — the
+# corpus is never shuffled by token. V here is deliberately SMALLER
+# than VOCAB_TOP_V: the synthetic corpus has ~31 distinct tokens, so
+# a 256-token vocab would make every doc 0% OOV and the signal (and
+# its oracle) vacuous — 16 keeps roughly the Zipf tail out-of-vocab.
+OOV_VOCAB_V = 16
+
+
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    vocab = (
+        token_freqs(docs)
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(OOV_VOCAB_V)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens("lower(text)")).alias("token")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+CORPUS_OOV_RATE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+freqs AS (
+    SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1
+),
+vocab AS (
+    SELECT token FROM freqs ORDER BY freq DESC, token LIMIT {OOV_VOCAB_V}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (token)
+GROUP BY 1
+"""

@@ -297,4 +297,7 @@ register("streaming_funnel_alerts", sj.stream_funnel_alerts, sj.STREAM_FUNNEL_AL
 # wallet reciprocity (directed-edge self-join on the reversed pair —
 # the wash-trading structural signal)
 register("hourly_ohlc", rf.hourly_ohlc, rf.HOURLY_OHLC_ORACLE)
+# Per-doc OOV rate vs the corpus top-V vocab (broadcast; the noisy-
+# text curation signal beside vocab coverage)
+register("corpus_oov_rate", llm.corpus_oov_rate, llm.CORPUS_OOV_RATE_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)
