@@ -522,3 +522,49 @@ def test_snapshot_diff_classifies_changes_between_generations(spark, tmp_path):
     assert diff[4].change_type == "added" and diff[4].after.v == 40
     # reflexive diff is empty
     assert snapshot_diff(spark, store, ["id"], 2, 2).count() == 0
+
+
+def test_evolve_partitioning_relayouts_atomically(spark, tmp_path):
+    """Partition evolution: the live snapshot rewrites under the new
+    hive layout as the NEXT generation — same rows, new directory
+    structure, old layout still time-travelable; a reader holding the
+    old generation path is never disturbed."""
+    import os
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        commit_generation,
+        evolve_partitioning,
+        read_store,
+        resolve_store,
+    )
+
+    store = str(tmp_path / "evolve_store")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", i * 10) for i in range(60)],
+        "id long, bucket string, v long",
+    )
+    commit_generation(df, store)
+    flat_gen = resolve_store(store)
+    before = {(r.id, r.bucket, r.v) for r in read_store(spark, store).collect()}
+
+    gen = evolve_partitioning(spark, store, ["bucket"])
+    assert gen == "gen-000002"
+    live = resolve_store(store)
+    assert live.endswith("gen-000002")
+    # new layout is hive-partitioned by bucket
+    assert sorted(
+        d for d in os.listdir(live) if d.startswith("bucket=")
+    ) == ["bucket=u0", "bucket=u1", "bucket=u2"]
+    # content identical
+    after = {(r.id, r.bucket, r.v) for r in read_store(spark, store).collect()}
+    assert after == before
+    # the old flat generation is untouched and still readable
+    assert {(r.id, r.bucket, r.v) for r in spark.read.parquet(flat_gen).collect()} == before
+    # partition pruning works against the evolved layout
+    pruned = read_store(spark, store).filter("bucket = 'u1'").count()
+    assert pruned == 20
+
+    # and back to flat (de-partition) — evolution is reversible
+    gen3 = evolve_partitioning(spark, store, [])
+    assert gen3 == "gen-000003"
+    assert {(r.id, r.bucket, r.v) for r in read_store(spark, store).collect()} == before

@@ -524,6 +524,54 @@ def snapshot_diff(
     )
 
 
+def evolve_partitioning(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+) -> str:
+    """Partition evolution: rewrite a generational store's LIVE
+    snapshot under a NEW hive-partition layout and commit it as the
+    next generation — Iceberg's ``ALTER TABLE ... ADD/REPLACE
+    PARTITION FIELD`` (partition-spec evolution) expressed in the same
+    generation log everything else here uses. Readers resolve through
+    ``_LATEST`` as always: they see the old layout until one atomic
+    pointer flip, then the new one — no quiesce window, and the old
+    layout stays time-travelable until ``vacuum_generations`` expires
+    it. Pass ``partition_cols=()`` to DE-partition (flat layout). A
+    full-table rewrite by design — partition evolution IS a relayout;
+    cost is one shuffle-free pass unless the new keys demand wider
+    files. Returns the committed generation name.
+    """
+    live = read_store(spark, path)
+    n = _next_gen_number(path)
+    gen_name = f"{_GEN_PREFIX}{n:06d}"
+    base = os.path.basename(resolve_store(path))
+    import uuid
+
+    staged = os.path.join(
+        path, f"{_STAGE_PREFIX}{n:06d}-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    )
+    writer = live.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staged)
+    dest = os.path.join(path, gen_name)
+    try:
+        os.rename(staged, dest)
+    except OSError as e:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"store {path}: generation {gen_name} appeared during the "
+            "relayout; re-run partition evolution on the new snapshot"
+        ) from e
+    try:
+        _flip_latest(path, gen_name, expected_base=base)
+    except ConcurrentCommitError:
+        shutil.rmtree(dest, ignore_errors=True)
+        raise
+    return gen_name
+
+
 def vacuum_generations(path: str, keep: int = 1) -> list[str]:
     """Drop (a) all but the newest ``keep`` COMMITTED generations,
     (b) every UNCOMMITTED generation — dirs newer than the live
