@@ -568,3 +568,29 @@ def test_evolve_partitioning_relayouts_atomically(spark, tmp_path):
     gen3 = evolve_partitioning(spark, store, [])
     assert gen3 == "gen-000003"
     assert {(r.id, r.bucket, r.v) for r in read_store(spark, store).collect()} == before
+
+
+def test_evolve_partitioning_crash_leaves_old_generation_live(spark, tmp_path, monkeypatch):
+    """A relayout whose pointer flip fails must leave readers on the
+    previous complete generation and remove its orphaned snapshot (the
+    same crash contract merge_upsert pins)."""
+    import pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers
+
+    store = str(tmp_path / "evolve_crash")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, bucket string")
+    writers.commit_generation(df, store)
+
+    def boom(path, gen_name, expected_base=None):
+        raise writers.ConcurrentCommitError("injected flip failure")
+
+    monkeypatch.setattr(writers, "_flip_latest", boom)
+    with pytest.raises(writers.ConcurrentCommitError):
+        writers.evolve_partitioning(spark, store, ["bucket"])
+    monkeypatch.undo()
+
+    assert writers.resolve_store(store).endswith("gen-000001")
+    assert writers.read_store(spark, store).count() == 2
+    # the failed relayout's generation dir was cleaned up
+    assert writers.list_generations(store) == ["gen-000001"]
