@@ -300,4 +300,9 @@ register("hourly_ohlc", rf.hourly_ohlc, rf.HOURLY_OHLC_ORACLE)
 # Per-doc OOV rate vs the corpus top-V vocab (broadcast; the noisy-
 # text curation signal beside vocab coverage)
 register("corpus_oov_rate", llm.corpus_oov_rate, llm.CORPUS_OOV_RATE_ORACLE)
+# Streaming OHLC: the batch candles maintained by a watermarked
+# tumbling-window agg; open/close via struct-min/max (the associative
+# incremental-merge form of min_by/max_by) — shares hourly_ohlc's
+# oracle, arrival order provably irrelevant
+register("streaming_hourly_ohlc", sj.stream_hourly_ohlc, rf.HOURLY_OHLC_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

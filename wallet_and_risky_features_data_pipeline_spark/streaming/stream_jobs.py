@@ -939,3 +939,66 @@ u3 AS (
 SELECT user_id, epoch_us(t_purchase) AS completed_ts_us
 FROM u3 WHERE t_purchase IS NOT NULL
 """
+
+
+def stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candles: the batch ``hourly_ohlc`` rollup
+    maintained by a Structured Streaming query — tumbling 1-hour
+    event-time windows per event type, watermarked, dedup-fenced.
+    Open/close are NOT order-of-arrival (streams deliver out of
+    order): they ride min/max over a (order-key, value) STRUCT —
+    struct min/max compares lexicographically by the leading zero-
+    padded (micros, id) key, is associative/commutative, and therefore
+    a legal streaming aggregate that converges to the event-time-first
+    /-last value regardless of arrival order (min_by/max_by would be
+    the batch spelling; the struct trick is the incremental-merge
+    form). Complete-mode memory sink for the harness, same finality
+    note as windowed_event_counts.
+    """
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_ohlc_ckpt_")
+
+    ordv = F.struct(
+        F.expr(
+            "concat(lpad(cast(unix_micros(ts) as string), 20, '0'), ':',"
+            " lpad(cast(event_id as string), 12, '0'))"
+        ).alias("k"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    stream = (
+        events_stream(spark, sf_dir, static.schema)
+        .transform(normalize_event_ts)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .withColumn("ordv", ordv)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.min("ordv").alias("first_ov"),
+            F.max("ordv").alias("last_ov"),
+            F.max(F.col("value").cast("decimal(18,4)")).alias("high"),
+            F.min(F.col("value").cast("decimal(18,4)")).alias("low"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("volume"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+    )
+    name = "wrf_stream_hourly_ohlc"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_type",
+        F.unix_micros(F.col("win.start")).alias("bucket_us"),
+        F.col("first_ov.v").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("last_ov.v").cast("double").alias("close"),
+        F.col("volume").cast("double").alias("volume"),
+        "n_ticks",
+    )
