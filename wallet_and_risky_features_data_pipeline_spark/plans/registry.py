@@ -305,4 +305,7 @@ register("corpus_oov_rate", llm.corpus_oov_rate, llm.CORPUS_OOV_RATE_ORACLE)
 # incremental-merge form of min_by/max_by) — shares hourly_ohlc's
 # oracle, arrival order provably irrelevant
 register("streaming_hourly_ohlc", sj.stream_hourly_ohlc, rf.HOURLY_OHLC_ORACLE)
+# Dense-grid resample + forward-fill of the candle series (rows ∝
+# types × hours; the fill window runs over buckets, never raw ticks)
+register("ohlc_gap_fill", rf.ohlc_gap_fill, rf.OHLC_GAP_FILL_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

@@ -298,3 +298,62 @@ SELECT src AS wallet_address,
 FROM paired
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Gap-filled candle series: resample each event type's OHLC candles
+# onto a dense hourly grid (every hour between its first and last
+# tick) and forward-fill the close over silent hours — the
+# "last known price" convention every charting/risk consumer expects.
+# Shape: the per-type [min, max] span is a tiny agg; the dense grid is
+# sequence() + explode (rows ∝ types × hours, never ∝ ticks); the
+# grid left-joins the candles on (type, hour) and last(ignorenulls)
+# forward-fills within the type partition — one window over the
+# already-bucketed series, never over raw ticks.
+def ohlc_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    candles = hourly_ohlc(spark, sf_dir).select(
+        "event_type", "bucket_us", "close", "n_ticks"
+    )
+    spans = candles.groupBy("event_type").agg(
+        F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi")
+    )
+    hour_us = 3_600_000_000
+    grid = spans.select(
+        "event_type",
+        F.explode(F.expr(f"sequence(lo, hi, {hour_us})")).alias("bucket_us"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(candles, ["event_type", "bucket_us"], "left")
+    return joined.select(
+        "event_type",
+        "bucket_us",
+        F.coalesce("n_ticks", F.lit(0)).cast("bigint").alias("n_ticks"),
+        F.last("close", ignorenulls=True).over(w).alias("close_filled"),
+        F.col("n_ticks").isNull().cast("int").alias("was_gap"),
+    )
+
+
+OHLC_GAP_FILL_ORACLE = f"""
+WITH candles AS ({HOURLY_OHLC_ORACLE.strip()}),
+spans AS (
+    SELECT event_type, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi
+    FROM candles GROUP BY 1
+),
+grid AS (
+    SELECT event_type, g.b AS bucket_us
+    FROM spans, UNNEST(generate_series(lo, hi, 3600000000)) AS g(b)
+)
+SELECT g.event_type, g.bucket_us,
+       CAST(COALESCE(c.n_ticks, 0) AS BIGINT) AS n_ticks,
+       last_value(c.close IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+       CAST(c.n_ticks IS NULL AS INTEGER) AS was_gap
+FROM grid g
+LEFT JOIN candles c
+  ON g.event_type = c.event_type AND g.bucket_us = c.bucket_us
+"""
