@@ -594,3 +594,37 @@ def test_evolve_partitioning_crash_leaves_old_generation_live(spark, tmp_path, m
     assert writers.read_store(spark, store).count() == 2
     # the failed relayout's generation dir was cleaned up
     assert writers.list_generations(store) == ["gen-000001"]
+
+
+def test_store_snapshots_metadata_table(spark, tmp_path):
+    """The snapshots metadata table: live/historic status per
+    generation, epoch tags surfaced, crashed leftovers marked orphan
+    (= what vacuum reclaims), sizes populated."""
+    import os
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        commit_generation,
+        store_snapshots,
+        vacuum_generations,
+    )
+
+    store = str(tmp_path / "meta_store")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    commit_generation(df, store)
+    commit_generation(df, store, tag="7")
+    # simulate a crashed commit: a gen dir past the live pointer
+    os.makedirs(f"{store}/gen-000009")
+    with open(f"{store}/gen-000009/part-junk.parquet", "w") as f:
+        f.write("x")
+
+    snaps = {r.generation: r for r in store_snapshots(spark, store).collect()}
+    assert snaps["gen-000001"].status == "historic"
+    assert snaps["gen-000002"].status == "live"
+    assert snaps["gen-000002"].tag == "7"
+    assert snaps["gen-000001"].tag is None
+    assert snaps["gen-000009"].status == "orphan"
+    assert all(r.n_files > 0 and r.n_bytes > 0 for r in snaps.values())
+
+    vacuum_generations(store, keep=1)
+    left = {r.generation: r.status for r in store_snapshots(spark, store).collect()}
+    assert left == {"gen-000002": "live"}

@@ -771,3 +771,43 @@ def merge_upsert(
         shutil.rmtree(dest, ignore_errors=True)
         raise
     return n
+
+
+def store_snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """Iceberg's ``snapshots`` metadata table for a generation store:
+    one row per committed generation — live flag, commit tag (epoch
+    fence), file count, byte size — plus uncommitted leftovers marked
+    ``orphan`` so operators can SEE what vacuum would reclaim. Pure
+    driver-side directory walk (generation counts are human-scale);
+    returned as a DataFrame so it composes with the query surface."""
+    import os as _os
+
+    live = None
+    if _os.path.exists(_os.path.join(path, _LATEST)):
+        live = _os.path.basename(resolve_store(path))
+    rows = []
+    for d in sorted(_os.listdir(path)) if _os.path.isdir(path) else []:
+        full = _os.path.join(path, d)
+        if not _os.path.isdir(full) or not (
+            d.startswith(_GEN_PREFIX) or d.startswith(_STAGE_PREFIX)
+        ):
+            continue
+        n_files = n_bytes = 0
+        for root, _, files in _os.walk(full):
+            for f in files:
+                n_files += 1
+                n_bytes += _os.path.getsize(_os.path.join(root, f))
+        tag_file = _os.path.join(full, _TAG)
+        tag = open(tag_file).read() if _os.path.exists(tag_file) else None
+        committed = d.startswith(_GEN_PREFIX) and live is not None and d <= live
+        status = (
+            "live"
+            if d == live
+            else "historic"
+            if committed
+            else "orphan"
+        )
+        rows.append((d, status, tag, n_files, n_bytes))
+    return spark.createDataFrame(
+        rows, "generation string, status string, tag string, n_files long, n_bytes long"
+    )
