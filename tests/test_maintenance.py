@@ -628,3 +628,31 @@ def test_store_snapshots_metadata_table(spark, tmp_path):
     vacuum_generations(store, keep=1)
     left = {r.generation: r.status for r in store_snapshots(spark, store).collect()}
     assert left == {"gen-000002": "live"}
+
+
+def test_evolve_partitioning_adopts_flat_store(spark, tmp_path):
+    """Evolving a legacy flat store first adopts it as generation 1 —
+    no stale flat files left beside the pointer, content preserved."""
+    import os
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        evolve_partitioning,
+        list_generations,
+        read_store,
+    )
+
+    store = str(tmp_path / "flat_evolve")
+    spark.createDataFrame(
+        [(i, f"u{i % 2}") for i in range(10)], "id long, bucket string"
+    ).write.parquet(store)
+
+    gen = evolve_partitioning(spark, store, ["bucket"])
+    assert list_generations(store) == ["gen-000001", "gen-000002"]
+    assert gen == "gen-000002"
+    assert read_store(spark, store).count() == 10
+    # no loose parquet left at the root
+    loose = [
+        e for e in os.listdir(store)
+        if not e.startswith((".", "_", "gen-"))
+    ]
+    assert loose == []

@@ -540,8 +540,13 @@ def evolve_partitioning(
     it. Pass ``partition_cols=()`` to DE-partition (flat layout). A
     full-table rewrite by design — partition evolution IS a relayout;
     cost is one shuffle-free pass unless the new keys demand wider
-    files. Returns the committed generation name.
+    files. Returns the committed generation name. Legacy flat stores
+    are adopted as generation 1 first (same rule as ``merge_upsert``),
+    so the relayout never leaves stale flat files beside the pointer.
     """
+    if not os.path.exists(os.path.join(path, _LATEST)) and os.path.isdir(path):
+        if any(not e.startswith((".", "_", _GEN_PREFIX)) for e in os.listdir(path)):
+            _adopt_flat_store(path)
     live = read_store(spark, path)
     n = _next_gen_number(path)
     gen_name = f"{_GEN_PREFIX}{n:06d}"
