@@ -2079,6 +2079,9 @@ GROUP BY u.doc_id
 # broadcasts only the doomed set; the pack window sorts within
 # (split, lang) strata — bounded bands, the same contract
 # corpus_pack_offsets documents.
+DECONTAM_TAU = 0.2  # drop a training doc when >= 20% of its shingles are bench
+
+
 def corpus_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_training_set(fan_out(read_table(spark, sf_dir, "documents")))
 
@@ -2106,7 +2109,33 @@ def curate_training_set(docs: DataFrame) -> DataFrame:
         F.min_by("source", "doc_id").alias("source"),
         F.min_by("n_tokens", "doc_id").alias("n_tokens"),
     )
-    canonical = persist_tracked(canonical)
+    # Benchmark decontamination INSIDE the chain: the eval slice
+    # (doc_id % 97 == 0, corpus_decontaminate's convention) never
+    # enters the training set, and any training doc sharing >=
+    # DECONTAM_TAU of its shingles with it is dropped — computed
+    # against the RAW docs (the eval set is fixed; quality gates
+    # don't shrink it). Same broadcast shape as corpus_decontaminate.
+    from ..operators.dedup import word_shingles
+
+    shingle = F.explode(F.array_distinct(word_shingles("text", 3))).alias("shingle")
+    bench_keys = (
+        docs.filter(F.col("doc_id") % 97 == 0).select(shingle).distinct()
+    )
+    overlap = (
+        canonical.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", shingle)
+        .join(F.broadcast(bench_keys.withColumn("__hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce("__hit", F.lit(0)))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__overlap")
+        )
+        .filter(F.col("__overlap") < DECONTAM_TAU)
+        .select("doc_id")
+    )
+    canonical = persist_tracked(canonical.join(overlap, "doc_id"))
     cleaned = line_dedup(canonical.select("doc_id", "text"))
     bucket = F.expr(
         "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"
@@ -2165,9 +2194,29 @@ kept AS (
     SELECT * FROM enriched
     WHERE n_tokens >= 20 AND CAST(stop_tokens AS DOUBLE) / n_tokens <= 0.25
 ),
-canonical AS (
+canonical0 AS (
     SELECT k.* FROM kept k
     JOIN (SELECT fp, MIN(doc_id) AS d FROM kept GROUP BY fp) c ON k.doc_id = c.d
+),
+bench AS (
+    SELECT DISTINCT shingle
+    FROM documents, UNNEST({_SHINGLES_SQL}) AS u(shingle)
+    WHERE doc_id % 97 = 0
+),
+decontam AS (
+    SELECT g.doc_id
+    FROM (
+        SELECT c.doc_id, shingle
+        FROM canonical0 c, UNNEST({_SHINGLES_SQL.replace("text", "c.text")}) AS u(shingle)
+        WHERE c.doc_id % 97 <> 0
+    ) g
+    LEFT JOIN bench b USING (shingle)
+    GROUP BY g.doc_id
+    HAVING SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+           / CAST(COUNT(*) AS DOUBLE) < {DECONTAM_TAU}
+),
+canonical AS (
+    SELECT c.* FROM canonical0 c JOIN decontam USING (doc_id)
 ),
 toks AS (
     SELECT doc_id,
@@ -2227,9 +2276,6 @@ FROM labeled
 # tiny benchmark shingle set broadcasts onto the corpus-side explode,
 # so the corpus is scanned once, never shuffled by shingle, and the
 # per-doc fraction aggregates on the co-located doc_id.
-DECONTAM_TAU = 0.2  # drop a training doc when >= 20% of its shingles are bench
-
-
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import word_shingles
 
