@@ -308,4 +308,7 @@ register("streaming_hourly_ohlc", sj.stream_hourly_ohlc, rf.HOURLY_OHLC_ORACLE)
 # Dense-grid resample + forward-fill of the candle series (rows ∝
 # types × hours; the fill window runs over buckets, never raw ticks)
 register("ohlc_gap_fill", rf.ohlc_gap_fill, rf.OHLC_GAP_FILL_ORACLE)
+# Bounded-BFS taint propagation from flagged wallets (recursive-CTE
+# oracle; fixed hop rounds, frontier anti-join dedup)
+register("wallet_taint_hops", rf.wallet_taint_hops, rf.WALLET_TAINT_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

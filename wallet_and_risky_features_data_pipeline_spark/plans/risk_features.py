@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..operators.windows import lead_delta, running_sum
 from ..sources.readers import read_table
 from .wallet_model import (
@@ -356,4 +357,77 @@ SELECT g.event_type, g.bucket_us,
 FROM grid g
 LEFT JOIN candles c
   ON g.event_type = c.event_type AND g.bucket_us = c.bucket_us
+"""
+
+
+# --------------------------------------------------------------------------
+# Taint propagation: minimum hop distance from a seed set of flagged
+# wallets, following the direction value flows (sender → receiver),
+# bounded at TAINT_MAX_HOPS — the "within N hops of a sanctioned
+# address" risk feature (the graph sibling of the reference's
+# blacklist flags). Bounded BFS, not transitive closure: each round is
+# one equi join frontier ⋈ edges + an anti-join dedup against the
+# reached set, so the per-round work is |frontier| × out-degree and
+# rounds are FIXED (no convergence loop to monitor — contrast
+# operators.dedup.connected_components, the unbounded-diameter tool).
+# The DuckDB oracle replays it as a recursive CTE with the same hop
+# bound; MIN(hop) collapses its path multiplicity to BFS distances.
+TAINT_MAX_HOPS = 3
+TAINT_SEED_MOD = 29
+
+
+def wallet_taint_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    )
+    edges = (
+        legs.select(
+            F.col("wallet_address").alias("src"),
+            F.col("interacted_with").alias("dst"),
+        )
+        .distinct()
+    )
+    wallets = wt.select("wallet_address").distinct()
+    seeds = wallets.filter(
+        F.col("wallet_address").cast("bigint") % TAINT_SEED_MOD == 0
+    ).select("wallet_address", F.lit(0).cast("bigint").alias("hop"))
+    reached = seeds
+    frontier = seeds.select("wallet_address")
+    for h in range(1, TAINT_MAX_HOPS + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("wallet_address", "src"), "src"
+            )
+            .select(F.col("dst").alias("wallet_address"))
+            .distinct()
+        )
+        new = nxt.join(reached, "wallet_address", "left_anti").select(
+            "wallet_address", F.lit(h).cast("bigint").alias("hop")
+        )
+        new = persist_tracked(new)
+        reached = reached.unionByName(new)
+        frontier = new.select("wallet_address")
+    return reached.withColumnRenamed("hop", "taint_hops")
+
+
+WALLET_TAINT_ORACLE = f"""
+WITH RECURSIVE {WALLET_TX_ORACLE_CTE},
+edges AS (
+    SELECT DISTINCT wallet_address AS src, interacted_with AS dst
+    FROM wallet_tx
+    WHERE address_role = 'sender' AND interacted_with IS NOT NULL
+),
+taint(wallet_address, hop) AS (
+    SELECT DISTINCT wallet_address, 0
+    FROM wallet_tx
+    WHERE CAST(wallet_address AS BIGINT) % {TAINT_SEED_MOD} = 0
+    UNION ALL
+    SELECT e.dst, t.hop + 1
+    FROM taint t JOIN edges e ON e.src = t.wallet_address
+    WHERE t.hop < {TAINT_MAX_HOPS}
+)
+SELECT wallet_address, CAST(MIN(hop) AS BIGINT) AS taint_hops
+FROM taint
+GROUP BY 1
 """
