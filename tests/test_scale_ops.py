@@ -202,8 +202,11 @@ def test_kmeans_assignment_matches_golden(spark):
     )
     from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
 
+    import math
+
     emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
-    centroids = train_ivf_centroids(emb, n_cells=16, seed=42)
+    # same adaptive sizing as the registry entry (max(16, isqrt(n)))
+    centroids = train_ivf_centroids(emb, n_cells=max(16, math.isqrt(emb.count())), seed=42)
     pairs = [
         (r["c_id"], r["cell_id"])
         for r in ivf_assign(emb, centroids).select("c_id", "cell_id").collect()

@@ -31,8 +31,17 @@ from ..sources.readers import fan_out, read_table
 
 
 def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a TRAINED coarse quantizer. k = max(16, ⌊√n⌋) — the
+    canonical IVF sizing that balances the n·k assignment sweep
+    against the n·(n/k) within-cell scan at O(n^1.5) each (the same
+    rule dedup_semantic ships, and the documented scale knob from the
+    RRF-fusion probe: the fixed-16 coarse index is what made candidate
+    generation linear in corpus size there)."""
+    import math
+
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))
-    centroids = train_ivf_centroids(emb, n_cells=16, seed=42)
+    n_cells = max(16, math.isqrt(emb.count()))
+    centroids = train_ivf_centroids(emb, n_cells=n_cells, seed=42)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk(queries, emb, centroids, k=5, n_probe=4)
 
