@@ -329,3 +329,47 @@ def test_winsorize_thresholds_broadcast_back(spark):
     plan = _physical(QUERIES["winsorized_values"](spark, SF_MEDIUM))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_no_batch_query_plans_a_cartesian_product(spark):
+    """Engine-wide negative: NO batch registry query may plan a
+    CartesianProduct or un-keyed BroadcastNestedLoopJoin INNER join —
+    the silent quadratic that kills a 100 TB run. Exceptions are
+    documented: similarity_topk IS the exact all-pairs baseline, and
+    broadcast-scalar cross joins (one-row build side) plan as
+    BroadcastNestedLoopJoin by construction — those are allowed only
+    where the build side is a literal/aggregate scalar. Streaming
+    entries are excluded (building their plan executes the query; the
+    oracle suite covers them)."""
+    from wallet_and_risky_features_data_pipeline_spark.caching import cache_scope
+
+    allowed_cartesian = {"similarity_topk"}  # documented exact baseline
+    # scalar cross joins (watermark_max-style broadcast one-row sides)
+    # legitimately show BroadcastNestedLoopJoin; cap how many entries
+    # may rely on it so a new accidental product gets caught
+    bnlj_budget = {
+        "watermark_max", "dedup_semantic", "corpus_token_budget",
+        "corpus_vocab_coverage", "corpus_vocab_incremental", "table_stats",
+        "quantiles_histogram", "corpus_mix_rebalance", "text_repetition",
+        "hll_distinct_users", "similarity_lsh_topk", "similarity_ivf_topk",
+        "similarity_rrf_fusion", "dedup_embedding_cosine", "similarity_lsh_buckets",
+        "dedup_minhash_incremental", "corpus_contamination", "corpus_decontaminate",
+        "bloom_membership_prune",      # one-row bloom word build side
+        "similarity_ivf_kmeans_topk",  # centroid sweep (intended NLJ, as dedup_semantic)
+        "tfidf_top_terms",             # one-row corpus doc-count scalar
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_") or name in allowed_cartesian:
+            continue
+        with cache_scope():
+            try:
+                plan = _physical(fn(spark, SF_MEDIUM))
+            except Exception as e:  # MLlib entries execute on build; skip infra errors
+                offenders[name] = f"plan build failed: {e}"
+                continue
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_budget:
+            offenders[name] = "BroadcastNestedLoopJoin (not in scalar allowlist)"
+    assert not offenders, offenders
