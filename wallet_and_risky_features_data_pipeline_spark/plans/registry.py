@@ -311,4 +311,7 @@ register("ohlc_gap_fill", rf.ohlc_gap_fill, rf.OHLC_GAP_FILL_ORACLE)
 # Bounded-BFS taint propagation from flagged wallets (recursive-CTE
 # oracle; fixed hop rounds, frontier anti-join dedup)
 register("wallet_taint_hops", rf.wallet_taint_hops, rf.WALLET_TAINT_ORACLE)
+# Candle re-aggregation: daily candles FROM the hourly pre-aggregate,
+# held to the direct-from-ticks oracle (OHLC mergeability pinned)
+register("daily_ohlc_rollup", rf.daily_ohlc_rollup, rf.DAILY_OHLC_ROLLUP_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

@@ -431,3 +431,76 @@ SELECT wallet_address, CAST(MIN(hop) AS BIGINT) AS taint_hops
 FROM taint
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Candle re-aggregation: daily candles derived FROM the hourly ones —
+# OHLC is a mergeable aggregate (open/close ride the order key,
+# high/low/volume are min/max/sum), so coarser grains re-aggregate
+# from finer pre-aggregates without touching raw ticks. That identity
+# (rollup(hourly) ≡ direct daily) is THE property that makes a 100 TB
+# candle store cheap: materialize hourly once, serve every coarser
+# grain from it. The oracle computes daily candles DIRECTLY from raw
+# events, so any merge-rule mistake (e.g. taking max of opens instead
+# of the earliest open) hash-mismatches.
+def daily_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.expr(
+            "concat(lpad(cast(unix_micros(ts) as string), 20, '0'), ':',"
+            " lpad(cast(event_id as string), 12, '0'))"
+        ).alias("ord"),
+    )
+    hourly = ev.groupBy("event_type", "bucket").agg(
+        F.min("ord").alias("first_key"),
+        F.min_by("v", "ord").alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max("ord").alias("last_key"),
+        F.max_by("v", "ord").alias("close"),
+        F.sum("v").alias("volume"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", "bucket").alias("day")
+        )
+        .agg(
+            F.min_by("open", "first_key").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "last_key").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_ticks").cast("bigint").alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("day").alias("day_us"),
+            F.col("open").cast("double").alias("open"),
+            F.col("high").cast("double").alias("high"),
+            F.col("low").cast("double").alias("low"),
+            F.col("close").cast("double").alias("close"),
+            F.col("volume").cast("double").alias("volume"),
+            "n_ticks",
+        )
+    )
+
+
+DAILY_OHLC_ROLLUP_ORACLE = """
+SELECT event_type,
+       epoch_us(date_trunc('day', ts)) AS day_us,
+       CAST(arg_min(CAST(value AS DECIMAL(18,4)),
+                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE) AS open,
+       CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS high,
+       CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS low,
+       CAST(arg_max(CAST(value AS DECIMAL(18,4)),
+                    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+                    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS DOUBLE) AS close,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM events
+GROUP BY 1, 2
+"""
