@@ -314,4 +314,7 @@ register("wallet_taint_hops", rf.wallet_taint_hops, rf.WALLET_TAINT_ORACLE)
 # Candle re-aggregation: daily candles FROM the hourly pre-aggregate,
 # held to the direct-from-ticks oracle (OHLC mergeability pinned)
 register("daily_ohlc_rollup", rf.daily_ohlc_rollup, rf.DAILY_OHLC_ROLLUP_ORACLE)
+# Grouped Pearson correlations from exact decimal moment sums (one
+# final double expression — builtin corr() would never cross-match)
+register("feature_correlations", sk.feature_correlations, sk.FEATURE_CORRELATIONS_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

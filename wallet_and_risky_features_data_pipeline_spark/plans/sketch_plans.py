@@ -526,3 +526,88 @@ SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
        CAST(e.value < b.lo OR e.value > b.hi AS INTEGER) AS was_clipped
 FROM events e JOIN bounds b USING (event_type)
 """
+
+
+# --------------------------------------------------------------------------
+# Grouped Pearson correlation from exact sums: r(x, y) per group via
+# the one-pass moment identities (Σx, Σy, Σxy, Σx², Σy², n) kept in
+# DECIMAL until ONE final double expression — the builtin corr() would
+# accumulate doubles in engine-specific order and never cross-match.
+# One map-side-combinable hash agg per group; the moment tuple is the
+# mergeable state (partial sums from any partitioning combine), i.e.
+# the same partial-aggregate discipline as the sketch tier, applied to
+# second-order statistics. The feature-engineering consumer: detect
+# collinear features (|r| → 1) before they destabilize a linear model.
+def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact INTEGER units (×10⁴): Pearson r is invariant under linear
+    # scaling, so integer moments lose nothing — and sidestep both
+    # engines' decimal-product precision rules (DuckDB's int64 decimal
+    # storage overflows on (18,4)×(18,4) products). DECIMAL(38,0)
+    # keeps the squared sums exact (≤1e23 here, far under 1e38).
+    unit = lambda c: F.expr(f"cast(round({c} * 10000) as decimal(38,0))")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        unit("l_quantity").alias("x"),
+        unit("l_extendedprice").alias("y"),
+        unit("l_discount").alias("z"),
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+
+    def pearson(sa, sb, sab, saa, sbb):
+        n = F.col("n").cast("double")
+        num = F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(
+            sb
+        ).cast("double") / n
+        da = F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(
+            sa
+        ).cast("double") / n
+        db = F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(
+            sb
+        ).cast("double") / n
+        return F.round(num / F.sqrt(da * db), 6)
+
+    return sums.select(
+        "l_returnflag",
+        "n",
+        pearson("sx", "sy", "sxy", "sxx", "syy").alias("corr_qty_price"),
+        pearson("sx", "sz", "sxz", "sxx", "szz").alias("corr_qty_discount"),
+    )
+
+
+FEATURE_CORRELATIONS_ORACLE = """
+WITH u AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity * 10000) AS DECIMAL(38,0)) AS x,
+           CAST(round(l_extendedprice * 10000) AS DECIMAL(38,0)) AS y,
+           CAST(round(l_discount * 10000) AS DECIMAL(38,0)) AS z
+    FROM lineitem
+),
+sums AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+           SUM(x * y) AS sxy, SUM(x * z) AS sxz,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz
+    FROM u GROUP BY 1
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+           AS corr_qty_price,
+       ROUND((CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+           AS corr_qty_discount
+FROM sums
+"""
