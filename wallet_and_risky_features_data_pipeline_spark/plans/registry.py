@@ -317,4 +317,7 @@ register("daily_ohlc_rollup", rf.daily_ohlc_rollup, rf.DAILY_OHLC_ROLLUP_ORACLE)
 # Grouped Pearson correlations from exact decimal moment sums (one
 # final double expression — builtin corr() would never cross-match)
 register("feature_correlations", sk.feature_correlations, sk.FEATURE_CORRELATIONS_ORACLE)
+# Structured entity resolution: blocked self-join + field-similarity
+# scoring (record linkage — the structured sibling of the dedup tier)
+register("entity_match_pairs", rel.entity_match_pairs, rel.ENTITY_MATCH_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

@@ -889,3 +889,60 @@ SELECT COALESCE(a.pkey, 'UNKNOWN') AS priority_key, a.n_all, f.n_f
 FROM all_counts a
 JOIN f_counts f ON a.pkey IS NOT DISTINCT FROM f.pkey
 """
+
+
+# --------------------------------------------------------------------------
+# Structured entity resolution: blocked pairwise matching over the
+# customer dimension — the data-integration workload (MDM / record
+# linkage) that complements the text-dedup family: blocking keys cut
+# the O(n²) pair space to within-block pairs (the same
+# candidate-bounding idea as LSH buckets, on structured attributes),
+# then cheap field similarities (edit distance on the name, absolute
+# balance delta) score each candidate, and a conjunctive threshold
+# keeps likely duplicates. The self-join is EQUI on the block key;
+# pair explosion is bounded by the largest block (a real pipeline
+# audits block sizes exactly like lsh's max_bucket guard).
+ENTITY_NAME_DIST = 2
+ENTITY_BAL_DELTA = 100.0
+
+
+def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    name_dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    bal_delta = F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal"))
+    return pairs.filter(
+        (name_dist <= ENTITY_NAME_DIST) & (bal_delta < ENTITY_BAL_DELTA)
+    ).select(
+        F.col("a.c_custkey").alias("a_key"),
+        F.col("b.c_custkey").alias("b_key"),
+        F.col("a.c_nationkey").alias("nationkey"),
+        F.col("a.c_mktsegment").alias("mktsegment"),
+        name_dist.cast("bigint").alias("name_dist"),
+        F.round(bal_delta, 2).alias("bal_delta"),
+    )
+
+
+ENTITY_MATCH_ORACLE = f"""
+SELECT a.c_custkey AS a_key,
+       b.c_custkey AS b_key,
+       a.c_nationkey AS nationkey,
+       a.c_mktsegment AS mktsegment,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+       ROUND(abs(a.c_acctbal - b.c_acctbal), 2) AS bal_delta
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {ENTITY_NAME_DIST}
+  AND abs(a.c_acctbal - b.c_acctbal) < {ENTITY_BAL_DELTA}
+"""
