@@ -34,10 +34,18 @@ COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 DST = f"/tmp/wrf_scale{COPIES}"
 STRIDE = 10_000_000
 
+# table → columns shifted per copy. Star-schema shifts are CONSISTENT
+# (orders.o_custkey shifts with customer.c_custkey, lineitem.l_orderkey
+# with orders.o_orderkey) so fact↔dimension joins still hit inside the
+# replica; part/supplier/nation stay 1× — their keys are NOT shifted,
+# so dimension lookups get COPIES× hotter, the realistic direction.
 ID_COLS = {
-    "documents": "doc_id",
-    "embeddings": "vec_id",
-    "events": "event_id",
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
 }
 
 
@@ -62,13 +70,18 @@ def build_replica(spark, tables: set[str]) -> None:
         if os.path.exists(out):
             continue
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
-        idc = ID_COLS.get(t)
-        if idc is None:
+        idcs = ID_COLS.get(t)
+        if idcs is None:
             shutil.copyfile(f"{SRC}/{t}.parquet", out)
             continue
-        copies = [
-            src.withColumn(idc, F.col(idc) + F.lit(k * STRIDE)) for k in range(COPIES)
-        ]
+
+        def shifted(k: int):
+            df = src
+            for c in idcs:
+                df = df.withColumn(c, F.col(c) + F.lit(k * STRIDE))
+            return df
+
+        copies = [shifted(k) for k in range(COPIES)]
         df = copies[0]
         for c in copies[1:]:
             df = df.unionByName(c)
@@ -149,8 +162,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # every probed query reads documents/embeddings/events only; copy
     # the rest verbatim so read_table never 404s
-    build_replica(spark, {"documents", "embeddings", "events"})
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    build_replica(
+        spark,
+        {"documents", "embeddings", "events", "customer", "orders", "lineitem"},
+    )
+    for t in ("region", "nation", "supplier", "part"):
         if not os.path.exists(f"{DST}/{t}.parquet"):
             shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
 

@@ -899,9 +899,15 @@ JOIN f_counts f ON a.pkey IS NOT DISTINCT FROM f.pkey
 # candidate-bounding idea as LSH buckets, on structured attributes),
 # then cheap field similarities (edit distance on the name, absolute
 # balance delta) score each candidate, and a conjunctive threshold
-# keeps likely duplicates. The self-join is EQUI on the block key;
-# pair explosion is bounded by the largest block (a real pipeline
-# audits block sizes exactly like lsh's max_bucket guard).
+# keeps likely duplicates. Blocking is LAYERED: (nation, segment)
+# alone left block size ∝ customers-per-segment — the 10× replica
+# probe measured the resulting pair quadratic at 6 s → 63 s — so the
+# balance-band key tightens it LOSSLESSLY: a match needs
+# |Δbal| < ENTITY_BAL_DELTA, so both sides of any true pair live in
+# the same or adjacent ENTITY_BAL_DELTA-wide band; one side explodes
+# its probe window {b−1, b, b+1} (the as-of day-bucket trick) and the
+# join stays pure EQUI on (nation, segment, band). Each pair matches
+# in exactly one band, so no dedup pass is needed.
 ENTITY_NAME_DIST = 2
 ENTITY_BAL_DELTA = 100.0
 
@@ -909,12 +915,18 @@ ENTITY_BAL_DELTA = 100.0
 def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ).withColumn(
+        "band", F.floor(F.col("c_acctbal") / F.lit(ENTITY_BAL_DELTA))
     )
-    a, b = cust.alias("a"), cust.alias("b")
+    probe = cust.withColumn(
+        "band", F.explode(F.expr("array(band - 1, band, band + 1)"))
+    )
+    a, b = probe.alias("a"), cust.alias("b")
     pairs = a.join(
         b,
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
         & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.band") == F.col("b.band"))
         & (F.col("a.c_custkey") < F.col("b.c_custkey")),
     )
     name_dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
