@@ -233,9 +233,11 @@ def test_curate_layer_snapshots_training_set(spark, work_dir):
     for r in rows:
         assert len(r.clean_text.split()) == r.kept_tokens or r.kept_tokens == 0
 
-    # deterministic re-run: new generation, identical snapshot
+    # deterministic re-run: the chain reproduces the live snapshot
+    # exactly, so the idempotent cron SKIPS the commit — history does
+    # not grow one identical copy per run
     runner.run_curate(spark, SF_SMALL, work_dir)
-    assert list_generations(store)[-1] == "gen-000002"
+    assert list_generations(store) == ["gen-000001"]
     again = {r.doc_id: r for r in read_store(spark, store).collect()}
     assert len(again) == len(rows)
     for r in rows:

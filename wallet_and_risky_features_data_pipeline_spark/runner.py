@@ -373,9 +373,24 @@ def run_curate(spark, sf_dir: str, work_dir: str) -> None:
     from .sources.readers import fan_out, read_table
     from .sources.writers import commit_generation, read_store, vacuum_generations
 
+    from .sources.writers import resolve_store, store_committed
+
     store = f"{work_dir}/curate/training_set"
     snapshot = curate_training_set(fan_out(read_table(spark, sf_dir, "documents")))
-    gen = commit_generation(snapshot, store)
+    # Idempotent cron: the chain is deterministic, so an unchanged
+    # corpus reproduces the live snapshot exactly — committing it
+    # anyway would add one full identical copy per run for zero
+    # information. Exact multiset diff BEFORE committing (exceptAll
+    # both ways — column-wise exact, no hashing shortcut); only a
+    # changed snapshot advances the generation.
+    gen = None
+    if store_committed(store):
+        snapshot = snapshot.localCheckpoint(eager=True)
+        live = read_store(spark, store).select(snapshot.columns)
+        if snapshot.exceptAll(live).isEmpty() and live.exceptAll(snapshot).isEmpty():
+            gen = f"{os.path.basename(resolve_store(store))} (unchanged, no commit)"
+    if gen is None:
+        gen = commit_generation(snapshot, store)
     expired = vacuum_generations(store, keep=3)
     summary = (
         read_store(spark, store)
