@@ -656,3 +656,32 @@ def test_evolve_partitioning_adopts_flat_store(spark, tmp_path):
         if not e.startswith((".", "_", "gen-"))
     ]
     assert loose == []
+
+
+def test_schema_drift_between_generations(spark, tmp_path):
+    """schema_drift reports added/removed/retyped columns between the
+    live generation and its predecessor; stable schemas report
+    nothing."""
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        commit_generation,
+        schema_drift,
+    )
+
+    store = str(tmp_path / "drift_store")
+    commit_generation(
+        spark.createDataFrame([(1, "a", 1.5)], "id long, s string, v double"), store
+    )
+    assert schema_drift(spark, store) == []  # one generation: nothing to compare
+
+    commit_generation(
+        spark.createDataFrame([(1, 2, 7)], "id long, v long, w long"), store
+    )
+    drift = {d["column"]: d for d in schema_drift(spark, store)}
+    assert drift["s"]["change"] == "removed"
+    assert drift["w"]["change"] == "added"
+    assert drift["v"]["change"] == "retyped" and "double -> bigint" in drift["v"]["type"]
+
+    commit_generation(
+        spark.createDataFrame([(1, 2, 7)], "id long, v long, w long"), store
+    )
+    assert schema_drift(spark, store) == []  # stable schema: clean

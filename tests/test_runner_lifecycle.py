@@ -242,3 +242,16 @@ def test_curate_layer_snapshots_training_set(spark, work_dir):
     assert len(again) == len(rows)
     for r in rows:
         assert again[r.doc_id] == r
+
+
+def test_describe_layer_reports_stores(spark, work_dir, capsys):
+    """--layer describe prints every generation store's snapshots
+    (live status, sizes) after the lifecycle has run — the operator's
+    DESCRIBE HISTORY sweep."""
+    runner.run_describe(spark, SF_SMALL, work_dir)
+    out = capsys.readouterr().out
+    assert "describe[features/contract_state]:" in out
+    assert " live" in out
+    assert "files" in out
+    # the curate store committed exactly one generation (idempotent re-run)
+    assert "describe[curate/training_set]: gen-000001 live" in out

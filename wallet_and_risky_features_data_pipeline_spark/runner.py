@@ -412,6 +412,36 @@ def run_curate(spark, sf_dir: str, work_dir: str) -> None:
     print(f"curate: committed {gen} of {store} (expired {len(expired)})")
 
 
+def run_describe(spark, sf_dir: str, work_dir: str) -> None:
+    """Store observability (the `DESCRIBE HISTORY` / metadata-table
+    sweep): for every generation store under the work dir, print its
+    snapshots table (live/historic/orphan, commit tags, sizes) and any
+    schema drift between the live generation and its predecessor —
+    the pre-publish data-contract check."""
+    from .sources.writers import schema_drift, store_snapshots
+
+    stores = {
+        "features/contract_state": f"{work_dir}/features/contract_state",
+        "stats/token_freqs": f"{work_dir}/stats/token_freqs",
+        "curate/training_set": f"{work_dir}/curate/training_set",
+    }
+    for name, path in stores.items():
+        if not os.path.isdir(path):
+            print(f"describe[{name}]: absent")
+            continue
+        snaps = store_snapshots(spark, path).collect()
+        for r in snaps:
+            tag = f" tag={r.tag}" if r.tag else ""
+            print(
+                f"describe[{name}]: {r.generation} {r.status}{tag} "
+                f"{r.n_files} files {r.n_bytes} bytes"
+            )
+        for d in schema_drift(spark, path):
+            print(
+                f"describe[{name}]: DRIFT {d['column']} {d['change']} ({d['type']})"
+            )
+
+
 def run_dq(spark, sf_dir: str, work_dir: str) -> None:
     from .plans.wallet_features import wallet_features
 
@@ -436,6 +466,7 @@ def main(argv: list[str] | None = None) -> int:
             "profile",
             "stats",
             "curate",
+            "describe",
             "dq",
         ],
     )
@@ -457,6 +488,7 @@ def main(argv: list[str] | None = None) -> int:
         "profile": run_profile,
         "stats": run_stats,
         "curate": run_curate,
+        "describe": run_describe,
         "dq": run_dq,
     }[args.layer](spark, args.sf_dir, args.work_dir)
     return 0

@@ -816,3 +816,36 @@ def store_snapshots(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "generation string, status string, tag string, n_files long, n_bytes long"
     )
+
+
+def schema_drift(spark: SparkSession, path: str) -> list[dict]:
+    """Schema drift between the live generation and its predecessor —
+    the data-contract check a cron runs before publishing: added /
+    removed / retyped columns, as plain dicts (driver-side; schemas
+    are human-scale). Empty list = no drift (or fewer than two
+    generations). Parquet is self-describing, so this needs no
+    registered schema — the generations themselves are the contract's
+    history."""
+    gens = list_generations(path)
+    if len(gens) < 2:
+        return []
+    live = os.path.basename(resolve_store(path))
+    if live not in gens or gens.index(live) == 0:
+        return []
+    prev = gens[gens.index(live) - 1]
+    old = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(os.path.join(path, prev)).schema.fields}
+    new = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(os.path.join(path, live)).schema.fields}
+    drift = []
+    for col in sorted(set(old) | set(new)):
+        if col not in old:
+            drift.append({"column": col, "change": "added", "type": new[col]})
+        elif col not in new:
+            drift.append({"column": col, "change": "removed", "type": old[col]})
+        elif old[col] != new[col]:
+            drift.append(
+                {"column": col, "change": "retyped",
+                 "type": f"{old[col]} -> {new[col]}"}
+            )
+    return drift
