@@ -170,6 +170,10 @@ def main() -> None:
         if not os.path.exists(f"{DST}/{t}.parquet"):
             shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
 
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        reset_session_memos,
+    )
+
     for name in names:
         fn = QUERIES[name]
         # warm at the smallest SF so the timed pairs measure the plan's
@@ -178,6 +182,11 @@ def main() -> None:
         with cache_scope():
             fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         for label, d in (("sf0.1", SRC), (f"{COPIES}x", DST)):
+            # memos (cluster assignment, wallet leg table) would let a
+            # later query ride an earlier one's cached pipeline —
+            # reset so every timed run pays its own full cost, exactly
+            # like bench.py's isolated tier
+            reset_session_memos(spark)
             start = time.perf_counter()
             with cache_scope():
                 fn(spark, d).write.format("noop").mode("overwrite").save()
