@@ -2379,3 +2379,61 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN vocab v USING (token)
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Per-doc importance sampling: keep probability PROPORTIONAL to a
+# quality signal, not a hard gate — the soft-filtering move (GPT-3
+# Appendix A samples docs "in proportion to" classifier score; here
+# the signal is the stopword-distance proxy so the whole op stays
+# SQL-oracle-able). All math in integer BASIS POINTS (bp) with the
+# md5-bucket coin, so the keep boundary is bit-exact cross-engine —
+# mix_rebalance's determinism recipe applied per doc instead of per
+# source. Floor at 1000 bp: even the worst doc keeps a 10% lottery
+# (importance sampling preserves support; a zero floor would be a
+# hard gate in disguise).
+IMP_FLOOR_BP = 1000
+
+
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = token_count("text").cast("bigint")
+    stop = marker_count("text", STOPWORDS).cast("bigint")
+    # quality in bp: 10000 at stop_ratio 0, IMP_FLOOR_BP at >= 25%
+    # (the gate threshold). Operands are exact integers < 2^53, so the
+    # ONE IEEE division + floor lands identically in both engines
+    raw_bp = F.lit(10000) - (stop * 36000).cast("bigint") / F.greatest(
+        toks, F.lit(1)
+    )
+    keep_bp = F.greatest(F.lit(IMP_FLOOR_BP), F.floor(raw_bp).cast("bigint"))
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('imp:', cast(doc_id as string))), 1, 4), 16, 10)"
+        " as int) % 10000"
+    )
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        keep_bp.alias("keep_bp"),
+        (bucket < keep_bp).cast("int").alias("sampled"),
+    )
+
+
+CORPUS_IMPORTANCE_ORACLE = rf"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST({marker_count_sql("text", STOPWORDS)} AS BIGINT) AS stop_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       GREATEST({IMP_FLOOR_BP}, CAST(floor(
+           10000 - (stop_tokens * 36000) / CAST(greatest(n_tokens, 1) AS DOUBLE)
+       ) AS BIGINT)) AS keep_bp,
+       CAST(CAST(('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS BIGINT) % 10000
+            < GREATEST({IMP_FLOOR_BP}, CAST(floor(
+                  10000 - (stop_tokens * 36000) / CAST(greatest(n_tokens, 1) AS DOUBLE)
+              ) AS BIGINT)) AS INTEGER) AS sampled
+FROM scored
+"""

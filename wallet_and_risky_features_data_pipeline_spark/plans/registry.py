@@ -320,4 +320,7 @@ register("feature_correlations", sk.feature_correlations, sk.FEATURE_CORRELATION
 # Structured entity resolution: blocked self-join + field-similarity
 # scoring (record linkage — the structured sibling of the dedup tier)
 register("entity_match_pairs", rel.entity_match_pairs, rel.ENTITY_MATCH_ORACLE)
+# Per-doc importance sampling (keep probability ∝ quality, integer-bp
+# md5 coin — GPT-3's proportional sampling, mix_rebalance's exactness)
+register("corpus_importance_sample", llm.corpus_importance_sample, llm.CORPUS_IMPORTANCE_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)
