@@ -323,4 +323,7 @@ register("entity_match_pairs", rel.entity_match_pairs, rel.ENTITY_MATCH_ORACLE)
 # Per-doc importance sampling (keep probability ∝ quality, integer-bp
 # md5 coin — GPT-3's proportional sampling, mix_rebalance's exactness)
 register("corpus_importance_sample", llm.corpus_importance_sample, llm.CORPUS_IMPORTANCE_ORACLE)
+# Last-touch purchase attribution (equi-on-user candidate join +
+# max_by winner, organic fallback preserved)
+register("purchase_attribution", sess.purchase_attribution, sess.PURCHASE_ATTRIBUTION_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

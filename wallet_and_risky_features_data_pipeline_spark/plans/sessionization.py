@@ -356,3 +356,80 @@ LEFT JOIN dim d
  AND f.ts >= d.valid_from
  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
 """
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: each purchase credits the user's most recent
+# preceding touch (view or click) within the attribution window — the
+# marketing-analytics staple. Same-table self-match, but never a
+# range join: touches and purchases co-key on user_id, so the
+# candidate join is EQUI on the user with the window as a residual,
+# and the winner per purchase is ONE max_by hash aggregation over the
+# padded (ts, event_id) order key — no per-purchase window function,
+# no sort. Purchases with no touch in window survive as 'organic'
+# (left join) — dropping them is the classic attribution
+# over-counting bug.
+ATTRIB_WINDOW_DAYS = 7
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ordk = F.expr(
+        "concat(lpad(cast(unix_micros(ts) as string), 20, '0'), ':',"
+        " lpad(cast(event_id as string), 12, '0'))"
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+        ordk.alias("t_ord"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    window_ok = (F.col("t_ts") <= F.col("ts")) & (
+        F.col("t_ts") >= F.col("ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS")
+    )
+    cand = purchases.join(
+        touches, (F.col("user_id") == F.col("t_user")) & window_ok, "left"
+    )
+    return (
+        cand.groupBy("event_id")
+        .agg(
+            F.first("user_id").alias("user_id"),
+            F.unix_micros(F.first("ts")).alias("ts_us"),
+            F.first("value").alias("value"),
+            F.max_by("touch_type", "t_ord").alias("last_touch"),
+            F.unix_micros(F.max_by("t_ts", "t_ord")).alias("touch_ts_us"),
+        )
+        .withColumn("last_touch", F.coalesce("last_touch", F.lit("organic")))
+    )
+
+
+PURCHASE_ATTRIBUTION_ORACLE = f"""
+WITH touches AS (
+    SELECT user_id AS t_user, ts AS t_ts, event_type AS touch_type,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || ':' ||
+           lpad(CAST(event_id AS VARCHAR), 12, '0') AS t_ord
+    FROM events WHERE event_type IN ('view', 'click')
+),
+purchases AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+    SELECT p.*, t.touch_type, t.t_ts, t.t_ord
+    FROM purchases p
+    LEFT JOIN touches t
+      ON p.user_id = t.t_user
+     AND t.t_ts <= p.ts
+     AND t.t_ts >= p.ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAYS
+)
+SELECT event_id,
+       MIN(user_id) AS user_id,
+       epoch_us(MIN(ts)) AS ts_us,
+       MIN(value) AS value,
+       COALESCE(arg_max(touch_type, t_ord), 'organic') AS last_touch,
+       epoch_us(arg_max(t_ts, t_ord)) AS touch_ts_us
+FROM cand
+GROUP BY 1
+"""
