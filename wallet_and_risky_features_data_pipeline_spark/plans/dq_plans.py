@@ -35,3 +35,65 @@ SELECT 'time_travel_wallets', time_travel, time_travel > 0 FROM agg
 UNION ALL
 SELECT 'zero_min_balance_pct', zero_pct, zero_pct > 95.0 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Ledger reconciliation: the double-entry invariant as a corpus-wide
+# DQ query — every event's two legs must net to exactly −tx_fee
+# (sender pays value+fee, receiver gets value), so Σlegs + fee = 0 per
+# event, in EXACT decimals. An accounting close would run this nightly;
+# any violation count > 0 means the role explosion or a downstream
+# rewrite corrupted a leg. One hash agg on event_id (co-located legs)
+# + a tiny per-type rollup.
+def ledger_reconciliation(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from .wallet_model import wallet_transactions
+
+    wt = wallet_transactions(spark, sf_dir)
+    per_event = wt.groupBy("event_id", "transaction_type").agg(
+        F.sum("signed_value").alias("net"),
+        F.max("tx_fee").alias("fee"),
+        F.count(F.lit(1)).alias("n_legs"),
+    )
+    return (
+        per_event.groupBy("transaction_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                ((F.col("net") + F.col("fee")) != 0).cast("int")
+            )
+            .cast("bigint")
+            .alias("net_violations"),
+            F.sum((F.col("n_legs") != 2).cast("int"))
+            .cast("bigint")
+            .alias("leg_violations"),
+            F.sum("fee").cast("double").alias("total_fees"),
+        )
+        .orderBy("transaction_type")
+    )
+
+
+from .wallet_model import WALLET_TX_ORACLE_CTE as _WT_CTE
+
+LEDGER_RECONCILIATION_ORACLE = f"""
+WITH {_WT_CTE},
+per_event AS (
+    SELECT event_id, transaction_type,
+           SUM(signed_value) AS net,
+           MAX(tx_fee) AS fee,
+           COUNT(*) AS n_legs
+    FROM wallet_tx
+    GROUP BY 1, 2
+)
+SELECT transaction_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN net + fee <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS net_violations,
+       CAST(SUM(CASE WHEN n_legs <> 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS leg_violations,
+       CAST(SUM(fee) AS DOUBLE) AS total_fees
+FROM per_event
+GROUP BY 1
+ORDER BY 1
+"""

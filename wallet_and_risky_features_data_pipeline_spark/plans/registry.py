@@ -326,4 +326,7 @@ register("corpus_importance_sample", llm.corpus_importance_sample, llm.CORPUS_IM
 # Last-touch purchase attribution (equi-on-user candidate join +
 # max_by winner, organic fallback preserved)
 register("purchase_attribution", sess.purchase_attribution, sess.PURCHASE_ATTRIBUTION_ORACLE)
+# Double-entry ledger reconciliation (accounting-close DQ: legs must
+# net to exactly -fee per event, in exact decimals)
+register("ledger_reconciliation", dq.ledger_reconciliation, dq.LEDGER_RECONCILIATION_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)
