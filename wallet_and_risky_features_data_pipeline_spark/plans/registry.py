@@ -329,4 +329,7 @@ register("purchase_attribution", sess.purchase_attribution, sess.PURCHASE_ATTRIB
 # Double-entry ledger reconciliation (accounting-close DQ: legs must
 # net to exactly -fee per event, in exact decimals)
 register("ledger_reconciliation", dq.ledger_reconciliation, dq.LEDGER_RECONCILIATION_ORACLE)
+# Triangle participation (3-cycle rings via node-ordered two-join
+# enumeration — each triangle counted exactly once, no hub explosion)
+register("wallet_triangles", rf.wallet_triangles, rf.WALLET_TRIANGLES_ORACLE)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

@@ -504,3 +504,82 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Triangle participation: how many 3-cycles of value flow each wallet
+# sits in — the ring-structure signal one step beyond
+# wallet_reciprocity's 2-cycles (wash rings rarely bounce A↔B; A→B→
+# C→A is the textbook layering shape). Canonical distributed triangle
+# counting: UNDIRECTED distinct edges canonicalized to (lo < hi), and
+# the three-way join enumerates each triangle EXACTLY once via the
+# total node order (a < b < c) — the node-ordering trick that kills
+# both duplicate counting and the hub explosion (every wedge is rooted
+# at its smallest node, so a hub's fan-out only wedges with its
+# HIGHER-ordered neighbors). Two equi self-joins, nothing quadratic in
+# nodes; wedge count is Σ deg_hi(v)², the quantity a real deployment
+# audits (same role as lsh's max_bucket).
+def wallet_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    directed = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    ).select(
+        F.col("wallet_address").alias("u"), F.col("interacted_with").alias("v")
+    )
+    edges = (
+        directed.select(
+            F.least(F.col("u").cast("bigint"), F.col("v").cast("bigint")).alias("a"),
+            F.greatest(F.col("u").cast("bigint"), F.col("v").cast("bigint")).alias(
+                "b"
+            ),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("w1"),
+            F.col("e1.b").alias("w2"),
+            F.col("e2.b").alias("w3"),
+        )
+    )
+    corners = tri.select(F.explode(F.array("w1", "w2", "w3")).alias("wallet_id"))
+    return (
+        corners.groupBy("wallet_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .select(F.col("wallet_id").cast("string").alias("wallet_address"), "n_triangles")
+    )
+
+
+WALLET_TRIANGLES_ORACLE = f"""
+WITH {WALLET_TX_ORACLE_CTE},
+edges AS (
+    SELECT DISTINCT
+        least(CAST(wallet_address AS BIGINT), CAST(interacted_with AS BIGINT)) AS a,
+        greatest(CAST(wallet_address AS BIGINT), CAST(interacted_with AS BIGINT)) AS b
+    FROM wallet_tx
+    WHERE address_role = 'sender' AND interacted_with IS NOT NULL
+      AND CAST(wallet_address AS BIGINT) <> CAST(interacted_with AS BIGINT)
+),
+tri AS (
+    SELECT e1.a AS w1, e1.b AS w2, e2.b AS w3
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT w1 AS wallet_id FROM tri
+    UNION ALL SELECT w2 FROM tri
+    UNION ALL SELECT w3 FROM tri
+)
+SELECT CAST(wallet_id AS VARCHAR) AS wallet_address,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners
+GROUP BY 1
+"""
