@@ -332,4 +332,11 @@ register("ledger_reconciliation", dq.ledger_reconciliation, dq.LEDGER_RECONCILIA
 # Triangle participation (3-cycle rings via node-ordered two-join
 # enumeration — each triangle counted exactly once, no hub explosion)
 register("wallet_triangles", rf.wallet_triangles, rf.WALLET_TRIANGLES_ORACLE)
+# Linear multi-touch attribution (equal credit split; Σcredit = value
+# by construction, denominator pinned in the oracle)
+register(
+    "purchase_attribution_linear",
+    sess.purchase_attribution_linear,
+    sess.PURCHASE_ATTRIBUTION_LINEAR_ORACLE,
+)
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)

@@ -433,3 +433,73 @@ SELECT event_id,
 FROM cand
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution: every touch in the window shares the
+# purchase's credit equally (last-touch's sibling; marketing teams run
+# both and compare). Same equi-on-user candidate join; the credit
+# denominator is the per-purchase touch count, so each (purchase,
+# touch) row carries value / n_touches and the invariant Σcredit =
+# purchase value holds by construction — pinned in the oracle by
+# emitting both the per-touch credit AND the per-purchase touch count
+# (a wrong denominator breaks the hash immediately). Organic
+# purchases (no touch) keep one row with full self-credit.
+def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").cast("decimal(18,4)").alias("value")
+    )
+    window_ok = (F.col("t_ts") <= F.col("ts")) & (
+        F.col("t_ts") >= F.col("ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS")
+    )
+    cand = purchases.join(
+        touches, (F.col("user_id") == F.col("t_user")) & window_ok, "left"
+    )
+    from pyspark.sql import Window
+
+    n_touches = F.count("touch_id").over(Window.partitionBy("event_id"))
+    return cand.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("touch_id"), F.lit(-1)).cast("bigint").alias("touch_id"),
+        F.coalesce(F.col("touch_type"), F.lit("organic")).alias("touch_type"),
+        n_touches.cast("bigint").alias("n_touches"),
+        (F.col("value").cast("double") / F.greatest(n_touches, F.lit(1)).cast("double"))
+        .alias("credit"),
+    )
+
+
+PURCHASE_ATTRIBUTION_LINEAR_ORACLE = f"""
+WITH touches AS (
+    SELECT user_id AS t_user, ts AS t_ts, event_id AS touch_id,
+           event_type AS touch_type
+    FROM events WHERE event_type IN ('view', 'click')
+),
+purchases AS (
+    SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,4)) AS value
+    FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+    SELECT p.event_id, p.user_id, p.value, t.touch_id, t.touch_type
+    FROM purchases p
+    LEFT JOIN touches t
+      ON p.user_id = t.t_user
+     AND t.t_ts <= p.ts
+     AND t.t_ts >= p.ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAYS
+)
+SELECT event_id, user_id,
+       CAST(COALESCE(touch_id, -1) AS BIGINT) AS touch_id,
+       COALESCE(touch_type, 'organic') AS touch_type,
+       CAST(COUNT(touch_id) OVER (PARTITION BY event_id) AS BIGINT) AS n_touches,
+       CAST(value AS DOUBLE)
+           / CAST(greatest(COUNT(touch_id) OVER (PARTITION BY event_id), 1) AS DOUBLE)
+           AS credit
+FROM cand
+"""
