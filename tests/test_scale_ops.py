@@ -338,3 +338,58 @@ def test_wallet_transactions_memoized_per_session(spark):
     reset_session_memos(spark)
     c = wallet_transactions(spark, "/root/testdata/sf0.001")
     assert c is not a
+
+
+def test_entity_hot_block_collapses_before_fuzzy_match(spark, tmp_path):
+    """The mechanical hot-block guard: a block holding 30 identical
+    copies of one entity must collapse to ONE representative before
+    the levenshtein stage (candidate work ∝ distinct², not rows²),
+    the occupancy audit must surface the block, and the expanded
+    output must still match the brute-force oracle exactly."""
+    import duckdb
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.relational import (
+        ENTITY_MATCH_ORACLE,
+        _entity_groups,
+        entity_block_occupancy,
+        entity_match_pairs,
+    )
+
+    from .oracle_compare import compare
+
+    rows = [(k, "Customer#X", 1, 500.0, "BUILDING") for k in range(1, 31)]
+    rows += [
+        (31, "Customer#Y", 1, 520.0, "BUILDING"),  # cross-group match ×30
+        (32, "Customer#Q", 1, 9000.0, "BUILDING"),  # out of every band
+        (33, "Customer#Z", 1, 490.0, "BUILDING"),  # adjacent band, matches
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    path = str(tmp_path / "customer.parquet")
+    df.write.parquet(path)
+
+    # collapse: 30 copies → 1 rep; 4 distinct entities total
+    groups = _entity_groups(spark, str(tmp_path)).collect()
+    assert len(groups) == 4
+    hot = next(g for g in groups if g["c_name"] == "Customer#X")
+    assert len(hot["members"]) == 30 and hot["gid"] == 1
+
+    # audit: the hot block is visible as rows >> entities
+    occ = {
+        (r["band"]): (r["n_rows"], r["n_entities"])
+        for r in entity_block_occupancy(spark, str(tmp_path)).collect()
+    }
+    assert occ[5] == (31, 2)  # 30 copies + Customer#Y, but only 2 entities
+
+    # output: exact brute-force parity (435 within + 61 cross pairs)
+    pairs = entity_match_pairs(spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    ok, msg = compare(pairs, con, ENTITY_MATCH_ORACLE)
+    con.close()
+    assert ok, msg
+    assert pairs.count() == 435 + 30 + 30 + 1

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import ivf_topk, train_ivf_centroids
-from ..sources.readers import fan_out, read_table
+from ..sources.readers import fan_out, read_table, table_row_count
 
 
 def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,11 +36,13 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the n·(n/k) within-cell scan at O(n^1.5) each (the same
     rule dedup_semantic ships, and the documented scale knob from the
     RRF-fusion probe: the fixed-16 coarse index is what made candidate
-    generation linear in corpus size there)."""
+    generation linear in corpus size there). n comes from the parquet
+    footer metadata (``table_row_count``), not ``df.count()`` — plan
+    construction launches no job."""
     import math
 
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))
-    n_cells = max(16, math.isqrt(emb.count()))
+    n_cells = max(16, math.isqrt(table_row_count(sf_dir, "embeddings")))
     centroids = train_ivf_centroids(emb, n_cells=n_cells, seed=42)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk(queries, emb, centroids, k=5, n_probe=4)

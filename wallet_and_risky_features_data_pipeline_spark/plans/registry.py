@@ -340,3 +340,7 @@ register(
     sess.PURCHASE_ATTRIBUTION_LINEAR_ORACLE,
 )
 register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORACLE)
+# Mechanical block-occupancy audit for entity resolution: rows vs
+# distinct entities per (nation, segment, band) block — the observable
+# hot-block guard behind entity_match_pairs' collapse phase
+register("entity_block_occupancy", rel.entity_block_occupancy, rel.ENTITY_OCCUPANCY_ORACLE)

@@ -912,35 +912,138 @@ ENTITY_NAME_DIST = 2
 ENTITY_BAL_DELTA = 100.0
 
 
-def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = read_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
-    ).withColumn(
-        "band", F.floor(F.col("c_acctbal") / F.lit(ENTITY_BAL_DELTA))
+def _entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse exact-duplicate customer records into one representative
+    per DISTINCT entity (all match-relevant fields identical), carrying
+    the sorted member-key list. The hot-block defense made mechanical:
+    the fuzzy (levenshtein) stage only ever sees one row per entity, so
+    a block holding N identical copies costs O(distinct²) candidate
+    work instead of O(N²) — the standard collapse-before-compare move
+    in record linkage. Lossless by construction: identical records
+    match trivially (dist 0, Δbal 0) and are expanded combinatorially."""
+    return (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .groupBy("c_name", "c_acctbal", "c_nationkey", "c_mktsegment")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("members"))
+        .withColumn("gid", F.col("members").getItem(0))
+        .withColumn("band", F.floor(F.col("c_acctbal") / F.lit(ENTITY_BAL_DELTA)))
     )
-    probe = cust.withColumn(
+
+
+def entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution, collapse-then-expand.
+
+    Phase 1 collapses exact duplicates (``_entity_groups``); phase 2
+    emits within-group pairs by pure array expansion (no comparison —
+    identical records always match); phase 3 runs the banded equi-join
+    candidate generation BETWEEN representatives only, scores each
+    group pair ONCE (levenshtein + balance delta are constant across a
+    group's members), and expands the passing group pairs to member
+    pairs with a codegen array transform. Group order (``a.gid <
+    b.gid``) makes each group pair unique; ``least/greatest`` orients
+    each member pair as (low key, high key), matching the oracle's
+    ``a.c_custkey < b.c_custkey`` — valid because every scored field
+    is symmetric and block fields are equal within a pair. On real data
+    (unique names) every group is a singleton and the plan degenerates
+    to exactly the r6 shape; on a pathological block of N copies the
+    quadratic moves out of the join into output expansion, which is
+    the answer's own size."""
+    grouped = _entity_groups(spark, sf_dir)
+
+    within = (
+        grouped.filter(F.size("members") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> struct(x AS a_key, y AS b_key))))"
+                )
+            ).alias("p"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .select(
+            "p.a_key",
+            "p.b_key",
+            "nationkey",
+            "mktsegment",
+            F.lit(0).cast("bigint").alias("name_dist"),
+            F.lit(0.0).alias("bal_delta"),
+        )
+    )
+
+    probe = grouped.withColumn(
         "band", F.explode(F.expr("array(band - 1, band, band + 1)"))
     )
-    a, b = probe.alias("a"), cust.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    )
+    a, b = probe.alias("a"), grouped.alias("b")
     name_dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     bal_delta = F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal"))
-    return pairs.filter(
-        (name_dist <= ENTITY_NAME_DIST) & (bal_delta < ENTITY_BAL_DELTA)
-    ).select(
-        F.col("a.c_custkey").alias("a_key"),
-        F.col("b.c_custkey").alias("b_key"),
-        F.col("a.c_nationkey").alias("nationkey"),
-        F.col("a.c_mktsegment").alias("mktsegment"),
-        name_dist.cast("bigint").alias("name_dist"),
-        F.round(bal_delta, 2).alias("bal_delta"),
+    cross = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .filter((name_dist <= ENTITY_NAME_DIST) & (bal_delta < ENTITY_BAL_DELTA))
+        .select(
+            F.col("a.members").alias("a_members"),
+            F.col("b.members").alias("b_members"),
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_mktsegment").alias("mktsegment"),
+            name_dist.cast("bigint").alias("name_dist"),
+            F.round(bal_delta, 2).alias("bal_delta"),
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(a_members, x -> transform(b_members, "
+                    "y -> struct(least(x, y) AS a_key, greatest(x, y) AS b_key))))"
+                )
+            ).alias("p"),
+            "nationkey",
+            "mktsegment",
+            "name_dist",
+            "bal_delta",
+        )
+        .select("p.a_key", "p.b_key", "nationkey", "mktsegment", "name_dist", "bal_delta")
     )
+    return within.unionByName(cross)
+
+
+def entity_block_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mechanical block-occupancy audit for ``entity_match_pairs``:
+    per (nation, segment, band) block, raw row count vs DISTINCT-entity
+    count. ``n_entities`` is what the banded rep-level join is
+    quadratic in — the number an operator alerts on (LSH's
+    ``max_bucket`` analog, but observable instead of lossy); a block
+    where ``n_rows >> n_entities`` is exactly the replica hot case the
+    collapse phase absorbs."""
+    cust = read_table(spark, sf_dir, "customer").withColumn(
+        "band", F.floor(F.col("c_acctbal") / F.lit(ENTITY_BAL_DELTA))
+    )
+    return cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "band",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_name", "c_acctbal").alias("n_entities"),
+    )
+
+
+ENTITY_OCCUPANCY_ORACLE = f"""
+SELECT c_nationkey AS nationkey,
+       c_mktsegment AS mktsegment,
+       CAST(FLOOR(c_acctbal / {ENTITY_BAL_DELTA}) AS BIGINT) AS band,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT (c_name, c_acctbal)) AS n_entities
+FROM customer
+GROUP BY 1, 2, 3
+"""
 
 
 ENTITY_MATCH_ORACLE = f"""

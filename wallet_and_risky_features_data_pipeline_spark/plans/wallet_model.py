@@ -68,7 +68,14 @@ def wallet_transactions(
     the reference's hot-wallet guard (P8,
     queries/ethereum_wallet_features.sql:381-390); combine with
     ``operators.skew.salted_running_sum`` when dropping them isn't
-    acceptable."""
+    acceptable.
+
+    Memo contract: the per-(session, sf_dir) memo assumes the source
+    parquet at ``sf_dir`` is IMMUTABLE for the session's lifetime (the
+    benchmark corpus is; lakehouse stores are read via generation
+    pointers instead, never through this path). If a caller rewrites
+    the events table in-session it must call ``reset_wallet_memo``
+    (or ``reset_session_memos``) first, or it will read stale legs."""
     if blacklist:
         return _wallet_transactions_build(spark, sf_dir, blacklist)
     with _WT_LOCK:

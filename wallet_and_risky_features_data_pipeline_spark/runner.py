@@ -371,9 +371,13 @@ def run_curate(spark, sf_dir: str, work_dir: str) -> None:
     lifecycle around it."""
     from .plans.llm_ops import curate_training_set
     from .sources.readers import fan_out, read_table
-    from .sources.writers import commit_generation, read_store, vacuum_generations
-
-    from .sources.writers import resolve_store, store_committed
+    from .sources.writers import (
+        commit_generation,
+        read_store,
+        resolve_store,
+        store_committed,
+        vacuum_generations,
+    )
 
     store = f"{work_dir}/curate/training_set"
     snapshot = curate_training_set(fan_out(read_table(spark, sf_dir, "documents")))
@@ -399,7 +403,10 @@ def run_curate(spark, sf_dir: str, work_dir: str) -> None:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("kept_tokens").alias("tokens"),
             F.sum("dropped_passages").alias("boilerplate_cut"),
-            (F.max("pack_id") + 1).alias("n_packs"),
+            # pack_id is assigned within (split, lang) strata, so the
+            # true pack count is distinct (lang, pack_id) pairs — not
+            # max(pack_id)+1, which undercounts multi-lang splits.
+            F.countDistinct("lang", "pack_id").alias("n_packs"),
         )
         .orderBy("split")
         .collect()

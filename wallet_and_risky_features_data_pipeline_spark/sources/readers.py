@@ -128,6 +128,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no Spark job.
+
+    The cheap cardinality source for sizing decisions made at
+    plan-build time (e.g. the IVF √n cell count): parquet footers
+    record per-row-group counts, so ``count_rows`` is a metadata walk,
+    not a scan. Building a plan must never launch a job."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(f"{sf_dir}/{name}.parquet", format="parquet").count_rows()
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> None:

@@ -455,6 +455,12 @@ def commit_generation(df: DataFrame, path: str, tag: str | None = None) -> str:
     base = None
     if os.path.exists(os.path.join(path, _LATEST)):
         base = os.path.basename(resolve_store(path))
+    if tag is None:
+        # Carry the live generation's epoch fence through untagged
+        # commits: a full-snapshot rewrite (or relayout) of a fenced
+        # store must not silently drop the fence, or a replayed
+        # at-least-once epoch after the rewrite would double-apply.
+        tag = generation_tag(path)
     n = _next_gen_number(path)
     gen_name = f"{_GEN_PREFIX}{n:06d}"
     staged = os.path.join(
@@ -548,6 +554,7 @@ def evolve_partitioning(
         if any(not e.startswith((".", "_", _GEN_PREFIX)) for e in os.listdir(path)):
             _adopt_flat_store(path)
     live = read_store(spark, path)
+    live_tag = generation_tag(path)
     n = _next_gen_number(path)
     gen_name = f"{_GEN_PREFIX}{n:06d}"
     base = os.path.basename(resolve_store(path))
@@ -560,6 +567,12 @@ def evolve_partitioning(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staged)
+    if live_tag is not None:
+        # Relayout preserves the epoch fence (see commit_generation):
+        # a store maintained by an at-least-once stream stays
+        # replay-safe across partition evolution.
+        with open(os.path.join(staged, _TAG), "w") as f:
+            f.write(live_tag)
     dest = os.path.join(path, gen_name)
     try:
         os.rename(staged, dest)
@@ -803,7 +816,10 @@ def store_snapshots(spark: SparkSession, path: str) -> DataFrame:
                 n_files += 1
                 n_bytes += _os.path.getsize(_os.path.join(root, f))
         tag_file = _os.path.join(full, _TAG)
-        tag = open(tag_file).read() if _os.path.exists(tag_file) else None
+        tag = None
+        if _os.path.exists(tag_file):
+            with open(tag_file) as tf:
+                tag = tf.read()
         committed = d.startswith(_GEN_PREFIX) and live is not None and d <= live
         status = (
             "live"
