@@ -128,18 +128,18 @@ def main() -> None:
     timings = passes[best]
     wall = wall_runs[best]
 
-    # Isolated tier: heavy queries re-run sequentially, one at a time.
+    # Isolated tier: every query re-run sequentially, one at a time.
     # The concurrent numbers carry ±20% co-scheduling noise from 8
     # queries sharing one 32-core JVM — these sequential figures are
-    # the stable round-over-round signal for per-query regressions.
+    # the stable round-over-round signal, and their SUM is the second
+    # headline metric (isolated_total): clean serial walls swing ±6 s
+    # run-to-run while isolated times stay flat, so round-over-round
+    # comparison reads isolated_total, not the concurrent wall.
     # Coverage: the top-N heaviest get min-of-2 runs (the first run
     # after the concurrent pool can absorb one-off JVM work — observed
-    # as a 10x outlier), and EVERY further query ≥ the concurrent
-    # threshold gets one run (full coverage of the heavy tail within
-    # the wall budget). ``value`` stays the concurrent wall; this tier
-    # only lands in bench_detail.json.
+    # as a 10x outlier); EVERY other query gets one run.
     n_isolated = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "10"))
-    iso_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_MIN_SEC", "1.5"))
+    iso_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_MIN_SEC", "0"))
     isolated: dict[str, float] = {}
     isolated_errors: dict[str, str] = {}
     by_weight = sorted(timings, key=lambda k: -timings[k])
@@ -178,15 +178,28 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
     bench_delta: dict[str, float] = {}
+    prev_isolated_total = None
     try:
         with open(detail_path) as f:
-            prev_isolated = json.load(f).get("isolated", {})
-        bench_delta = {
-            k: round(isolated[k] - prev_isolated[k], 4)
-            for k in sorted(set(isolated) & set(prev_isolated))
-        }
+            prev = json.load(f)
+        # only diff like-for-like: a detail file left by a different-SF
+        # run would turn the delta map into noise
+        if prev.get("sf") == sf:
+            prev_isolated = prev.get("isolated", {})
+            prev_isolated_total = prev.get("isolated_total")
+            bench_delta = {
+                k: round(isolated[k] - prev_isolated[k], 4)
+                for k in sorted(set(isolated) & set(prev_isolated))
+            }
     except (OSError, ValueError):
         pass
+
+    isolated_total = round(sum(isolated.values()), 4)
+    isolated_total_delta = (
+        round(isolated_total - prev_isolated_total, 4)
+        if isinstance(prev_isolated_total, (int, float))
+        else None
+    )
 
     detail = {
         "metric": "headline_queries_total",
@@ -199,6 +212,8 @@ def main() -> None:
         "wall_policy": "min_complete_pass",
         "queries": {k: round(v, 4) for k, v in sorted(timings.items())},
         "isolated": {k: isolated[k] for k in sorted(isolated)},
+        "isolated_total": isolated_total,
+        "isolated_total_delta": isolated_total_delta,
         "isolated_policy": {
             "top_n_min_of_2": len(top),
             "extended_single_run_threshold_sec": iso_threshold,
@@ -233,6 +248,8 @@ def main() -> None:
         "metric": "headline_queries_total",
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "isolated_total": isolated_total,
+        "isolated_n": len(isolated),
         "value": wall,
     }
     print(json.dumps(compact, separators=(",", ":")))
@@ -246,6 +263,12 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        # sum of clean sequential per-query runs (full coverage) —
+        # the mechanical round-over-round signal; the concurrent wall
+        # in "value" swings ±6 s with co-scheduling state
+        "isolated_total": isolated_total,
+        "isolated_n": len(isolated),
+        "isolated_total_delta": isolated_total_delta,
         "value": wall,
     }
     print(json.dumps(headline, separators=(",", ":")))

@@ -685,3 +685,69 @@ def test_schema_drift_between_generations(spark, tmp_path):
         spark.createDataFrame([(1, 2, 7)], "id long, v long, w long"), store
     )
     assert schema_drift(spark, store) == []  # stable schema: clean
+
+
+def test_multiprocess_commit_contention(tmp_path):
+    """Two REAL processes race commit_generation on one store, each
+    retrying on ConcurrentCommitError (the documented optimistic-
+    commit contract). Every attempted commit must eventually land as
+    its own generation, the pointer must name the last one, and no
+    crashed/loser staging residue may remain — the cross-process leg
+    of the CAS guarantee the in-process tests pin."""
+    import os
+    import subprocess
+    import sys
+
+    store = str(tmp_path / "race_store")
+    script = tmp_path / "racer.py"
+    script.write_text(
+        """
+import random, sys, time
+sys.path.insert(0, "/root/repo")
+from wallet_and_risky_features_data_pipeline_spark.session import get_spark
+from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+    ConcurrentCommitError, commit_generation,
+)
+
+store, tag_prefix, start_file = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = get_spark(f"race-{tag_prefix}", shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.range(50).withColumnRenamed("id", "k")
+# barrier: both JVMs finish startup before either begins committing
+while not __import__("os").path.exists(start_file):
+    time.sleep(0.05)
+for i in range(3):
+    while True:
+        try:
+            commit_generation(df, store, tag=f"{tag_prefix}-{i}")
+            break
+        except ConcurrentCommitError:
+            time.sleep(random.uniform(0.01, 0.1))
+print("DONE", tag_prefix)
+"""
+    )
+    start_file = str(tmp_path / "start")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), store, name, start_file],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for name in ("a", "b")
+    ]
+    import time
+
+    time.sleep(20)  # let both sessions boot
+    open(start_file, "w").close()
+    outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations, resolve_store,
+    )
+
+    gens = list_generations(store)
+    assert gens == [f"gen-{n:06d}" for n in range(1, 7)], gens  # all 6 landed
+    assert os.path.basename(resolve_store(store)) == "gen-000006"
+    residue = [e for e in os.listdir(store) if e.startswith(".tmp-gen-")]
+    assert residue == [], residue

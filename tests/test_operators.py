@@ -1367,3 +1367,67 @@ def test_funnel_stage_rows_state_machine(spark):
     )
     alerts, stage, last = _funnel_stage_rows(9, tie, 0, 0)
     assert alerts.empty and stage == 1
+
+
+def test_decoder_contract_real_codecs_if_available(spark):
+    """Zero-diff swap check for REAL codecs: if PIL / soundfile ever
+    appear in the container, drive the same seam with them — a real
+    PNG through decode_image_meta, a real WAV through
+    audio_window_features — and pin that only the decoder argument
+    changes, never the Spark-side plumbing. Skipped (not failed)
+    while the imports are absent."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    has_pil = importlib.util.find_spec("PIL") is not None
+    has_sf = importlib.util.find_spec("soundfile") is not None
+    if not (has_pil or has_sf):
+        _pytest.skip("no real codec libraries in this container")
+
+    import base64
+
+    from wallet_and_risky_features_data_pipeline_spark.operators.multimodal import (
+        audio_window_features,
+        decode_image_meta,
+    )
+
+    if has_pil:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (48, 32)).save(buf, format="PNG")
+        png = buf.getvalue()
+
+        def pil_decoder(payload: bytes):
+            img = Image.open(io.BytesIO(payload))
+            return img.width, img.height, getattr(img, "n_frames", 1)
+
+        payload = spark.createDataFrame(
+            [(1, base64.b64encode(png).decode())], "doc_id long, b64 string"
+        ).selectExpr("doc_id", "unbase64(b64) AS payload", "length(b64) AS n_bytes")
+        row = decode_image_meta(payload, decoder=pil_decoder).collect()[0]
+        assert (row["width"], row["height"], row["n_frames"]) == (48, 32, 1)
+
+    if has_sf:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        buf = io.BytesIO()
+        samples = (np.sin(np.linspace(0, 20, 800)) * 1000).astype(np.int16)
+        sf.write(buf, samples, 8000, format="WAV", subtype="PCM_16")
+
+        def sf_decoder(payload: bytes):
+            data, _rate = sf.read(io.BytesIO(payload), dtype="int16")
+            return data.astype(np.int64)
+
+        payload = spark.createDataFrame(
+            [(1, base64.b64encode(buf.getvalue()).decode())],
+            "doc_id long, b64 string",
+        ).selectExpr("doc_id", "unbase64(b64) AS payload", "length(b64) AS n_bytes")
+        out = audio_window_features(payload, pcm_decoder=sf_decoder, midpoint=0)
+        assert out.count() > 0

@@ -255,3 +255,43 @@ def test_describe_layer_reports_stores(spark, work_dir, capsys):
     assert "files" in out
     # the curate store committed exactly one generation (idempotent re-run)
     assert "describe[curate/training_set]: gen-000001 live" in out
+
+
+def test_serve_names_committed_features_generation(spark, tmp_path_factory):
+    """Kill-between-layers: the serving sync's bookkeeping must always
+    name a COMMITTED features generation. A ghost generation (crash
+    between rename and pointer flip) is ignored; a crashed FIRST
+    commit (gen dirs, no pointer) refuses the sync outright instead
+    of advancing the watermark."""
+    import json
+    import os
+
+    wd = str(tmp_path_factory.mktemp("wrf_serve_atomic"))
+    runner.run_stage(spark, SF_SMALL, wd)
+    runner.run_features(spark, SF_SMALL, wd)
+    runner.run_serve(spark, SF_SMALL, wd)
+    with open(f"{wd}/watermarks.json") as f:
+        marks = json.load(f)
+    assert marks["serving_features_generation"] == "gen-000001"
+    assert "serving_last_tx_us" in marks
+
+    # crash between rename and pointer flip: ghost gen-000002 exists,
+    # _LATEST still names gen-000001 — serve keeps naming the committed one
+    target = f"{wd}/features/contract_state"
+    os.makedirs(f"{target}/gen-000002")
+    open(f"{target}/gen-000002/part-ghost.parquet", "w").close()
+    runner.run_serve(spark, SF_SMALL, wd)
+    with open(f"{wd}/watermarks.json") as f:
+        assert json.load(f)["serving_features_generation"] == "gen-000001"
+
+    # crashed FIRST commit: generations but no pointer — refuse, and
+    # leave the serving bookkeeping untouched
+    wd2 = str(tmp_path_factory.mktemp("wrf_serve_crashed"))
+    target2 = f"{wd2}/features/contract_state"
+    os.makedirs(f"{target2}/gen-000001")
+    open(f"{target2}/gen-000001/part-ghost.parquet", "w").close()
+    with pytest.raises(RuntimeError, match="no\n?.*committed pointer|committed pointer"):
+        runner.run_serve(spark, SF_SMALL, wd2)
+    assert not os.path.exists(f"{wd2}/watermarks.json") or (
+        "serving_last_tx_us" not in json.load(open(f"{wd2}/watermarks.json"))
+    )

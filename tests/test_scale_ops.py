@@ -393,3 +393,72 @@ def test_entity_hot_block_collapses_before_fuzzy_match(spark, tmp_path):
     con.close()
     assert ok, msg
     assert pairs.count() == 435 + 30 + 30 + 1
+
+
+def test_ngram_decontamination_span_merge(spark, tmp_path):
+    """Hand-computed span semantics for corpus_decontaminate_ngram
+    (the oracle mirrors the same merge formula, so a shared formula
+    bug would cross-match; this pins the intended union-of-windows
+    arithmetic): hit at position i contaminates tokens [i, i+N-1];
+    overlapping windows merge; N=4 here."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        corpus_decontaminate_ngram,
+    )
+
+    rows = [
+        (0, "a b c d e f", "en", "t", 11),  # bench (0 % 97 == 0)
+        (1, "a b c d e f x y", "en", "t", 15),  # hits pos 1,2,3 -> 1 span
+        (2, "a b c d z z z z c d e f", "en", "t", 23),  # hits 1,9 -> 2 spans
+        (3, "z z z z z", "en", "t", 9),  # clean
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in corpus_decontaminate_ngram(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3}  # bench doc excluded
+    # doc 1: windows [1,4],[2,5],[3,6] merge to one span covering 6 tokens
+    assert (out[1]["n_grams"], out[1]["n_hits"], out[1]["n_spans"]) == (5, 3, 1)
+    assert out[1]["contaminated_tokens"] == 6 and out[1]["keep"] == 0
+    # doc 2: windows [1,4] and [9,12] stay disjoint (gap 8 > N-1)
+    assert (out[2]["n_grams"], out[2]["n_hits"], out[2]["n_spans"]) == (9, 2, 2)
+    assert out[2]["contaminated_tokens"] == 8 and out[2]["keep"] == 0
+    # doc 3: shorter than any collision, keep
+    assert (out[3]["n_hits"], out[3]["keep"]) == (0, 1)
+
+
+def test_ivf_int8_recall_and_degenerate_exactness(spark):
+    """The quantized scan must cost nothing in answer quality here:
+    (a) probing all cells with an unbounded rerank degenerates int8
+    IVF to exact brute force (the same invariant the float path
+    pins), and (b) at the registered probe settings the int8 path
+    returns the IDENTICAL top-k set as float IVF — quantization
+    residue stays below the rerank boundary."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_int8_topk,
+        ivf_topk,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cent = emb.filter(F.col("vec_id") < 8)
+    n = emb.count()
+
+    exact = {(r.q_id, r.c_id) for r in brute_force_topk(queries, emb, k=3).collect()}
+    degen = {
+        (r.q_id, r.c_id)
+        for r in ivf_int8_topk(queries, emb, cent, k=3, n_probe=8, rerank=n).collect()
+    }
+    assert degen == exact and len(degen) > 0
+
+    flt = {(r.q_id, r.c_id) for r in ivf_topk(queries, emb, cent, k=3, n_probe=3).collect()}
+    i8 = {
+        (r.q_id, r.c_id)
+        for r in ivf_int8_topk(queries, emb, cent, k=3, n_probe=3, rerank=6).collect()
+    }
+    assert i8 == flt

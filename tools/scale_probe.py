@@ -145,6 +145,75 @@ def erase_probe(spark) -> None:
         shutil.rmtree(store, ignore_errors=True)
 
 
+def streaming_state_probe(spark) -> None:
+    """Scale evidence for the RocksDB-backed stateful jobs: run the
+    per-user running-totals and funnel state machines at 1× and
+    COPIES× (events replicate; user_ids do NOT — the realistic
+    direction: more events per key), forcing multiple micro-batches
+    via maxFilesPerTrigger, and assert from the query's own progress
+    metrics that (a) final state ROWS equal the key count at both
+    scales — state scales with keys, never events — and (b) per-batch
+    latency stays flat as state fills (last batch under 3× the median;
+    a state store that degrades with fill shows a rising tail)."""
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stateful_user_totals,
+        stream_funnel_alerts,
+    )
+
+    n_keys = (
+        spark.read.parquet(f"{SRC}/events.parquet").select("user_id").distinct().count()
+    )
+    # the 1x testdata ships events as ONE parquet file = one micro-batch;
+    # the probe needs several, so stream a multi-file copy of the same rows
+    one_x = "/tmp/wrf_stream_1x"
+    if not os.path.exists(f"{one_x}/events.parquet/_SUCCESS"):
+        shutil.rmtree(one_x, ignore_errors=True)
+        spark.read.parquet(f"{SRC}/events.parquet").repartition(6).write.parquet(
+            f"{one_x}/events.parquet"
+        )
+
+    def files_in(d: str) -> int:
+        root = f"{d}/events.parquet"
+        return sum(1 for f in os.listdir(root) if f.endswith(".parquet"))
+
+    for job_name, job in (
+        ("stateful_totals", stateful_user_totals),
+        ("funnel_alerts", stream_funnel_alerts),
+    ):
+        final_rows = {}
+        for label, d in (("sf0.1", one_x), (f"{COPIES}x", DST)):
+            mfpt = max(1, files_in(d) // 6)
+            metrics: list[dict] = []
+            start = time.perf_counter()
+            job(spark, d, max_files_per_trigger=mfpt, metrics_out=metrics)
+            took = time.perf_counter() - start
+            batches = [m for m in metrics if m["state_rows"] is not None]
+            assert len(batches) >= 2, (
+                f"{job_name} {label}: want multi-batch evidence, got "
+                f"{len(batches)} batches"
+            )
+            durs = sorted(m["batch_duration_ms"] or 0 for m in batches)
+            median = durs[len(durs) // 2]
+            last = batches[-1]["batch_duration_ms"] or 0
+            assert last <= max(3 * median, median + 2000), (
+                f"{job_name} {label}: batch latency rising with state fill "
+                f"(last {last} ms vs median {median} ms)"
+            )
+            final_rows[label] = batches[-1]["state_rows"]
+            print(
+                f"streaming_state {job_name:16s} {label:6s} {took:6.2f} s  "
+                f"batches={len(batches)} state_rows={batches[-1]['state_rows']} "
+                f"state_bytes={batches[-1]['state_bytes']} "
+                f"last_batch={last} ms (median {median})",
+                flush=True,
+            )
+        assert final_rows["sf0.1"] == n_keys, final_rows
+        assert final_rows[f"{COPIES}x"] == n_keys, (
+            f"{job_name}: state rows must track KEYS ({n_keys}), not events "
+            f"({final_rows})"
+        )
+
+
 def main() -> None:
     names = sys.argv[1:] or [
         "dedup_cluster_assign",
@@ -157,6 +226,12 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         build_replica(spark, {"documents", "embeddings", "events"})
         erase_probe(spark)
+        return
+    if names == ["streaming-state"]:
+        spark = get_spark("wrf-scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replica(spark, {"documents", "embeddings", "events"})
+        streaming_state_probe(spark)
         return
     spark = get_spark("wrf-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -333,6 +333,118 @@ SELECT q_id, c_id, rank, cosine FROM ranked WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# int8-quantized IVF: the probe scan reads int8 vectors (4× less IO —
+# the number that matters when the index is 100 TB of float32), ranks
+# by the EXACT integer dot (per-vector scales cancel in cosine), and
+# only the top `rerank` survivors per query touch full-precision
+# floats again. Same seed centroids as similarity_ivf_topk so DuckDB
+# replays the index bit-for-bit.
+IVF_INT8_RERANK = 10
+
+
+def similarity_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_int8_topk
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") < 16)
+    return ivf_int8_topk(
+        queries, emb, centroids, k=5, n_probe=4, rerank=IVF_INT8_RERANK
+    )
+
+
+_Q8_SQL = (
+    "CASE WHEN list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE)))) = 0.0"
+    " THEN list_transform({v}, x -> CAST(0 AS BIGINT))"
+    " ELSE list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE)"
+    " / list_max(list_transform({v}, x2 -> abs(CAST(x2 AS DOUBLE)))) * 127 + 0.5)"
+    " AS BIGINT)) END"
+)
+_I8DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (acc, v) -> acc + v)"
+)
+
+SIMILARITY_IVF_INT8_ORACLE = f"""
+WITH normed AS (
+    SELECT vec_id, embedding,
+           {_DOT_SQL.format(a="embedding", b="embedding")} AS norm2,
+           {_Q8_SQL.format(v="embedding")} AS q
+    FROM embeddings
+),
+quant AS (
+    SELECT vec_id, embedding, norm2, q,
+           {_I8DOT_SQL.format(a="q", b="q")} AS qn
+    FROM normed
+),
+cents AS (
+    SELECT vec_id AS cell_id, embedding AS cell_vec, norm2 AS cell_norm2
+    FROM normed WHERE vec_id < 16
+),
+assigned AS (
+    SELECT vec_id AS c_id, q AS c_q, qn AS c_qn, cell_id
+    FROM (
+        SELECT v.*, c.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DOT_SQL.format(a="v.embedding", b="c.cell_vec")}
+                            / (sqrt(v.norm2) * sqrt(c.cell_norm2)) DESC,
+                            c.cell_id
+               ) AS rn
+        FROM quant v, cents c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT q_id, q_q, q_qn, cell_id
+    FROM (
+        SELECT v.vec_id AS q_id, v.q AS q_q, v.qn AS q_qn, c.cell_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DOT_SQL.format(a="v.embedding", b="c.cell_vec")}
+                            / (sqrt(v.norm2) * sqrt(c.cell_norm2)) DESC,
+                            c.cell_id
+               ) AS rn
+        FROM quant v, cents c
+        WHERE v.vec_id % 100 = 0
+    ) WHERE rn <= 4
+),
+shortlist AS (
+    SELECT q_id, c_id, int8_cos
+    FROM (
+        SELECT p.q_id, a.c_id,
+               CAST({_I8DOT_SQL.format(a="p.q_q", b="a.c_q")} AS DOUBLE)
+                 / (sqrt(CAST(p.q_qn AS DOUBLE)) * sqrt(CAST(a.c_qn AS DOUBLE)))
+                   AS int8_cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.q_id
+                   ORDER BY CAST({_I8DOT_SQL.format(a="p.q_q", b="a.c_q")} AS DOUBLE)
+                            / (sqrt(CAST(p.q_qn AS DOUBLE))
+                               * sqrt(CAST(a.c_qn AS DOUBLE))) DESC,
+                            a.c_id
+               ) AS rn
+        FROM probes p JOIN assigned a USING (cell_id)
+        WHERE a.c_id <> p.q_id
+    ) WHERE rn <= {IVF_INT8_RERANK}
+),
+reranked AS (
+    SELECT s.q_id, s.c_id,
+           {_DOT_SQL.format(a="qv.embedding", b="cv.embedding")}
+             / (sqrt(qv.norm2) * sqrt(cv.norm2)) AS cosine,
+           ROUND(s.int8_cos, 6) AS int8_cos
+    FROM shortlist s
+    JOIN normed qv ON qv.vec_id = s.q_id
+    JOIN normed cv ON cv.vec_id = s.c_id
+),
+final AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+    FROM reranked
+)
+SELECT q_id, c_id, rank, cosine, int8_cos FROM final WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # End-to-end corpus curation: the composed training-data pipeline —
 # language-ID → quality gate → exact dedup → per-language corpus stats.
 # One declarative plan: Catalyst fuses the per-doc scoring into a single
@@ -2318,6 +2430,131 @@ SELECT g.doc_id,
              / CAST(COUNT(*) AS DOUBLE), 6) < {DECONTAM_TAU} AS INTEGER) AS keep
 FROM grams g LEFT JOIN bench b ON g.shingle = b.shingle
 GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Contiguous-n-gram decontamination — the published GPT-3 / Llama rule
+# beside the shingle-overlap-τ policy above, selectable per pipeline:
+# a training doc is contaminated wherever a CONTIGUOUS n-gram collides
+# with any benchmark n-gram, and the colliding windows (position i
+# covers tokens [i, i+N-1]) merge into maximal contaminated SPANS the
+# curation step can excise. The published N is 13; this corpus is
+# synthetic word soup over a ~31-token vocabulary, where ≥5-grams are
+# collision-free (the oracle would be vacuous), so the registered
+# entry runs the same machinery at N=4 — N is the policy parameter,
+# nothing in the plan depends on its value.
+#
+# Scale shape: per-doc n-gram counts come straight off the scan
+# (size(tokens)−N+1 — no explode needed); only the HIT positions flow
+# past the broadcast bench-gram probe, so the expensive part is
+# bounded by actual collisions, the corpus is scanned once and never
+# shuffled by gram, and the span-merge window runs over the tiny hit
+# set, not the corpus.
+DECONTAM_NGRAM_N = 4
+
+
+def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = DECONTAM_NGRAM_N
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    is_bench = F.col("doc_id") % 97 == 0
+    toks = docs.select("doc_id", is_bench.alias("is_bench"), tokens("lower(text)").alias("t"))
+    gram_structs = F.expr(
+        f"CASE WHEN size(t) >= {n} THEN transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> struct(i AS pos, array_join(slice(t, i, {n}), ' ') AS g)) "
+        "ELSE array() END"
+    )
+    bench_grams = (
+        toks.filter("is_bench")
+        .select(F.explode(gram_structs).alias("w"))
+        .select(F.col("w.g").alias("g"))
+        .distinct()
+    )
+    hits = (
+        toks.filter(~F.col("is_bench"))
+        .select("doc_id", F.explode(gram_structs).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+        .join(F.broadcast(bench_grams), "g", "leftsemi")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    per_doc = (
+        hits.withColumn("gap", gap)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.sum(
+                F.when(F.col("gap").isNull() | (F.col("gap") > n - 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_spans"),
+            F.sum(
+                F.when(F.col("gap").isNull(), n).otherwise(F.least(F.lit(n), F.col("gap")))
+            )
+            .cast("bigint")
+            .alias("contaminated_tokens"),
+        )
+    )
+    return (
+        toks.filter(~F.col("is_bench"))
+        .select(
+            "doc_id",
+            F.greatest(F.size("t") - F.lit(n - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams"),
+        )
+        .join(F.broadcast(per_doc), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("contaminated_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("contaminated_tokens"),
+            (F.coalesce("n_hits", F.lit(0)) == 0).cast("int").alias("keep"),
+        )
+    )
+
+
+_NGRAM_N = DECONTAM_NGRAM_N
+CORPUS_DECONTAMINATE_NGRAM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, doc_id % 97 = 0 AS is_bench, {_TOKS_SQL} AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, is_bench, i,
+           array_to_string(t[i:i+{_NGRAM_N - 1}], ' ') AS g
+    FROM toks, UNNEST(generate_series(1, greatest(len(t) - {_NGRAM_N - 1}, 0))) AS u(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE is_bench),
+hits AS (
+    SELECT g.doc_id, g.i FROM grams g JOIN bench b USING (g) WHERE NOT g.is_bench
+),
+marked AS (
+    SELECT doc_id, i, i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS gap
+    FROM hits
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap > {_NGRAM_N - 1} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN gap IS NULL THEN {_NGRAM_N}
+                         ELSE least({_NGRAM_N}, gap) END) AS BIGINT)
+               AS contaminated_tokens
+    FROM marked GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(greatest(len(d.t) - {_NGRAM_N - 1}, 0) AS BIGINT) AS n_grams,
+       COALESCE(p.n_hits, 0) AS n_hits,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.contaminated_tokens, 0) AS contaminated_tokens,
+       CAST(COALESCE(p.n_hits, 0) = 0 AS INTEGER) AS keep
+FROM toks d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+WHERE NOT d.is_bench
 """
 
 

@@ -344,3 +344,18 @@ register("wallet_reciprocity", rf.wallet_reciprocity, rf.WALLET_RECIPROCITY_ORAC
 # distinct entities per (nation, segment, band) block — the observable
 # hot-block guard behind entity_match_pairs' collapse phase
 register("entity_block_occupancy", rel.entity_block_occupancy, rel.ENTITY_OCCUPANCY_ORACLE)
+# Contiguous-n-gram decontamination (the published GPT-3/Llama window
+# rule beside the shingle-overlap-τ policy): colliding windows merge
+# into contaminated spans; hits-only past the broadcast bench probe
+register(
+    "corpus_decontaminate_ngram",
+    llm.corpus_decontaminate_ngram,
+    llm.CORPUS_DECONTAMINATE_NGRAM_ORACLE,
+)
+# int8-quantized IVF search: the probe scan reads int8 (4× less IO),
+# ranks by the exact integer dot, floats only touch the rerank rows
+register(
+    "similarity_ivf_int8_topk",
+    llm.similarity_ivf_int8_topk,
+    llm.SIMILARITY_IVF_INT8_ORACLE,
+)

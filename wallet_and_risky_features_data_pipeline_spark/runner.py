@@ -102,11 +102,33 @@ def run_features(spark, sf_dir: str, work_dir: str) -> None:
 
 def run_serve(spark, sf_dir: str, work_dir: str) -> None:
     """Serving sync (EP3 step 3): watermark-gated export of feature
-    rows into a document store via a per-partition sink."""
+    rows into a document store via a per-partition sink.
+
+    Cross-store publish contract: the features layer and the serving
+    export commit independently, so a crash between the two layers
+    must never leave serving claiming a features state that was not
+    actually committed. The sync therefore (a) REFUSES to run while
+    the features store is in the crashed-first-commit state (gen dirs,
+    no ``_LATEST`` pointer — ``resolve_store``'s rule), and (b)
+    records the COMMITTED features generation it observed together
+    with the serving watermark in ONE atomic ``set_many`` rename —
+    the bookkeeping can only ever name a committed generation, and
+    watermark + generation advance or stay together."""
     from .plans.wallet_features import wallet_features
     from .sources.serving import DictStoreClient, foreach_partition_upsert
+    from .sources.writers import list_generations, store_committed
 
     store = WatermarkStore(f"{work_dir}/watermarks.json")
+    features_target = f"{work_dir}/features/contract_state"
+    feat_gen = None
+    if store_committed(features_target):
+        feat_gen = os.path.basename(resolve_store(features_target))
+    elif list_generations(features_target):
+        raise RuntimeError(
+            f"features store {features_target} has generation dirs but no "
+            "committed pointer (a commit crashed); re-run --layer features "
+            "before serving"
+        )
     feats = wallet_features(spark, sf_dir)
     wm = store.get("serving_last_tx_us")
     newer = feats if wm is None else feats.filter(F.col("last_tx_us") > F.lit(wm))
@@ -116,8 +138,16 @@ def run_serve(spark, sf_dir: str, work_dir: str) -> None:
     )
     new_wm = feats.agg(F.max("last_tx_us")).first()[0]
     if new_wm is not None:
-        store.set("serving_last_tx_us", int(new_wm))
-    print(f"serve: upserted {newer.count()} wallets into {uri}")
+        store.set_many(
+            {
+                "serving_last_tx_us": int(new_wm),
+                "serving_features_generation": feat_gen,
+            }
+        )
+    print(
+        f"serve: upserted {newer.count()} wallets into {uri} "
+        f"(features generation: {feat_gen})"
+    )
 
 
 def run_raw(spark, sf_dir: str, work_dir: str) -> None:

@@ -48,11 +48,21 @@ class WatermarkStore:
         return self._load().get(table, default)
 
     def set(self, table: str, value) -> None:
+        self.set_many({table: value})
+
+    def set_many(self, values: dict) -> None:
+        """Update several keys in ONE atomic publish (tmp + rename):
+        either every key lands or none does, and a crash mid-write can
+        never leave a truncated JSON behind. The cross-store commit
+        primitive — e.g. the serving sync records its watermark AND
+        the features generation it exported in a single rename."""
         state = self._load()
-        state[table] = value
+        state.update(values)
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(self.path, "w") as f:
+        tmp = f"{self.path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(state, f)
+        os.replace(tmp, self.path)
 
 
 def incremental_append(

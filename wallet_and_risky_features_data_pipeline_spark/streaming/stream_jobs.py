@@ -23,7 +23,7 @@ from ..sources.readers import _ensure_session_confs, normalize_event_ts
 
 
 
-def events_stream(spark: SparkSession, sf_dir: str, schema):
+def events_stream(spark: SparkSession, sf_dir: str, schema, max_files_per_trigger=None):
     """Streaming reader for the events table, tolerant of BOTH physical
     layouts a parquet table ships in: a single ``events.parquet`` FILE
     (the driver's testdata) needs the directory scan glob-filtered down
@@ -35,18 +35,20 @@ def events_stream(spark: SparkSession, sf_dir: str, schema):
     import os
 
     table = f"{sf_dir}/events.parquet"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # chop the availableNow run into real micro-batches (state
+        # probes need >1 batch to see whether latency stays flat as
+        # state fills) — a single-file source is always one batch
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isdir(table):
-        return spark.readStream.schema(schema).parquet(table)
+        return reader.parquet(table)
     if not os.path.isfile(table):
         # Without this, the glob branch over a missing/typo'd dir would
         # stream ZERO batches and terminate "successfully" — the silent
         # empty-result failure this helper exists to prevent.
         raise FileNotFoundError(f"events table not found at {table}")
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
 
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -118,6 +120,9 @@ def state_store_metrics(query) -> list[dict]:
                     "state_bytes": custom.get(
                         "rocksdbSstFileSize", op.get("memoryUsedBytes")
                     ),
+                    "batch_duration_ms": p.get("batchDuration")
+                    or (p.get("durationMs") or {}).get("triggerExecution"),
+                    "n_input_rows": p.get("numInputRows"),
                 }
             )
     return out
@@ -314,7 +319,12 @@ FROM (
 """
 
 
-def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stateful_user_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger=None,
+    metrics_out: list | None = None,
+) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (SURVEY.md §2.9's Spark mapping for operators the built-in windowed
     aggregations can't express): per-user running totals maintained in
@@ -349,7 +359,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
 
     stream = (
-        events_stream(spark, sf_dir, static.schema)
+        events_stream(spark, sf_dir, static.schema, max_files_per_trigger)
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
@@ -365,6 +375,8 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if metrics_out is not None:
+        metrics_out.extend(state_store_metrics(q))
 
     # latest state per key (single-file source → one batch, but stay
     # correct under multi-batch replays)
@@ -861,7 +873,12 @@ def _funnel_stage_rows(key, batch, stage: int, last_ts_us: int):
     return pd.DataFrame(out), stage, last_ts_us
 
 
-def stream_funnel_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_funnel_alerts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger=None,
+    metrics_out: list | None = None,
+) -> DataFrame:
     """Stateful sequence detection: alert the FIRST time a user
     completes the strict view → click → purchase funnel — a multi-step
     pattern no windowed aggregation expresses (the alert depends on
@@ -897,7 +914,7 @@ def stream_funnel_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = (
-        events_stream(spark, sf_dir, static.schema)
+        events_stream(spark, sf_dir, static.schema, max_files_per_trigger)
         .transform(normalize_event_ts)
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -914,6 +931,8 @@ def stream_funnel_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if metrics_out is not None:
+        metrics_out.extend(state_store_metrics(q))
     return spark.table(name)
 
 
