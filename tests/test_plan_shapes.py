@@ -357,6 +357,8 @@ def test_no_batch_query_plans_a_cartesian_product(spark):
         "bloom_membership_prune",      # one-row bloom word build side
         "similarity_ivf_kmeans_topk",  # centroid sweep (intended NLJ, as dedup_semantic)
         "tfidf_top_terms",             # one-row corpus doc-count scalar
+        "wallet_pagerank",             # one-row node-count scalar per iteration
+        "similarity_ivf_int8_topk",    # centroid probe sweep (as similarity_ivf_topk)
     }
     offenders = {}
     for name, fn in QUERIES.items():

@@ -2674,3 +2674,139 @@ SELECT doc_id, n_tokens,
               ) AS BIGINT)) AS INTEGER) AS sampled
 FROM scored
 """
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplicate spans — the character-level ExactSubstr
+# dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+# Language Models Better"), which removes any ≥L-char span shared
+# verbatim across the corpus. Their suffix array finds arbitrary-
+# length maximal repeats; the distributed rendering here slides an
+# L-char window (a span ≥ L duplicated verbatim ⇔ every/any of its
+# L-windows is duplicated), marks windows seen in ≥2 DISTINCT docs,
+# and merges each doc's hit windows into maximal duplicated spans —
+# the same union-of-windows arithmetic corpus_decontaminate_ngram
+# pins, at character granularity. Scale shape: per-doc window counts
+# come off the scan (no explode); the explode feeds ONE two-phase
+# distinct-doc count per window (map-side combinable) and only
+# DUPLICATED windows' positions flow to the span merge, which windows
+# over hits, not the corpus. At 100 TB the window text would be a
+# rolling hash (functions.text.ROLLING_HASH_SQL) to keep the exchange
+# narrow; at bench scale the verbatim window keeps the oracle
+# collision-free.
+EXACT_SUBSTR_L = 32
+EXACT_SUBSTR_TAU = 0.5  # drop docs that are mostly duplicated text
+
+
+def corpus_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    L = EXACT_SUBSTR_L
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.expr("lower(trim(text))").alias("s")
+    ).select("doc_id", "s", F.expr("length(s)").alias("n_chars"))
+    wins = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(s) >= {L} THEN "
+                f"transform(sequence(1, length(s) - {L - 1}), "
+                f"i -> struct(i AS pos, substring(s, i, {L}) AS win)) "
+                "ELSE array() END"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    dup = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win")
+    )
+    hits = wins.join(dup, "win", "leftsemi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    per_doc = (
+        hits.withColumn("gap", gap)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+            F.sum(
+                F.when(F.col("gap").isNull() | (F.col("gap") > L - 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_spans"),
+            F.sum(
+                F.when(F.col("gap").isNull(), L).otherwise(F.least(F.lit(L), F.col("gap")))
+            )
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+    )
+    dup_frac = F.round(
+        F.coalesce("dup_chars", F.lit(0)) / F.greatest("n_chars", F.lit(1)), 6
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.greatest(F.col("n_chars") - F.lit(L - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_windows"),
+        )
+        .join(F.broadcast(per_doc), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+            dup_frac.alias("dup_frac"),
+            (dup_frac < EXACT_SUBSTR_TAU).cast("int").alias("keep"),
+        )
+    )
+
+
+CORPUS_EXACT_SUBSTR_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lower(trim(text)) AS s, len(lower(trim(text))) AS n_chars
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos, substr(s, i, {EXACT_SUBSTR_L}) AS win
+    FROM t, UNNEST(generate_series(1, greatest(len(s) - {EXACT_SUBSTR_L - 1}, 0)))
+         AS u(i)
+),
+dup AS (
+    SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (win)),
+marked AS (
+    SELECT doc_id, pos,
+           pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+    FROM hits
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap > {EXACT_SUBSTR_L - 1}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN gap IS NULL THEN {EXACT_SUBSTR_L}
+                         ELSE least({EXACT_SUBSTR_L}, gap) END) AS BIGINT)
+               AS dup_chars
+    FROM marked GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n_chars AS BIGINT) AS n_chars,
+       CAST(greatest(t.n_chars - {EXACT_SUBSTR_L - 1}, 0) AS BIGINT) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.dup_chars, 0) AS dup_chars,
+       ROUND(COALESCE(p.dup_chars, 0) / CAST(greatest(t.n_chars, 1) AS DOUBLE), 6)
+           AS dup_frac,
+       CAST(ROUND(COALESCE(p.dup_chars, 0)
+                  / CAST(greatest(t.n_chars, 1) AS DOUBLE), 6)
+            < {EXACT_SUBSTR_TAU} AS INTEGER) AS keep
+FROM t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+"""

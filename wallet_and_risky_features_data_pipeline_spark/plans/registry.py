@@ -359,3 +359,14 @@ register(
     llm.similarity_ivf_int8_topk,
     llm.SIMILARITY_IVF_INT8_ORACLE,
 )
+# Bounded-iteration PageRank in all-integer 1e12 units (truncating
+# DIV is bit-identical across engines → an iterative algorithm with
+# an EXACT value oracle); per-iteration cost |E|, fixed 3 rounds
+register("wallet_pagerank", rf.wallet_pagerank, rf.WALLET_PAGERANK_ORACLE)
+# Rolling z-score outlier flags: trailing-window exact integer moments,
+# one double expression for z, ALL-INTEGER outlier predicate
+# ((n·x−S)² > 9·(n·Q−S²)) so the flag is boundary-proof cross-engine
+register("rolling_zscore_outliers", sk.rolling_zscore_outliers, sk.ROLLING_ZSCORE_ORACLE)
+# Character-level ExactSubstr dedup (Lee et al. 2021): L-char windows
+# duplicated across >=2 docs merge into maximal duplicated spans
+register("corpus_exact_substr", llm.corpus_exact_substr, llm.CORPUS_EXACT_SUBSTR_ORACLE)

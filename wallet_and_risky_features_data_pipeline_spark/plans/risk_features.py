@@ -434,6 +434,122 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Bounded-iteration PageRank over the value-flow graph — the
+# centrality risk feature beside taint (distance) and triangles
+# (structure): a wallet that the whole graph's flow converges on
+# scores high regardless of its distance to any flagged seed. FIXED
+# iteration count (like taint's fixed hops — no convergence loop to
+# monitor), and ALL-INTEGER arithmetic in 1e12-scale units: per-edge
+# contribution r DIV out_deg, damping (85·x) DIV 100, base
+# (15·(SCALE DIV N)) DIV 100 — truncating integer ops are
+# bit-identical across engines, so an iterative float algorithm
+# carries an EXACT value oracle (float summation order never enters).
+# Dangling-node mass evaporates (deterministic, standard in the
+# non-normalized formulation); ranks are relative scores, not a
+# probability simplex. Per-iteration cost is |E| (one equi join + one
+# hash agg on dst) — linear rounds, never quadratic.
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def wallet_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    )
+    edges = persist_tracked(
+        legs.select(
+            F.col("wallet_address").alias("src"),
+            F.col("interacted_with").alias("dst"),
+        ).distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("w"))
+        .union(edges.select(F.col("dst").alias("w")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    base = F.expr(f"(15 * (CAST({PR_SCALE} AS BIGINT) DIV n)) DIV 100")
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "w", "n", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        inc = (
+            edges.join(
+                ranks.select(F.col("w").alias("src"), "r"), "src"
+            )
+            .join(deg, "src")
+            .select(F.col("dst").alias("w"), F.expr("r DIV out_deg").alias("c"))
+            .groupBy("w")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(inc, "w", "left")
+            .select(
+                "w",
+                "n",
+                (
+                    base
+                    + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("w").alias("wallet_address"),
+        F.col("r").alias("rank_units"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("pagerank"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""it{k} AS (
+    SELECT nd.w,
+           ((15 * (CAST({PR_SCALE} AS BIGINT) // nn.n)) // 100)
+           + (85 * COALESCE(i.inc, 0)) // 100 AS r
+    FROM pr_nodes nd CROSS JOIN pr_n nn
+    LEFT JOIN (
+        SELECT e.dst AS w, SUM(p.r // d.out_deg) AS inc
+        FROM {prev} p
+        JOIN pr_edges e ON e.src = p.w
+        JOIN pr_deg d ON d.src = p.w
+        GROUP BY 1
+    ) i ON i.w = nd.w
+)"""
+        )
+        prev = f"it{k}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {{wallet_tx_cte}},
+pr_edges AS (
+    SELECT DISTINCT wallet_address AS src, interacted_with AS dst
+    FROM wallet_tx
+    WHERE address_role = 'sender' AND interacted_with IS NOT NULL
+),
+pr_nodes AS (SELECT src AS w FROM pr_edges UNION SELECT dst FROM pr_edges),
+pr_n AS (SELECT COUNT(*) AS n FROM pr_nodes),
+pr_deg AS (SELECT src, COUNT(*) AS out_deg FROM pr_edges GROUP BY 1),
+r0 AS (
+    SELECT w, CAST({PR_SCALE} AS BIGINT) // nn.n AS r
+    FROM pr_nodes CROSS JOIN pr_n nn
+),
+{chain}
+SELECT w AS wallet_address,
+       CAST(r AS BIGINT) AS rank_units,
+       CAST(r AS DOUBLE) / {PR_SCALE} AS pagerank
+FROM {prev}
+"""
+
+
+WALLET_PAGERANK_ORACLE = _pagerank_oracle().format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
 # Candle re-aggregation: daily candles derived FROM the hourly ones —
 # OHLC is a mergeable aggregate (open/close ride the order key,
 # high/low/volume are min/max/sum), so coarser grains re-aggregate

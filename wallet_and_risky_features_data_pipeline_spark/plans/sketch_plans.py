@@ -611,3 +611,89 @@ SELECT l_returnflag, n,
            AS corr_qty_discount
 FROM sums
 """
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score outlier flags: each event scored against its user's
+# TRAILING window of prior events (rows frame, never the current row —
+# the score must not contaminate its own baseline). The monitoring /
+# anomaly-detection feature every risk pipeline runs on value streams.
+# Numerics follow feature_correlations' discipline: the frame keeps
+# EXACT integer moments (Σcents, Σcents², n), then
+# z = (n·x − S) / sqrt(n·Q − S²) is ONE double expression from exact
+# integers — and the outlier DECISION never touches floats at all:
+# |z| > 3  ⇔  (n·x − S)² > 9·(n·Q − S²), an all-integer predicate, so
+# the flag is boundary-proof cross-engine. Windows under
+# ZSCORE_MIN_BASELINE rows (cold start) or with zero variance score
+# NULL and never flag. One window pass over the (user, ts, id) order —
+# per-partition linear, the same shape as every running-balance plan.
+ZSCORE_WINDOW = 10
+ZSCORE_MIN_BASELINE = 5
+
+
+def rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_WINDOW, -1)
+    )
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"),
+    )
+    num = F.col("n") * F.col("cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    usable = (F.col("n") >= ZSCORE_MIN_BASELINE) & (var_n2 > 0)
+    return stats.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.col("n").alias("n_baseline"),
+        F.when(usable, num / F.sqrt(var_n2.cast("double"))).alias("z"),
+        F.when(usable & (num * num > 9 * var_n2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_outlier"),
+    )
+
+
+ROLLING_ZSCORE_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+stats AS (
+    SELECT user_id, event_id, ts, cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           SUM(cents) OVER w AS s,
+           SUM(cents * cents) OVER w AS q
+    FROM ev
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT user_id, event_id, ts, cents,
+       n AS n_baseline,
+       CASE WHEN n >= {ZSCORE_MIN_BASELINE} AND n * q - s * s > 0
+            THEN CAST(n * cents - s AS DOUBLE)
+                 / sqrt(CAST(n * q - s * s AS DOUBLE))
+       END AS z,
+       CAST(CASE WHEN n >= {ZSCORE_MIN_BASELINE} AND n * q - s * s > 0
+                  AND (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)
+            THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+FROM stats
+"""
