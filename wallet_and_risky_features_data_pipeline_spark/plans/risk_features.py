@@ -463,13 +463,17 @@ def wallet_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("interacted_with").alias("dst"),
         ).distinct()
     )
-    nodes = (
+    # nodes/deg appear in every iteration's lineage (3× each) — persist
+    # so the union-distinct and degree agg run once, not per round
+    nodes = persist_tracked(
         edges.select(F.col("src").alias("w"))
         .union(edges.select(F.col("dst").alias("w")))
         .distinct()
     )
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = persist_tracked(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    )
     base = F.expr(f"(15 * (CAST({PR_SCALE} AS BIGINT) DIV n)) DIV 100")
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "w", "n", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("r")
