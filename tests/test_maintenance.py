@@ -751,3 +751,37 @@ print("DONE", tag_prefix)
     assert os.path.basename(resolve_store(store)) == "gen-000006"
     residue = [e for e in os.listdir(store) if e.startswith(".tmp-gen-")]
     assert residue == [], residue
+
+
+def test_apply_changes_round_trips_snapshot_diff(spark, tmp_path):
+    """CDC loop closure: replaying snapshot_diff(old → new) onto the
+    old generation must reconstruct the new one as an exact multiset —
+    a downstream mirror following the store by deltas stays
+    bit-faithful. Also: applying an empty feed is the identity."""
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        apply_changes,
+        commit_generation,
+        read_store,
+        snapshot_diff,
+    )
+
+    store = str(tmp_path / "cdc_store")
+    g1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    g2 = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40), (5, "e", 50)],
+        "id long, s string, v long",
+    )
+    commit_generation(g1, store)
+    commit_generation(g2, store)
+
+    old = read_store(spark, store, generation=1)
+    new = read_store(spark, store, generation=2)
+    feed = snapshot_diff(spark, store, ["id"], 1, 2)
+    rebuilt = apply_changes(old, feed, ["id"]).select(new.columns)
+    assert rebuilt.exceptAll(new).isEmpty() and new.exceptAll(rebuilt).isEmpty()
+
+    empty_feed = snapshot_diff(spark, store, ["id"], 2, 2)
+    ident = apply_changes(new, empty_feed, ["id"]).select(new.columns)
+    assert ident.exceptAll(new).isEmpty() and new.exceptAll(ident).isEmpty()

@@ -370,3 +370,7 @@ register("rolling_zscore_outliers", sk.rolling_zscore_outliers, sk.ROLLING_ZSCOR
 # Character-level ExactSubstr dedup (Lee et al. 2021): L-char windows
 # duplicated across >=2 docs merge into maximal duplicated spans
 register("corpus_exact_substr", llm.corpus_exact_substr, llm.CORPUS_EXACT_SUBSTR_ORACLE)
+# Load-bearing streaming dedup: source read TWICE and unioned
+# (simulated at-least-once redelivery), watermarked dropDuplicates
+# must restore exactly-once before the agg — oracle counts ONE copy
+register("streaming_dedup_counts", sj.stream_dedup_counts, sj.STREAM_DEDUP_COUNTS_ORACLE)

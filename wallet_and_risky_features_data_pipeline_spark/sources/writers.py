@@ -530,6 +530,29 @@ def snapshot_diff(
     )
 
 
+def apply_changes(
+    prev: DataFrame, changes: DataFrame, key: Sequence[str]
+) -> DataFrame:
+    """The CONSUMER side of ``snapshot_diff``: replay a change feed
+    onto the older snapshot and reconstruct the newer one — how a
+    downstream mirror (serving index, remote replica, derived cache)
+    follows a 100 TB store by shipping row-level deltas instead of
+    full snapshots. Removed/changed keys anti-join out of ``prev``
+    (one shuffle on the key, the delta side is change-feed-sized);
+    added/changed rows re-enter from the feed's ``after`` payloads.
+    Invariant (pinned by the round-trip test):
+    ``apply_changes(gen_old, snapshot_diff(old→new)) ≡ gen_new`` as an
+    exact multiset."""
+    keys = list(key)
+    dropped = changes.filter(
+        F.col("change_type").isin("removed", "changed")
+    ).select(*keys)
+    incoming = changes.filter(
+        F.col("change_type").isin("added", "changed")
+    ).select(*keys, "after.*")
+    return prev.join(dropped, on=keys, how="left_anti").unionByName(incoming)
+
+
 def evolve_partitioning(
     spark: SparkSession,
     path: str,

@@ -1021,3 +1021,61 @@ def stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("volume").cast("double").alias("volume"),
         "n_ticks",
     )
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-bearing streaming deduplication: the source is read TWICE
+    and unioned — a faithful simulation of at-least-once redelivery
+    (every event arrives exactly two times) — and watermarked
+    ``dropDuplicates`` on the event key must collapse the stream back
+    to exactly-once semantics before the aggregate. The oracle counts
+    the SINGLE-copy batch table, so a dedup that leaks even one
+    duplicate doubles a count and hash-mismatches (contrast
+    windowed_event_counts, where the dedup guard runs against an
+    already-unique source). State is one key per event inside the
+    watermark horizon — RocksDB-backed, and the watermark expires it;
+    totals in integer cents (floor(x·100+0.5), the stateful-totals
+    recipe) so arrival order can never move a sum."""
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_dedup_ckpt_")
+
+    redelivered = events_stream(spark, sf_dir, static.schema).unionByName(
+        events_stream(spark, sf_dir, static.schema)
+    )
+    stream = (
+        redelivered.transform(normalize_event_ts)
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # COUNT(DISTINCT) is unsupported over streams (it isn't an
+            # incrementally mergeable agg); the distinct-user question
+            # belongs to the HLL tier at this point in a pipeline
+            F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).alias("total_cents"),
+        )
+    )
+    name = "wrf_dedup_counts"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+STREAM_DEDUP_COUNTS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+GROUP BY 1
+"""
