@@ -462,3 +462,77 @@ def test_ivf_int8_recall_and_degenerate_exactness(spark):
         for r in ivf_int8_topk(queries, emb, cent, k=3, n_probe=3, rerank=6).collect()
     }
     assert i8 == flt
+
+
+def test_entity_collapse_matches_brute_force_property(spark, tmp_path):
+    """Property: on random customer tables — duplicate records, names
+    one edit apart, balances pinned on band boundaries, negatives —
+    collapse-then-expand entity_match_pairs emits EXACTLY the pairs a
+    driver-side brute force over all within-(nation, segment) pairs
+    does. The band explode-probe and the group expansion can't lose or
+    double a pair anywhere in that space."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.relational import (
+        ENTITY_BAL_DELTA,
+        ENTITY_NAME_DIST,
+        entity_match_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = st.sampled_from(["ab", "ac", "abc", "abd", "xbc", "zz", "zzq"])
+    # balances ON the 100-band boundary, adjacent, negative, and far
+    bals = st.sampled_from([-150.0, -100.0, -0.5, 0.0, 99.9, 100.0, 199.9, 500.0])
+    rows_st = st.lists(
+        st.tuples(names, st.integers(1, 2), bals), min_size=2, max_size=12
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_st)
+    def check(rows):
+        counter[0] += 1
+        recs = [
+            (k + 1, name, nat, bal, "SEG") for k, (name, nat, bal) in enumerate(rows)
+        ]
+        d = tmp_path / f"case{counter[0]}"
+        d.mkdir(exist_ok=True)
+        spark.createDataFrame(
+            recs,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).write.mode("overwrite").parquet(str(d / "customer.parquet"))
+
+        expected = set()
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i], recs[j]
+                if (
+                    a[2] == b[2]
+                    and lev(a[1], b[1]) <= ENTITY_NAME_DIST
+                    and abs(a[3] - b[3]) < ENTITY_BAL_DELTA
+                ):
+                    expected.add((a[0], b[0]))
+        got = {
+            (r["a_key"], r["b_key"])
+            for r in entity_match_pairs(spark, str(d)).collect()
+        }
+        assert got == expected, (sorted(got ^ expected), recs)
+
+    check()

@@ -220,6 +220,11 @@ def main() -> None:
         "dedup_decisions",
         "dedup_minhash_lsh",
         "text_repetition",
+        # r8 additions: the newest quadratic-risk surfaces
+        "entity_match_pairs",
+        "corpus_exact_substr",
+        "wallet_pagerank",
+        "similarity_ivf_int8_topk",
     ]
     if names == ["erase"]:
         spark = get_spark("wrf-scale-probe")

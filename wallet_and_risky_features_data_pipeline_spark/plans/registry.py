@@ -374,3 +374,7 @@ register("corpus_exact_substr", llm.corpus_exact_substr, llm.CORPUS_EXACT_SUBSTR
 # (simulated at-least-once redelivery), watermarked dropDuplicates
 # must restore exactly-once before the agg — oracle counts ONE copy
 register("streaming_dedup_counts", sj.stream_dedup_counts, sj.STREAM_DEDUP_COUNTS_ORACLE)
+# Stateful streaming z-score: per-user trailing-value deque in group
+# state reproduces the BATCH rolling window exactly — held to the
+# batch query's own oracle (streaming ≡ batch, the strongest claim)
+register("streaming_rolling_zscore", sj.stream_rolling_zscore, sk.ROLLING_ZSCORE_ORACLE)

@@ -1079,3 +1079,90 @@ SELECT event_type,
 FROM events
 GROUP BY 1
 """
+
+
+def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: the batch trailing-window z-score
+    (``plans.sketch_plans.rolling_zscore_outliers``) maintained as
+    per-user group state — the anomaly monitor running ON the stream
+    instead of over the lake. No built-in streaming window expresses
+    "the 10 rows before this one, per key", so the state is the
+    user's trailing value deque (``applyInPandasWithState``); rows
+    advance it in deterministic (ts, event_id) order, the funnel
+    job's convention. Scoring repeats the batch discipline exactly:
+    integer-cents moments from the deque, z as one float expression
+    over exact ints, the outlier flag from the all-integer predicate
+    — so the STREAMING execution is held to the BATCH query's own
+    DuckDB oracle, the strongest equivalence the harness can state.
+    Cold-start (< 5 prior rows) and zero-variance baselines emit NULL
+    z (None through Arrow, never NaN — NaN would hash-mismatch the
+    SQL NULL)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    from ..plans.sketch_plans import ZSCORE_MIN_BASELINE, ZSCORE_WINDOW
+
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_zscore_ckpt_")
+
+    out_schema = StructType.fromDDL(
+        "user_id long, event_id long, ts timestamp, cents long, "
+        "n_baseline long, z double, is_outlier int"
+    )
+    state_schema = StructType.fromDDL("tail array<long>")
+
+    def update(key, pdfs, state: GroupState):
+        (tail,) = state.get if state.exists else ([],)
+        tail = list(tail)
+        out = {c: [] for c in
+               ("user_id", "event_id", "ts", "cents", "n_baseline", "z", "is_outlier")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                cents = int(math.floor(row.value * 100 + 0.5))
+                n, s, q = len(tail), sum(tail), sum(c * c for c in tail)
+                num = n * cents - s
+                var_n2 = n * q - s * s
+                usable = n >= ZSCORE_MIN_BASELINE and var_n2 > 0
+                out["user_id"].append(key[0])
+                out["event_id"].append(row.event_id)
+                out["ts"].append(row.ts)
+                out["cents"].append(cents)
+                out["n_baseline"].append(n)
+                out["z"].append(num / math.sqrt(var_n2) if usable else None)
+                out["is_outlier"].append(
+                    1 if usable and num * num > 9 * var_n2 else 0
+                )
+                tail.append(cents)
+                if len(tail) > ZSCORE_WINDOW:
+                    tail.pop(0)
+        state.update((tail,))
+        # object dtype keeps missing z as None -> Arrow null (a float
+        # column would smuggle NaN, which is NOT the SQL NULL)
+        frame = pd.DataFrame(out)
+        frame["z"] = frame["z"].astype(object)
+        yield frame
+
+    stream = (
+        events_stream(spark, sf_dir, static.schema)
+        .transform(normalize_event_ts)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "wrf_rolling_zscore"
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
