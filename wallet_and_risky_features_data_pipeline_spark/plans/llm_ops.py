@@ -2810,3 +2810,54 @@ SELECT t.doc_id,
             < {EXACT_SUBSTR_TAU} AS INTEGER) AS keep
 FROM t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Quality-aware duplicate-cluster selection: dedup_decisions keeps the
+# min-id representative (the arbitrary-but-deterministic convention);
+# real curation keeps the BEST member — here the longest (token count,
+# the quality proxy the gate already uses), tie-broken to the smaller
+# id. Composes the memoized MinHash→LSH→CC assignment with one
+# per-cluster window rank — no new corpus pass, no new pair work; the
+# policy is a projection over the existing cluster table.
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    assigned = _cluster_assignment(spark, sf_dir)
+    toks = fan_out(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    j = assigned.select("doc_id", "cluster_id").join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    rank = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.col("n_tokens").desc(), "doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        "n_tokens",
+        (rank == 1).cast("int").alias("keep"),
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE assigned AS ({DEDUP_CLUSTER_ORACLE}),
+tok AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+j AS (
+    SELECT a.doc_id, a.cluster_id, t.n_tokens
+    FROM assigned a JOIN tok t USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       n_tokens,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) = 1
+        AS INTEGER) AS keep
+FROM j
+"""

@@ -378,3 +378,7 @@ register("streaming_dedup_counts", sj.stream_dedup_counts, sj.STREAM_DEDUP_COUNT
 # state reproduces the BATCH rolling window exactly — held to the
 # batch query's own oracle (streaming ≡ batch, the strongest claim)
 register("streaming_rolling_zscore", sj.stream_rolling_zscore, sk.ROLLING_ZSCORE_ORACLE)
+# Quality-aware cluster selection: keep the LONGEST member per
+# duplicate cluster (curation's policy) — a projection over the
+# memoized assignment, no new pair work
+register("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_ORACLE)

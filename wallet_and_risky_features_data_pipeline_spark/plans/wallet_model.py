@@ -82,9 +82,27 @@ def wallet_transactions(
         per_session = _WT_MEMO.setdefault(spark, {})
         wt = per_session.get(sf_dir)
         if wt is None:
-            wt = _wallet_transactions_build(spark, sf_dir, ()).persist()
+            wt = _wallet_transactions_build(spark, sf_dir, ()).persist(
+                _memo_storage_level()
+            )
             per_session[sf_dir] = wt
         return wt
+
+
+def _memo_storage_level():
+    """Storage level for the leg-table memo. Default MEMORY_AND_DISK;
+    ``SPARK_GRAFT_MEMO_STORAGE=disk`` pins it to DISK_ONLY for
+    memory-tight executors — the cached explosion is the largest
+    resident block in the wallet family, and under ~1 GB/core heap at
+    100× density, keeping it off-heap-pressure is the difference
+    between spilling and an executor OOM (PLANS.md §memory-per-core)."""
+    import os
+
+    from pyspark import StorageLevel
+
+    if os.environ.get("SPARK_GRAFT_MEMO_STORAGE", "").lower() == "disk":
+        return StorageLevel.DISK_ONLY
+    return StorageLevel.MEMORY_AND_DISK
 
 
 def reset_wallet_memo(spark: SparkSession) -> None:
