@@ -134,8 +134,6 @@ def incremental_contract_state(prior: DataFrame, new_wt: DataFrame) -> DataFrame
     from ..operators.windows import (
         dedup_rank,
         deterministic_order,
-        latest_per_key,
-        partition_totals,
         running_sum,
     )
     from ..plans.wallet_model import ORDER_COLS, by_wallet
@@ -150,35 +148,26 @@ def incremental_contract_state(prior: DataFrame, new_wt: DataFrame) -> DataFrame
     df = df.join(seeds, on=key, how="left").withColumn(
         "balance", (F.coalesce(F.col("__seed"), zero) + F.col("__local_bal")).cast(_NUM)
     )
-    df = partition_totals(
-        df,
-        key,
-        {
-            "incoming_value": F.sum(
-                F.when(F.col("address_role") == "receiver", F.col("current_value")).otherwise(zero)
-            ),
-            "outgoing_value": F.sum(
-                F.when(F.col("address_role") == "sender", F.col("current_value")).otherwise(zero)
-            ),
-            "contract_fees": F.sum("tx_fee"),
-            "contract_tx": F.count(F.when(F.col("hash_rank") == 1, F.lit(1))),
-            "first_ts": F.min("ts"),
-            "last_ts": F.max("ts"),
-            "max_balance": F.max("balance"),
-            "min_pos_balance": F.min(F.when(F.col("balance") > 0, F.col("balance"))),
-        },
-    )
-    seg = latest_per_key(df, key, order_desc=("row_num",)).select(
-        *key,
-        F.col("balance").alias("final_balance"),
-        "incoming_value",
-        "outgoing_value",
-        "contract_fees",
-        "contract_tx",
-        "first_ts",
-        "last_ts",
-        "max_balance",
-        "min_pos_balance",
+    # Segment totals as ONE hash aggregate over the seeded-balance rows
+    # (the r8 flagship shape — plans/wallet_features.py docstring): the
+    # prior unbounded-window stack OOMed memory-tight executors, and
+    # the incremental path runs in production merges where that
+    # matters most. Semantics identical; held to the same
+    # full-recompute oracle and split property tests.
+    seg = df.groupBy(*key).agg(
+        F.max_by("balance", "row_num").alias("final_balance"),
+        F.sum(
+            F.when(F.col("address_role") == "receiver", F.col("current_value")).otherwise(zero)
+        ).alias("incoming_value"),
+        F.sum(
+            F.when(F.col("address_role") == "sender", F.col("current_value")).otherwise(zero)
+        ).alias("outgoing_value"),
+        F.sum("tx_fee").alias("contract_fees"),
+        F.count(F.when(F.col("hash_rank") == 1, F.lit(1))).alias("contract_tx"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max("balance").alias("max_balance"),
+        F.min(F.when(F.col("balance") > 0, F.col("balance"))).alias("min_pos_balance"),
     )
 
     p = prior.select(*key, *[F.col(c).alias(f"p_{c}") for c in prior.columns if c not in key])
