@@ -178,7 +178,6 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
     bench_delta: dict[str, float] = {}
-    prev_isolated_total = None
     try:
         with open(detail_path) as f:
             prev = json.load(f)
@@ -186,7 +185,6 @@ def main() -> None:
         # run would turn the delta map into noise
         if prev.get("sf") == sf:
             prev_isolated = prev.get("isolated", {})
-            prev_isolated_total = prev.get("isolated_total")
             bench_delta = {
                 k: round(isolated[k] - prev_isolated[k], 4)
                 for k in sorted(set(isolated) & set(prev_isolated))
@@ -195,11 +193,14 @@ def main() -> None:
         pass
 
     isolated_total = round(sum(isolated.values()), 4)
-    isolated_total_delta = (
-        round(isolated_total - prev_isolated_total, 4)
-        if isinstance(prev_isolated_total, (int, float))
-        else None
-    )
+    # Delta over the INTERSECTION of query sets: a query that errored
+    # this round (absent from `isolated`) or was added/removed between
+    # rounds must not masquerade as a performance change — only
+    # queries measured in BOTH rounds contribute to the headline delta
+    # (same discipline as the per-query bench_delta map).
+    isolated_total_delta = None
+    if bench_delta:
+        isolated_total_delta = round(sum(bench_delta.values()), 4)
 
     detail = {
         "metric": "headline_queries_total",

@@ -295,3 +295,22 @@ def test_serve_names_committed_features_generation(spark, tmp_path_factory):
     assert not os.path.exists(f"{wd2}/watermarks.json") or (
         "serving_last_tx_us" not in json.load(open(f"{wd2}/watermarks.json"))
     )
+
+
+def test_serve_refuses_when_recorded_store_vanished(spark, tmp_path_factory):
+    """If serving bookkeeping names a committed features generation but
+    the store directory is gone, the sync must REFUSE — overwriting
+    the record with None would erase the only evidence of what serving
+    currently holds."""
+    import json
+    import shutil
+
+    wd = str(tmp_path_factory.mktemp("wrf_serve_vanish"))
+    runner.run_stage(spark, SF_SMALL, wd)
+    runner.run_features(spark, SF_SMALL, wd)
+    runner.run_serve(spark, SF_SMALL, wd)
+    shutil.rmtree(f"{wd}/features/contract_state")
+    with pytest.raises(RuntimeError, match="no longer exists"):
+        runner.run_serve(spark, SF_SMALL, wd)
+    with open(f"{wd}/watermarks.json") as f:
+        assert json.load(f)["serving_features_generation"] == "gen-000001"

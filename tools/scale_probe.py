@@ -166,11 +166,19 @@ def streaming_state_probe(spark) -> None:
     # the 1x testdata ships events as ONE parquet file = one micro-batch;
     # the probe needs several, so stream a multi-file copy of the same rows
     one_x = "/tmp/wrf_stream_1x"
-    if not os.path.exists(f"{one_x}/events.parquet/_SUCCESS"):
-        shutil.rmtree(one_x, ignore_errors=True)
+    marker = f"{one_x}/.built_from"
+    stale = not (
+        os.path.exists(f"{one_x}/events.parquet/_SUCCESS")
+        and os.path.exists(marker)
+        and open(marker).read() == SRC
+    )
+    if stale:  # same built-from rule as build_replica: never reuse
+        shutil.rmtree(one_x, ignore_errors=True)  # another SRC's copy
         spark.read.parquet(f"{SRC}/events.parquet").repartition(6).write.parquet(
             f"{one_x}/events.parquet"
         )
+        with open(marker, "w") as f:
+            f.write(SRC)
 
     def files_in(d: str) -> int:
         root = f"{d}/events.parquet"

@@ -175,6 +175,40 @@ def ivf_assign(
     )
 
 
+def _probe_cells(
+    q: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query cell selection — the ONE definition of probe ranking
+    (float centroid cosine, desc, ``cell_id`` tie-break) shared by the
+    float and int8 IVF paths, so the tie-break both DuckDB oracles
+    mirror can never fork. ``q`` must carry ``q_vec``/``q_norm2`` plus
+    any payload columns; all are preserved, ``cell_id`` is added."""
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("cell_vec"),
+        _dot(vec_col, vec_col).alias("cell_norm2"),
+    )
+    probe_cos = _dot("q_vec", "cell_vec") / (F.sqrt("q_norm2") * F.sqrt("cell_norm2"))
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("probe_cos", probe_cos)
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("probe_cos").desc(), F.col("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .drop("cell_vec", "cell_norm2", "probe_cos", "probe_rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -200,28 +234,13 @@ def ivf_topk(
     which is the recall invariant the unit test pins.
     """
     idx = ivf_assign(candidates, centroids, id_col, vec_col)
-    cent = centroids.select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).alias("cell_vec"),
-        _dot(vec_col, vec_col).alias("cell_norm2"),
-    )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         _dot(vec_col, vec_col).alias("q_norm2"),
     )
-    probe_cos = _dot("q_vec", "cell_vec") / (F.sqrt("q_norm2") * F.sqrt("cell_norm2"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("probe_cos", probe_cos)
-        .withColumn(
-            "probe_rank",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.col("probe_cos").desc(), F.col("cell_id"))
-            ),
-        )
-        .filter(F.col("probe_rank") <= n_probe)
-        .select("q_id", "q_vec", "q_norm2", "cell_id")
+    probes = _probe_cells(q, centroids, n_probe, id_col, vec_col).select(
+        "q_id", "q_vec", "q_norm2", "cell_id"
     )
     pairs = probes.join(idx, "cell_id").filter(F.col("q_id") != F.col("c_id"))
     cosine = _dot("q_vec", "c_vec") / (F.sqrt("q_norm2") * F.sqrt("c_norm2"))
@@ -293,11 +312,6 @@ def ivf_int8_topk(
     qidx = quantize_int8(idx, "c_vec").select(
         "c_id", "cell_id", F.col("qvec").alias("c_q"), F.col("qnorm2").alias("c_qn")
     )
-    cent = centroids.select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).alias("cell_vec"),
-        _dot(vec_col, vec_col).alias("cell_norm2"),
-    )
     q = quantize_int8(
         queries.select(
             F.col(id_col).alias("q_id"),
@@ -306,20 +320,8 @@ def ivf_int8_topk(
         ),
         "q_vec",
     ).select("q_id", "q_vec", "q_norm2", F.col("qvec").alias("q_q"), F.col("qnorm2").alias("q_qn"))
-    probe_cos = _dot("q_vec", "cell_vec") / (F.sqrt("q_norm2") * F.sqrt("cell_norm2"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("probe_cos", probe_cos)
-        .withColumn(
-            "probe_rank",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(
-                    F.col("probe_cos").desc(), F.col("cell_id")
-                )
-            ),
-        )
-        .filter(F.col("probe_rank") <= n_probe)
-        .select("q_id", "q_q", "q_qn", "cell_id")
+    probes = _probe_cells(q, centroids, n_probe, id_col, vec_col).select(
+        "q_id", "q_q", "q_qn", "cell_id"
     )
     # int8 scan: exact-integer dot, scales cancel in the ranking
     int_cos = F.expr(_IDOT.format(a="q_q", b="c_q")).cast("double") / (

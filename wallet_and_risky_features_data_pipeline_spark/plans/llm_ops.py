@@ -2454,9 +2454,47 @@ GROUP BY 1
 DECONTAM_NGRAM_N = 4
 
 
-def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _merge_hit_spans(
+    hits: DataFrame,
+    width: int,
+    n_hits: str,
+    n_spans: str,
+    covered: str,
+) -> DataFrame:
+    """Union-of-windows arithmetic, defined ONCE for every windowed
+    collision detector (token n-grams here, char windows in
+    ``corpus_exact_substr``): a hit at position i covers units
+    [i, i+width-1]; sorted per-doc hit positions merge into maximal
+    spans (a new span starts where the gap to the previous hit exceeds
+    width-1) and the covered-unit total is Σ min(width, gap) + width.
+    ``hits`` must carry (doc_id, pos); returns one row per doc with
+    the three named counts."""
     from pyspark.sql import Window
 
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    return (
+        hits.withColumn("gap", gap)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_hits),
+            F.sum(
+                F.when(F.col("gap").isNull() | (F.col("gap") > width - 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(n_spans),
+            F.sum(
+                F.when(F.col("gap").isNull(), width).otherwise(
+                    F.least(F.lit(width), F.col("gap"))
+                )
+            )
+            .cast("bigint")
+            .alias(covered),
+        )
+    )
+
+
+def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = DECONTAM_NGRAM_N
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     is_bench = F.col("doc_id") % 97 == 0
@@ -2478,25 +2516,7 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
         .join(F.broadcast(bench_grams), "g", "leftsemi")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gap = F.col("pos") - F.lag("pos").over(w)
-    per_doc = (
-        hits.withColumn("gap", gap)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-            F.sum(
-                F.when(F.col("gap").isNull() | (F.col("gap") > n - 1), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_spans"),
-            F.sum(
-                F.when(F.col("gap").isNull(), n).otherwise(F.least(F.lit(n), F.col("gap")))
-            )
-            .cast("bigint")
-            .alias("contaminated_tokens"),
-        )
-    )
+    per_doc = _merge_hit_spans(hits, n, "n_hits", "n_spans", "contaminated_tokens")
     return (
         toks.filter(~F.col("is_bench"))
         .select(
@@ -2699,8 +2719,6 @@ EXACT_SUBSTR_TAU = 0.5  # drop docs that are mostly duplicated text
 
 
 def corpus_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     L = EXACT_SUBSTR_L
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     t = docs.select(
@@ -2724,25 +2742,7 @@ def corpus_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("win")
     )
     hits = wins.join(dup, "win", "leftsemi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gap = F.col("pos") - F.lag("pos").over(w)
-    per_doc = (
-        hits.withColumn("gap", gap)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
-            F.sum(
-                F.when(F.col("gap").isNull() | (F.col("gap") > L - 1), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_spans"),
-            F.sum(
-                F.when(F.col("gap").isNull(), L).otherwise(F.least(F.lit(L), F.col("gap")))
-            )
-            .cast("bigint")
-            .alias("dup_chars"),
-        )
-    )
+    per_doc = _merge_hit_spans(hits, L, "n_dup_windows", "n_spans", "dup_chars")
     dup_frac = F.round(
         F.coalesce("dup_chars", F.lit(0)) / F.greatest("n_chars", F.lit(1)), 6
     )

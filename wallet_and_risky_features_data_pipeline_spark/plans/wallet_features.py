@@ -43,6 +43,33 @@ from .wallet_model import (
 _KEY = ("wallet_address", "contract_address")
 
 
+def contract_state_aggs() -> list:
+    """The nine per-(wallet, contract) lifetime aggregates, defined
+    ONCE: both the full snapshot (``contract_state_from``) and the
+    incremental segment reduce (``streaming.incremental``) build their
+    hash aggregate from this list, so the snapshot ≡ incremental
+    equivalence the property tests pin can never drift through a
+    one-sided edit. Inputs expected on the frame: ``balance`` (the
+    running, possibly prior-seeded, balance), ``row_num``,
+    ``hash_rank`` and the leg columns from ``wallet_transactions``."""
+    zero = F.lit(0).cast(VALUE_DECIMAL)
+    return [
+        F.max_by("balance", "row_num").alias("final_balance"),
+        F.sum(
+            F.when(F.col("address_role") == "receiver", F.col("current_value")).otherwise(zero)
+        ).alias("incoming_value"),
+        F.sum(
+            F.when(F.col("address_role") == "sender", F.col("current_value")).otherwise(zero)
+        ).alias("outgoing_value"),
+        F.sum("tx_fee").alias("contract_fees"),
+        F.count(F.when(F.col("hash_rank") == 1, F.lit(1))).alias("contract_tx"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max("balance").alias("max_balance"),
+        F.min(F.when(F.col("balance") > 0, F.col("balance"))).alias("min_pos_balance"),
+    ]
+
+
 def contract_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steps 1-6: one row per (wallet, contract) with final balance and
     lifetime stats — the reference's ``last_coin_balances`` shape
@@ -66,25 +93,10 @@ def contract_state_from(wt: DataFrame) -> DataFrame:
     genuinely ORDER-dependent windows remain (running balance +
     canonical-leg dedup rank), sharing the single wallet exchange."""
     wt = by_wallet(wt)
-    zero = F.lit(0).cast(VALUE_DECIMAL)
     df = deterministic_order(wt, _KEY, ORDER_COLS, out="row_num")
     df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")
     df = running_sum(df, F.col("signed_value"), _KEY, ORDER_COLS, out="balance")
-    return df.groupBy("wallet_address", "contract_address").agg(
-        F.max_by("balance", "row_num").alias("final_balance"),
-        F.sum(
-            F.when(F.col("address_role") == "receiver", F.col("current_value")).otherwise(zero)
-        ).alias("incoming_value"),
-        F.sum(
-            F.when(F.col("address_role") == "sender", F.col("current_value")).otherwise(zero)
-        ).alias("outgoing_value"),
-        F.sum("tx_fee").alias("contract_fees"),
-        F.count(F.when(F.col("hash_rank") == 1, F.lit(1))).alias("contract_tx"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-        F.max("balance").alias("max_balance"),
-        F.min(F.when(F.col("balance") > 0, F.col("balance"))).alias("min_pos_balance"),
-    )
+    return df.groupBy("wallet_address", "contract_address").agg(*contract_state_aggs())
 
 
 def wallet_features(spark: SparkSession, sf_dir: str) -> DataFrame:

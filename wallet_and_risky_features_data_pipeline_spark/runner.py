@@ -129,6 +129,17 @@ def run_serve(spark, sf_dir: str, work_dir: str) -> None:
             "committed pointer (a commit crashed); re-run --layer features "
             "before serving"
         )
+    elif store.get("serving_features_generation") is not None:
+        # Bookkeeping names a committed generation but the store is
+        # GONE — refusing beats silently overwriting the record with
+        # None, which would erase the only evidence of what serving
+        # currently holds.
+        raise RuntimeError(
+            f"serving bookkeeping names features generation "
+            f"{store.get('serving_features_generation')!r} but "
+            f"{features_target} no longer exists; restore the store or "
+            "re-run --layer features before serving"
+        )
     feats = wallet_features(spark, sf_dir)
     wm = store.get("serving_last_tx_us")
     newer = feats if wm is None else feats.filter(F.col("last_tx_us") > F.lit(wm))

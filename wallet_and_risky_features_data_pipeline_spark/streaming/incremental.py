@@ -152,23 +152,12 @@ def incremental_contract_state(prior: DataFrame, new_wt: DataFrame) -> DataFrame
     # (the r8 flagship shape — plans/wallet_features.py docstring): the
     # prior unbounded-window stack OOMed memory-tight executors, and
     # the incremental path runs in production merges where that
-    # matters most. Semantics identical; held to the same
-    # full-recompute oracle and split property tests.
-    seg = df.groupBy(*key).agg(
-        F.max_by("balance", "row_num").alias("final_balance"),
-        F.sum(
-            F.when(F.col("address_role") == "receiver", F.col("current_value")).otherwise(zero)
-        ).alias("incoming_value"),
-        F.sum(
-            F.when(F.col("address_role") == "sender", F.col("current_value")).otherwise(zero)
-        ).alias("outgoing_value"),
-        F.sum("tx_fee").alias("contract_fees"),
-        F.count(F.when(F.col("hash_rank") == 1, F.lit(1))).alias("contract_tx"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-        F.max("balance").alias("max_balance"),
-        F.min(F.when(F.col("balance") > 0, F.col("balance"))).alias("min_pos_balance"),
-    )
+    # matters most. The aggregate SPEC is shared with the full
+    # snapshot (contract_state_aggs) so the snapshot ≡ incremental
+    # equivalence can never drift through a one-sided edit.
+    from ..plans.wallet_features import contract_state_aggs
+
+    seg = df.groupBy(*key).agg(*contract_state_aggs())
 
     p = prior.select(*key, *[F.col(c).alias(f"p_{c}") for c in prior.columns if c not in key])
     joined = seg.join(p, on=key, how="left")

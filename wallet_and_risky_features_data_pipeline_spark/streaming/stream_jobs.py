@@ -1120,10 +1120,25 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         tail = list(tail)
         out = {c: [] for c in
                ("user_id", "event_id", "ts", "cents", "n_baseline", "z", "is_outlier")}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for row in pdf.itertuples():
-                cents = int(math.floor(row.value * 100 + 0.5))
+        # Concatenate the WHOLE micro-batch before sorting: pdfs yields
+        # Arrow chunks (maxRecordsPerBatch slices), and sorting each
+        # chunk alone would advance the trailing state out of global
+        # (ts, event_id) order for any group spanning chunks — exactly
+        # the silent oracle divergence this job exists to preclude.
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for row in batch.itertuples():
+                # round half AWAY FROM ZERO, matching the batch plan's
+                # round(value*100) on both engines for either sign
+                # (floor(x+0.5) alone diverges at negative .5 ties)
+                v100 = row.value * 100
+                cents = (
+                    int(math.floor(v100 + 0.5))
+                    if v100 >= 0
+                    else -int(math.floor(-v100 + 0.5))
+                )
                 n, s, q = len(tail), sum(tail), sum(c * c for c in tail)
                 num = n * cents - s
                 var_n2 = n * q - s * s
