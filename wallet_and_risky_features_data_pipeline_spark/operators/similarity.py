@@ -354,9 +354,13 @@ def ivf_int8_topk(
         _dot(vec_col, vec_col).alias("c_norm2"),
     )
     cosine = _dot("q_vec", "c_vec") / (F.sqrt("q_norm2") * F.sqrt("c_norm2"))
+    # The shortlist (|Q| × rerank rows) BROADCASTS onto the float
+    # corpus scan — without the hint Catalyst may shuffle the whole
+    # corpus by c_id for a |shortlist|-sized fetch, the one exchange
+    # that would actually hurt at 100 TB (the .explain audit caught a
+    # SortMergeJoin here).
     return (
-        shortlist.join(qf, "q_id")
-        .join(cf, "c_id")
+        cf.join(F.broadcast(shortlist.join(qf, "q_id")), "c_id")
         .withColumn("cosine", cosine)
         .withColumn(
             "rank",
