@@ -167,3 +167,43 @@ def test_vocab_stream_crash_restart_is_exactly_once(spark):
     merged = {r.token: r.freq for r in read_store(spark, store).collect()}
     expected = {r.token: r.freq for r in token_freqs(docs).collect()}
     assert merged == expected
+
+
+def test_stream_zscore_matches_batch_on_negative_values(spark, tmp_path):
+    """The half-cent rounding seam the review flagged: value = -0.125
+    rounds to -13 cents under round-half-away-from-zero (both engines'
+    round()) but to -12 under floor(x+0.5). The streaming state
+    machine must agree with the batch plan on signed values — run both
+    over a synthetic series with negative ticks and compare exactly."""
+    from pyspark.sql import functions as F
+
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sketch_plans import (
+        rolling_zscore_outliers,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_rolling_zscore,
+    )
+
+    rows = []
+    vals = [1.0, -0.125, 2.5, -0.125, 3.0, -1.005, 0.415, -0.125, 2.0, -3.5, 9.0, -0.125]
+    for i, v in enumerate(vals):
+        rows.append((i + 1, f"2024-01-01 00:{i:02d}:00", 7, "view", v, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    batch = {
+        (r["event_id"]): (r["cents"], r["n_baseline"], r["z"], r["is_outlier"])
+        for r in rolling_zscore_outliers(spark, str(tmp_path)).collect()
+    }
+    stream = {
+        (r["event_id"]): (r["cents"], r["n_baseline"], r["z"], r["is_outlier"])
+        for r in stream_rolling_zscore(spark, str(tmp_path)).collect()
+    }
+    assert batch == stream and len(batch) == len(vals)
+    # the seam case itself: -0.125 must be -13 cents, not -12
+    assert batch[2][0] == -13
