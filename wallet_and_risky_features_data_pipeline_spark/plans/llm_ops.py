@@ -2861,3 +2861,50 @@ SELECT doc_id, cluster_id,
         AS INTEGER) AS keep
 FROM j
 """
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch-shuffle order: reproducible training-data order
+# without a global sort. Each doc gets a seed-keyed md5 shuffle key
+# and a per-SOURCE position (row_number within source over the hash —
+# a partition-parallel window, never a single global one); the global
+# epoch order is DEFINED as lexicographic (pos_in_source, source) —
+# the standard source-interleave, so one epoch walks the sources
+# round-robin in hash order. Changing the seed reshuffles every
+# epoch reproducibly; materializing the order on disk is
+# write_range_clustered on the same key (TeraSort-sampled, no single
+# reducer). The component that makes "exact same batch order" a
+# property of (corpus, seed), not of cluster scheduling.
+SHUFFLE_SEED = 1337
+
+
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(f"{SHUFFLE_SEED}-"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "source",
+        "shuffle_key",
+        F.row_number().over(w).cast("bigint").alias("pos_in_source"),
+    )
+
+
+CORPUS_SHUFFLE_ORDER_ORACLE = f"""
+SELECT doc_id,
+       source,
+       md5('{SHUFFLE_SEED}-' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('{SHUFFLE_SEED}-' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS pos_in_source
+FROM documents
+"""

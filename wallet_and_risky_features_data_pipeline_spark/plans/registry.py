@@ -382,3 +382,7 @@ register("streaming_rolling_zscore", sj.stream_rolling_zscore, sk.ROLLING_ZSCORE
 # duplicate cluster (curation's policy) — a projection over the
 # memoized assignment, no new pair work
 register("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_ORACLE)
+# Deterministic epoch-shuffle order (seed-keyed md5 + per-source
+# position; global order is lexicographic (pos, source) — the
+# source-interleave, no global window)
+register("corpus_shuffle_order", llm.corpus_shuffle_order, llm.CORPUS_SHUFFLE_ORDER_ORACLE)
