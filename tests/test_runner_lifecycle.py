@@ -314,3 +314,19 @@ def test_serve_refuses_when_recorded_store_vanished(spark, tmp_path_factory):
         runner.run_serve(spark, SF_SMALL, wd)
     with open(f"{wd}/watermarks.json") as f:
         assert json.load(f)["serving_features_generation"] == "gen-000001"
+
+
+def test_monitor_layer_writes_reports(spark, tmp_path_factory):
+    """--layer monitor: soft-signal sweep (z-score outliers, ledger
+    violations, constraint table) lands as parquet reports; on the
+    clean synthetic corpus the ledger report must be EMPTY (the
+    double-entry invariant holds) while the outlier report carries
+    the flagged rows with their scores."""
+    wd = str(tmp_path_factory.mktemp("wrf_monitor"))
+    runner.run_monitor(spark, SF_SMALL, wd)
+    out = spark.read.parquet(f"{wd}/monitor/zscore_outliers")
+    assert set(out.columns) >= {"user_id", "event_id", "z", "is_outlier"}
+    assert out.filter("is_outlier != 1").count() == 0
+    assert spark.read.parquet(f"{wd}/monitor/ledger_violations").count() == 0
+    cons = spark.read.parquet(f"{wd}/monitor/feature_constraints")
+    assert cons.count() > 0

@@ -499,6 +499,40 @@ def run_dq(spark, sf_dir: str, work_dir: str) -> None:
     print("dq: all checks passed")
 
 
+def run_monitor(spark, sf_dir: str, work_dir: str) -> None:
+    """Anomaly-monitoring sweep (the nightly on-call report beside the
+    hard-failing dq gate): rolling z-score outliers on the value
+    stream, double-entry ledger reconciliation violations, and the
+    feature-constraint table, each written as a parquet report under
+    ``monitor/`` — dq RAISES on contract breaks; monitor RECORDS the
+    soft signals an operator triages. Reports are tiny (violations and
+    flagged rows only) and coalesce to one file each."""
+    from .plans.dq_plans import ledger_reconciliation
+    from .plans.sketch_plans import rolling_zscore_outliers
+    from .plans.wallet_features import wallet_features
+
+    out = f"{work_dir}/monitor"
+    outliers = rolling_zscore_outliers(spark, sf_dir).filter(F.col("is_outlier") == 1)
+    outliers.coalesce(1).write.mode("overwrite").parquet(f"{out}/zscore_outliers")
+    n_out = spark.read.parquet(f"{out}/zscore_outliers").count()
+
+    ledger = ledger_reconciliation(spark, sf_dir)
+    violations = ledger.filter(
+        (F.col("net_violations") > 0) | (F.col("leg_violations") > 0)
+    )
+    violations.coalesce(1).write.mode("overwrite").parquet(f"{out}/ledger_violations")
+    n_led = spark.read.parquet(f"{out}/ledger_violations").count()
+
+    feature_constraints(wallet_features(spark, sf_dir)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/feature_constraints")
+
+    print(
+        f"monitor: {n_out} z-score outliers, {n_led} ledger violation rows, "
+        f"constraint table -> {out}"
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -516,6 +550,7 @@ def main(argv: list[str] | None = None) -> int:
             "curate",
             "describe",
             "dq",
+            "monitor",
         ],
     )
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
@@ -538,6 +573,7 @@ def main(argv: list[str] | None = None) -> int:
         "curate": run_curate,
         "describe": run_describe,
         "dq": run_dq,
+        "monitor": run_monitor,
     }[args.layer](spark, args.sf_dir, args.work_dir)
     return 0
 
