@@ -386,3 +386,6 @@ register("dedup_keep_best", llm.dedup_keep_best, llm.DEDUP_KEEP_BEST_ORACLE)
 # position; global order is lexicographic (pos, source) — the
 # source-interleave, no global window)
 register("corpus_shuffle_order", llm.corpus_shuffle_order, llm.CORPUS_SHUFFLE_ORDER_ORACLE)
+# Counterparty concentration (HHI = Σv²/(Σv)² from exact integer
+# moments, one double division) — structural funnel-risk signal
+register("wallet_counterparty_hhi", rf.wallet_counterparty_hhi, rf.WALLET_HHI_ORACLE)

@@ -703,3 +703,74 @@ SELECT CAST(wallet_id AS VARCHAR) AS wallet_address,
 FROM corners
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Counterparty concentration: the Herfindahl–Hirschman index of each
+# wallet's OUTGOING value across counterparties — the "one exchange
+# funnel vs broad peer-to-peer" structural risk signal beside
+# reciprocity (2-cycles) and pagerank (centrality). HHI = Σ share²,
+# computed WITHOUT per-share float sums: with exact integer cents
+# v_i per counterparty, HHI = (Σ v_i²) / (Σ v_i)² — integer moments,
+# ONE double division, cross-engine deterministic (the
+# feature_correlations discipline). Two map-side-combinable hash
+# aggs: (wallet, counterparty) then wallet; no joins, no windows.
+def wallet_counterparty_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    legs = wt.filter(
+        (F.col("address_role") == "sender")
+        & F.col("interacted_with").isNotNull()
+        & (F.col("current_value") > 0)
+    )
+    pair = legs.groupBy(
+        "wallet_address", F.col("interacted_with").alias("counterparty")
+    ).agg(
+        F.sum(F.expr("CAST(round(current_value * 100) AS BIGINT)")).alias("v_c")
+    )
+    return (
+        pair.groupBy("wallet_address")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_counterparties"),
+            F.sum("v_c").alias("total_cents"),
+            F.sum(F.col("v_c") * F.col("v_c")).alias("__sum_sq"),
+            F.max("v_c").alias("__max_v"),
+        )
+        .filter(F.col("total_cents") > 0)
+        .select(
+            "wallet_address",
+            "n_counterparties",
+            "total_cents",
+            F.round(
+                F.col("__sum_sq")
+                / (F.col("total_cents").cast("double") * F.col("total_cents").cast("double")),
+                6,
+            ).alias("hhi"),
+            F.round(F.col("__max_v") / F.col("total_cents").cast("double"), 6).alias(
+                "top_share"
+            ),
+        )
+    )
+
+
+WALLET_HHI_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+pair AS (
+    SELECT wallet_address,
+           interacted_with AS counterparty,
+           SUM(CAST(round(current_value * 100) AS BIGINT)) AS v_c
+    FROM wallet_tx
+    WHERE address_role = 'sender'
+      AND interacted_with IS NOT NULL
+      AND current_value > 0
+    GROUP BY 1, 2
+)
+SELECT wallet_address,
+       CAST(COUNT(*) AS BIGINT) AS n_counterparties,
+       SUM(v_c) AS total_cents,
+       ROUND(SUM(v_c * v_c)
+             / (CAST(SUM(v_c) AS DOUBLE) * CAST(SUM(v_c) AS DOUBLE)), 6) AS hhi,
+       ROUND(MAX(v_c) / CAST(SUM(v_c) AS DOUBLE), 6) AS top_share
+FROM pair
+GROUP BY 1
+HAVING SUM(v_c) > 0
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
