@@ -453,6 +453,12 @@ PR_ITERS = 3
 
 
 def wallet_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overflow audit (r9): total mass is conserved at ≤ PR_SCALE=1e12
+    # (r0 = PR_SCALE//n per node; each round redistributes, never
+    # amplifies), so any node's inc ≤ 1e12 and the largest product is
+    # 85·inc ≤ 8.5e13 ≪ 2⁶³ — safe in BIGINT at ANY node count by
+    # construction, unlike the per-wallet Σv² moments (see
+    # wallet_counterparty_hhi), which scale with data values.
     wt = wallet_transactions(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
@@ -732,7 +738,15 @@ def wallet_counterparty_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_counterparties"),
             F.sum("v_c").alias("total_cents"),
-            F.sum(F.col("v_c") * F.col("v_c")).alias("__sum_sq"),
+            # v_c is lifetime cents to ONE counterparty; v_c² overflows
+            # BIGINT at ≈$30M (3e9 cents → 9.2e18) — routine for
+            # exchange-bound wallets. DECIMAL(19,0)² → DECIMAL(38,0)
+            # keeps the squared sum exact (feature_correlations
+            # discipline, plans/sketch_plans.py); survives ANSI mode.
+            F.sum(
+                F.col("v_c").cast("decimal(19,0)")
+                * F.col("v_c").cast("decimal(19,0)")
+            ).alias("__sum_sq"),
             F.max("v_c").alias("__max_v"),
         )
         .filter(F.col("total_cents") > 0)
@@ -767,7 +781,7 @@ pair AS (
 SELECT wallet_address,
        CAST(COUNT(*) AS BIGINT) AS n_counterparties,
        SUM(v_c) AS total_cents,
-       ROUND(SUM(v_c * v_c)
+       ROUND(CAST(SUM(CAST(v_c AS DECIMAL(19,0)) * CAST(v_c AS DECIMAL(19,0))) AS DOUBLE)
              / (CAST(SUM(v_c) AS DOUBLE) * CAST(SUM(v_c) AS DOUBLE)), 6) AS hhi,
        ROUND(MAX(v_c) / CAST(SUM(v_c) AS DOUBLE), 6) AS top_share
 FROM pair

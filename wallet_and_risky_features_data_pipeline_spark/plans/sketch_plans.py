@@ -643,16 +643,21 @@ def rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-ZSCORE_WINDOW, -1)
     )
+    # cents² (and (n·x−S)² below) overflow BIGINT at ~$3M single
+    # events — realistic for on-chain value streams. Moments are kept
+    # in DECIMAL (exact; the oracle mirrors with HUGEINT/int128), so
+    # under ANSI mode an out-of-range value errors instead of wrapping.
+    cents_d = F.col("cents").cast("decimal(19,0)")
     stats = ev.select(
         "user_id",
         "event_id",
         "ts",
         "cents",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("cents").over(w).alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"),
+        F.sum(cents_d).over(w).alias("s"),
+        F.sum(cents_d * cents_d).over(w).alias("q"),
     )
-    num = F.col("n") * F.col("cents") - F.col("s")
+    num = F.col("n") * F.col("cents").cast("decimal(19,0)") - F.col("s")
     var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
     usable = (F.col("n") >= ZSCORE_MIN_BASELINE) & (var_n2 > 0)
     return stats.select(
@@ -678,8 +683,8 @@ WITH ev AS (
 stats AS (
     SELECT user_id, event_id, ts, cents,
            CAST(COUNT(*) OVER w AS BIGINT) AS n,
-           SUM(cents) OVER w AS s,
-           SUM(cents * cents) OVER w AS q
+           SUM(CAST(cents AS HUGEINT)) OVER w AS s,
+           SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER w AS q
     FROM ev
     WINDOW w AS (
         PARTITION BY user_id ORDER BY ts, event_id
@@ -689,11 +694,11 @@ stats AS (
 SELECT user_id, event_id, ts, cents,
        n AS n_baseline,
        CASE WHEN n >= {ZSCORE_MIN_BASELINE} AND n * q - s * s > 0
-            THEN CAST(n * cents - s AS DOUBLE)
+            THEN CAST(n * CAST(cents AS HUGEINT) - s AS DOUBLE)
                  / sqrt(CAST(n * q - s * s AS DOUBLE))
        END AS z,
        CAST(CASE WHEN n >= {ZSCORE_MIN_BASELINE} AND n * q - s * s > 0
-                  AND (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)
+                  AND (n * CAST(cents AS HUGEINT) - s) * (n * CAST(cents AS HUGEINT) - s) > 9 * (n * q - s * s)
             THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
 FROM stats
 """
