@@ -2,13 +2,15 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": ..., "value": wall_sec, "unit": "sec",
+    {"metric": "isolated_total", "value": sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
-Execution model: queries are submitted through a small thread pool
-(Spark's scheduler is built for concurrent jobs — a cluster runs many
-at once), so ``value`` is the wall-clock for the whole suite and the
-per-query figures are individual latencies under that concurrency.
+Headline (r9 convention): ``value`` is **isolated_total** — the sum
+of clean one-at-a-time sequential runs over every query, the stable
+mechanical round-over-round signal. The 8-way co-scheduled suite
+wall (±6 s co-scheduling noise) is still measured and reported as
+``concurrent_wall``; the per-query ``queries`` map is latencies under
+that concurrency (how a busy cluster actually runs).
 Each query materializes fully through the ``noop`` batch sink — every
 row is computed by executors, nothing funnels through the driver (a
 cluster job writes to object storage, not collect).
@@ -202,9 +204,16 @@ def main() -> None:
     if bench_delta:
         isolated_total_delta = round(sum(bench_delta.values()), 4)
 
+    # Headline convention (r9, VERDICT r8 #2): `value` is now
+    # isolated_total — the sum of clean sequential per-query runs, the
+    # mechanical round-over-round signal. The 8-way co-scheduled wall
+    # (±6 s noise band) is demoted to `concurrent_wall`. r8 and before
+    # had the roles reversed; cross-round comparisons must use
+    # isolated_total on both sides (present in r8's JSON too).
     detail = {
-        "metric": "headline_queries_total",
-        "value": wall,
+        "metric": "isolated_total",
+        "value": isolated_total,
+        "concurrent_wall": wall,
         "unit": "sec",
         # pass policy recorded so rounds are compared like-for-like
         # (r5 and before were single-pass walls; r6+ are min over
@@ -231,6 +240,26 @@ def main() -> None:
     }
     with open(detail_path, "w") as f:
         json.dump({**detail, "error_tracebacks": errors}, f, indent=1)
+    # Round-stamped copy (VERDICT r8 #3: the driver's BENCH_r{N}.json
+    # keeps only a log TAIL, which truncated r8's per-query map and
+    # forced judge-side archaeology). Round = 1 + the highest BENCH_r*
+    # the driver has recorded; the full detail incl. the per-query
+    # bench_delta map survives verbatim for cross-round diffing.
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        stamp = os.path.join(here, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json")
+        with open(stamp, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
     # Compact line: centisecond per-query precision, no whitespace.
     # Field order matters for the driver's log-TAIL capture: with 80+
     # queries the line can outgrow the capture window, and the window
@@ -246,12 +275,13 @@ def main() -> None:
         "passes": len(wall_runs),
         "wall_policy": "min_complete_pass",
         "unit": "sec",
-        "metric": "headline_queries_total",
+        "metric": "isolated_total",
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "isolated_total": isolated_total,
+        "concurrent_wall": wall,
         "isolated_n": len(isolated),
-        "value": wall,
+        "isolated_total": isolated_total,
+        "value": isolated_total,
     }
     print(json.dumps(compact, separators=(",", ":")))
     # Belt-and-braces: a second, tiny (<200 B) line that is ALWAYS a
@@ -259,18 +289,20 @@ def main() -> None:
     # the headline alone. A parser taking the last parseable line gets
     # this; one that regex-extracts "value" finds it in both.
     headline = {
-        "metric": "headline_queries_total",
+        "metric": "isolated_total",
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        # sum of clean sequential per-query runs (full coverage) —
-        # the mechanical round-over-round signal; the concurrent wall
-        # in "value" swings ±6 s with co-scheduling state
-        "isolated_total": isolated_total,
+        # value = isolated_total: sum of clean sequential per-query
+        # runs (full coverage) — the mechanical round-over-round
+        # signal. The 8-way concurrent wall swings ±6 s with
+        # co-scheduling state, so it rides along as concurrent_wall.
+        "concurrent_wall": wall,
         "isolated_n": len(isolated),
         "isolated_total_delta": isolated_total_delta,
-        "value": wall,
+        "isolated_total": isolated_total,
+        "value": isolated_total,
     }
     print(json.dumps(headline, separators=(",", ":")))
 

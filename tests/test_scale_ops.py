@@ -536,3 +536,52 @@ def test_entity_collapse_matches_brute_force_property(spark, tmp_path):
         assert got == expected, (sorted(got ^ expected), recs)
 
     check()
+
+
+def test_adaptive_routing_matches_plain_window(spark):
+    """Occupancy-triggered routing (VERDICT r8 #7): with the threshold
+    forced low enough that real wallets trip it, hot keys go through
+    the chunked two-phase path, cold keys through the serial window,
+    and the union equals the plain window over everything. Also pins
+    that the hot branch actually ROUTED rows (a threshold nobody
+    crosses would make this test vacuous)."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.skew import (
+        adaptive_running_sum,
+    )
+
+    wt = wallet_transactions(spark, SF_SMALL)
+    key = ["wallet_address"]
+    threshold = 50  # sf0.001 wallets: several exceed 50 legs
+
+    hot_n = (
+        wt.groupBy("wallet_address")
+        .count()
+        .filter(F.col("count") > threshold)
+        .count()
+    )
+    assert hot_n > 0, "threshold must split the keys for a meaningful test"
+
+    plain = wt.withColumn(
+        "expected",
+        F.sum("signed_value").over(
+            Window.partitionBy("wallet_address")
+            .orderBy(*ORDER_COLS)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    adaptive = adaptive_running_sum(
+        wt,
+        F.col("signed_value"),
+        key,
+        list(ORDER_COLS),
+        out="got",
+        chunk_expr=F.date_trunc("day", F.col("ts")),
+        threshold=threshold,
+    )
+    jk = ["event_id", "wallet_address", "address_role"]
+    merged = (
+        plain.select(*jk, "expected")
+        .join(adaptive.select(*jk, "got"), on=jk)
+    )
+    assert merged.count() == plain.count()
+    assert merged.filter(F.col("expected") != F.col("got")).count() == 0

@@ -207,3 +207,169 @@ def test_stream_zscore_matches_batch_on_negative_values(spark, tmp_path):
     assert batch == stream and len(batch) == len(vals)
     # the seam case itself: -0.125 must be -13 cents, not -12
     assert batch[2][0] == -13
+
+
+def test_stream_zscore_exact_fallback_on_huge_values(spark, tmp_path):
+    """Values past the int64 fast-path bound (~$4.8M single events —
+    num² would exceed 2⁶³) must take the exact arbitrary-precision
+    fallback and still agree with the batch plan, whose moments are
+    DECIMAL since r9. A silent int64 wrap here is exactly the overflow
+    class the ANSI leg kills on the batch side."""
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sketch_plans import (
+        rolling_zscore_outliers,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_rolling_zscore,
+    )
+
+    vals = [9e6, 1.25, 8.5e6, -7e6, 2.0, 9.9e6, -0.125, 6e6, 7.77e6, 3.0, -9e6, 5e6]
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 3, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    batch = {
+        r["event_id"]: (r["cents"], r["n_baseline"], r["z"], r["is_outlier"])
+        for r in rolling_zscore_outliers(spark, str(tmp_path)).collect()
+    }
+    stream = {
+        r["event_id"]: (r["cents"], r["n_baseline"], r["z"], r["is_outlier"])
+        for r in stream_rolling_zscore(spark, str(tmp_path)).collect()
+    }
+    assert batch == stream and len(batch) == len(vals)
+    # sanity: the data really is past the fast-path bound (~4.8e8)
+    assert abs(batch[1][0]) == 900_000_000  # $9M -> 9e8 cents
+
+
+def test_rolling_zscore_multibatch_ts_ordered_splits(spark, tmp_path):
+    """ORDERING CONTRACT pin (ADVICE r8): with a multi-file source
+    consumed one file per micro-batch, batch equivalence holds as long
+    as the file splits are event-time ordered (the append-only event
+    log shape). Two ts-ordered files + maxFilesPerTrigger=1 → two
+    real micro-batches crossing the trailing-deque state — the config
+    the single-batch registered query never exercises."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sketch_plans import (
+        rolling_zscore_outliers,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_rolling_zscore,
+    )
+
+    table = tmp_path / "events.parquet"
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def chunk(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+        )
+
+    vals = [1.0, 2.5, 0.4, 3.0, 1.7, 9.0, 0.2, 4.4, 2.2, 0.9, 6.5, 1.1]
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 5, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    chunk(rows[:6]).write.parquet(str(table))
+    chunk(rows[6:]).write.mode("append").parquet(str(table))
+    # FileStreamSource orders files by modification time: force the
+    # first-half parts strictly older so batch 1 = early ts, batch 2 =
+    # late ts (the event-time-ordered arrival the contract requires)
+    now = time.time()
+    for name in os.listdir(table):
+        if name.startswith("part-"):
+            full = str(table / name)
+        else:
+            continue
+        # the append write's parts are the lexicographically LATER
+        # job UUIDs, but mtime is what the source sorts by — restamp
+        # deterministically from each part's max event ts
+        mx = spark.read.parquet(full).agg(F.max("event_id")).first()[0]
+        os.utime(full, (now + mx, now + mx))
+
+    batch = {
+        r["event_id"]: (r["cents"], r["n_baseline"], r["z"], r["is_outlier"])
+        for r in rolling_zscore_outliers(spark, str(tmp_path)).collect()
+    }
+    stream = {
+        r["event_id"]: (r["cents"], r["n_baseline"], r["z"], r["is_outlier"])
+        for r in stream_rolling_zscore(
+            spark, str(tmp_path), max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch == stream and len(batch) == len(vals)
+
+
+def test_stream_dedup_cross_batch_redelivery(spark, tmp_path):
+    """Exactly-once under CROSS-BATCH redelivery (ADVICE r8): the
+    first copy of every event arrives in batch 1 and the duplicate
+    copy in batch 2. dropDuplicatesWithinWatermark keys dedup state to
+    the inter-arrival gap (≤ the 1-day delay), so the second copy is
+    collapsed even though it lands after the watermark advanced past
+    batch 1 — the case where plain dropDuplicates' state eviction can
+    leak a double count."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_dedup_counts_from_dir,
+    )
+
+    table = tmp_path / "events.parquet"
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 5, "purchase" if i % 2 else "view",
+         float(i) + 0.5, "{}")
+        for i in range(10)
+    ]
+
+    def chunk():
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+        )
+
+    chunk().write.parquet(str(table))
+    chunk().write.mode("append").parquet(str(table))
+    parts = sorted(p for p in os.listdir(table) if p.startswith("part-"))
+    assert len(parts) == 2
+    now = time.time()
+    for off, name in enumerate(parts):
+        os.utime(str(table / name), (now + off * 10, now + off * 10))
+
+    got = {
+        r["event_type"]: (r["n_events"], r["total_cents"])
+        for r in stream_dedup_counts_from_dir(spark, str(tmp_path)).collect()
+    }
+    single = (
+        spark.createDataFrame(rows, schema)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias("c"),
+        )
+    )
+    want = {r["event_type"]: (r["n"], r["c"]) for r in single.collect()}
+    assert got == want

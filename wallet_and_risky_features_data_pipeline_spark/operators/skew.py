@@ -72,3 +72,54 @@ def salted_running_sum(
     return joined.withColumn(
         out, F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__local")
     ).drop("__chunk", "__local", "__offset")
+
+
+def adaptive_running_sum(
+    df: DataFrame,
+    value: Column,
+    partition: Sequence[str],
+    order: Sequence[str],
+    out: str,
+    chunk_expr: Column,
+    threshold: int,
+    plain_running_sum=None,
+) -> DataFrame:
+    """Occupancy-triggered routing between the serial window and the
+    chunked two-phase sum (VERDICT r8 #7).
+
+    The reference blacklists its 9 wallets with >20M transactions
+    because a running window over one key's history is inherently
+    serial (ethereum_wallet_features.sql:381-390). Instead of a
+    blacklist, route AUTOMATICALLY: one cheap map-side-combinable
+    count per key, keys above ``threshold`` take the salted two-phase
+    path (parallel across their monotone chunks), everything else
+    takes the plain single-pass window. The hot set is tiny by
+    construction (keys with tens of millions of rows), so it attaches
+    as a broadcast flag — no extra shuffle on the fact rows beyond the
+    two branches' own partitioning, and no driver-side collect (the
+    routing stays fully declarative; an eager .count() here would
+    launch a job at plan-build time, the r8 anti-pattern).
+
+    Equivalence: salted ≡ plain is property-tested; the union of the
+    two disjoint row sets therefore equals the plain window over the
+    whole input, which is how the flagship stays on its unchanged
+    oracle (pinned by test_adaptive_routing_matches_plain_window).
+    """
+    if plain_running_sum is None:
+        from .windows import running_sum as plain_running_sum
+
+    part = [F.col(c) for c in partition]
+    hot_keys = (
+        df.groupBy(*part)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > threshold)
+        .select(*partition)
+        .withColumn("__hot", F.lit(1))
+    )
+    flagged = df.join(F.broadcast(hot_keys), on=list(partition), how="left")
+    cold = flagged.filter(F.col("__hot").isNull()).drop("__hot")
+    hot = flagged.filter(F.col("__hot") == 1).drop("__hot")
+    cold_out = plain_running_sum(cold, value, partition, order, out=out)
+    hot_out = salted_running_sum(hot, value, partition, order, out, chunk_expr)
+    # column order can differ between the two helpers; align by name
+    return cold_out.unionByName(hot_out.select(*cold_out.columns))

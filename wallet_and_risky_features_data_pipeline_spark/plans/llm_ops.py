@@ -2525,7 +2525,12 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_grams"),
         )
-        .join(F.broadcast(per_doc), "doc_id", "left")
+        # per_doc is a PER-DOCUMENT aggregate — worst case one row per
+        # corpus document, i.e. unbounded at 100 TB. A plain shuffle
+        # join on doc_id is safe and cheap (both sides already hash by
+        # doc_id); broadcasting it would stage the whole map on every
+        # executor and the driver (ADVICE r8).
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
@@ -2754,7 +2759,10 @@ def corpus_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_windows"),
         )
-        .join(F.broadcast(per_doc), "doc_id", "left")
+        # per_doc is per-document (unbounded); shuffle join on doc_id,
+        # never broadcast (ADVICE r8) — broadcast stays reserved for
+        # the genuinely small dup-window / bench-gram probe sides.
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_chars",

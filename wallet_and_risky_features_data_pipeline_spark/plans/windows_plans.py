@@ -14,11 +14,13 @@ never RANGE (peer-group scans).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join
-from ..operators.skew import salted_running_sum
+from ..operators.skew import adaptive_running_sum, salted_running_sum
 from ..operators.windows import (
     dedup_rank,
     deterministic_order,
@@ -77,10 +79,29 @@ FROM wallet_tx
 
 
 # --------------------------------------------------------------------------
-# W3 — running balance per (wallet, contract), every row
+# W3 — running balance per (wallet, contract), every row.
+# Occupancy-triggered skew routing (VERDICT r8 #7): keys above
+# HOT_KEY_THRESHOLD rows (the reference's 9 blacklisted >20M-tx
+# wallets, ethereum_wallet_features.sql:381-390) are detected by one
+# cheap count agg and routed through the chunked two-phase sum, which
+# parallelizes the otherwise-serial partition across its day chunks;
+# everything else takes the plain single-pass window. Oracle
+# unchanged — salted ≡ plain is property-tested, and the two branches
+# partition the rows disjointly.
+HOT_KEY_THRESHOLD = int(os.environ.get("SPARK_GRAFT_HOT_KEY_THRESHOLD", "20000000"))
+
+
 def window_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = by_wallet(wallet_transactions(spark, sf_dir))
-    df = running_sum(wt, F.col("signed_value"), _KEY, ORDER_COLS, out="balance")
+    df = adaptive_running_sum(
+        wt,
+        F.col("signed_value"),
+        list(_KEY),
+        list(ORDER_COLS),
+        out="balance",
+        chunk_expr=F.date_trunc("day", F.col("ts")),
+        threshold=HOT_KEY_THRESHOLD,
+    )
     return df.select(
         "event_id",
         "wallet_address",

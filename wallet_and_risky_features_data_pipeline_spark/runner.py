@@ -113,7 +113,16 @@ def run_serve(spark, sf_dir: str, work_dir: str) -> None:
     records the COMMITTED features generation it observed together
     with the serving watermark in ONE atomic ``set_many`` rename —
     the bookkeeping can only ever name a committed generation, and
-    watermark + generation advance or stay together."""
+    watermark + generation advance or stay together.
+
+    Provenance semantics (ADVICE r8): ``serving_features_generation``
+    is the contract-state generation OBSERVED at sync time — a
+    consistency marker ("serving was synced while gen-N was live"),
+    NOT the provenance of the exported rows. The export itself is
+    ``wallet_features`` recomputed from ``sf_dir`` (a different,
+    wallet-grained table than the (wallet, contract) state the store
+    holds); if the features store lags the source, the exported rows
+    are NEWER than the named generation."""
     from .plans.wallet_features import wallet_features
     from .sources.serving import DictStoreClient, foreach_partition_upsert
     from .sources.writers import list_generations, store_committed
@@ -152,6 +161,8 @@ def run_serve(spark, sf_dir: str, work_dir: str) -> None:
         store.set_many(
             {
                 "serving_last_tx_us": int(new_wm),
+                # generation OBSERVED at sync time, not row
+                # provenance — see the docstring (ADVICE r8)
                 "serving_features_generation": feat_gen,
             }
         )

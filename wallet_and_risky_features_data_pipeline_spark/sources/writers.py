@@ -221,6 +221,215 @@ def _marker(path: str, base: str | None) -> str:
     return os.path.join(path, f"{_MARKER_PREFIX}{base or _GENESIS}")
 
 
+# --------------------------------------------------------------------------
+# CAS backends (VERDICT r8 #6). The one-winner-per-base advance claim
+# is the ONLY primitive the commit protocol needs from its host — the
+# pointer file, staging renames and data files are plain storage. This
+# seam makes the mutual-exclusion primitive an adapter choice, not an
+# architecture: the default maps it onto local link(2); the
+# conditional-put adapter maps the SAME protocol onto the create-if-
+# absent / get / delete surface an S3 conditional PUT (If-None-Match)
+# or DynamoDB attribute_not_exists() commit lock exposes — the shape
+# Iceberg catalogs and delta-rs S3 locking use. A real cloud backend
+# implements ConditionalKv with two boto3 calls; everything above the
+# seam (roll-forward recovery, vacuum rollback, generation numbering)
+# is backend-agnostic and tested against BOTH in-tree adapters by the
+# two-process race test.
+#
+# A store must be driven by ONE backend for its whole life: claims
+# made through link(2) markers are invisible to the KV adapter and
+# vice versa.
+class CasBackend:
+    """One-winner-per-base claim primitive.
+
+    ``base`` is the snapshot the writer computed against (generation
+    name, or None for the empty store); exactly one concurrent
+    claimant per base may win. The claim RECORDS the claimant's
+    intended generation so a successor can roll a crashed winner
+    forward (write-ahead intent)."""
+
+    def claim(self, path: str, base: str | None, gen_name: str) -> bool:
+        raise NotImplementedError
+
+    def read_claim(self, path: str, base: str | None) -> str | None:
+        raise NotImplementedError
+
+    def release(self, path: str, base: str | None) -> None:
+        raise NotImplementedError
+
+    def bases(self, path: str) -> list[str]:
+        """Claimed base keys (``_GENESIS`` for the empty-store base)."""
+        raise NotImplementedError
+
+
+class LocalLinkCas(CasBackend):
+    """Default: ``os.link`` onto a per-base marker file — link(2) is
+    atomic and exclusive on every POSIX local filesystem, and the
+    marker can never exist without its intent content (the link source
+    is fully written and fsync'd first)."""
+
+    def claim(self, path, base, gen_name):
+        marker = _marker(path, base)
+        tmp = f"{marker}.intent-{os.getpid()}-{os.urandom(4).hex()}"
+        with open(tmp, "w") as f:
+            f.write(gen_name)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, marker)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def read_claim(self, path, base):
+        try:
+            with open(_marker(path, base)) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def release(self, path, base):
+        try:
+            os.unlink(_marker(path, base))
+        except FileNotFoundError:
+            pass
+
+    def bases(self, path):
+        return [
+            e[len(_MARKER_PREFIX) :]
+            for e in os.listdir(path)
+            if e.startswith(_MARKER_PREFIX)
+        ]
+
+
+class ConditionalKv:
+    """The minimal KV surface a cloud conditional store exposes:
+    S3 If-None-Match PUT / DynamoDB attribute_not_exists() ≙
+    ``put_if_absent``; GET ≙ ``get``; DELETE ≙ ``delete``. A real
+    adapter implements these three with SDK calls."""
+
+    def put_if_absent(self, key: str, value: str) -> bool:
+        raise NotImplementedError
+
+    def get(self, key: str) -> str | None:
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        raise NotImplementedError
+
+    def keys(self) -> list[str]:
+        raise NotImplementedError
+
+
+class FileConditionalKv(ConditionalKv):
+    """Simulated conditional store, cross-process safe: put_if_absent
+    is ``O_CREAT|O_EXCL`` (a DIFFERENT atomic primitive than link(2),
+    deliberately — it exercises the adapter seam, not the default
+    backend's mechanism). Keys live under ``<root>/``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def put_if_absent(self, key, value):
+        os.makedirs(self.root, exist_ok=True)
+        try:
+            fd = os.open(
+                os.path.join(self.root, key), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(value)
+            f.flush()
+            os.fsync(f.fileno())
+        return True
+
+    def get(self, key):
+        try:
+            with open(os.path.join(self.root, key)) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def delete(self, key):
+        try:
+            os.unlink(os.path.join(self.root, key))
+        except FileNotFoundError:
+            pass
+
+    def keys(self):
+        try:
+            return os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+
+
+class CondPutCas(CasBackend):
+    """CAS over a ``ConditionalKv`` — the cloud-shaped adapter. The
+    per-store keyspace is ``advance-<base>``; a real deployment passes
+    a DynamoDB/S3-backed ``ConditionalKv`` via ``kv_factory`` (keyed
+    by store path); the default simulates one under ``<store>/_cas``
+    so the protocol is testable cross-process in-tree."""
+
+    _KEY_PREFIX = "advance-"
+
+    def __init__(self, kv_factory=None):
+        self._kv_factory = kv_factory or (
+            lambda path: FileConditionalKv(os.path.join(path, "_cas"))
+        )
+
+    def _kv(self, path):
+        return self._kv_factory(path)
+
+    def _key(self, base):
+        return f"{self._KEY_PREFIX}{base or _GENESIS}"
+
+    def claim(self, path, base, gen_name):
+        return self._kv(path).put_if_absent(self._key(base), gen_name)
+
+    def read_claim(self, path, base):
+        return self._kv(path).get(self._key(base))
+
+    def release(self, path, base):
+        self._kv(path).delete(self._key(base))
+
+    def bases(self, path):
+        return [
+            k[len(self._KEY_PREFIX) :]
+            for k in self._kv(path).keys()
+            if k.startswith(self._KEY_PREFIX)
+        ]
+
+
+_CAS_BACKENDS = {"local": LocalLinkCas, "condput": CondPutCas}
+_cas_backend: CasBackend | None = None
+
+
+def get_cas_backend() -> CasBackend:
+    """Active backend: explicit ``set_cas_backend`` wins, else the
+    ``SPARK_GRAFT_CAS_BACKEND`` env var (``local`` | ``condput``),
+    read per-call so racing child processes can select by env."""
+    if _cas_backend is not None:
+        return _cas_backend
+    name = os.environ.get("SPARK_GRAFT_CAS_BACKEND", "local")
+    try:
+        return _CAS_BACKENDS[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown CAS backend {name!r}; expected one of {sorted(_CAS_BACKENDS)}"
+        ) from None
+
+
+def set_cas_backend(backend: CasBackend | None) -> None:
+    global _cas_backend
+    _cas_backend = backend
+
+
 def _read_pointer(path: str) -> str | None:
     manifest = os.path.join(path, _LATEST)
     if not os.path.exists(manifest):
@@ -257,14 +466,10 @@ def _clear_uncommitted(path: str, live: str | None) -> None:
     for g in list_generations(path):
         if live is None or g > live:
             shutil.rmtree(os.path.join(path, g), ignore_errors=True)
-    for e in os.listdir(path):
-        if e.startswith(_MARKER_PREFIX):
-            base = e[len(_MARKER_PREFIX) :]
-            if live is None or base >= live or (base == _GENESIS and live is None):
-                try:
-                    os.unlink(os.path.join(path, e))
-                except FileNotFoundError:
-                    pass
+    cas = get_cas_backend()
+    for base in cas.bases(path):
+        if live is None or base >= live or (base == _GENESIS and live is None):
+            cas.release(path, None if base == _GENESIS else base)
 
 
 def _next_gen_number(path: str) -> int:
@@ -295,44 +500,31 @@ def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> 
     """Atomically commit ``gen_name`` as the live generation — an
     intent-logged compare-and-swap on the BASE snapshot.
 
-    1. **Intent + CAS** — the writer records its intent (``gen_name``)
-       in a writer-unique temp file, then ``os.link``s it to the
-       per-base advance marker ``.advance-<base>``: link(2) is atomic
-       and exclusive, so the filesystem hands exactly ONE writer the
-       right to advance FROM that base, and the marker can never exist
-       without its intent content. A rival that computed against the
-       same base gets ``EEXIST`` → ``ConcurrentCommitError`` —
-       closing the lost-update where two writers advancing the same
-       base to DIFFERENT generation numbers could both publish. This
-       is the same one-winner-per-parent-snapshot protocol an Iceberg
-       catalog commit or S3 conditional-put provides; on a shared
-       filesystem without atomic link semantics, swap this call for
-       the real catalog CAS.
+    1. **Intent + CAS** — the writer claims the per-base advance slot
+       through the active ``CasBackend`` (one atomic create-if-absent
+       recording its intended generation): the backend hands exactly
+       ONE writer the right to advance FROM that base, and the claim
+       can never exist without its intent content. A rival that
+       computed against the same base loses the claim →
+       ``ConcurrentCommitError`` — closing the lost-update where two
+       writers advancing the same base to DIFFERENT generation numbers
+       could both publish. Default backend = local link(2); the
+       ``condput`` backend maps the same protocol onto an S3
+       conditional-PUT / DynamoDB-shaped KV (see CasBackend).
     2. **Publish** — fsync'd pointer write + atomic rename over
        ``_LATEST``, the single file every reader resolves through.
 
-    **Roll-forward recovery**: a winner that crashes between marker
-    and publish leaves the marker as a write-ahead intent. The next
+    **Roll-forward recovery**: a winner that crashes between claim
+    and publish leaves the claim as a write-ahead intent. The next
     writer from the same base reads it and COMPLETES the crashed flip
     (the renamed generation dir is already in place) before raising
     its own retry — the crashed commit becomes durable, the store
     never wedges, and no one's rows are lost. A loser whose intended
     dir is gone (vacuumed) is skipped; ``vacuum_generations`` rolls
     such pending intents back instead."""
-    marker = _marker(path, expected_base)
-    tmp = f"{marker}.intent-{os.getpid()}-{os.urandom(4).hex()}"
-    with open(tmp, "w") as f:
-        f.write(gen_name)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, marker)
-    except FileExistsError:
-        try:
-            with open(marker) as f:
-                intended = f.read().strip()
-        except FileNotFoundError:
-            intended = ""
+    cas = get_cas_backend()
+    if not cas.claim(path, expected_base, gen_name):
+        intended = cas.read_claim(path, expected_base) or ""
         if intended and intended != gen_name and _read_pointer(path) == expected_base:
             if os.path.isdir(os.path.join(path, intended)):
                 # the rival crashed (or is mid-flip) after winning this
@@ -340,21 +532,13 @@ def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> 
                 _replace_pointer(path, intended)
             else:
                 # dangling intent: its target was vacuumed but the
-                # marker survived (vacuum crashed mid-sweep) — roll it
+                # claim survived (vacuum crashed mid-sweep) — roll it
                 # back so the next retry can win this base
-                try:
-                    os.unlink(marker)
-                except FileNotFoundError:
-                    pass
+                cas.release(path, expected_base)
         raise ConcurrentCommitError(
             f"store {path}: another writer already advanced "
             f"{expected_base or 'the empty store'}; re-run on the new snapshot"
         ) from None
-    finally:
-        try:
-            os.unlink(tmp)
-        except FileNotFoundError:
-            pass
     # Defense in depth behind the CAS: having won the advance from
     # expected_base, the pointer can only be expected_base (normal) or
     # already gen_name (a helpful rival rolled our intent forward).
@@ -425,7 +609,9 @@ def _adopt_flat_store(path: str) -> None:
         shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.unlink(p)
 
 
-def commit_generation(df: DataFrame, path: str, tag: str | None = None) -> str:
+def commit_generation(
+    df: DataFrame, path: str, tag: str | None = None, clear_fence: bool = False
+) -> str:
     """Commit a FULL snapshot of ``df`` as the store's next generation
     — the whole-table cousin of ``merge_upsert`` for callers that
     replace the table each commit (rolling corpus stats, dimension
@@ -445,7 +631,17 @@ def commit_generation(df: DataFrame, path: str, tag: str | None = None) -> str:
     replay after a crash that committed but never acknowledged the
     batch, reads ``generation_tag`` and skips the already-applied
     epoch. (The underscore name keeps the file invisible to parquet
-    readers, like ``_SUCCESS``.)"""
+    readers, like ``_SUCCESS``.)
+
+    Untagged commits INHERIT the live generation's fence (a snapshot
+    rewrite must not silently drop it), which assumes epoch counters
+    are monotone across the store's whole life. ``clear_fence=True``
+    is the explicit escape hatch for the one legitimate exception — a
+    store rebuilt from scratch whose upstream restarted epoch
+    numbering — and drops the fence so replayed epochs apply again
+    (ADVICE r8: without it, 'incoming epoch <= recorded' would
+    silently skip every epoch up to the stale inherited tag).
+    ``clear_fence`` and an explicit ``tag`` are mutually exclusive."""
     import uuid
 
     os.makedirs(path, exist_ok=True)
@@ -455,7 +651,12 @@ def commit_generation(df: DataFrame, path: str, tag: str | None = None) -> str:
     base = None
     if os.path.exists(os.path.join(path, _LATEST)):
         base = os.path.basename(resolve_store(path))
-    if tag is None:
+    if clear_fence and tag is not None:
+        raise ValueError(
+            "clear_fence=True contradicts an explicit tag: a commit "
+            "cannot both clear the epoch fence and set one"
+        )
+    if tag is None and not clear_fence:
         # Carry the live generation's epoch fence through untagged
         # commits: a full-snapshot rewrite (or relayout) of a fenced
         # store must not silently drop the fence, or a replayed
@@ -649,12 +850,11 @@ def vacuum_generations(path: str, keep: int = 1) -> list[str]:
     for d in os.listdir(path):
         if d.startswith(_STAGE_PREFIX):
             doomed.append(d)
+    cas = get_cas_backend()
     for g in doomed:
         shutil.rmtree(os.path.join(path, g), ignore_errors=False)
-        try:  # drop the expired generation's advance marker with it
-            os.unlink(_marker(path, g))
-        except FileNotFoundError:
-            pass
+        # drop the expired generation's advance claim with it
+        cas.release(path, g)
         removed.append(g)
     # Roll BACK any pending intent whose target this sweep destroyed
     # (advance marker at the live base pointing at a now-removed
@@ -662,15 +862,9 @@ def vacuum_generations(path: str, keep: int = 1) -> list[str]:
     # exists — otherwise a future commit from this base would wedge on
     # a marker naming a vanished generation.
     if uncommitted and live is not None:
-        try:
-            os.unlink(_marker(path, live))
-        except FileNotFoundError:
-            pass
+        cas.release(path, live)
     if live is not None:
-        try:
-            os.unlink(_marker(path, None))
-        except FileNotFoundError:
-            pass
+        cas.release(path, None)
     return removed
 
 

@@ -1046,7 +1046,17 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         redelivered.transform(normalize_event_ts)
         .withWatermark("ts", "1 day")
-        .dropDuplicates(["event_id"])
+        # dropDuplicatesWithinWatermark (ADVICE r8): the dedup
+        # guarantee is keyed to the REDELIVERY LAG — duplicates whose
+        # event times fall within the 1-day delay of each other are
+        # collapsed regardless of which micro-batch each copy lands
+        # in. Plain dropDuplicates instead evicts state as the GLOBAL
+        # watermark passes an event's ts, so under a multi-batch
+        # source a second copy delivered after eviction double-counts
+        # and a late first copy vanishes. Contract: exactly-once holds
+        # for any redelivery skew ≤ the watermark delay (pinned by
+        # test_stream_dedup_cross_batch_redelivery).
+        .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -1081,7 +1091,46 @@ GROUP BY 1
 """
 
 
-def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_counts_from_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_dedup_counts' cross-batch variant: the source directory
+    ALREADY holds each event twice (redelivered files), consumed one
+    file per micro-batch — so the two copies of an event land in
+    DIFFERENT batches, the case the in-job union (same files, same
+    batches) cannot produce. Same watermark + inter-arrival dedup +
+    aggregate pipeline; exists so the cross-batch exactly-once
+    guarantee is a pinned test, not an assumption (ADVICE r8)."""
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_dedupx_ckpt_")
+    stream = (
+        events_stream(spark, sf_dir, static.schema, max_files_per_trigger=1)
+        .transform(normalize_event_ts)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).alias("total_cents"),
+        )
+    )
+    name = "wrf_dedup_counts_xbatch"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_rolling_zscore(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger=None
+) -> DataFrame:
     """Custom stateful operator: the batch trailing-window z-score
     (``plans.sketch_plans.rolling_zscore_outliers``) maintained as
     per-user group state — the anomaly monitor running ON the stream
@@ -1096,7 +1145,27 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle, the strongest equivalence the harness can state.
     Cold-start (< 5 prior rows) and zero-variance baselines emit NULL
     z (None through Arrow, never NaN — NaN would hash-mismatch the
-    SQL NULL)."""
+    SQL NULL).
+
+    ORDERING CONTRACT (ADVICE r8): batch equivalence requires arrival
+    to be event-time ordered ACROSS micro-batches — rows are sorted by
+    (ts, event_id) only WITHIN a batch, so a later batch carrying an
+    earlier-ts event would advance the trailing deque out of global
+    order and silently diverge from the batch oracle. That holds for
+    (a) the registered single-file/single-batch config and (b) any
+    multi-batch source whose file splits are event-time ordered (the
+    normal shape of an append-only event log; pinned by
+    test_rolling_zscore_multibatch_ts_ordered_splits). Out-of-order
+    redelivery needs the watermark+re-sort pattern, not this job.
+
+    Inner loop (VERDICT r8 #5): the per-row itertuples walk is
+    replaced by numpy sliding-window moments (Σc, Σc² over the ≤10
+    trailing entries per row) on an int64 fast path, guarded by the
+    exactness bound |cents| < ~4.8e8 (num² ≤ 4·W²·max² must stay
+    below 2⁶³); groups exceeding the bound fall back to the exact
+    arbitrary-precision Python path, so vectorization can never
+    reintroduce the silent-overflow class the r9 ANSI leg exists to
+    kill."""
     import math
 
     import pandas as pd
@@ -1115,11 +1184,29 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state_schema = StructType.fromDDL("tail array<long>")
 
+    import numpy as np
+
+    W = ZSCORE_WINDOW
+    # int64 fast path is exact iff every |cents| < FAST_MAX: the
+    # largest intermediate is num² ≤ (2·W·max)², which must stay
+    # under 2⁶³ (windowed Σc² ≤ W·max² is smaller). ≈4.8e8 cents —
+    # a $4.8M single event; bigger groups take the exact-int path.
+    FAST_MAX = int(((2 ** 62) / (4 * W * W)) ** 0.5)
+
+    def _cents_exact(value, ts_unused=None):
+        # round half AWAY FROM ZERO, matching the batch plan's
+        # round(value*100) on both engines for either sign
+        # (floor(x+0.5) alone diverges at negative .5 ties)
+        v100 = value * 100
+        return (
+            int(math.floor(v100 + 0.5))
+            if v100 >= 0
+            else -int(math.floor(-v100 + 0.5))
+        )
+
     def update(key, pdfs, state: GroupState):
         (tail,) = state.get if state.exists else ([],)
-        tail = list(tail)
-        out = {c: [] for c in
-               ("user_id", "event_id", "ts", "cents", "n_baseline", "z", "is_outlier")}
+        tail = [int(t) for t in tail]
         # Concatenate the WHOLE micro-batch before sorting: pdfs yields
         # Arrow chunks (maxRecordsPerBatch slices), and sorting each
         # chunk alone would advance the trailing state out of global
@@ -1127,18 +1214,55 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the silent oracle divergence this job exists to preclude.
         chunks = list(pdfs)
         batch = pd.concat(chunks) if chunks else pd.DataFrame()
-        if len(batch):
-            batch = batch.sort_values(["ts", "event_id"])
+        if not len(batch):
+            state.update((tail,))
+            yield pd.DataFrame(
+                {c: [] for c in ("user_id", "event_id", "ts", "cents",
+                                 "n_baseline", "z", "is_outlier")}
+            )
+            return
+        batch = batch.sort_values(["ts", "event_id"])
+        v100 = batch["value"].to_numpy(dtype=np.float64) * 100.0
+        # same float expression as _cents_exact, vectorized
+        cents_f = np.where(v100 >= 0, np.floor(v100 + 0.5), -np.floor(-v100 + 0.5))
+        T, B = len(tail), len(batch)
+        if np.all(np.abs(cents_f) < FAST_MAX) and all(abs(c) < FAST_MAX for c in tail):
+            cents = cents_f.astype(np.int64)
+            full = np.concatenate([np.asarray(tail, dtype=np.int64), cents])
+            # left-pad with W zeros so row i's trailing window is the
+            # fixed slice padded[i+T : i+T+W]; the pad contributes 0
+            # to Σc and Σc², and n counts only the real entries
+            padded = np.concatenate([np.zeros(W, dtype=np.int64), full])
+            rows = np.lib.stride_tricks.sliding_window_view(padded, W)[T : T + B]
+            s_arr = rows.sum(axis=1)
+            q_arr = (rows * rows).sum(axis=1)
+            n_arr = np.minimum(np.arange(T, T + B, dtype=np.int64), W)
+            num = n_arr * cents - s_arr
+            var_n2 = n_arr * q_arr - s_arr * s_arr
+            usable = (n_arr >= ZSCORE_MIN_BASELINE) & (var_n2 > 0)
+            z_vals = num / np.sqrt(np.where(usable, var_n2, 1).astype(np.float64))
+            outlier = (usable & (num * num > 9 * var_n2)).astype("int32")
+            z_obj = pd.Series(z_vals, dtype=object)
+            z_obj[~usable] = None
+            frame = pd.DataFrame(
+                {
+                    "user_id": np.full(B, key[0], dtype=np.int64),
+                    "event_id": batch["event_id"].to_numpy(),
+                    "ts": batch["ts"].to_numpy(),
+                    "cents": cents,
+                    "n_baseline": n_arr,
+                    "z": z_obj.to_numpy(),
+                    "is_outlier": outlier,
+                }
+            )
+            tail = [int(c) for c in full[-W:]]
+        else:
+            # exact arbitrary-precision fallback (same math, Python
+            # ints): correctness can never be traded for speed
+            out = {c: [] for c in
+                   ("user_id", "event_id", "ts", "cents", "n_baseline", "z", "is_outlier")}
             for row in batch.itertuples():
-                # round half AWAY FROM ZERO, matching the batch plan's
-                # round(value*100) on both engines for either sign
-                # (floor(x+0.5) alone diverges at negative .5 ties)
-                v100 = row.value * 100
-                cents = (
-                    int(math.floor(v100 + 0.5))
-                    if v100 >= 0
-                    else -int(math.floor(-v100 + 0.5))
-                )
+                cents = _cents_exact(row.value)
                 n, s, q = len(tail), sum(tail), sum(c * c for c in tail)
                 num = n * cents - s
                 var_n2 = n * q - s * s
@@ -1153,17 +1277,17 @@ def stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1 if usable and num * num > 9 * var_n2 else 0
                 )
                 tail.append(cents)
-                if len(tail) > ZSCORE_WINDOW:
+                if len(tail) > W:
                     tail.pop(0)
+            frame = pd.DataFrame(out)
+            # object dtype keeps missing z as None -> Arrow null (a
+            # float column would smuggle NaN, which is NOT SQL NULL)
+            frame["z"] = frame["z"].astype(object)
         state.update((tail,))
-        # object dtype keeps missing z as None -> Arrow null (a float
-        # column would smuggle NaN, which is NOT the SQL NULL)
-        frame = pd.DataFrame(out)
-        frame["z"] = frame["z"].astype(object)
         yield frame
 
     stream = (
-        events_stream(spark, sf_dir, static.schema)
+        events_stream(spark, sf_dir, static.schema, max_files_per_trigger)
         .transform(normalize_event_ts)
         .groupBy("user_id")
         .applyInPandasWithState(
