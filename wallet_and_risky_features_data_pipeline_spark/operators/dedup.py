@@ -369,6 +369,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs ≥ threshold — the near-dup
+    measure Jaccard structurally misses: a short document quoted
+    whole inside a long one has |A∩B|/|A∪B| ≈ |A|/|B| → arbitrarily
+    small, but containment |A∩B|/min(|A|,|B|) → 1. Standard corpus
+    curation companion to Jaccard (Broder's containment coefficient):
+    catches quote-inclusion, prefix-truncated re-crawls, and
+    boilerplate-wrapped reposts.
+
+    Same inverted-index scale shape as ``ngram_jaccard_pairs`` — the
+    candidate pair space is bounded by the ``max_df`` cap (≤ df² per
+    surviving shingle, never all-pairs), sizes ride through the
+    self-join as window counts, one shuffle for the index + one for
+    the pair aggregate."""
+    from pyspark.sql import Window
+
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                rf"array_distinct(transform(sequence(1, greatest(size(array_remove("
+                rf"split(trim(lower({text_col})), '\\s+'), '')) - {n - 1}, 1)),"
+                rf" i -> concat_ws(' ', slice(array_remove(split(trim(lower({text_col})),"
+                rf" '\\s+'), ''), i, {n}))))"
+            )
+        ).alias("shingle"),
+    )
+    capped = persist_tracked(
+        shingled.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("__df") <= max_df)
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc")))
+        .select("doc", "shingle", "sz")
+    )
+    inter = (
+        capped.alias("a")
+        .join(capped.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.col("inter").cast("double")
+            / F.least("sz_a", "sz_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "inter", "containment")
+    )
+
+
 # Integer-quantization recipe shared by the vector dedup family —
 # quantize to BIGINT at 1e-6 BEFORE the dot product so dot and norms
 # are pure integer arithmetic and the cosine is one integer-double

@@ -134,6 +134,94 @@ def lsh_topk(
     return ranked.filter(F.col("rank") <= k).select("q_id", "c_id", "rank", "cosine")
 
 
+RANGE_BANDS: tuple[tuple[int, ...], ...] = (
+    (1, 9, 17, 25),
+    (33, 41, 49, 57),
+    (5, 13, 21, 29),
+    (37, 45, 53, 61),
+)
+
+
+def lsh_range_search(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: tuple[tuple[int, ...], ...] = RANGE_BANDS,
+) -> DataFrame:
+    """All-neighbors search: every UNORDERED pair with cosine ≥
+    ``threshold`` among pairs sharing at least one LSH band — the
+    radius-query primitive (near-duplicate embedding detection,
+    entity-resolution candidates) beside the top-k family.
+
+    Banded OR amplification (the MinHash-LSH recipe applied to
+    sign-bit buckets): one b-bit bucket alone has recall p^b (p =
+    per-dim sign agreement), which collapses for small τ — measured
+    0.9% on the synthetic corpus with a single 8-bit bucket. B bands
+    of r bits lift recall to 1−(1−p^r)^B at B× candidate cost, the
+    standard knob. Scale shape: per band a bucket equi self-join
+    (never all-pairs), candidate (a,b) id pairs are DISTINCT'd
+    BEFORE vectors are re-attached and scored — the wide embedding
+    columns never ride through the multi-band union or the dedup
+    shuffle, and each surviving pair is scored exactly once with the
+    exact-decimal cosine."""
+    ids = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    cand = None
+    for i, dims in enumerate(bands):
+        bucketed = lsh_bucket(ids.select("__id", "__vec"), "__vec", dims).select(
+            "__id", F.concat(F.lit(f"{i}:"), F.col("bucket")).alias("bucket")
+        )
+        a = bucketed.select(F.col("__id").alias("a_id"), "bucket")
+        b = bucketed.select(F.col("__id").alias("b_id"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id")).select(
+            "a_id", "b_id"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    scored = cand.join(va, "a_id").join(vb, "b_id")
+    # The RADIUS DECISION is all-integer (the rolling-zscore
+    # discipline): cosine ≥ τ ⟺ τ_den²·dot² ≥ τ_num²·‖a‖²·‖b‖² over
+    # the 1e-6-quantized integer dots, with τ = τ_num/τ_den exact —
+    # a double sqrt/division compare differs between engines in the
+    # last ulp exactly when a pair sits ON the radius (observed:
+    # cosine == 0.2 boundary pair at sf0.01). DECIMAL(38,0) keeps the
+    # squared products exact (≤ ~1e29 ≪ 1e38); the oracle mirrors in
+    # HUGEINT. The emitted cosine stays the decimal-exact ratio both
+    # engines agree on.
+    from fractions import Fraction
+
+    tau = Fraction(threshold).limit_denominator(1_000_000)
+    from .dedup import QUANT_DOT, QUANT_VEC
+
+    def idot(a: str, b: str) -> F.Column:
+        qa = QUANT_VEC.format(v=a)
+        qb = QUANT_VEC.format(v=b)
+        return F.expr(QUANT_DOT.format(a=qa, b=qb))
+
+    iab = idot("a_vec", "b_vec").cast("decimal(38,0)")
+    ia = idot("a_vec", "a_vec").cast("decimal(38,0)")
+    ib = idot("b_vec", "b_vec").cast("decimal(38,0)")
+    keep = (iab > 0) & (
+        F.lit(tau.denominator**2) * iab * iab >= F.lit(tau.numerator**2) * ia * ib
+    )
+    # Emitted cosine is ALSO integer-derived (the vector-dedup
+    # family's recipe): IEEE sqrt/divide over identical exact-integer
+    # inputs is bit-identical cross-engine, where the decimal-dot
+    # ratio differs ~1e-9 on pairs whose per-element float→decimal
+    # casts straddle a rounding boundary (14 such pairs at sf0.01).
+    cosine_q = idot("a_vec", "b_vec").cast("double") / (
+        F.sqrt(idot("a_vec", "a_vec").cast("double"))
+        * F.sqrt(idot("b_vec", "b_vec").cast("double"))
+    )
+    return (
+        scored.filter(keep)
+        .withColumn("cosine", cosine_q)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -30,6 +30,7 @@ from ..operators.dedup import (
     exact_dedup_groups,
     lsh_candidate_pairs,
     minhash_signature,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash16,
 )
@@ -38,6 +39,7 @@ from ..operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_bucket,
+    lsh_range_search,
     lsh_topk,
     pandas_topk,
     rrf_fuse,
@@ -2915,4 +2917,109 @@ SELECT doc_id,
            ORDER BY md5('{SHUFFLE_SEED}-' || CAST(doc_id AS VARCHAR)), doc_id
        ) AS BIGINT) AS pos_in_source
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Asymmetric n-gram containment pairs: the near-dup measure Jaccard
+# structurally misses (short doc quoted whole inside a long one →
+# Jaccard ≈ |A|/|B| → small, containment |A∩B|/min → 1). Same
+# max_df-capped inverted-index scale shape as dedup_ngram_jaccard;
+# threshold 0.8 = "most of the smaller document is inside the pair".
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+DEDUP_CONTAINMENT_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tokens
+    FROM documents
+),
+shingled_all AS (
+    SELECT DISTINCT doc_id AS doc, shingle
+    FROM toks,
+         UNNEST(list_transform(generate_series(1, greatest(len(tokens) - 2, 1)),
+                               i -> array_to_string(tokens[i:i+2], ' '))) AS u(shingle)
+),
+shingled AS (
+    SELECT s.doc, s.shingle
+    FROM shingled_all s
+    JOIN (SELECT shingle FROM shingled_all GROUP BY 1 HAVING COUNT(*) <= 100) f
+      ON s.shingle = f.shingle
+),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM shingled GROUP BY 1),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# All-neighbors radius query: every unordered pair with cosine ≥ τ
+# among LSH-bucket cohabitants — the range-search primitive beside the
+# top-k family (near-duplicate embedding detection at a fixed
+# similarity radius). Oracle mirrors the 8-bit banding exactly, so the
+# gate verifies the DISTRIBUTED implementation; recall vs brute force
+# is a separate test concern (one-sided approximation, documented).
+_RANGE_TAU = 0.2
+
+
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    return lsh_range_search(emb, threshold=_RANGE_TAU)
+
+
+# Banded-OR candidate mirror of operators.similarity.RANGE_BANDS —
+# UNION (set semantics) dedups pairs caught by several bands, exactly
+# like the plan's distinct() on the candidate ids.
+_RANGE_BAND_CANDIDATES_SQL = """
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a JOIN embeddings b
+      ON (CASE WHEN a.embedding[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[9] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[17] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[25] >= 0 THEN '1' ELSE '0' END) = (CASE WHEN b.embedding[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[9] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[17] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[25] >= 0 THEN '1' ELSE '0' END)
+     AND a.vec_id < b.vec_id
+    UNION
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a JOIN embeddings b
+      ON (CASE WHEN a.embedding[33] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[41] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[49] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[57] >= 0 THEN '1' ELSE '0' END) = (CASE WHEN b.embedding[33] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[41] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[49] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[57] >= 0 THEN '1' ELSE '0' END)
+     AND a.vec_id < b.vec_id
+    UNION
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a JOIN embeddings b
+      ON (CASE WHEN a.embedding[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[13] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[21] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[29] >= 0 THEN '1' ELSE '0' END) = (CASE WHEN b.embedding[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[13] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[21] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[29] >= 0 THEN '1' ELSE '0' END)
+     AND a.vec_id < b.vec_id
+    UNION
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM embeddings a JOIN embeddings b
+      ON (CASE WHEN a.embedding[37] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[45] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[53] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[61] >= 0 THEN '1' ELSE '0' END) = (CASE WHEN b.embedding[37] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[45] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[53] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[61] >= 0 THEN '1' ELSE '0' END)
+     AND a.vec_id < b.vec_id
+"""
+
+# τ = 1/5 exact; the radius decision is the all-integer predicate
+# 25·dot² ≥ ‖a‖²·‖b‖² over 1e-6-quantized HUGEINT dots (mirrors the
+# plan's DECIMAL(38,0) math; a double sqrt/divide compare flips on
+# exact-boundary pairs between engines).
+SIMILARITY_RANGE_ORACLE = f"""
+WITH cand AS ({_RANGE_BAND_CANDIDATES_SQL})
+SELECT c.a_id, c.b_id,
+       CAST({_IDOT_SQL.format(a="a.embedding", b="b.embedding")} AS DOUBLE)
+         / (sqrt(CAST({_IDOT_SQL.format(a="a.embedding", b="a.embedding")} AS DOUBLE))
+            * sqrt(CAST({_IDOT_SQL.format(a="b.embedding", b="b.embedding")} AS DOUBLE))) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.a_id
+JOIN embeddings b ON b.vec_id = c.b_id
+WHERE CAST({_IDOT_SQL.format(a="a.embedding", b="b.embedding")} AS HUGEINT) > 0
+  AND 25 * CAST({_IDOT_SQL.format(a="a.embedding", b="b.embedding")} AS HUGEINT)
+         * CAST({_IDOT_SQL.format(a="a.embedding", b="b.embedding")} AS HUGEINT)
+      >= CAST({_IDOT_SQL.format(a="a.embedding", b="a.embedding")} AS HUGEINT)
+         * CAST({_IDOT_SQL.format(a="b.embedding", b="b.embedding")} AS HUGEINT)
 """

@@ -389,3 +389,17 @@ register("corpus_shuffle_order", llm.corpus_shuffle_order, llm.CORPUS_SHUFFLE_OR
 # Counterparty concentration (HHI = Σv²/(Σv)² from exact integer
 # moments, one double division) — structural funnel-risk signal
 register("wallet_counterparty_hhi", rf.wallet_counterparty_hhi, rf.WALLET_HHI_ORACLE)
+# r9 surface additions (appended — gate slots untouched):
+# asymmetric n-gram containment (short-doc-inside-long near-dups the
+# Jaccard measure structurally misses; same max_df-capped index)
+register("dedup_containment", llm.dedup_containment, llm.DEDUP_CONTAINMENT_ORACLE)
+# all-neighbors cosine radius query over LSH buckets (the range-search
+# primitive beside top-k; oracle mirrors the banding)
+register(
+    "similarity_range_search",
+    llm.similarity_range_search,
+    llm.SIMILARITY_RANGE_ORACLE,
+)
+# temporal-shape risk features (burst + dormancy), all-integer date
+# math, two stacked hash aggs
+register("wallet_burstiness", rf.wallet_burstiness, rf.WALLET_BURSTINESS_ORACLE)

@@ -788,3 +788,64 @@ FROM pair
 GROUP BY 1
 HAVING SUM(v_c) > 0
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# Velocity / dormancy features: the temporal-shape risk signals beside
+# the value-shape ones (HHI, reciprocity) — burst wallets (airdrop
+# farmers, wash traders) show high max-per-day against few active
+# days; dormant-then-active wallets (compromised keys) show large
+# dormancy against an old first_day. All-integer date arithmetic plus
+# ONE rounded division, so every column is cross-engine exact. Scale
+# shape: two stacked map-side-combinable hash aggregates
+# ((wallet, day) → wallet) and one broadcast of the single-row global
+# max — no windows, no joins on the fact table.
+def wallet_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    per_day = wt.groupBy(
+        "wallet_address", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_day"))
+    global_max = per_day.agg(F.max("day").alias("max_day"))
+    return (
+        per_day.groupBy("wallet_address")
+        .agg(
+            F.sum("n_day").alias("n_legs"),
+            F.count(F.lit(1)).alias("n_active_days"),
+            F.max("n_day").alias("max_legs_day"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .crossJoin(F.broadcast(global_max))
+        .select(
+            "wallet_address",
+            "n_legs",
+            "n_active_days",
+            "max_legs_day",
+            (F.datediff("last_day", "first_day") + F.lit(1)).cast("bigint").alias("span_days"),
+            F.round(F.col("n_legs") / F.col("n_active_days").cast("double"), 6).alias(
+                "legs_per_active_day"
+            ),
+            F.datediff("max_day", "last_day").cast("bigint").alias("dormancy_days"),
+        )
+    )
+
+
+WALLET_BURSTINESS_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+per_day AS (
+    SELECT wallet_address, CAST(ts AS DATE) AS day, COUNT(*) AS n_day
+    FROM wallet_tx
+    GROUP BY 1, 2
+),
+g AS (SELECT MAX(day) AS max_day FROM per_day)
+SELECT wallet_address,
+       CAST(SUM(n_day) AS BIGINT) AS n_legs,
+       CAST(COUNT(*) AS BIGINT) AS n_active_days,
+       CAST(MAX(n_day) AS BIGINT) AS max_legs_day,
+       CAST(date_diff('day', MIN(day), MAX(day)) + 1 AS BIGINT) AS span_days,
+       ROUND(SUM(n_day) / CAST(COUNT(*) AS DOUBLE), 6) AS legs_per_active_day,
+       CAST(date_diff('day', MAX(day), (SELECT max_day FROM g)) AS BIGINT)
+           AS dormancy_days
+FROM per_day
+GROUP BY 1
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
