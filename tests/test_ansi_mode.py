@@ -35,10 +35,19 @@ _BATCH = sorted(n for n in QUERIES if not n.startswith("streaming_"))
 
 @pytest.fixture(scope="module")
 def ansi_spark(spark):
-    prior = spark.conf.get("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-    yield spark
-    spark.conf.set("spark.sql.ansi.enabled", prior)
+    # Dedicated child session (own SQLConf + own memo key), NOT a
+    # set/restore on the shared session: an ANSI episode on the shared
+    # session leaked into later tests — CAST(DECIMAL(38,9) AS STRING)
+    # started rendering 0 as '0E-9' (BigDecimal.toString) instead of
+    # '0.000000000' (toPlainString) even after the conf was restored,
+    # hash-mismatching the AUC family's oracles. newSession() scopes
+    # the mode to this module with nothing to restore (the
+    # _stream_session rationale applied to a conf instead of shuffle
+    # partitions); verified to leave the parent session's decimal
+    # rendering untouched.
+    ansi = spark.newSession()
+    ansi.conf.set("spark.sql.ansi.enabled", "true")
+    yield ansi
 
 
 @pytest.mark.parametrize("name", _BATCH)

@@ -359,6 +359,7 @@ def test_no_batch_query_plans_a_cartesian_product(spark):
         "tfidf_top_terms",             # one-row corpus doc-count scalar
         "wallet_pagerank",             # one-row node-count scalar per iteration
         "similarity_ivf_int8_topk",    # centroid probe sweep (as similarity_ivf_topk)
+        "wallet_burstiness",           # one-row global max-day scalar (r9)
     }
     offenders = {}
     for name, fn in QUERIES.items():
