@@ -403,3 +403,6 @@ register(
 # temporal-shape risk features (burst + dormancy), all-integer date
 # math, two stacked hash aggs
 register("wallet_burstiness", rf.wallet_burstiness, rf.WALLET_BURSTINESS_ORACLE)
+# wallet community formation: the dedup tier's pointer-doubling CC on
+# the counterparty graph (address clustering) + component sizes
+register("wallet_components", rf.wallet_components, rf.WALLET_COMPONENTS_ORACLE)

@@ -849,3 +849,85 @@ SELECT wallet_address,
 FROM per_day
 GROUP BY 1
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# Wallet community formation: connected components over the
+# counterparty graph — the address-clustering step every on-chain
+# investigation runs (one actor's wallet constellation shows up as one
+# component; a giant component through a mixer is itself the signal).
+# Completes the graph tier: taint (reachability from seeds), PageRank
+# (centrality), triangles/reciprocity (local structure), components
+# (global partition). Reuses the dedup tier's adaptive
+# pointer-doubling CC (operators/dedup.py) — O(log diameter) rounds,
+# |E|-linear per round, raises on non-convergence — on wallet edges
+# instead of near-dup pairs; component ids are the min member address,
+# so the labeling is deterministic. component_size rides back on one
+# broadcast-friendly agg join (components ≪ wallets).
+def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    wt = wallet_transactions(spark, sf_dir)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    )
+    edges = persist_tracked(
+        legs.select(
+            F.col("wallet_address").alias("w_a"),
+            F.col("interacted_with").alias("w_b"),
+        ).distinct()
+    )
+    nodes = (
+        edges.select(F.col("w_a").alias("wallet_address"))
+        .union(edges.select(F.col("w_b").alias("wallet_address")))
+        .distinct()
+    )
+    assigned = connected_components(
+        edges, nodes, "wallet_address", a_col="w_a", b_col="w_b"
+    ).withColumnRenamed("cluster_id", "component_id")
+    sizes = assigned.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return assigned.join(F.broadcast(sizes), "component_id").select(
+        "wallet_address", "component_id", "component_size"
+    )
+
+
+WALLET_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {{wallet_tx_cte}},
+cc_pairs AS (
+    SELECT DISTINCT wallet_address AS w_a, interacted_with AS w_b
+    FROM wallet_tx
+    WHERE address_role = 'sender' AND interacted_with IS NOT NULL
+),
+cc_edges AS (
+    SELECT w_a AS s, w_b AS d FROM cc_pairs
+    UNION ALL
+    SELECT w_b AS s, w_a AS d FROM cc_pairs
+),
+-- DISTINCT spelled out: under WITH RECURSIVE, DuckDB applies
+-- recursive-union semantics to plain UNION even in non-recursive
+-- CTEs (measured: UNION stopped deduplicating here)
+cc_nodes AS (
+    SELECT DISTINCT w FROM (
+        SELECT s AS w FROM cc_edges UNION ALL SELECT d FROM cc_edges
+    )
+),
+reach(node, label) AS (
+    SELECT s, s FROM cc_edges
+    UNION
+    SELECT e.d, r.label FROM reach r JOIN cc_edges e ON e.s = r.node
+),
+assigned AS (
+    SELECT n.w AS wallet_address,
+           COALESCE(m.label, n.w) AS component_id
+    FROM cc_nodes n
+    LEFT JOIN (SELECT node, MIN(label) AS label FROM reach GROUP BY 1) m
+           ON m.node = n.w
+)
+SELECT a.wallet_address, a.component_id,
+       CAST(s.component_size AS BIGINT) AS component_size
+FROM assigned a
+JOIN (SELECT component_id, COUNT(*) AS component_size
+      FROM assigned GROUP BY 1) s USING (component_id)
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
