@@ -134,12 +134,37 @@ def lsh_topk(
     return ranked.filter(F.col("rank") <= k).select("q_id", "c_id", "rank", "cosine")
 
 
-RANGE_BANDS: tuple[tuple[int, ...], ...] = (
-    (1, 9, 17, 25),
-    (33, 41, 49, 57),
-    (5, 13, 21, 29),
-    (37, 45, 53, 61),
+# Band POOLS: band i uses the first r dims of pool i. The first four
+# of each pool are the r=4 layout the sf0.01 oracle pins; wider bands
+# extend from the same pools, so the layout is a pure function of r.
+RANGE_BAND_POOLS: tuple[tuple[int, ...], ...] = (
+    (1, 9, 17, 25, 3, 11, 19, 27),
+    (33, 41, 49, 57, 35, 43, 51, 59),
+    (5, 13, 21, 29, 7, 15, 23, 31),
+    (37, 45, 53, 61, 39, 47, 55, 63),
 )
+RANGE_BANDS: tuple[tuple[int, ...], ...] = tuple(p[:4] for p in RANGE_BAND_POOLS)
+
+
+def range_band_bits(n_rows: int, target_pairs_per_band: int = 4_000_000) -> int:
+    """Band width r sized to the corpus: per-band candidate volume is
+    ~n²/2^r, so r grows with log₂(n²/target) — the "size d to the
+    corpus" rule lsh_topk documents, made mechanical. r=4 up to
+    n≈2000 (the oracle-pinned configuration), r=7 at n=20k, r=8 (pool
+    max) beyond ~56k per 4-band layout; the cap keeps the layout a
+    slice of the fixed pools."""
+    import math
+
+    if n_rows <= 0:
+        return 4
+    need = (n_rows * n_rows) / target_pairs_per_band
+    r = max(4, math.ceil(math.log2(need))) if need > 1 else 4
+    return min(r, len(RANGE_BAND_POOLS[0]))
+
+
+def range_bands_for(n_rows: int) -> tuple[tuple[int, ...], ...]:
+    r = range_band_bits(n_rows)
+    return tuple(p[:r] for p in RANGE_BAND_POOLS)
 
 
 def lsh_range_search(
@@ -178,9 +203,27 @@ def lsh_range_search(
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.distinct()
-    va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    scored = cand.join(va, "a_id").join(vb, "b_id")
+    # Per-VECTOR work happens once on the n-row table, never per pair:
+    # vectors are quantized to int arrays and their norms ‖v‖²
+    # computed here — the first 17 s profile of this operator spent
+    # ~3× the necessary cost re-quantizing both vectors and
+    # recomputing both norms inside every candidate pair (192 decimal
+    # ops/pair). A pair now costs exactly ONE integer dot.
+    from .dedup import QUANT_DOT, QUANT_VEC
+
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(QUANT_VEC.format(v=vec_col)).alias("__q"),
+    ).withColumn("__n2", F.expr(QUANT_DOT.format(a="__q", b="__q")))
+    va = q.select(
+        F.col("__id").alias("a_id"), F.col("__q").alias("q_a"), F.col("__n2").alias("n2_a")
+    )
+    vb = q.select(
+        F.col("__id").alias("b_id"), F.col("__q").alias("q_b"), F.col("__n2").alias("n2_b")
+    )
+    scored = cand.join(va, "a_id").join(vb, "b_id").withColumn(
+        "__iab", F.expr(QUANT_DOT.format(a="q_a", b="q_b"))
+    )
     # The RADIUS DECISION is all-integer (the rolling-zscore
     # discipline): cosine ≥ τ ⟺ τ_den²·dot² ≥ τ_num²·‖a‖²·‖b‖² over
     # the 1e-6-quantized integer dots, with τ = τ_num/τ_den exact —
@@ -188,32 +231,24 @@ def lsh_range_search(
     # last ulp exactly when a pair sits ON the radius (observed:
     # cosine == 0.2 boundary pair at sf0.01). DECIMAL(38,0) keeps the
     # squared products exact (≤ ~1e29 ≪ 1e38); the oracle mirrors in
-    # HUGEINT. The emitted cosine stays the decimal-exact ratio both
-    # engines agree on.
+    # HUGEINT.
     from fractions import Fraction
 
     tau = Fraction(threshold).limit_denominator(1_000_000)
-    from .dedup import QUANT_DOT, QUANT_VEC
-
-    def idot(a: str, b: str) -> F.Column:
-        qa = QUANT_VEC.format(v=a)
-        qb = QUANT_VEC.format(v=b)
-        return F.expr(QUANT_DOT.format(a=qa, b=qb))
-
-    iab = idot("a_vec", "b_vec").cast("decimal(38,0)")
-    ia = idot("a_vec", "a_vec").cast("decimal(38,0)")
-    ib = idot("b_vec", "b_vec").cast("decimal(38,0)")
-    keep = (iab > 0) & (
-        F.lit(tau.denominator**2) * iab * iab >= F.lit(tau.numerator**2) * ia * ib
+    iab = F.col("__iab").cast("decimal(38,0)")
+    keep = (F.col("__iab") > 0) & (
+        F.lit(tau.denominator**2) * iab * iab
+        >= F.lit(tau.numerator**2)
+        * F.col("n2_a").cast("decimal(38,0)")
+        * F.col("n2_b").cast("decimal(38,0)")
     )
     # Emitted cosine is ALSO integer-derived (the vector-dedup
     # family's recipe): IEEE sqrt/divide over identical exact-integer
     # inputs is bit-identical cross-engine, where the decimal-dot
     # ratio differs ~1e-9 on pairs whose per-element float→decimal
     # casts straddle a rounding boundary (14 such pairs at sf0.01).
-    cosine_q = idot("a_vec", "b_vec").cast("double") / (
-        F.sqrt(idot("a_vec", "a_vec").cast("double"))
-        * F.sqrt(idot("b_vec", "b_vec").cast("double"))
+    cosine_q = F.col("__iab").cast("double") / (
+        F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))
     )
     return (
         scored.filter(keep)

