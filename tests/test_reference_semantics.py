@@ -90,6 +90,53 @@ def test_salted_running_sum_property(spark, rows):
     assert m.filter(F.col("expected") != F.col("got")).count() == 0
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key
+            st.integers(min_value=0, max_value=10**6),  # order/ts
+            st.integers(min_value=-10**6, max_value=10**6),  # value (cents)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=20),             # hot threshold
+)
+def test_adaptive_running_sum_property(spark, rows, threshold):
+    """For arbitrary inputs and an ARBITRARY hot-key threshold — from
+    "everything routes through the chunked path" (0) to "nothing does"
+    — the occupancy-routed union equals the serial running sum. The
+    threshold is exactly the knob a production config would tune, so
+    equivalence must hold at every setting, not just the default
+    (VERDICT r8 #7)."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.skew import (
+        adaptive_running_sum,
+    )
+
+    data = [(k, o, i, v) for i, (k, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, o long, uid int, v long").withColumn(
+        "v", F.col("v").cast("decimal(20,2)") / 100
+    )
+    serial = df.withColumn(
+        "expected",
+        F.sum("v").over(
+            Window.partitionBy("k").orderBy("o", "uid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    routed = adaptive_running_sum(
+        df, F.col("v"), ["k"], ["o", "uid"], out="got",
+        chunk_expr=(F.col("o") / 1000).cast("int"),
+        threshold=threshold,
+    )
+    m = serial.select("k", "uid", "expected").join(
+        routed.select("k", "uid", "got"), on=["k", "uid"]
+    )
+    assert m.count() == len(rows)
+    assert m.filter(F.col("expected") != F.col("got")).count() == 0
+
+
 # --------------------------------------------------------------------------
 # Day-bucketed as-of join ≡ plain band as-of join, for arbitrary
 # microsecond timestamps — including exact-midnight events/quotes and
