@@ -633,3 +633,89 @@ def test_range_search_sound_and_recall(spark):
     assert brute, "tau too high for the synthetic corpus"
     recall = len(got) / len(brute)
     assert recall >= 0.15, f"recall collapsed: {recall:.3f} ({len(got)}/{len(brute)})"
+
+
+def test_kcore_invariants_and_maximality(spark):
+    """Semantic invariants the oracle can't state: (a) every in-core
+    node keeps >= K neighbors INSIDE the core (k-core closure), (b)
+    maximality — no peeled node still has >= K in-core neighbors (the
+    peel never stops early), (c) the core's edge set is the induced
+    subgraph of the full counterparty graph."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        KCORE_K,
+        wallet_kcore,
+        wallet_transactions,
+    )
+
+    res = wallet_kcore(spark, SF_SMALL).toPandas()
+    assert (res.loc[res.in_core == 1, "core_degree"] >= KCORE_K).all()
+    assert (res.loc[res.in_core == 0, "core_degree"] == 0).all()
+
+    wt = wallet_transactions(spark, SF_SMALL)
+    legs = (
+        wt.filter(
+            (F.col("address_role") == "sender")
+            & F.col("interacted_with").isNotNull()
+        )
+        .select(
+            F.col("wallet_address").cast("bigint").alias("u"),
+            F.col("interacted_with").cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    und = (
+        legs.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .toPandas()
+    )
+    core = set(res.loc[res.in_core == 1, "wallet_address"].astype("int64"))
+    # recompute in-core neighbor counts from the raw edge set
+    from collections import Counter
+
+    in_core_deg: Counter = Counter()
+    for a, b in zip(und.a, und.b):
+        if a in core and b in core:
+            in_core_deg[a] += 1
+            in_core_deg[b] += 1
+    for _, row in res.iterrows():
+        w = int(row.wallet_address)
+        if row.in_core == 1:
+            assert in_core_deg[w] == row.core_degree
+        else:
+            # maximality: adding w back would NOT give it K in-core edges
+            neighbors_in_core = sum(
+                1
+                for a, b in zip(und.a, und.b)
+                if (a == w and b in core) or (b == w and a in core)
+            )
+            assert neighbors_in_core < KCORE_K
+
+
+def test_bpe_pairs_match_pure_python_recount(spark):
+    """Exact recount of the BPE pair table from the raw corpus in
+    pure Python (no truncation ambiguity: compare the top-K slice
+    under the same (freq desc, pair asc) total order)."""
+    from collections import Counter
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        BPE_TOP_K,
+        corpus_bpe_pairs,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    res = corpus_bpe_pairs(spark, SF_SMALL).toPandas()
+    texts = read_table(spark, SF_SMALL, "documents").select("text").toPandas()
+    wc: Counter = Counter()
+    for t in texts.text:
+        for w in t.strip().lower().split():
+            if len(w) >= 2:
+                wc[w] += 1
+    pc: Counter = Counter()
+    for w, n in wc.items():
+        for i in range(len(w) - 1):
+            pc[(w[i], w[i + 1])] += n
+    expect = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    got = [((r.left_sym, r.right_sym), r.freq) for r in res.itertuples()]
+    assert got == expect

@@ -3036,3 +3036,77 @@ WHERE CAST({_IDOT_SQL.format(a="a.embedding", b="b.embedding")} AS HUGEINT) > 0
       >= CAST({_IDOT_SQL.format(a="a.embedding", b="a.embedding")} AS HUGEINT)
          * CAST({_IDOT_SQL.format(a="b.embedding", b="b.embedding")} AS HUGEINT)
 """
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer-training pair statistics — the inner-loop primitive of
+# byte-pair-encoding vocabulary induction (the merge step picks the
+# most frequent adjacent symbol pair; this computes that frequency
+# table corpus-wide). The scale trick is the one real BPE trainers
+# use: adjacent-pair explosion runs over the DISTINCT-WORD frequency
+# dictionary, not the raw token stream — Zipf collapses a 100 TB
+# corpus to a vocab-sized table BEFORE the per-character explode, so
+# the expensive step is bounded by |vocab| × word-length, not corpus
+# size. Two map-side-combinable hash aggregates (word counts, then
+# pair counts) and a TakeOrdered top-K; no joins, no windows, no UDFs.
+# substr() is character-based in both engines, so multibyte text
+# pairs identically; ties at the K-boundary are impossible (the sort
+# key ends with the unique group key).
+BPE_TOP_K = 200
+
+
+def corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr(r"array_remove(split(trim(lower(text)), '\\s+'), '')")
+        ).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "n_words",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(word) - 1),"
+                " i -> named_struct("
+                "'l', substr(word, i, 1), 'r', substr(word, i + 1, 1)))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("n_words").alias("freq"))
+        .orderBy(F.col("freq").desc(), "left_sym", "right_sym")
+        .limit(BPE_TOP_K)
+    )
+
+
+CORPUS_BPE_PAIRS_ORACLE = rf"""
+WITH words AS (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  t -> t <> '')) AS word
+    FROM documents
+),
+vocab AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM words GROUP BY 1
+    HAVING length(word) >= 2
+),
+pairs AS (
+    SELECT substring(word, i, 1) AS left_sym,
+           substring(word, i + 1, 1) AS right_sym,
+           n_words
+    FROM vocab, unnest(generate_series(1, length(word) - 1)) AS t(i)
+)
+SELECT left_sym, right_sym, CAST(SUM(n_words) AS BIGINT) AS freq
+FROM pairs
+GROUP BY 1, 2
+ORDER BY freq DESC, left_sym, right_sym
+LIMIT {BPE_TOP_K}
+"""

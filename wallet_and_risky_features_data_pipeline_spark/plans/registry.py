@@ -406,3 +406,10 @@ register("wallet_burstiness", rf.wallet_burstiness, rf.WALLET_BURSTINESS_ORACLE)
 # wallet community formation: the dedup tier's pointer-doubling CC on
 # the counterparty graph (address clustering) + component sizes
 register("wallet_components", rf.wallet_components, rf.WALLET_COMPONENTS_ORACLE)
+# k-core of the counterparty graph: cohesion beside components'
+# connectivity — iterative |E|-linear peel, bounded rounds with a
+# fixpoint assertion so the unrolled oracle is exact by construction
+register("wallet_kcore", rf.wallet_kcore, rf.WALLET_KCORE_ORACLE)
+# BPE tokenizer-training pair counts: adjacent-symbol frequencies over
+# the DISTINCT-word dictionary (Zipf collapse before the char explode)
+register("corpus_bpe_pairs", llm.corpus_bpe_pairs, llm.CORPUS_BPE_PAIRS_ORACLE)

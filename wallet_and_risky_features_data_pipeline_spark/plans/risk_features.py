@@ -931,3 +931,132 @@ FROM assigned a
 JOIN (SELECT component_id, COUNT(*) AS component_size
       FROM assigned GROUP BY 1) s USING (component_id)
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition of the undirected counterparty graph — the
+# cohesion tier beside components (who is connected at all): a wallet
+# survives the k-core iff it keeps >= k distinct counterparties after
+# every weakly-attached wallet is recursively peeled away. Dense-core
+# membership separates organic trading clusters from spray-and-pray
+# airdrop fans whose hub degree is high but whose neighborhood
+# evaporates under peeling (reference risk intent:
+# src/pipelines/analytics/features/queries/ethereum_risky_features.sql
+# counterparty-structure family; k-core itself is an engine
+# extension). Iterative peel: each round is one |E|-linear hash
+# aggregate (degree) + two shuffle semi joins (drop edges touching a
+# peeled node) on a checkpointed edge set — never anything
+# node-quadratic, so a round survives 100 TB the same way the CC and
+# PageRank rounds do. Rounds stop at the FIRST unchanged edge count;
+# if KCORE_ROUNDS rounds pass while still peeling the result would
+# diverge from the unrolled oracle, so it raises instead (the CC /
+# PageRank bounded-iteration discipline — the fixed-round oracle is
+# exact whenever the plan completes). Peel depth is data-bounded:
+# each round removes every node currently below k, so depth tracks
+# the graph's degeneracy ordering width, 2-3 rounds on real
+# counterparty graphs.
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def wallet_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    ).select(
+        F.col("wallet_address").cast("bigint").alias("u"),
+        F.col("interacted_with").cast("bigint").alias("v"),
+    )
+    und = (
+        legs.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        und.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    alive = sym.localCheckpoint(eager=True)
+    nodes = persist_tracked(alive.select("s").distinct())
+    n_edges = alive.count()
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            alive.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= KCORE_K)
+            .select("s")
+        )
+        pruned = alive.join(keep, "s", "left_semi").join(
+            keep.select(F.col("s").alias("d")), "d", "left_semi"
+        )
+        alive = pruned.select("s", "d").localCheckpoint(eager=True)
+        n_now = alive.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    else:
+        # one more degree probe: only a TRUE fixpoint may ship
+        still_low = (
+            alive.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") < KCORE_K)
+            .limit(1)
+            .count()
+        )
+        if still_low:
+            raise RuntimeError(
+                f"wallet_kcore: peel did not converge in {KCORE_ROUNDS} rounds"
+            )
+    core_deg = alive.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+    return (
+        nodes.join(core_deg, "s", "left")
+        .select(
+            F.col("s").cast("string").alias("wallet_address"),
+            F.col("core_degree").isNotNull().cast("int").alias("in_core"),
+            F.coalesce("core_degree", F.lit(0).cast("bigint")).alias("core_degree"),
+        )
+    )
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled fixed-round peel: exact because the plan RAISES unless
+    the fixpoint lands within ``rounds`` (extra rounds are no-ops)."""
+    parts = [
+        "WITH {wallet_tx_cte},",
+        """und AS (
+    SELECT DISTINCT
+        least(CAST(wallet_address AS BIGINT), CAST(interacted_with AS BIGINT)) AS a,
+        greatest(CAST(wallet_address AS BIGINT), CAST(interacted_with AS BIGINT)) AS b
+    FROM wallet_tx
+    WHERE address_role = 'sender' AND interacted_with IS NOT NULL
+      AND CAST(wallet_address AS BIGINT) <> CAST(interacted_with AS BIGINT)
+),
+sym0 AS MATERIALIZED (SELECT a AS s, b AS d FROM und UNION ALL SELECT b AS s, a AS d FROM und),""",
+    ]
+    # AS MATERIALIZED is load-bearing: each sym{r} references
+    # sym{r-1} three times, so plain (inlinable) CTEs expand the
+    # events scan 3^rounds times — measured as an fd-exhaustion
+    # blowup, not just slowness.
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"keep{r} AS MATERIALIZED (SELECT s FROM sym{r - 1} GROUP BY s"
+            f" HAVING COUNT(*) >= {k}),\n"
+            f"sym{r} AS MATERIALIZED (SELECT e.s, e.d FROM sym{r - 1} e"
+            f" JOIN keep{r} ka ON ka.s = e.s"
+            f" JOIN keep{r} kb ON kb.s = e.d),"
+        )
+    parts.append(
+        f"""all_nodes AS (SELECT DISTINCT s FROM sym0),
+core AS (SELECT s, COUNT(*) AS core_degree FROM sym{rounds} GROUP BY s)
+SELECT CAST(n.s AS VARCHAR) AS wallet_address,
+       CAST(CASE WHEN c.s IS NULL THEN 0 ELSE 1 END AS INTEGER) AS in_core,
+       CAST(COALESCE(c.core_degree, 0) AS BIGINT) AS core_degree
+FROM all_nodes n LEFT JOIN core c ON c.s = n.s"""
+    )
+    return "\n".join(parts)
+
+
+WALLET_KCORE_ORACLE = _kcore_oracle().format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
