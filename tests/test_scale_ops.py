@@ -719,3 +719,122 @@ def test_bpe_pairs_match_pure_python_recount(spark):
     expect = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
     got = [((r.left_sym, r.right_sym), r.freq) for r in res.itertuples()]
     assert got == expect
+
+
+def test_event_transitions_pure_python_recount(spark):
+    """Exact recount of the Markov transition matrix in pure Python
+    (per-user (ts, event_id) total order), plus the distribution
+    invariant the oracle can't state directly: probabilities are
+    n/sum(n) per source type (sum to ~1 over each from_type)."""
+    from collections import Counter, defaultdict
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sessionization import (
+        event_transitions,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    res = event_transitions(spark, SF_SMALL).toPandas()
+    ev = (
+        read_table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+    )
+    by_user = defaultdict(list)
+    for r in ev.itertuples():
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pairs: Counter = Counter()
+    users = defaultdict(set)
+    for u, rows in by_user.items():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            pairs[(a, b)] += 1
+            users[(a, b)].add(u)
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.n_users) for r in res.itertuples()}
+    assert got == {k: (n, len(users[k])) for k, n in pairs.items()}
+    per_from = res.groupby("from_type")["p_transition"].sum()
+    assert ((per_from - 1.0).abs() < 1e-4).all(), per_from
+
+
+def test_wallet_ewma_matches_pure_python_fold(spark):
+    """Recompute the EWMA fold in pure Python from the wallet's daily
+    decimal nets — same init (first day), same recurrence, same
+    rounding — and require exact equality after round(6)."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        EWMA_ALPHA,
+        wallet_ewma_value,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions,
+    )
+
+    res = wallet_ewma_value(spark, SF_SMALL).toPandas()
+    wt = (
+        wallet_transactions(spark, SF_SMALL)
+        .select("wallet_address", F.to_date("ts").alias("day"), "signed_value")
+        .toPandas()
+    )
+    nets: dict = defaultdict(lambda: defaultdict(Decimal))
+    for r in wt.itertuples():
+        nets[r.wallet_address][r.day] += Decimal(str(r.signed_value))
+    for r in res.itertuples():
+        series = [float(v) for _, v in sorted(nets[r.wallet_address].items())]
+        acc = series[0]
+        for v in series[1:]:
+            acc = EWMA_ALPHA * v + (1 - EWMA_ALPHA) * acc
+        # Spark/DuckDB ROUND is half-away-from-zero on the double's
+        # shortest decimal repr; Python's round is banker's — mirror
+        # the engines, not Python
+        want = float(
+            Decimal(repr(acc)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+        assert want == r.ewma_net, (r.wallet_address, acc, want, r.ewma_net)
+        assert r.n_days == len(series)
+
+
+def test_zorder_layout_invariants(spark):
+    """Morton-cell invariants: (a) every cell's z envelope stays
+    inside the cell's fixed bit prefix (min_z>>shift == cell_id ==
+    max_z>>shift — the property that makes cells prunable), (b) the
+    cells partition the corpus (n_docs sums to the doc count), (c) a
+    pure-Python bit interleave over the raw dims reproduces the
+    per-cell occupancy exactly."""
+    from collections import Counter
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        ZORDER_BITS,
+        ZORDER_CELL_SHIFT,
+        corpus_zorder_layout,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    res = corpus_zorder_layout(spark, SF_SMALL).toPandas()
+    cell_div = 1 << ZORDER_CELL_SHIFT
+    assert ((res.min_z // cell_div) == res.cell_id).all()
+    assert ((res.max_z // cell_div) == res.cell_id).all()
+    assert (res.min_chars <= res.max_chars).all()
+    assert (res.min_tokens <= res.max_tokens).all()
+
+    docs = read_table(spark, SF_SMALL, "documents").select("text", "n_chars").toPandas()
+    cap = (1 << ZORDER_BITS) - 1
+
+    def interleave(x: int, y: int) -> int:
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cells: Counter = Counter()
+    for r in docs.itertuples():
+        x = min(int(r.n_chars), cap)
+        y = min(len(r.text.strip().split()), cap)
+        cells[interleave(x, y) >> ZORDER_CELL_SHIFT] += 1
+    assert cells == {int(r.cell_id): int(r.n_docs) for r in res.itertuples()}
+    assert res.n_docs.sum() == len(docs)

@@ -3110,3 +3110,81 @@ GROUP BY 1, 2
 ORDER BY freq DESC, left_sym, right_sym
 LIMIT {BPE_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton-curve) layout audit: interleave the bits of two
+# document dimensions (size in chars, size in tokens) into one
+# space-filling-curve key, cell documents by the key's top byte, and
+# report per-cell occupancy + min/max envelopes of BOTH dimensions.
+# This is the clustering step a 100 TB corpus store runs before
+# writing (Delta/Iceberg OPTIMIZE ZORDER): files laid out along the
+# curve carry tight min/max stats on EVERY interleaved dimension at
+# once, so scans filtered on either dimension prune files instead of
+# reading them. Scale shape: the z-key and cell id are pure per-row
+# expressions (no shuffle at all until the ≤256-key envelope agg,
+# which map-side combines to nothing); the cell id is a FIXED bit
+# prefix of z — deterministic, unlike sampling-based
+# repartitionByRange — so the audit is reproducible and oracle-exact.
+# At write time the same key feeds repartitionByRange(z) + sortWithinPartitions.
+ZORDER_BITS = 16  # per dimension; z is 2*ZORDER_BITS wide
+ZORDER_CELL_SHIFT = 2 * ZORDER_BITS - 8  # top byte of z → ≤256 cells
+
+
+def _zorder_interleave(x: str, y: str, dialect: str) -> str:
+    """Bit-interleave expression for two clamped ZORDER_BITS ints;
+    identical bit math rendered for Spark SQL or DuckDB."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def corpus_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    cap = (1 << ZORDER_BITS) - 1
+    dims = docs.select(
+        F.least(F.col("n_chars"), F.lit(cap)).cast("bigint").alias("xd"),
+        F.least(token_count("text").cast("bigint"), F.lit(cap)).alias("yd"),
+    )
+    z = F.expr(_zorder_interleave("xd", "yd", "spark"))
+    cells = dims.select(
+        "xd", "yd", z.alias("z")
+    ).withColumn("cell_id", F.shiftright("z", ZORDER_CELL_SHIFT))
+    return cells.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("xd").alias("min_chars"),
+        F.max("xd").alias("max_chars"),
+        F.min("yd").alias("min_tokens"),
+        F.max("yd").alias("max_tokens"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )
+
+
+CORPUS_ZORDER_LAYOUT_ORACLE = rf"""
+WITH dims AS (
+    SELECT
+        LEAST(n_chars, {(1 << ZORDER_BITS) - 1}) AS xd,
+        LEAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  t -> t <> '')), {(1 << ZORDER_BITS) - 1}) AS yd
+    FROM documents
+),
+cells AS (
+    SELECT xd, yd,
+           {_zorder_interleave("xd", "yd", "duckdb")} AS z
+    FROM dims
+)
+SELECT z >> {ZORDER_CELL_SHIFT} AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(xd) AS min_chars, MAX(xd) AS max_chars,
+       MIN(yd) AS min_tokens, MAX(yd) AS max_tokens,
+       MIN(z) AS min_z, MAX(z) AS max_z
+FROM cells
+GROUP BY 1
+"""

@@ -413,3 +413,14 @@ register("wallet_kcore", rf.wallet_kcore, rf.WALLET_KCORE_ORACLE)
 # BPE tokenizer-training pair counts: adjacent-symbol frequencies over
 # the DISTINCT-word dictionary (Zipf collapse before the char explode)
 register("corpus_bpe_pairs", llm.corpus_bpe_pairs, llm.CORPUS_BPE_PAIRS_ORACLE)
+# Markov next-event transition matrix: one (user) window exchange →
+# |event_type|^2-bounded hash agg → window over the tiny aggregate
+register("event_transitions", sess.event_transitions, sess.EVENT_TRANSITIONS_ORACLE)
+# per-wallet EWMA of daily net flow: JVM-side higher-order fold over
+# a calendar-bounded series; bit-exact vs list_reduce (same fold)
+register("wallet_ewma_value", rf.wallet_ewma_value, rf.WALLET_EWMA_VALUE_ORACLE)
+# Z-order (Morton) layout audit: fixed-prefix curve cells with
+# per-cell min/max envelopes on both interleaved dimensions
+register(
+    "corpus_zorder_layout", llm.corpus_zorder_layout, llm.CORPUS_ZORDER_LAYOUT_ORACLE
+)

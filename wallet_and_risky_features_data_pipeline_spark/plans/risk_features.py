@@ -1060,3 +1060,66 @@ FROM all_nodes n LEFT JOIN core c ON c.s = n.s"""
 
 
 WALLET_KCORE_ORACLE = _kcore_oracle().format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# Per-wallet EWMA of daily net flow — the trend feature risk models
+# prefer over raw means (recent behavior dominates, dormant history
+# decays geometrically). The recurrence s_t = a*v_t + (1-a)*s_{t-1}
+# is inherently sequential per wallet, so it runs as a higher-order
+# fold (F.aggregate) over the wallet's sorted daily series — all
+# JVM-side, no Python in the loop. Exactness: daily nets are DECIMAL
+# sums (order-independent), cast to DOUBLE once, and both engines
+# fold in identical day order with identical operations, so the
+# doubles match bit-for-bit (list_reduce is the same left fold).
+# Scale shape: ONE wallet exchange; the collected series is bounded
+# by distinct active DAYS per wallet (calendar-bounded — years of
+# daily history is thousands of entries, not transaction-count), so
+# the per-group array can never inherit transaction skew.
+EWMA_ALPHA = 0.5  # exactly representable; halving is exact in binary FP
+
+
+def wallet_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    per_day = wt.groupBy(
+        "wallet_address", F.to_date("ts").alias("day")
+    ).agg(F.sum("signed_value").cast("double").alias("net"))
+    series = per_day.groupBy("wallet_address").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.array_sort(F.collect_list(F.struct("day", "net"))).alias("s"),
+    )
+    a = EWMA_ALPHA
+    ewma = F.expr(
+        f"aggregate(slice(s, 2, size(s) - 1), s[0].net,"
+        f" (acc, x) -> {a}D * x.net + {1 - a}D * acc)"
+    )
+    return series.select(
+        "wallet_address",
+        "n_days",
+        F.col("last_day").cast("string").alias("last_day"),
+        F.round(ewma, 6).alias("ewma_net"),
+    )
+
+
+WALLET_EWMA_VALUE_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+per_day AS (
+    SELECT wallet_address, CAST(ts AS DATE) AS day,
+           CAST(SUM(signed_value) AS DOUBLE) AS net
+    FROM wallet_tx
+    GROUP BY 1, 2
+),
+series AS (
+    SELECT wallet_address,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(day) AS last_day,
+           list(net ORDER BY day) AS s
+    FROM per_day
+    GROUP BY 1
+)
+SELECT wallet_address, n_days, CAST(last_day AS VARCHAR) AS last_day,
+       ROUND(list_reduce(s, (acc, x) ->
+             {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6) AS ewma_net
+FROM series
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)

@@ -503,3 +503,66 @@ SELECT event_id, user_id,
            AS credit
 FROM cand
 """
+
+
+# --------------------------------------------------------------------------
+# Markov next-event transition matrix: for each user's event stream in
+# strict (ts, event_id) order, count (event_type -> next_event_type)
+# pairs and the per-source transition probability — the behavioral
+# fingerprint table fraud models and session simulators both consume
+# (the reference's LEAD-delta machinery, W9, pointed at event_type
+# instead of value). Scale shape: ONE (user) window exchange — the
+# same partitioning every other per-user family reuses — then a hash
+# agg on a key space bounded by |event_type|^2 (tiny), so the
+# transition matrix itself never shuffles meaningful data; the final
+# probability is a window over that tiny aggregate.
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    per_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_users",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_from).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+WITH pairs AS (
+    SELECT user_id, event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM pairs
+    WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions, n_users,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE),
+             6) AS p_transition
+FROM counts
+"""
