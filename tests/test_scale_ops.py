@@ -838,3 +838,56 @@ def test_zorder_layout_invariants(spark):
         cells[interleave(x, y) >> ZORDER_CELL_SHIFT] += 1
     assert cells == {int(r.cell_id): int(r.n_docs) for r in res.itertuples()}
     assert res.n_docs.sum() == len(docs)
+
+
+def test_wallet_autocorr_pure_python_recount(spark):
+    """Exact-arithmetic recount of the lag-1 Pearson r from raw daily
+    cents (Python ints for the moments, one float division at the
+    end), plus |r| <= 1 and the degenerate-variance guard."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        AUTOCORR_MIN_PAIRS,
+        wallet_flow_autocorr,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions,
+    )
+
+    res = wallet_flow_autocorr(spark, SF_SMALL).toPandas()
+    wt = (
+        wallet_transactions(spark, SF_SMALL)
+        .select("wallet_address", F.to_date("ts").alias("day"), "signed_value")
+        .toPandas()
+    )
+    nets: dict = defaultdict(lambda: defaultdict(Decimal))
+    for r in wt.itertuples():
+        nets[r.wallet_address][r.day] += Decimal(str(r.signed_value))
+    import math
+
+    for row in res.itertuples():
+        days = sorted(nets[row.wallet_address].items())
+        cents = [
+            int((v * 100).quantize(Decimal("1"), rounding="ROUND_HALF_UP"))
+            for _, v in days
+        ]
+        pairs = list(zip(cents, cents[1:]))
+        assert row.n_pairs == len(pairs)
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if n < AUTOCORR_MIN_PAIRS or dx <= 0 or dy <= 0:
+            assert row.lag1_autocorr is None or math.isnan(row.lag1_autocorr)
+        else:
+            r_exact = float(n * sxy - sx * sy) / math.sqrt(float(dx) * float(dy))
+            assert abs(r_exact) <= 1.0 + 1e-12
+            assert abs(row.lag1_autocorr - r_exact) < 1.5e-6, (
+                row.wallet_address,
+                row.lag1_autocorr,
+                r_exact,
+            )

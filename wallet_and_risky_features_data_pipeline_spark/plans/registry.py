@@ -424,3 +424,8 @@ register("wallet_ewma_value", rf.wallet_ewma_value, rf.WALLET_EWMA_VALUE_ORACLE)
 register(
     "corpus_zorder_layout", llm.corpus_zorder_layout, llm.CORPUS_ZORDER_LAYOUT_ORACLE
 )
+# lag-1 autocorrelation of daily net flow: exact integer-cents moments
+# in DECIMAL(38,0), degenerate-variance decided by an integer predicate
+register(
+    "wallet_flow_autocorr", rf.wallet_flow_autocorr, rf.WALLET_FLOW_AUTOCORR_ORACLE
+)

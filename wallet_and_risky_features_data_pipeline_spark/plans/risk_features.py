@@ -1123,3 +1123,94 @@ SELECT wallet_address, n_days, CAST(last_day AS VARCHAR) AS last_day,
              {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6) AS ewma_net
 FROM series
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of daily net flow — the persistence signal
+# beside wallet_ewma_value's trend: organic users' day-to-day flows
+# are noisy (r ≈ 0), schedule-driven bots and drip-feed launderers
+# show strongly positive r, oscillating in/out washers negative r.
+# Pairs are (active day t, NEXT active day) via one LEAD over the
+# (wallet, day) aggregate; Pearson r from exact integer-cents moments
+# kept in DECIMAL(38,0) until ONE final double expression — the
+# feature_correlations discipline (sketch_plans.py), so float
+# summation order never enters. The degenerate-variance DECISION is
+# the exact integer predicate n·Σx²−(Σx)² > 0 on BOTH axes (boundary
+# -proof, and it keeps the double division away from /0 under ANSI).
+# Scale shape: two map-side-combinable hash aggs + one window over
+# the calendar-bounded per-day table.
+AUTOCORR_MIN_PAIRS = 3
+
+
+def wallet_flow_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    per_day = wt.groupBy(
+        "wallet_address", F.to_date("ts").alias("day")
+    ).agg(
+        F.expr("cast(round(sum(signed_value) * 100) as decimal(38,0))").alias("net_c")
+    )
+    w = Window.partitionBy("wallet_address").orderBy("day")
+    pairs = (
+        per_day.select(
+            "wallet_address",
+            F.col("net_c").alias("x"),
+            F.lead("net_c").over(w).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    sums = pairs.groupBy("wallet_address").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.round(
+        num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")), 6
+    )
+    return sums.select(
+        "wallet_address",
+        "n_pairs",
+        F.when(
+            (F.col("n_pairs") >= AUTOCORR_MIN_PAIRS) & (dx > 0) & (dy > 0), r
+        ).alias("lag1_autocorr"),
+    )
+
+
+WALLET_FLOW_AUTOCORR_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+per_day AS (
+    SELECT wallet_address, CAST(ts AS DATE) AS day,
+           CAST(round(SUM(signed_value) * 100) AS DECIMAL(38,0)) AS net_c
+    FROM wallet_tx
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT wallet_address, net_c AS x,
+           LEAD(net_c) OVER (PARTITION BY wallet_address ORDER BY day) AS y
+    FROM per_day
+),
+sums AS (
+    SELECT wallet_address,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pairs
+    WHERE y IS NOT NULL
+    GROUP BY 1
+)
+SELECT wallet_address, n_pairs,
+       CASE WHEN n_pairs >= {AUTOCORR_MIN_PAIRS}
+                 AND n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+            THEN ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+            END AS lag1_autocorr
+FROM sums
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
