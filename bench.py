@@ -137,16 +137,19 @@ def main() -> None:
     # headline metric (isolated_total): clean serial walls swing ±6 s
     # run-to-run while isolated times stay flat, so round-over-round
     # comparison reads isolated_total, not the concurrent wall.
-    # Coverage: the top-N heaviest get min-of-2 runs (the first run
-    # after the concurrent pool can absorb one-off JVM work — observed
-    # as a 10x outlier); EVERY other query gets one run.
+    # Coverage: EVERY query gets one run; then the top-N by MEASURED
+    # isolated time get a second run (min-of-2). Targeting by the
+    # isolated measurement itself — not the concurrent-tier weight —
+    # puts the retry where an outlier actually landed: the first run
+    # after the concurrent pool can absorb one-off JVM work (observed
+    # as a 10x outlier), and it is the heavy tail of isolated_total
+    # that must not carry a single noisy sample.
     n_isolated = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "10"))
     iso_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_MIN_SEC", "0"))
     isolated: dict[str, float] = {}
     isolated_errors: dict[str, str] = {}
     by_weight = sorted(timings, key=lambda k: -timings[k])
-    top = by_weight[:n_isolated]
-    extended = [k for k in by_weight[n_isolated:] if timings[k] >= iso_threshold]
+    first_round = [k for k in by_weight if timings[k] >= iso_threshold]
 
     def run_isolated(name: str, runs: int) -> None:
         best = None
@@ -165,11 +168,13 @@ def main() -> None:
             took = time.perf_counter() - t0
             best = took if best is None else min(best, took)
         if best is not None:
-            isolated[name] = round(best, 4)
+            prior = isolated.get(name)
+            isolated[name] = round(best if prior is None else min(best, prior), 4)
 
-    for name in top:
-        run_isolated(name, runs=2)
-    for name in extended:
+    for name in first_round:
+        run_isolated(name, runs=1)
+    retried = sorted(isolated, key=lambda k: -isolated[k])[:n_isolated]
+    for name in retried:
         run_isolated(name, runs=1)
 
     # Round-over-round mechanics: diff this run's isolated tier against
@@ -225,9 +230,9 @@ def main() -> None:
         "isolated_total": isolated_total,
         "isolated_total_delta": isolated_total_delta,
         "isolated_policy": {
-            "top_n_min_of_2": len(top),
+            "top_n_min_of_2": len(retried),
+            "retry_targeting": "measured_isolated_time",
             "extended_single_run_threshold_sec": iso_threshold,
-            "n_extended": len(extended),
         },
         "bench_delta": bench_delta,
         "isolated_errors": isolated_errors,

@@ -891,3 +891,51 @@ def test_wallet_autocorr_pure_python_recount(spark):
                 row.lag1_autocorr,
                 r_exact,
             )
+
+
+def test_bm25_matches_pure_python(spark):
+    """Pure-Python BM25 recount (math.log idf, same quantization) —
+    scores match to float tolerance and every scored doc contains at
+    least one query term; docs with no term never appear."""
+    import math
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+        text_bm25_search,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    res = text_bm25_search(spark, SF_SMALL).toPandas().set_index("doc_id")
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text").toPandas()
+    toks = {r.doc_id: r.text.strip().lower().split() for r in docs.itertuples()}
+    n = len(toks)
+    sum_dl = sum(len(t) for t in toks.values())
+    tf = {
+        d: {t: ts.count(t) for t in BM25_QUERY_TERMS} for d, ts in toks.items()
+    }
+    df = {t: sum(1 for d in tf if tf[d][t] > 0) for t in BM25_QUERY_TERMS}
+    idf = {
+        t: round(math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0) * 1e6) / 1e6
+        for t in BM25_QUERY_TERMS
+    }
+    hits = 0
+    for d, ts in toks.items():
+        dl = len(ts)
+        norm = 1.0 - BM25_B + BM25_B * (dl * float(n) / sum_dl)
+        score = sum(
+            idf[t]
+            * (tf[d][t] * (BM25_K1 + 1.0) / (tf[d][t] + BM25_K1 * norm))
+            for t in BM25_QUERY_TERMS
+        )
+        if score > 0:
+            hits += 1
+            assert d in res.index, d
+            assert abs(res.loc[d, "bm25"] - score) < 1e-5, (d, score)
+            assert any(tf[d][t] > 0 for t in BM25_QUERY_TERMS)
+        else:
+            assert d not in res.index, d
+    assert hits == len(res)

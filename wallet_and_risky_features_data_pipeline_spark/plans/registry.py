@@ -429,3 +429,16 @@ register(
 register(
     "wallet_flow_autocorr", rf.wallet_flow_autocorr, rf.WALLET_FLOW_AUTOCORR_ORACLE
 )
+# BM25 keyword search: per-row tf off one scan, global stats broadcast
+# back, idf quantized at birth (ln is not cross-libm reproducible)
+register("text_bm25_search", llm.text_bm25_search, llm.TEXT_BM25_SEARCH_ORACLE)
+# stateful streaming Markov pair log (O(1) last-event state per user)
+# rolled up to the batch event_transitions oracle: streaming ≡ batch
+register(
+    "streaming_event_transitions",
+    sj.stream_event_transitions,
+    sess.EVENT_TRANSITIONS_ORACLE,
+)
+# k-anonymity privacy gate: QI-cell occupancy + suppression flag, one
+# map-side-combinable hash agg on the |QI-space|-bounded key
+register("dq_k_anonymity", dq.dq_k_anonymity, dq.DQ_K_ANONYMITY_ORACLE)

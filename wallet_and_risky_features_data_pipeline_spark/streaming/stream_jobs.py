@@ -1305,3 +1305,107 @@ def stream_rolling_zscore(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_event_transitions(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger=None
+) -> DataFrame:
+    """Stateful Markov pair extraction ON the stream: per-user group
+    state holds only the LAST event (ts, event_id, type); each
+    micro-batch sorts its rows into the deterministic (ts, event_id)
+    order, chains them behind the remembered last event, and emits
+    one (from_type, to_type) pair per consecutive step — the
+    transition LOG a behavioral-drift monitor tails. The memory sink
+    holds that log; the returned DataFrame is the serving rollup
+    (counts, distinct users, per-source probability) over it, held to
+    the BATCH ``event_transitions`` query's own DuckDB oracle — the
+    z-score job's streaming ≡ batch discipline with O(1) state per
+    key instead of a deque.
+
+    ORDERING CONTRACT: identical to stream_rolling_zscore — batch
+    equivalence requires event-time-ordered arrival ACROSS
+    micro-batches (single-batch registered config, or ts-ordered file
+    splits: the append-only log shape)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_transitions_ckpt_")
+
+    out_schema = StructType.fromDDL(
+        "user_id long, from_type string, to_type string"
+    )
+    state_schema = StructType.fromDDL(
+        "last_us long, last_event_id long, last_type string"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        prev = state.get if state.exists else None
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if not len(batch):
+            if prev is not None:
+                state.update(prev)
+            yield pd.DataFrame({c: [] for c in ("user_id", "from_type", "to_type")})
+            return
+        # whole-batch sort (never per-Arrow-chunk): the z-score job's
+        # cross-chunk ordering rule
+        batch = batch.sort_values(["ts", "event_id"])
+        types = batch["event_type"].tolist()
+        out_from, out_to = [], []
+        if prev is not None:
+            out_from.append(prev[2])
+            out_to.append(types[0])
+        out_from.extend(types[:-1])
+        out_to.extend(types[1:])
+        last = batch.iloc[-1]
+        state.update(
+            (int(last.ts.value // 1000), int(last.event_id), str(last.event_type))
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_from),
+                "from_type": out_from,
+                "to_type": out_to,
+            }
+        )
+
+    stream = (
+        events_stream(spark, sf_dir, static.schema, max_files_per_trigger)
+        .transform(normalize_event_ts)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "wrf_event_transitions"
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    pairs = spark.table(name)
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    per_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_users",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_from).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )
