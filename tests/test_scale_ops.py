@@ -939,3 +939,112 @@ def test_bm25_matches_pure_python(spark):
         else:
             assert d not in res.index, d
     assert hits == len(res)
+
+
+def test_cusum_matches_pure_python_recurrence(spark):
+    """The closed form (prefix sum − running min) must equal the
+    LITERAL recurrence s_t = max(0, s_{t−1} + x_t − k) replayed in
+    exact Python ints — the identity the plan's two-window shape
+    rests on, checked on real data rather than trusted from algebra."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        CUSUM_ALARM_C,
+        CUSUM_ALLOWANCE_C,
+        wallet_cusum_drift,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions,
+    )
+
+    got = {
+        r.wallet_address: (r.n_days, r.max_cusum_c, r.final_cusum_c, r.n_alarm_days)
+        for r in wallet_cusum_drift(spark, SF_SMALL).collect()
+    }
+    legs = wallet_transactions(spark, SF_SMALL).collect()
+    per_day = {}
+    for r in legs:
+        key = (r.wallet_address, r.ts.date())
+        per_day[key] = per_day.get(key, 0) + r.signed_value
+    series = {}
+    for (w, day), net in per_day.items():
+        series.setdefault(w, []).append((day, int(round(net * 100))))
+    assert set(series) == set(got)
+    for w, days in series.items():
+        s = 0
+        mx = alarms = 0
+        for _, net_c in sorted(days):
+            s = max(0, s + net_c - CUSUM_ALLOWANCE_C)
+            mx = max(mx, s)
+            alarms += 1 if s > CUSUM_ALARM_C else 0
+        assert got[w] == (len(days), mx, s, alarms), w
+
+
+def test_benford_shares_sum_and_bounds(spark):
+    """Digits are exactly 1..9, shares sum to 1 (every price has a
+    first digit), counts recount against a pure-Python digit walk."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.dq_plans import (
+        BENFORD_EXPECTED,
+        dq_benford_digits,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    rows = dq_benford_digits(spark, SF_SMALL).collect()
+    prices = [
+        r.l_extendedprice
+        for r in read_table(spark, SF_SMALL, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    ]
+    want = {}
+    for p in prices:
+        d = int(str(int(p * 100))[0])
+        want[d] = want.get(d, 0) + 1
+    assert {r.digit: r.n for r in rows} == want
+    assert all(1 <= r.digit <= 9 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.expected_share == BENFORD_EXPECTED[r.digit]
+        assert abs(r.abs_dev - abs(r.share - r.expected_share)) < 1e-5
+
+
+def test_gini_matches_pure_python(spark):
+    """O(n log n) exact-int recount of the shifted Gini per nation,
+    plus the [0, 1) bound the shifted series guarantees."""
+    from fractions import Fraction
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.dq_plans import (
+        dq_gini_acctbal,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    got = {
+        r.nationkey: (r.n_customers, r.gini_shifted)
+        for r in dq_gini_acctbal(spark, SF_SMALL).collect()
+    }
+    cust = (
+        read_table(spark, SF_SMALL, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .collect()
+    )
+    nations = {}
+    for r in cust:
+        nations.setdefault(r.c_nationkey, []).append(
+            (int(round(r.c_acctbal * 100)), r.c_custkey)
+        )
+    assert set(nations) == set(got)
+    for nk, vals in nations.items():
+        vals.sort()
+        lo = min(c for c, _ in vals)
+        xs = [c - lo for c, _ in vals]
+        n, sx = len(xs), sum(xs)
+        if sx == 0:
+            assert got[nk] == (n, None)
+            continue
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        g = Fraction(num, n * sx)
+        assert 0 <= g < 1
+        assert got[nk][0] == n
+        assert abs(got[nk][1] - float(g)) < 1e-5, nk

@@ -144,3 +144,167 @@ SELECT c_nationkey AS nationkey,
 FROM customer
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — the classic fabricated-numbers screen a
+# DQ gate runs over any organic money column: naturally-occurring
+# amounts follow P(d) = log10(1 + 1/d); invented or rounded-off data
+# does not. Determinism recipe: the digit is extracted from the
+# STRING form of the exact integer cents (CAST(price*100 AS BIGINT)
+# is exact for DECIMAL(15,2)) — never via log10 on a double, whose
+# last-ulp behavior at exact powers of ten is engine-specific — and
+# the expected shares are Python-side literals baked into BOTH plan
+# and oracle, so no engine ever evaluates a transcendental. share =
+# n/total divides two exact <2^53 integers as doubles: correctly
+# rounded, identical IEEE in both engines. Scale shape: one
+# map-side-combinable agg onto a 9-key space + a window over those 9
+# rows — nothing row-scaled past the scan.
+BENFORD_EXPECTED = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.expr("cast(cast(l_extendedprice * 100 as bigint) as string)"), 1, 1
+    ).cast("int")
+    counts = li.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_EXPECTED.items() for x in kv]
+    )[F.col("digit")]
+    share = F.col("n").cast("double") / F.sum("n").over(
+        Window.partitionBy()
+    ).cast("double")
+    return counts.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        expected.alias("expected_share"),
+        F.round(F.abs(share - expected), 6).alias("abs_dev"),
+    )
+
+
+def _benford_oracle() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in BENFORD_EXPECTED.items()
+    )
+    return f"""
+WITH counts AS (
+    SELECT CAST(substring(CAST(CAST(l_extendedprice * 100 AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1
+)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share,
+       (CASE digit {case} END) AS expected_share,
+       ROUND(ABS(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                 - (CASE digit {case} END)), 6) AS abs_dev
+FROM counts
+"""
+
+
+DQ_BENFORD_DIGITS_ORACLE = _benford_oracle()
+
+
+# --------------------------------------------------------------------------
+# Per-nation Gini concentration of account balances — the inequality
+# summary a risk desk reads per market: G = Σᵢ(2i − n − 1)·xᵢ /
+# (n·Σx) over the ASCENDING-sorted non-negative series. TPC-H
+# balances go negative, so the series is SHIFTED within each nation
+# (x' = cents − min(cents)) — the standard non-negativity fix, named
+# in the output as gini_shifted. Exactness: rank i comes from a
+# ROW_NUMBER with the (cents, custkey) total order; every moment
+# (2i − n − 1)·x' stays DECIMAL(38,0) (i and n are group-sized, x'
+# lifetime cents — the product must never ride BIGINT); ONE final
+# double division, guarded by the exact Σx' > 0 predicate (all-equal
+# balances have no defined concentration; NULL, and no /0 under
+# ANSI). Scale shape: windows partition on the |nation|-bounded key;
+# the per-nation sort is the query's one real cost and is exactly the
+# sort a 100 TB report would pay — there is no rank-free Gini.
+
+
+def dq_gini_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        "c_custkey",
+        F.expr("cast(c_acctbal * 100 as decimal(38,0))").alias("cents"),
+    )
+    by_nation = Window.partitionBy("nationkey")
+    ranked = cust.select(
+        "nationkey",
+        (
+            F.col("cents") - F.min("cents").over(by_nation)
+        ).alias("x"),
+        F.row_number()
+        .over(by_nation.orderBy("cents", "c_custkey"))
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1)).over(by_nation).alias("n"),
+    )
+    term = (
+        (F.lit(2).cast("decimal(38,0)") * F.col("i") - F.col("n") - 1)
+        .cast("decimal(38,0)")
+        * F.col("x")
+    )
+    agg = ranked.groupBy("nationkey").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum(term).alias("num"),
+        F.sum("x").alias("sum_x"),
+    )
+    denom = F.col("n_customers").cast("decimal(38,0)") * F.col("sum_x")
+    return agg.select(
+        "nationkey",
+        "n_customers",
+        F.when(
+            F.col("sum_x") > 0,
+            F.round(F.col("num").cast("double") / denom.cast("double"), 6),
+        ).alias("gini_shifted"),
+    )
+
+
+DQ_GINI_ACCTBAL_ORACLE = """
+WITH ranked AS (
+    SELECT c_nationkey AS nationkey,
+           CAST(c_acctbal * 100 AS DECIMAL(38,0))
+               - MIN(CAST(c_acctbal * 100 AS DECIMAL(38,0)))
+                 OVER (PARTITION BY c_nationkey) AS x,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(c_acctbal * 100 AS DECIMAL(38,0)), c_custkey
+           ) AS BIGINT) AS i,
+           CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+    FROM customer
+),
+agg AS (
+    SELECT nationkey,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           SUM(CAST(2 * i - n - 1 AS DECIMAL(38,0)) * x) AS num,
+           SUM(x) AS sum_x
+    FROM ranked
+    GROUP BY 1
+)
+SELECT nationkey, n_customers,
+       CASE WHEN sum_x > 0
+            THEN ROUND(CAST(num AS DOUBLE)
+                       / CAST(CAST(n_customers AS DECIMAL(38,0)) * sum_x
+                              AS DOUBLE), 6)
+            END AS gini_shifted
+FROM agg
+"""

@@ -442,3 +442,14 @@ register(
 # k-anonymity privacy gate: QI-cell occupancy + suppression flag, one
 # map-side-combinable hash agg on the |QI-space|-bounded key
 register("dq_k_anonymity", dq.dq_k_anonymity, dq.DQ_K_ANONYMITY_ORACLE)
+# CUSUM drift detector: the sequential change-point recurrence in its
+# exact closed form — prefix SUM + running MIN windows, zero folds
+register(
+    "wallet_cusum_drift", rf.wallet_cusum_drift, rf.WALLET_CUSUM_DRIFT_ORACLE
+)
+# Benford first-digit audit: digit from the exact-cents STRING (no
+# log10 on doubles), expected shares baked as Python-side literals
+register("dq_benford_digits", dq.dq_benford_digits, dq.DQ_BENFORD_DIGITS_ORACLE)
+# per-nation Gini of (shifted) balances: exact DECIMAL(38,0) moments
+# off a |nation|-partitioned rank, one final double division
+register("dq_gini_acctbal", dq.dq_gini_acctbal, dq.DQ_GINI_ACCTBAL_ORACLE)

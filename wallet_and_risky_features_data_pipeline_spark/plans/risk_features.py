@@ -1214,3 +1214,98 @@ SELECT wallet_address, n_pairs,
             END AS lag1_autocorr
 FROM sums
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detector over daily net flow — the sequential
+# change-point statistic monitoring teams run beside EWMA's trend and
+# autocorr's persistence: s_t = max(0, s_{t-1} + (x_t - k)) climbs
+# when a wallet's daily net flow drifts above the allowance k and
+# resets on quiet days; s_t > h is the classic alarm rule. The
+# recurrence LOOKS inherently sequential, but has an exact closed
+# form: with d_t = x_t - k and prefix P_t = Σ_{j<=t} d_j (P_0 = 0),
+#   s_t = max_{0<=j<=t} (P_t - P_j) = P_t - least(0, min_{j<=t} P_j)
+# so the whole detector is TWO running windows (prefix SUM + running
+# MIN) over the per-day table — no fold, no Python, no iteration.
+# Exactness: x_t is integer cents, k/h are integer-cent constants;
+# every P/M/s value is exact DECIMAL(38,0) arithmetic (the r8
+# overflow discipline — a window SUM of lifetime cents must never
+# ride BIGINT), and the alarm predicate compares exact integers.
+# Final outputs cast to BIGINT (range-checked under the ANSI leg).
+# Scale shape: one wallet exchange shared with the window family;
+# windows run over the calendar-bounded per-day series, so partition
+# size can never inherit transaction-count skew.
+CUSUM_ALLOWANCE_C = 50_000  # k: $500/day drift allowance, in cents
+CUSUM_ALARM_C = 500_000  # h: $5,000 cumulative-drift alarm, in cents
+
+
+def wallet_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    per_day = wt.groupBy(
+        "wallet_address", F.to_date("ts").alias("day")
+    ).agg(
+        F.expr(
+            "cast(round(sum(signed_value) * 100) as decimal(38,0))"
+        ).alias("net_c")
+    )
+    run = (
+        Window.partitionBy("wallet_address")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = F.col("net_c") - F.lit(CUSUM_ALLOWANCE_C).cast("decimal(38,0)")
+    staged = per_day.select(
+        "wallet_address",
+        "day",
+        F.sum(d).over(run).alias("p"),
+    ).select(
+        "wallet_address",
+        "day",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("decimal(38,0)"), F.min("p").over(run))
+        ).alias("s_c"),
+    )
+    return staged.groupBy("wallet_address").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("s_c").cast("bigint").alias("max_cusum_c"),
+        F.expr("max_by(s_c, day)").cast("bigint").alias("final_cusum_c"),
+        F.sum(
+            (F.col("s_c") > CUSUM_ALARM_C).cast("bigint")
+        ).alias("n_alarm_days"),
+    )
+
+
+WALLET_CUSUM_DRIFT_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+per_day AS (
+    SELECT wallet_address, CAST(ts AS DATE) AS day,
+           CAST(round(SUM(signed_value) * 100) AS DECIMAL(38,0)) AS net_c
+    FROM wallet_tx
+    GROUP BY 1, 2
+),
+prefixed AS (
+    SELECT wallet_address, day,
+           SUM(net_c - {CUSUM_ALLOWANCE_C}) OVER (
+               PARTITION BY wallet_address ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS p
+    FROM per_day
+),
+cusum AS (
+    SELECT wallet_address, day,
+           p - LEAST(CAST(0 AS DECIMAL(38,0)), MIN(p) OVER (
+               PARTITION BY wallet_address ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS s_c
+    FROM prefixed
+)
+SELECT wallet_address,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(s_c) AS BIGINT) AS max_cusum_c,
+       CAST(max_by(s_c, day) AS BIGINT) AS final_cusum_c,
+       CAST(SUM(CASE WHEN s_c > {CUSUM_ALARM_C} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarm_days
+FROM cusum
+GROUP BY 1
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
