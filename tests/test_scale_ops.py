@@ -1048,3 +1048,83 @@ def test_gini_matches_pure_python(spark):
         assert 0 <= g < 1
         assert got[nk][0] == n
         assert abs(got[nk][1] - float(g)) < 1e-5, nk
+
+
+def test_lpa_matches_pure_python_sync_rounds(spark):
+    """Literal synchronous LPA replay in Python dicts — same edge
+    set, same (count DESC, label ASC) argmax, LPA_ROUNDS rounds —
+    must reproduce every node's community and the community sizes."""
+    from collections import Counter, defaultdict
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        LPA_ROUNDS,
+        wallet_label_propagation,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions,
+    )
+
+    got = {
+        r.wallet_address: (r.community, r.community_size)
+        for r in wallet_label_propagation(spark, SF_SMALL).collect()
+    }
+    legs = wallet_transactions(spark, SF_SMALL).collect()
+    adj = defaultdict(set)
+    for r in legs:
+        if r.address_role == "sender" and r.interacted_with is not None:
+            u, v = int(r.wallet_address), int(r.interacted_with)
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+    lbl = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(lbl[m] for m in nbrs)
+            best = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == best)
+        lbl = nxt
+    sizes = Counter(lbl.values())
+    want = {str(n): (l, sizes[l]) for n, l in lbl.items()}
+    assert got == want
+
+
+def test_pmi_matches_pure_python(spark):
+    """math.log recount of PMI over pure-Python bigram/unigram counts
+    (same 1e-6 quantization); the returned top-k must equal the
+    recount's own (pmi desc, w1, w2) head."""
+    import math
+    from collections import Counter
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        PMI_MIN_PAIR_COUNT,
+        PMI_TOP_K,
+        corpus_pmi_collocations,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    rows = corpus_pmi_collocations(spark, SF_SMALL).collect()
+    docs = read_table(spark, SF_SMALL, "documents").select("text").collect()
+    uni, pair = Counter(), Counter()
+    for r in docs:
+        tk = r.text.strip().lower().split()
+        uni.update(tk)
+        pair.update(zip(tk, tk[1:]))
+    n_tok, n_big = sum(uni.values()), sum(pair.values())
+    scored = []
+    for (w1, w2), c12 in pair.items():
+        if c12 < PMI_MIN_PAIR_COUNT:
+            continue
+        pmi = round(
+            math.log((c12 * n_tok * n_tok) / (n_big * uni[w1] * uni[w2])) * 1e6
+        ) / 1e6
+        scored.append((-pmi, w1, w2, c12, uni[w1], uni[w2]))
+    scored.sort()
+    want = [
+        (w1, w2, c12, c1, c2, -np)
+        for np, w1, w2, c12, c1, c2 in scored[:PMI_TOP_K]
+    ]
+    got = [(r.w1, r.w2, r.n_pair, r.n_w1, r.n_w2, r.pmi) for r in rows]
+    assert got == want

@@ -3318,3 +3318,119 @@ FROM scored WHERE bm25 > 0
 
 
 TEXT_BM25_SEARCH_ORACLE = _bm25_oracle()
+
+
+# --------------------------------------------------------------------------
+# PMI collocations — the classic corpus-linguistics primitive behind
+# phrase mining and tokenizer-merge candidates (Church & Hanks 1990):
+# pointwise mutual information of ADJACENT word pairs, pmi =
+# ln(P(w1,w2) / (P(w1)P(w2))) with P from bigram/unigram counts.
+# Exactness: counts are exact; the ratio is formed as exact
+# DECIMAL(38,0) products (c12·N·N over M·c1·c2 — at 100 TB N² alone
+# overflows BIGINT, the HHI lesson) divided once as double; the one
+# ln() is quantized to the 1e-6 grid at birth (BM25's cross-libm
+# rule), so the top-k ORDER BY compares grid values with (w1, w2)
+# tie-breaks — deterministic in both engines. Scale shape: bigrams
+# are a per-row transform off ONE tokenized scan (never explode-join
+# -regroup); the c12 >= PMI_MIN_PAIR_COUNT filter cuts the Zipf tail
+# BEFORE the two vocab-keyed equi joins; N and M ride as one-row
+# broadcasts; the final top-k is TakeOrderedAndProject, never a
+# global sort.
+PMI_MIN_PAIR_COUNT = 5
+PMI_TOP_K = 100
+
+
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    tk = docs.select(
+        F.expr(r"array_remove(split(trim(lower(text)), '\\s+'), '')").alias("tk")
+    )
+    # size>=2 BEFORE sequence(): Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0], not empty — an unguarded one-token doc would
+    # fabricate a wrapped bigram
+    bigrams = (
+        tk.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), i -> named_struct("
+                    "'w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    pair_cnt = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair")
+    )
+    uni_cnt = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    )
+    totals = uni_cnt.agg(F.sum("n_w").cast("bigint").alias("n_tokens"))
+    pair_totals = pair_cnt.agg(F.sum("n_pair").cast("bigint").alias("n_bigrams"))
+    hot = (
+        pair_cnt.filter(F.col("n_pair") >= PMI_MIN_PAIR_COUNT)
+        .join(uni_cnt.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni_cnt.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(pair_totals))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    num = dec("n_pair") * dec("n_tokens") * dec("n_tokens")
+    den = dec("n_bigrams") * dec("n_w1") * dec("n_w2")
+    pmi = (
+        F.round(F.log(num.cast("double") / den.cast("double")) * 1e6) / 1e6
+    ).alias("pmi")
+    return (
+        hot.select("w1", "w2", "n_pair", "n_w1", "n_w2", pmi)
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+CORPUS_PMI_COLLOCATIONS_ORACLE = rf"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> t <> '') AS tk
+    FROM documents
+),
+bigrams AS (
+    SELECT tk[i] AS w1, tk[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+    WHERE len(tk) >= 2
+),
+pair_cnt AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM bigrams GROUP BY 1, 2
+),
+uni_cnt AS (
+    SELECT unnest(tk) AS w FROM toks
+),
+ucnt AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM uni_cnt GROUP BY 1
+),
+totals AS (
+    SELECT CAST(SUM(n_w) AS BIGINT) AS n_tokens FROM ucnt
+),
+pair_totals AS (
+    SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bigrams FROM pair_cnt
+)
+SELECT p.w1, p.w2, p.n_pair,
+       u1.n_w AS n_w1, u2.n_w AS n_w2,
+       round(ln(CAST(CAST(p.n_pair AS DECIMAL(38,0))
+                     * CAST(t.n_tokens AS DECIMAL(38,0))
+                     * CAST(t.n_tokens AS DECIMAL(38,0)) AS DOUBLE)
+                / CAST(CAST(pt.n_bigrams AS DECIMAL(38,0))
+                       * CAST(u1.n_w AS DECIMAL(38,0))
+                       * CAST(u2.n_w AS DECIMAL(38,0)) AS DOUBLE)) * 1e6) / 1e6
+           AS pmi
+FROM pair_cnt p
+JOIN ucnt u1 ON u1.w = p.w1
+JOIN ucnt u2 ON u2.w = p.w2
+CROSS JOIN totals t CROSS JOIN pair_totals pt
+WHERE p.n_pair >= {PMI_MIN_PAIR_COUNT}
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT {PMI_TOP_K}
+"""

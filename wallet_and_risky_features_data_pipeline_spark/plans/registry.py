@@ -453,3 +453,17 @@ register("dq_benford_digits", dq.dq_benford_digits, dq.DQ_BENFORD_DIGITS_ORACLE)
 # per-nation Gini of (shifted) balances: exact DECIMAL(38,0) moments
 # off a |nation|-partitioned rank, one final double division
 register("dq_gini_acctbal", dq.dq_gini_acctbal, dq.DQ_GINI_ACCTBAL_ORACLE)
+# label-propagation communities: fixed-round synchronous LPA with a
+# deterministic (count DESC, label ASC) argmax in both engines
+register(
+    "wallet_label_propagation",
+    rf.wallet_label_propagation,
+    rf.WALLET_LABEL_PROPAGATION_ORACLE,
+)
+# PMI collocations: adjacent-pair pointwise mutual information, exact
+# DECIMAL(38,0) count products, the one ln() quantized at birth
+register(
+    "corpus_pmi_collocations",
+    llm.corpus_pmi_collocations,
+    llm.CORPUS_PMI_COLLOCATIONS_ORACLE,
+)

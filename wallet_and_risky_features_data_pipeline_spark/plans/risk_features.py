@@ -1309,3 +1309,104 @@ SELECT wallet_address,
 FROM cusum
 GROUP BY 1
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# Label-propagation communities — the near-linear community detector
+# (Raghavan et al. 2007) risk desks run beside connected components:
+# CC answers "who CAN reach whom", LPA answers "who CLUSTERS with
+# whom" — mixing-service rings and exchange orbits separate even
+# inside one giant component. Semantics: SYNCHRONOUS fixed-round
+# propagation (LPA_ROUNDS), label(v) starts as v, each round every
+# node adopts the most frequent neighbor label, ties to the SMALLEST
+# label — fully deterministic by construction (no fixpoint claim:
+# synchronous LPA can 2-cycle on bipartite shapes, so a fixed round
+# count IS the spec, identical in plan and oracle). The argmax is a
+# ROW_NUMBER over (count DESC, label ASC) in BOTH engines — never a
+# packed count*K+label BIGINT encoding, which would silently cap node
+# ids (the HHI overflow lesson). Scale shape per round: one
+# |E|-linear join + a hash count on (node, label) — label diversity
+# per node is degree-bounded — and a rank window partitioned on node;
+# 3 rounds = 3 such passes, each persisted, exactly PageRank's
+# iteration discipline.
+LPA_ROUNDS = 3
+
+
+def wallet_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    ).select(
+        F.col("wallet_address").cast("bigint").alias("u"),
+        F.col("interacted_with").cast("bigint").alias("v"),
+    )
+    und = (
+        legs.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = persist_tracked(
+        und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+            und.select(F.col("b").alias("s"), F.col("a").alias("d"))
+        )
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    pick = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = persist_tracked(
+            counts.withColumn("__rk", F.row_number().over(pick))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("s").alias("node"), "lbl")
+        )
+    size_w = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("node").cast("string").alias("wallet_address"),
+        F.col("lbl").cast("bigint").alias("community"),
+        F.count(F.lit(1)).over(size_w).cast("bigint").alias("community_size"),
+    )
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    parts = [
+        "WITH {wallet_tx_cte},",
+        """und AS (
+    SELECT DISTINCT
+        least(CAST(wallet_address AS BIGINT), CAST(interacted_with AS BIGINT)) AS a,
+        greatest(CAST(wallet_address AS BIGINT), CAST(interacted_with AS BIGINT)) AS b
+    FROM wallet_tx
+    WHERE address_role = 'sender' AND interacted_with IS NOT NULL
+      AND CAST(wallet_address AS BIGINT) <> CAST(interacted_with AS BIGINT)
+),
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM und UNION ALL SELECT b AS s, a AS d FROM und),
+lab0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM sym),""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"cnt{r} AS MATERIALIZED (SELECT e.s, l.lbl, COUNT(*) AS c"
+            f" FROM sym e JOIN lab{r - 1} l ON l.node = e.d GROUP BY 1, 2),\n"
+            f"lab{r} AS MATERIALIZED (SELECT s AS node, lbl FROM cnt{r}"
+            f" QUALIFY ROW_NUMBER() OVER ("
+            f"PARTITION BY s ORDER BY c DESC, lbl ASC) = 1),"
+        )
+    parts.append(
+        f"""sized AS (SELECT node, lbl, COUNT(*) OVER (PARTITION BY lbl) AS sz FROM lab{rounds})
+SELECT CAST(node AS VARCHAR) AS wallet_address,
+       CAST(lbl AS BIGINT) AS community,
+       CAST(sz AS BIGINT) AS community_size
+FROM sized"""
+    )
+    return "\n".join(parts)
+
+
+WALLET_LABEL_PROPAGATION_ORACLE = _lpa_oracle().format(
+    wallet_tx_cte=WALLET_TX_ORACLE_CTE
+)
