@@ -1128,3 +1128,65 @@ def test_pmi_matches_pure_python(spark):
     ]
     got = [(r.w1, r.w2, r.n_pair, r.n_w1, r.n_w2, r.pmi) for r in rows]
     assert got == want
+
+
+def test_user_cusum_closed_form_matches_recurrence(spark):
+    """Closed form (prefix − running min) ≡ literal event-grain
+    recurrence replayed in exact Python ints over (ts, event_id)
+    order — the same identity test as the daily detector, at the
+    grain the streaming mirror runs on."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.sketch_plans import (
+        CUSUM_EVENT_ALARM_C,
+        CUSUM_EVENT_ALLOWANCE_C,
+        user_cusum_alerts,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+        normalize_event_ts,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.max_cusum_c, r.final_cusum_c, r.n_alarms)
+        for r in user_cusum_alerts(spark, SF_SMALL).collect()
+    }
+    ev = (
+        normalize_event_ts(read_table(spark, SF_SMALL, "events"))
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    assert set(series) == set(got)
+    for u, evs in series.items():
+        s = mx = alarms = 0
+        for _, _, v in sorted(evs, key=lambda t: (t[0], t[1])):
+            v100 = v * 100
+            cents = (
+                int(v100 + 0.5) if v100 >= 0 else -int(-v100 + 0.5)
+            )
+            s = max(0, s + cents - CUSUM_EVENT_ALLOWANCE_C)
+            mx = max(mx, s)
+            alarms += 1 if s > CUSUM_EVENT_ALARM_C else 0
+        assert got[u] == (len(evs), mx, s, alarms), u
+
+
+def test_refint_edges_and_clean_fixture(spark):
+    """Every declared FK edge reports; the generated star schema is
+    referentially clean (0 orphans everywhere), and child counts
+    match the raw table counts."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.dq_plans import (
+        FK_EDGES,
+        dq_referential_integrity,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    rows = {r.fk: (r.n_child, r.n_orphans) for r in
+            dq_referential_integrity(spark, SF_SMALL).collect()}
+    assert set(rows) == {e[0] for e in FK_EDGES}
+    for fk_name, child, _, _, _ in FK_EDGES:
+        n_child, n_orphans = rows[fk_name]
+        assert n_orphans == 0, fk_name
+        assert n_child == read_table(spark, SF_SMALL, child).count()

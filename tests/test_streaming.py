@@ -437,3 +437,67 @@ def test_stream_transitions_multibatch_matches_batch(spark, tmp_path):
     # (batch-1 last → batch-2 first) transition
     total_pairs = sum(n for n, _, _ in batch.values())
     assert total_pairs == len(seq) - 2  # 12 events, 2 users → 10 pairs
+
+
+def test_stream_cusum_multibatch_matches_batch(spark, tmp_path):
+    """streaming ≡ batch for the CUSUM monitor across TWO real
+    micro-batches: the remembered (P, min P) pair is the ONLY carrier
+    of pre-boundary history, so agreement with the batch windows on a
+    multi-batch source pins exactly the closed-form state design."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sketch_plans import (
+        user_cusum_alerts,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_cusum_monitor,
+    )
+
+    table = tmp_path / "events.parquet"
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def chunk(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+        )
+
+    # values chosen so s crosses the alarm line, resets to 0, and the
+    # final day differs from the max — every output column does work;
+    # user 101 stays negative (s pinned at 0) to cover the floor
+    vals = [900.0, 5200.0, -300.0, 80.0, 7000.0, -9000.0,
+            640.0, 1200.0, 30.0, -50.0, 9800.0, 10.0]
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 100 + (i % 2), "swap", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    chunk(rows[:6]).write.parquet(str(table))
+    chunk(rows[6:]).write.mode("append").parquet(str(table))
+    now = time.time()
+    for name in os.listdir(table):
+        if not name.startswith("part-"):
+            continue
+        full = str(table / name)
+        mx = spark.read.parquet(full).agg(F.max("event_id")).first()[0]
+        os.utime(full, (now + mx, now + mx))
+
+    key = lambda df: {
+        r["user_id"]: (
+            r["n_events"], r["max_cusum_c"], r["final_cusum_c"], r["n_alarms"]
+        )
+        for r in df.collect()
+    }
+    batch = key(user_cusum_alerts(spark, str(tmp_path)))
+    stream = key(stream_cusum_monitor(spark, str(tmp_path), max_files_per_trigger=1))
+    assert batch == stream
+    assert len(batch) == 2
+    # the floor must have engaged for at least one user (max > final
+    # or an alarm fired) — guards against a degenerate all-zero case
+    assert any(mx > 0 for _, mx, _, _ in batch.values())

@@ -308,3 +308,86 @@ SELECT nationkey, n_customers,
             END AS gini_shifted
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity sweep — the FK audit a DQ gate runs across
+# the WHOLE star schema in one report: for every declared
+# child→parent edge, how many child rows point at a missing parent.
+# Implementation: one LEFT ANTI join per edge (NOT EXISTS — J9's
+# operator, applied as a sweep), dimension sides broadcast where
+# small; the 7 per-edge counts union into a fixed-height report.
+# Scale shape: each edge is one join whose build side is the PARENT
+# key set (dimension-sized for 5 of 7 edges; orders/supplier-sized
+# for the fact-fact edges, plain shuffled anti joins) — never a
+# row-scaled output, and each child table is scanned with only its
+# FK column (column pruning does the rest).
+FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    (
+        "lineitem.l_suppkey->supplier",
+        "lineitem",
+        "l_suppkey",
+        "supplier",
+        "s_suppkey",
+    ),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    (
+        "customer.c_nationkey->nation",
+        "customer",
+        "c_nationkey",
+        "nation",
+        "n_nationkey",
+    ),
+    (
+        "supplier.s_nationkey->nation",
+        "supplier",
+        "s_nationkey",
+        "nation",
+        "n_nationkey",
+    ),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+_FK_BROADCAST_PARENTS = {"part", "supplier", "customer", "nation", "region"}
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_table
+
+    reports = []
+    for fk_name, child, ck, parent, pk in FK_EDGES:
+        c = read_table(spark, sf_dir, child).select(F.col(ck).alias("__k"))
+        p = read_table(spark, sf_dir, parent).select(F.col(pk).alias("__k"))
+        if parent in _FK_BROADCAST_PARENTS:
+            p = F.broadcast(p)
+        orphans = c.join(p, "__k", "left_anti")
+        reports.append(
+            c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child")).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            ).select(F.lit(fk_name).alias("fk"), "n_child", "n_orphans")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _refint_oracle() -> str:
+    parts = []
+    for fk_name, child, ck, parent, pk in FK_EDGES:
+        parts.append(
+            f"SELECT '{fk_name}' AS fk,\n"
+            f"       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,\n"
+            f"       CAST((SELECT COUNT(*) FROM {child} c WHERE NOT EXISTS\n"
+            f"             (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}))\n"
+            f"            AS BIGINT) AS n_orphans"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+DQ_REFERENTIAL_INTEGRITY_ORACLE = _refint_oracle()

@@ -467,3 +467,17 @@ register(
     llm.corpus_pmi_collocations,
     llm.CORPUS_PMI_COLLOCATIONS_ORACLE,
 )
+# event-grain CUSUM rollup (the closed form again: prefix sum +
+# running min windows), and its streaming mirror whose whole per-user
+# state is the (P, min P) pair — held to the SAME batch oracle
+register("user_cusum_alerts", sk.user_cusum_alerts, sk.USER_CUSUM_ALERTS_ORACLE)
+register(
+    "streaming_cusum_monitor", sj.stream_cusum_monitor, sk.USER_CUSUM_ALERTS_ORACLE
+)
+# star-schema referential-integrity sweep: one LEFT ANTI per FK edge,
+# dimension parents broadcast, fixed-height report
+register(
+    "dq_referential_integrity",
+    dq.dq_referential_integrity,
+    dq.DQ_REFERENTIAL_INTEGRITY_ORACLE,
+)

@@ -702,3 +702,101 @@ SELECT user_id, event_id, ts, cents,
             THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
 FROM stats
 """
+
+
+# --------------------------------------------------------------------------
+# Event-grain CUSUM alert rollup — the per-user change-point monitor
+# at TRANSACTION grain (wallet_cusum_drift's daily cousin): s_t =
+# max(0, s_{t-1} + cents_t - k) climbs while a user's event values
+# run above the k-per-event allowance, alarms at s > h. Same exact
+# closed form — prefix sum + running min, TWO windows, no recurrence:
+#   s_t = P_t - least(0, min_{j<=t} P_j),  P = Σ(cents - k)
+# which is also why the STREAMING mirror needs only O(1) state per
+# user (the pair (P, min P) — see streaming.stream_jobs.
+# stream_cusum_monitor, registered against THIS oracle). Numerics:
+# cents exact, prefix sums in DECIMAL(38,0) (lifetime sums never ride
+# BIGINT), alarm predicate exact-integer; final row selected by a
+# ROW_NUMBER in BOTH engines (DuckDB's max_by takes no composite
+# key). Scale shape: one (user, ts, id)-ordered window pass —
+# per-partition linear, the running-balance family's shape.
+CUSUM_EVENT_ALLOWANCE_C = 50_000  # k: $500/event, in cents
+CUSUM_EVENT_ALARM_C = 500_000  # h: $5,000 cumulative, in cents
+
+
+def user_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS DECIMAL(38,0))").alias("cents"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    d = F.col("cents") - F.lit(CUSUM_EVENT_ALLOWANCE_C).cast("decimal(38,0)")
+    staged = (
+        ev.select("user_id", "ts", "event_id", F.sum(d).over(run).alias("p"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                F.col("p")
+                - F.least(
+                    F.lit(0).cast("decimal(38,0)"), F.min("p").over(run)
+                )
+            ).alias("s_c"),
+        )
+        .withColumn("__rn", F.row_number().over(last))
+    )
+    return staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("s_c").cast("bigint").alias("max_cusum_c"),
+        F.max(F.when(F.col("__rn") == 1, F.col("s_c")))
+        .cast("bigint")
+        .alias("final_cusum_c"),
+        F.sum(
+            (F.col("s_c") > CUSUM_EVENT_ALARM_C).cast("bigint")
+        ).alias("n_alarms"),
+    )
+
+
+USER_CUSUM_ALERTS_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100) AS DECIMAL(38,0)) AS cents
+    FROM events
+),
+prefixed AS (
+    SELECT user_id, ts, event_id,
+           SUM(cents - {CUSUM_EVENT_ALLOWANCE_C}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS p
+    FROM ev
+),
+cusum AS (
+    SELECT user_id, ts, event_id,
+           p - LEAST(CAST(0 AS DECIMAL(38,0)), MIN(p) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS s_c,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS __rn
+    FROM prefixed
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(s_c) AS BIGINT) AS max_cusum_c,
+       CAST(MAX(CASE WHEN __rn = 1 THEN s_c END) AS BIGINT) AS final_cusum_c,
+       CAST(SUM(CASE WHEN s_c > {CUSUM_EVENT_ALARM_C} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms
+FROM cusum
+GROUP BY 1
+"""

@@ -1409,3 +1409,115 @@ def stream_event_transitions(
             6,
         ).alias("p_transition"),
     )
+
+
+def stream_cusum_monitor(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger=None
+) -> DataFrame:
+    """Streaming CUSUM — the change-point monitor ON the stream,
+    registered against the BATCH ``user_cusum_alerts`` oracle
+    (streaming ≡ batch). The closed form is what makes this cheap:
+    because s_t = P_t − least(0, min P), the per-user group state is
+    exactly TWO numbers — the running prefix sum and its running min
+    — not a value window (z-score carries a deque; this carries a
+    pair). State rides as STRINGS and the arithmetic is Python int
+    (arbitrary precision), so the streaming path can never overflow
+    where the batch plan's DECIMAL(38,0) would not — the ANSI-leg
+    discipline applied to state math. Per-event s values land in the
+    memory sink; the returned rollup repeats the batch aggregate over
+    them (per-event s_c fits BIGINT far past bench scales; the batch
+    plan's own BIGINT casts are the same bound).
+
+    ORDERING CONTRACT: identical to stream_rolling_zscore — batch
+    equivalence requires event-time-ordered arrival ACROSS
+    micro-batches (single-batch registered config, or ts-ordered
+    file splits: the append-only log shape)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    from ..plans.sketch_plans import CUSUM_EVENT_ALLOWANCE_C, CUSUM_EVENT_ALARM_C
+
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_cusum_ckpt_")
+
+    out_schema = StructType.fromDDL(
+        "user_id long, event_id long, ts timestamp, s_c long"
+    )
+    state_schema = StructType.fromDDL("p string, minp string")
+
+    def _cents(value: float) -> int:
+        v100 = value * 100
+        return (
+            int(math.floor(v100 + 0.5))
+            if v100 >= 0
+            else -int(math.floor(-v100 + 0.5))
+        )
+
+    def update(key, pdfs, state: GroupState):
+        p, minp = (
+            (int(state.get[0]), int(state.get[1])) if state.exists else (0, 0)
+        )
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if not len(batch):
+            state.update((str(p), str(minp)))
+            yield pd.DataFrame(
+                {c: [] for c in ("user_id", "event_id", "ts", "s_c")}
+            )
+            return
+        # whole-batch sort, never per-Arrow-chunk (the z-score rule)
+        batch = batch.sort_values(["ts", "event_id"])
+        out_s = []
+        for v in batch["value"].tolist():
+            p += _cents(v) - CUSUM_EVENT_ALLOWANCE_C
+            minp = min(minp, p)
+            out_s.append(p - min(0, minp))
+        state.update((str(p), str(minp)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_s),
+                "event_id": batch["event_id"].to_numpy(),
+                "ts": batch["ts"].to_numpy(),
+                "s_c": out_s,
+            }
+        )
+
+    stream = (
+        events_stream(spark, sf_dir, static.schema, max_files_per_trigger)
+        .transform(normalize_event_ts)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "wrf_cusum_monitor"
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    rows = spark.table(name)
+    last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    staged = rows.withColumn("__rn", F.row_number().over(last))
+    return staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("s_c").cast("bigint").alias("max_cusum_c"),
+        F.max(F.when(F.col("__rn") == 1, F.col("s_c")))
+        .cast("bigint")
+        .alias("final_cusum_c"),
+        F.sum(
+            (F.col("s_c") > CUSUM_EVENT_ALARM_C).cast("bigint")
+        ).alias("n_alarms"),
+    )
