@@ -360,6 +360,10 @@ def test_no_batch_query_plans_a_cartesian_product(spark):
         "wallet_pagerank",             # one-row node-count scalar per iteration
         "similarity_ivf_int8_topk",    # centroid probe sweep (as similarity_ivf_topk)
         "wallet_burstiness",           # one-row global max-day scalar (r9)
+        "text_bm25_search",            # one-row df/N/avgdl stats scalar (r9)
+        "corpus_pmi_collocations",     # one-row N / M total scalars (r9)
+        "wallet_community_modularity", # one-row edge-count m scalar (r9)
+        "dq_referential_integrity",    # per-edge one-row count scalars (r9)
     }
     offenders = {}
     for name, fn in QUERIES.items():

@@ -1190,3 +1190,93 @@ def test_refint_edges_and_clean_fixture(spark):
         n_child, n_orphans = rows[fk_name]
         assert n_orphans == 0, fk_name
         assert n_child == read_table(spark, SF_SMALL, child).count()
+
+
+def test_modularity_matches_pure_python(spark):
+    """Exact recount: rebuild the LPA labels with the dict replay
+    (already pinned by the LPA test), then recompute e_c, d_c, m and
+    every community's Q contribution in Python floats with the same
+    operation order; also checks Σ n_nodes covers the graph and each
+    |contribution| < 1."""
+    from collections import Counter, defaultdict
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        LPA_ROUNDS,
+        wallet_community_modularity,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions,
+    )
+
+    got = {
+        r.community: (r.n_nodes, r.e_in, r.d_tot, r.q_contribution)
+        for r in wallet_community_modularity(spark, SF_SMALL).collect()
+    }
+    legs = wallet_transactions(spark, SF_SMALL).collect()
+    edges = set()
+    for r in legs:
+        if r.address_role == "sender" and r.interacted_with is not None:
+            u, v = int(r.wallet_address), int(r.interacted_with)
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(lbl[m] for m in nbrs)
+            best = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == best)
+        lbl = nxt
+    m = len(edges)
+    e_in, d_tot, n_nodes = Counter(), Counter(), Counter()
+    for a, b in edges:
+        if lbl[a] == lbl[b]:
+            e_in[lbl[a]] += 1
+    for n in adj:
+        d_tot[lbl[n]] += len(adj[n])
+        n_nodes[lbl[n]] += 1
+    assert set(got) == set(n_nodes)
+    assert sum(nn for nn, _, _, _ in got.values()) == len(adj)
+    for c in n_nodes:
+        b = d_tot[c] / (2 * m)
+        q = round(e_in[c] / m - b * b, 6)
+        assert got[c] == (n_nodes[c], e_in[c], d_tot[c], q), c
+        assert abs(q) < 1
+
+
+def test_entropy_matches_pure_python(spark):
+    """math.log recount with identical quantization and hour-order
+    fold; uniformity bound H <= ln(n_active_hours) + fold-order slack."""
+    import math
+    from collections import Counter, defaultdict
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sessionization import (
+        user_activity_entropy,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.n_active_hours, r.top_hour, r.hour_entropy)
+        for r in user_activity_entropy(spark, SF_SMALL).collect()
+    }
+    ev = read_table(spark, SF_SMALL, "events").select("user_id", "ts").collect()
+    hours = defaultdict(Counter)
+    for r in ev:
+        hours[r.user_id][r.ts.hour] += 1
+    assert set(hours) == set(got)
+    for u, cnt in hours.items():
+        n = sum(cnt.values())
+        top = min(h for h, c in cnt.items() if c == max(cnt.values()))
+        h_val = 0.0
+        for hh in sorted(cnt):
+            p = cnt[hh] / n
+            h_val += -p * (round(math.log(p) * 1e6) / 1e6)
+        h_val = round(h_val, 6)
+        assert got[u] == (n, len(cnt), top, h_val), u
+        assert h_val <= math.log(len(cnt)) + 1e-6

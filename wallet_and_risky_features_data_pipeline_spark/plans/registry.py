@@ -481,3 +481,17 @@ register(
     dq.dq_referential_integrity,
     dq.DQ_REFERENTIAL_INTEGRITY_ORACLE,
 )
+# Newman modularity per LPA community: exact integer e_c/d_c/m, two
+# divisions + one multiply in pinned order, never POWER()
+register(
+    "wallet_community_modularity",
+    rf.wallet_community_modularity,
+    rf.WALLET_COMMUNITY_MODULARITY_ORACLE,
+)
+# hour-of-day activity entropy: quantized-ln terms folded in hour
+# order (aggregate/list_reduce), constant-bounded per-group work
+register(
+    "user_activity_entropy",
+    sess.user_activity_entropy,
+    sess.USER_ACTIVITY_ENTROPY_ORACLE,
+)

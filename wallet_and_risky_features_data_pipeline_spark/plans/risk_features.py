@@ -1332,7 +1332,12 @@ GROUP BY 1
 LPA_ROUNDS = 3
 
 
-def wallet_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lpa_graph(spark: SparkSession, sf_dir: str):
+    """Shared LPA machinery: returns (und, sym, labels) — the distinct
+    undirected edge set, its symmetric closure, and the (node, lbl)
+    assignment after LPA_ROUNDS synchronous rounds. Used by the
+    partition query and the modularity evaluation so both see the
+    identical deterministic propagation."""
     wt = wallet_transactions(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
@@ -1367,6 +1372,11 @@ def wallet_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("__rk") == 1)
             .select(F.col("s").alias("node"), "lbl")
         )
+    return und, sym, labels
+
+
+def wallet_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, labels = _lpa_graph(spark, sf_dir)
     size_w = Window.partitionBy("lbl")
     return labels.select(
         F.col("node").cast("string").alias("wallet_address"),
@@ -1375,7 +1385,10 @@ def wallet_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+def _lpa_chain(rounds: int = LPA_ROUNDS) -> str:
+    """The WITH-chain shared by the LPA oracle and the modularity
+    oracle: edges, symmetric closure, and the unrolled label rounds
+    (ends with a trailing comma — callers append their own CTEs)."""
     parts = [
         "WITH {wallet_tx_cte},",
         """und AS (
@@ -1397,16 +1410,114 @@ lab0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM sym),""",
             f" QUALIFY ROW_NUMBER() OVER ("
             f"PARTITION BY s ORDER BY c DESC, lbl ASC) = 1),"
         )
-    parts.append(
-        f"""sized AS (SELECT node, lbl, COUNT(*) OVER (PARTITION BY lbl) AS sz FROM lab{rounds})
+    return "\n".join(parts)
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    return (
+        _lpa_chain(rounds)
+        + f"""
+sized AS (SELECT node, lbl, COUNT(*) OVER (PARTITION BY lbl) AS sz FROM lab{rounds})
 SELECT CAST(node AS VARCHAR) AS wallet_address,
        CAST(lbl AS BIGINT) AS community,
        CAST(sz AS BIGINT) AS community_size
 FROM sized"""
     )
-    return "\n".join(parts)
 
 
 WALLET_LABEL_PROPAGATION_ORACLE = _lpa_oracle().format(
     wallet_tx_cte=WALLET_TX_ORACLE_CTE
 )
+
+
+# --------------------------------------------------------------------------
+# Community modularity — the evaluation every clustering needs before
+# anyone ACTS on it: Newman's Q per community, Q_c = e_c/m −
+# (d_c/2m)², over the LPA partition (positive ⇒ denser inside than a
+# degree-preserving random graph; the sum over communities is the
+# global Q). Numerics: e_c, d_c, m are exact integers; each reported
+# contribution is e_c/m − b·b with b = d_c/(2m) — two exact-int
+# double divisions, one multiply, one subtract, all correctly-rounded
+# IEEE in identical order in both engines (and never POWER(), whose
+# libm path is not pinned). The GLOBAL Q is deliberately NOT emitted:
+# it would be a float SUM over per-community rows with
+# engine-dependent order — consumers fold the rows themselves.
+# Scale shape: reuses the LPA rounds (label diversity degree-bounded)
+# + two |E|-linear joins against the final labels + a |communities|-
+# keyed agg; m rides as a one-row broadcast.
+
+
+def wallet_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, sym, labels = _lpa_graph(spark, sf_dir)
+    m = und.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    la = labels.select(F.col("node").alias("a"), F.col("lbl").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("lbl").alias("cb"))
+    e_in = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    d_c = (
+        labels.join(deg, labels["node"] == deg["s"])
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("dg").cast("bigint").alias("d_tot"),
+        )
+    )
+    b = F.col("d_tot").cast("double") / (
+        F.lit(2).cast("bigint") * F.col("m")
+    ).cast("double")
+    return (
+        d_c.join(e_in, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0).cast("bigint")).alias("e_in"),
+            "d_tot",
+            F.round(
+                F.coalesce("e_in", F.lit(0).cast("bigint")).cast("double")
+                / F.col("m").cast("double")
+                - b * b,
+                6,
+            ).alias("q_contribution"),
+        )
+    )
+
+
+WALLET_COMMUNITY_MODULARITY_ORACLE = (
+    _lpa_chain()
+    + f"""
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY s),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+e_in AS (
+    SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_in
+    FROM und u
+    JOIN lab{LPA_ROUNDS} la ON la.node = u.a
+    JOIN lab{LPA_ROUNDS} lb ON lb.node = u.b
+    WHERE la.lbl = lb.lbl
+    GROUP BY 1
+),
+d_c AS (
+    SELECT l.lbl,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d.dg) AS BIGINT) AS d_tot
+    FROM lab{LPA_ROUNDS} l JOIN deg d ON d.s = l.node
+    GROUP BY 1
+)
+SELECT d_c.lbl AS community,
+       d_c.n_nodes,
+       COALESCE(e_in.e_in, CAST(0 AS BIGINT)) AS e_in,
+       d_c.d_tot,
+       ROUND(CAST(COALESCE(e_in.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+             - (CAST(d_c.d_tot AS DOUBLE) / CAST(2 * m.m AS DOUBLE))
+               * (CAST(d_c.d_tot AS DOUBLE) / CAST(2 * m.m AS DOUBLE)), 6)
+           AS q_contribution
+FROM d_c LEFT JOIN e_in ON e_in.lbl = d_c.lbl
+CROSS JOIN m
+"""
+).format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)

@@ -566,3 +566,86 @@ SELECT from_type, to_type, n_transitions, n_users,
              6) AS p_transition
 FROM counts
 """
+
+
+# --------------------------------------------------------------------------
+# Hour-of-day activity entropy — the behavioral-biometrics feature
+# separating humans from schedulers: organic users concentrate
+# activity in waking hours (low-to-mid entropy, a clear top hour);
+# cron-driven bots spread uniformly (entropy → ln 24) or spike in one
+# slot (entropy → 0). H = Σ −p_h·ln(p_h) over the user's 24-bucket
+# hour histogram. Determinism recipe: counts are exact; each p_h is
+# one exact-int double division; each ln(p_h) is QUANTIZED to the
+# 1e-6 grid at birth (the BM25 cross-libm rule); and the sum runs as
+# a FOLD over the hour-ASC-sorted count list (Spark ``aggregate`` /
+# DuckDB ``list_reduce`` — the EWMA discipline), so float addition
+# order is pinned by construction, never left to an aggregate. The
+# top hour ties to the SMALLEST hour via ROW_NUMBER in both engines.
+# Scale shape: one (user, hour) hash agg (≤24 rows per user by
+# construction) + one per-user agg whose collected list is ≤24 long —
+# per-group work is CONSTANT-bounded, immune to event-count skew.
+
+
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("h").asc()
+    )
+    staged = per_hour.withColumn("__rk", F.row_number().over(top))
+    agg = staged.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_hours"),
+        F.max(F.when(F.col("__rk") == 1, F.col("h"))).alias("top_hour"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(h, c))), x -> x.c)"
+        ).alias("cs"),
+    )
+    entropy = F.expr(
+        "aggregate(cs, cast(0.0 as double), (acc, c) -> acc"
+        " - (cast(c as double) / cast(n_events as double))"
+        " * (round(ln(cast(c as double) / cast(n_events as double)) * 1e6)"
+        "    / 1e6))"
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_active_hours",
+        "top_hour",
+        F.round(entropy, 6).alias("hour_entropy"),
+    )
+
+
+USER_ACTIVITY_ENTROPY_ORACLE = """
+WITH per_hour AS (
+    SELECT user_id, CAST(hour(ts) AS INTEGER) AS h,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT user_id, h, c,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY c DESC, h ASC
+           ) AS __rk
+    FROM per_hour
+),
+agg AS (
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+           MAX(CASE WHEN __rk = 1 THEN h END) AS top_hour,
+           list(c ORDER BY h) AS cs
+    FROM ranked
+    GROUP BY 1
+)
+SELECT user_id, n_events, n_active_hours, top_hour,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cs, c -> -(CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE))
+                 * (round(ln(CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE)) * 1e6)
+                    / 1e6))),
+             (acc, x) -> acc + x), 6) AS hour_entropy
+FROM agg
+"""
