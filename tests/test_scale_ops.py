@@ -1280,3 +1280,52 @@ def test_entropy_matches_pure_python(spark):
         h_val = round(h_val, 6)
         assert got[u] == (n, len(cnt), top, h_val), u
         assert h_val <= math.log(len(cnt)) + 1e-6
+
+
+def test_weighted_median_matches_pure_python(spark):
+    """Exact integer recount: expand each lineitem to (cents, qty)
+    per brand, sort, walk cumulative weights to the 2*cum >= total
+    crossing — plus the defining property: weight strictly below the
+    median < half total, weight at-or-below >= half."""
+    from collections import defaultdict
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sketch_plans import (
+        brand_weighted_median,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    got = {
+        r.p_brand: (r.n_items, r.total_weight, r.median_price_c)
+        for r in brand_weighted_median(spark, SF_SMALL).collect()
+    }
+    li = read_table(spark, SF_SMALL, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    ).collect()
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in read_table(spark, SF_SMALL, "part").select(
+            "p_partkey", "p_brand"
+        ).collect()
+    }
+    rows = defaultdict(list)
+    for r in li:
+        rows[brand[r.l_partkey]].append(
+            (int(round(r.l_extendedprice * 100)), int(r.l_quantity))
+        )
+    assert set(rows) == set(got)
+    for b, items in rows.items():
+        items.sort()
+        total = sum(w for _, w in items)
+        cum = 0
+        median = None
+        for cents, w in items:
+            cum += w
+            if 2 * cum >= total:
+                median = cents
+                break
+        assert got[b] == (len(items), total, median), b
+        below = sum(w for c, w in items if c < median)
+        at_or_below = sum(w for c, w in items if c <= median)
+        assert 2 * below < total <= 2 * at_or_below

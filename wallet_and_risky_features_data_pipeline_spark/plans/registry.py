@@ -495,3 +495,10 @@ register(
     sess.user_activity_entropy,
     sess.USER_ACTIVITY_ENTROPY_ORACLE,
 )
+# weighted median per brand: cumulative-weight crossing window with
+# the all-integer 2*cum_w >= total_w decision predicate
+register(
+    "brand_weighted_median",
+    sk.brand_weighted_median,
+    sk.BRAND_WEIGHTED_MEDIAN_ORACLE,
+)

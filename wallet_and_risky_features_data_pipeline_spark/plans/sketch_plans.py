@@ -800,3 +800,83 @@ SELECT user_id,
 FROM cusum
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Weighted median per brand — the robust price statistic a pricing
+# desk trusts over means (one fat-fingered order can't move it) and
+# the canonical "cumulative weight crossing" window op: the weighted
+# lower median is the smallest value whose cumulative weight reaches
+# half the total. Exactness end-to-end: prices are exact integer
+# cents, weights exact integer quantities (DECIMAL(15,2) but
+# integral-valued in TPC-H — CAST is exact), cumulative sums in
+# DECIMAL(38,0), and the crossing DECISION is the all-integer
+# predicate 2·cum_w ≥ total_w (boundary-proof — no /2, no doubles,
+# the z-score outlier-flag discipline). Scale shape: one fact→dim
+# equi join, then ONE ordered window pass per brand partition (the
+# running-balance family's shape) and a |brands|-keyed agg.
+
+
+def brand_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("cents"),
+        F.expr("CAST(l_quantity AS DECIMAL(38,0))").alias("w"),
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = li.join(part, "l_partkey")
+    run = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("p_brand")
+    staged = joined.select(
+        "p_brand",
+        "cents",
+        "w",
+        F.sum("w").over(run).alias("cum_w"),
+        F.sum("w").over(tot).alias("total_w"),
+    )
+    return staged.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.max("total_w").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(
+                F.lit(2).cast("decimal(38,0)") * F.col("cum_w")
+                >= F.col("total_w"),
+                F.col("cents"),
+            )
+        ).alias("median_price_c"),
+    )
+
+
+BRAND_WEIGHTED_MEDIAN_ORACLE = """
+WITH joined AS (
+    SELECT p.p_brand,
+           CAST(l.l_extendedprice * 100 AS BIGINT) AS cents,
+           CAST(l.l_quantity AS DECIMAL(38,0)) AS w,
+           l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+staged AS (
+    SELECT p_brand, cents, w,
+           SUM(w) OVER (
+               PARTITION BY p_brand
+               ORDER BY cents, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_w,
+           SUM(w) OVER (PARTITION BY p_brand) AS total_w
+    FROM joined
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(MAX(total_w) AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 2 * cum_w >= total_w THEN cents END) AS median_price_c
+FROM staged
+GROUP BY 1
+"""
