@@ -202,14 +202,24 @@ def test_lsh_single_band_join(spark):
 
 
 def test_ngram_jaccard_no_pair_table_rejoin(spark):
-    """Doc sizes must ride through the self-join as window counts; the
-    aggregated pair table must not be re-joined against a sizes table
-    (two extra shuffles of the largest relation in the query)."""
+    """r9 inversion of this test's original assertion: df-cap and doc
+    sizes must be AGGs + same-key joins BEFORE the self-join — never
+    full-partition window counts, because WindowExec buffers a whole
+    partition per task and a stopword-grade hot shingle IS a
+    row-scaled partition (the weighted-median 100× OOM class,
+    PLANS.md §probe-caught OOM). ``sz`` still rides through the
+    self-join, so the aggregated pair table itself is never re-joined:
+    everything downstream of the pair aggregation must be join-free."""
     plan = _physical(QUERIES["dedup_ngram_jaccard"](spark, SF_MEDIUM))
-    n_joins = sum(plan.count(j) for j in
-                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
-    assert n_joins == 1, f"expected only the shingle self-join, saw {n_joins}"
-    assert plan.count("Window") >= 1, "df-cap / sz must be window counts"
+    assert "Window" not in plan, "row-scaled partition buffering is back"
+    # the pair aggregation is the query's LAST exchange-producing agg:
+    # nothing after it may join (textual check — the final plan
+    # segment above the first HashAggregate on (a, b) keys)
+    head = plan.split("HashAggregate", 1)[0]
+    assert not any(
+        j in head
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), "aggregated pair table must not be re-joined"
 
 
 def test_token_budget_window_partitioned_by_band(spark):
@@ -286,15 +296,21 @@ def test_line_dedup_doomed_set_broadcasts(spark):
 
 
 def test_funnel_reuses_one_user_exchange(spark):
-    """funnel_conversion's scale contract: all three chained stage
-    windows cluster by user_id, so the plan must shuffle the events
-    scan ONCE — three sequential Window operators over a single
-    hashpartitioning(user_id) exchange, then the few-row rollup. A
-    second event-shuffle means a stage broke window reuse."""
+    """funnel_conversion's r9 scale contract: the three chained stage
+    aggregates and their join-backs ALL key on user_id — no Window at
+    all (the original three full-partition min-windows buffered whole
+    per-user partitions in one task: a 1e8-event bot user is an OOM,
+    the weighted-median 100× probe's failure class), and no exchange
+    on any key other than user_id before the few-row rollup."""
     plan = _physical(QUERIES["funnel_conversion"](spark, SF_MEDIUM))
-    user_exchanges = plan.count("hashpartitioning(user_id")
-    assert user_exchanges == 1, f"{user_exchanges} user_id exchanges (expected 1)"
-    assert plan.count("Window") >= 3
+    assert "Window" not in plan, "full-partition stage windows are back"
+    import re
+
+    other_keys = {
+        m for m in re.findall(r"hashpartitioning\((\w+)", plan)
+        if m != "user_id"
+    }
+    assert not other_keys, f"non-user_id exchanges: {other_keys}"
 
 
 def test_training_snapshot_broadcasts_doomed_passages(spark):
@@ -364,6 +380,7 @@ def test_no_batch_query_plans_a_cartesian_product(spark):
         "corpus_pmi_collocations",     # one-row N / M total scalars (r9)
         "wallet_community_modularity", # one-row edge-count m scalar (r9)
         "dq_referential_integrity",    # per-edge one-row count scalars (r9)
+        "session_association_rules",   # one-row n_sessions scalar (r9)
     }
     offenders = {}
     for name, fn in QUERIES.items():

@@ -1329,3 +1329,69 @@ def test_weighted_median_matches_pure_python(spark):
         below = sum(w for c, w in items if c < median)
         at_or_below = sum(w for c, w in items if c <= median)
         assert 2 * below < total <= 2 * at_or_below
+
+
+def test_assoc_rules_matches_pure_python(spark):
+    """Counter recount of session membership, pair counts, and all
+    four metrics — plus the sanity identities conf_a_to_b * n_a ==
+    n_ab and lift symmetry."""
+    from collections import Counter, defaultdict
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sessionization import (
+        ASSOC_MIN_SUPPORT_COUNT,
+        SESSION_GAP_MIN,
+        session_association_rules,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+
+    got = {
+        (r.a, r.b): (r.n_ab, r.n_a, r.n_b, r.support,
+                     r.conf_a_to_b, r.conf_b_to_a, r.lift)
+        for r in session_association_rules(spark, SF_SMALL).collect()
+    }
+    ev = (
+        read_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    sessions = []
+    for u, rows in by_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        cur, last = None, None
+        for ts, _, et in rows:
+            if last is None or (ts - last).total_seconds() > SESSION_GAP_MIN * 60:
+                if cur:
+                    sessions.append(cur)
+                cur = set()
+            cur.add(et)
+            last = ts
+        if cur:
+            sessions.append(cur)
+    n_sessions = len(sessions)
+    item, pair = Counter(), Counter()
+    for s in sessions:
+        for t in s:
+            item[t] += 1
+        ts = sorted(s)
+        for i, a in enumerate(ts):
+            for b in ts[i + 1:]:
+                pair[(a, b)] += 1
+    want = {}
+    for (a, b), n_ab in pair.items():
+        if n_ab < ASSOC_MIN_SUPPORT_COUNT:
+            continue
+        want[(a, b)] = (
+            n_ab, item[a], item[b],
+            round(n_ab / n_sessions, 6),
+            round(n_ab / item[a], 6),
+            round(n_ab / item[b], 6),
+            round((n_ab * n_sessions) / (item[a] * item[b]), 6),
+        )
+    assert got == want
+    for (a, b), (n_ab, n_a, n_b, _, cab, cba, lift) in got.items():
+        assert abs(cab * n_a - n_ab) < 1e-3 and abs(cba * n_b - n_ab) < 1e-3

@@ -335,17 +335,25 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     )
-    # df-cap and per-doc sizes as window counts: each is one shuffle of
-    # the index (no groupBy + join-back), and ``sz`` rides THROUGH the
-    # self-join so the (much larger) pair table never needs to be
-    # re-joined against a sizes table afterwards. The capped index is
-    # persisted because it feeds both join sides and alias-renamed
-    # window subtrees don't canonicalize to a ReusedExchange.
-    capped = persist_tracked(
-        shingled.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
+    # df-cap and per-doc sizes as AGG + same-key joins (each agg is
+    # map-side combinable and the join reuses the agg's partitioning),
+    # and ``sz`` rides THROUGH the self-join so the (much larger) pair
+    # table never needs to be re-joined against a sizes table
+    # afterwards. These were full-partition window counts originally —
+    # but WindowExec buffers the whole partition per task, and a
+    # stopword-grade hot shingle IS a row-scaled partition (the
+    # weighted-median 100× OOM class, PLANS.md §probe-caught OOM).
+    # The capped index is persisted because it feeds both self-join
+    # sides.
+    df_counts = shingled.groupBy("shingle").agg(F.count("*").alias("__df"))
+    kept = (
+        shingled.join(df_counts, "shingle")
         .filter(F.col("__df") <= max_df)
-        .withColumn("sz", F.count("*").over(Window.partitionBy("doc")))
-        .select("doc", "shingle", "sz")
+        .select("doc", "shingle")
+    )
+    sz_counts = kept.groupBy("doc").agg(F.count("*").alias("sz"))
+    capped = persist_tracked(
+        kept.join(sz_counts, "doc").select("doc", "shingle", "sz")
     )
     inter = (
         capped.alias("a")
@@ -384,9 +392,10 @@ def ngram_containment_pairs(
     Same inverted-index scale shape as ``ngram_jaccard_pairs`` — the
     candidate pair space is bounded by the ``max_df`` cap (≤ df² per
     surviving shingle, never all-pairs), sizes ride through the
-    self-join as window counts, one shuffle for the index + one for
-    the pair aggregate."""
-    from pyspark.sql import Window
+    self-join (AGG + same-key joins, never full-partition window
+    counts — a hot shingle is a row-scaled partition, the
+    weighted-median 100× OOM class), one shuffle for the index + one
+    for the pair aggregate."""
 
     shingled = df.select(
         F.col(id_col).alias("doc"),
@@ -399,11 +408,15 @@ def ngram_containment_pairs(
             )
         ).alias("shingle"),
     )
-    capped = persist_tracked(
-        shingled.withColumn("__df", F.count("*").over(Window.partitionBy("shingle")))
+    df_counts = shingled.groupBy("shingle").agg(F.count("*").alias("__df"))
+    kept = (
+        shingled.join(df_counts, "shingle")
         .filter(F.col("__df") <= max_df)
-        .withColumn("sz", F.count("*").over(Window.partitionBy("doc")))
-        .select("doc", "shingle", "sz")
+        .select("doc", "shingle")
+    )
+    sz_counts = kept.groupBy("doc").agg(F.count("*").alias("sz"))
+    capped = persist_tracked(
+        kept.join(sz_counts, "doc").select("doc", "shingle", "sz")
     )
     inter = (
         capped.alias("a")

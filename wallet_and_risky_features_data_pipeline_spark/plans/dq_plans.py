@@ -246,17 +246,22 @@ def dq_gini_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.expr("cast(c_acctbal * 100 as decimal(38,0))").alias("cents"),
     )
+    # per-nation (min, n) via AGG + broadcast join — full-partition
+    # window frames buffer the whole row-scaled nation partition per
+    # task (the weighted-median 100× OOM class, PLANS.md); the rank's
+    # running frame streams
     by_nation = Window.partitionBy("nationkey")
-    ranked = cust.select(
+    stats = cust.groupBy("nationkey").agg(
+        F.min("cents").alias("min_c"), F.count(F.lit(1)).alias("n")
+    )
+    ranked = cust.join(F.broadcast(stats), "nationkey").select(
         "nationkey",
-        (
-            F.col("cents") - F.min("cents").over(by_nation)
-        ).alias("x"),
+        (F.col("cents") - F.col("min_c")).alias("x"),
         F.row_number()
         .over(by_nation.orderBy("cents", "c_custkey"))
         .cast("long")
         .alias("i"),
-        F.count(F.lit(1)).over(by_nation).alias("n"),
+        "n",
     )
     term = (
         (F.lit(2).cast("decimal(38,0)") * F.col("i") - F.col("n") - 1)

@@ -1171,20 +1171,23 @@ FROM toks,
 # --------------------------------------------------------------------------
 # Dedup DECISIONS: the keep/drop table a curation pipeline actually
 # consumes — canonical doc (min id) kept per cluster, duplicates
-# dropped, cluster size attached for audit. One window count over the
-# cluster assignment; no extra joins.
+# dropped, cluster size attached for audit. Cluster sizes come from a
+# map-side-combinable AGG joined back on cluster_id — NOT a
+# full-partition window, which buffers an entire (potentially
+# replica-heavy) cluster in one task (the weighted-median 100× OOM
+# class, PLANS.md §probe-caught OOM).
 def decisions_from_assignment(assigned: DataFrame) -> DataFrame:
-    """Keep/drop table from a (doc_id, cluster_id) assignment: one
-    window count, no extra joins — factored out so callers holding an
-    assignment (checkpointed, stored, or freshly computed) never
-    re-run the cluster pipeline to get decisions."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cluster_id")
-    return assigned.select(
+    """Keep/drop table from a (doc_id, cluster_id) assignment —
+    factored out so callers holding an assignment (checkpointed,
+    stored, or freshly computed) never re-run the cluster pipeline to
+    get decisions."""
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
         "doc_id",
         "cluster_id",
-        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
     )
 
@@ -2838,14 +2841,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").cast("bigint").alias("n_tokens")
     )
     j = assigned.select("doc_id", "cluster_id").join(toks, "doc_id")
-    w = Window.partitionBy("cluster_id")
+    # sizes via AGG + join (decisions_from_assignment's rationale);
+    # the rank's running frame streams
+    sizes = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
     rank = F.row_number().over(
         Window.partitionBy("cluster_id").orderBy(F.col("n_tokens").desc(), "doc_id")
     )
-    return j.select(
+    return j.join(sizes, "cluster_id").select(
         "doc_id",
         "cluster_id",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        "cluster_size",
         "n_tokens",
         (rank == 1).cast("int").alias("keep"),
     )

@@ -502,3 +502,10 @@ register(
     sk.brand_weighted_median,
     sk.BRAND_WEIGHTED_MEDIAN_ORACLE,
 )
+# session association rules: support/confidence/lift from exact
+# integer counts — no transcendental anywhere, so no quantization
+register(
+    "session_association_rules",
+    sess.session_association_rules,
+    sess.SESSION_ASSOCIATION_RULES_ORACLE,
+)

@@ -1377,11 +1377,16 @@ def _lpa_graph(spark: SparkSession, sf_dir: str):
 
 def wallet_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, labels = _lpa_graph(spark, sf_dir)
-    size_w = Window.partitionBy("lbl")
-    return labels.select(
+    # community sizes via AGG + join, not a full-partition window: a
+    # giant community would otherwise be buffered whole in one task
+    # (the weighted-median 100× OOM class, PLANS.md)
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
         F.col("node").cast("string").alias("wallet_address"),
         F.col("lbl").cast("bigint").alias("community"),
-        F.count(F.lit(1)).over(size_w).cast("bigint").alias("community_size"),
+        "community_size",
     )
 
 

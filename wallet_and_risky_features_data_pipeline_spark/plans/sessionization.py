@@ -16,12 +16,14 @@ from ..sources.readers import read_table
 SESSION_GAP_MIN = 30
 
 
-def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+def sessioned_events(ev: DataFrame) -> DataFrame:
+    """Gap-based session-id assignment (shared by the session rollup
+    and the association-rules miner): LAG gap + conditional running
+    sum over one (user) exchange."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    with_sessions = (
+    return (
         ev.withColumn("gap_us", gap_us)
         .withColumn(
             "new_session",
@@ -33,6 +35,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("session_id", F.sum("new_session").over(run))
     )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    with_sessions = sessioned_events(ev)
     return with_sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.unix_micros(F.min("ts")).alias("session_start_us"),
@@ -77,32 +84,47 @@ GROUP BY 1, 2
 # Strict-order funnel conversion: view → click → purchase, where each
 # stage must happen AFTER the user's previous stage (a click before
 # the first view doesn't count — the ordering is the analysis). Three
-# chained selects over ONE (user) window partition: stage k's
-# timestamp is min(ts WHERE type=k AND ts > stage k−1), so the whole
-# funnel reuses a single user_id exchange — no self-joins, no
-# per-stage scans. The final rollup is a few-row aggregate.
+# chained per-user AGGREGATES, each joined back on user_id: stage k's
+# timestamp is min(ts WHERE type=k AND ts > stage k−1). Originally
+# one windowed pass (min-over-partition ×3), but full-partition
+# window frames buffer the entire per-user partition in one task — a
+# 1e8-event bot user at production scale is an OOM, the
+# weighted-median 100× probe's failure class (PLANS.md §probe-caught
+# OOM). The aggs are map-side combinable and every join keys on
+# user_id, so the chain stays on one exchange's partitioning.
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-
-    def stage_ts(evtype: str, after) -> F.Column:
-        cond = F.col("event_type") == evtype
-        if after is not None:
-            cond = cond & (F.col("ts") > after)
-        return F.min(F.when(cond, F.col("ts"))).over(w)
-
-    staged = (
-        ev.withColumn("t_view", stage_ts("view", None))
-        .withColumn("t_click", stage_ts("click", F.col("t_view")))
-        .withColumn("t_purchase", stage_ts("purchase", F.col("t_click")))
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
     )
-    per_user = staged.groupBy("user_id").agg(
-        F.max("t_view").alias("t_view"),
-        F.max("t_click").alias("t_click"),
-        F.max("t_purchase").alias("t_purchase"),
+    u2 = (
+        u1.join(ev, "user_id", "left")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    per_user = (
+        u2.join(ev, "user_id", "left")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
     )
     counts = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -648,4 +670,141 @@ SELECT user_id, n_events, n_active_hours, top_hour,
                     / 1e6))),
              (acc, x) -> acc + x), 6) AS hour_entropy
 FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Session association rules — the market-basket classic (Agrawal
+# et al.) on event types co-occurring within a session: support =
+# P(a,b), confidence = P(b|a) and P(a|b), lift = P(a,b)/(P(a)P(b)).
+# Deterministic WITHOUT quantization: there is no transcendental
+# anywhere — every metric is one division (or one division of exact
+# DECIMAL(38,0) products, for lift) of exact integers, correctly
+# rounded IEEE in both engines. Scale shape: session membership is a
+# DISTINCT on (user, session, type) — the type space is enum-bounded,
+# so per-session membership is tiny; the pair self-join keys on the
+# session (bounded fan-out ≤ |types|² per session, never row²); item
+# and session totals ride as joins on the |types|-keyed table and a
+# one-row broadcast. The min-support cut happens on the pair COUNTS,
+# before any division.
+ASSOC_MIN_SUPPORT_COUNT = 5
+
+
+def session_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    membership = (
+        sessioned_events(ev)
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    n_sessions = (
+        membership.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    item = membership.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    l = membership.select(
+        "user_id", "session_id", F.col("event_type").alias("a")
+    )
+    r = membership.select(
+        "user_id", "session_id", F.col("event_type").alias("b")
+    )
+    pairs = (
+        l.join(r, ["user_id", "session_id"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= ASSOC_MIN_SUPPORT_COUNT)
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    joined = (
+        pairs.join(item.select(F.col("event_type").alias("a"),
+                               F.col("n_item").alias("n_a")), "a")
+        .join(item.select(F.col("event_type").alias("b"),
+                          F.col("n_item").alias("n_b")), "b")
+        .crossJoin(F.broadcast(n_sessions))
+    )
+    return joined.select(
+        "a",
+        "b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_ab").cast("double") / F.col("n_sessions").cast("double"), 6
+        ).alias("support"),
+        F.round(
+            F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+        ).alias("conf_a_to_b"),
+        F.round(
+            F.col("n_ab").cast("double") / F.col("n_b").cast("double"), 6
+        ).alias("conf_b_to_a"),
+        F.round(
+            (dec("n_ab") * dec("n_sessions")).cast("double")
+            / (dec("n_a") * dec("n_b")).cast("double"),
+            6,
+        ).alias("lift"),
+    )
+
+
+SESSION_ASSOCIATION_RULES_ORACLE = f"""
+WITH gapped AS (
+    SELECT *,
+        epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+),
+marked AS (
+    SELECT *,
+        CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_MIN} * 60000000
+             THEN 1 ELSE 0 END AS new_session
+    FROM gapped
+),
+sessioned AS (
+    SELECT *,
+        SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+),
+membership AS (
+    SELECT DISTINCT user_id, session_id, event_type FROM sessioned
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM (SELECT DISTINCT user_id, session_id FROM membership)
+),
+item AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+    FROM membership GROUP BY 1
+),
+pairs AS (
+    SELECT l.a, l.b, CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM (SELECT m1.user_id, m1.session_id,
+                 m1.event_type AS a, m2.event_type AS b
+          FROM membership m1
+          JOIN membership m2
+            ON m2.user_id = m1.user_id AND m2.session_id = m1.session_id
+           AND m1.event_type < m2.event_type) l
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {ASSOC_MIN_SUPPORT_COUNT}
+)
+SELECT p.a, p.b, p.n_ab,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(t.n_sessions AS DOUBLE), 6)
+           AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+           AS conf_a_to_b,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE), 6)
+           AS conf_b_to_a,
+       ROUND(CAST(CAST(p.n_ab AS DECIMAL(38,0))
+                  * CAST(t.n_sessions AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(ia.n_item AS DECIMAL(38,0))
+                    * CAST(ib.n_item AS DECIMAL(38,0)) AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN item ia ON ia.event_type = p.a
+JOIN item ib ON ib.event_type = p.b
+CROSS JOIN totals t
 """

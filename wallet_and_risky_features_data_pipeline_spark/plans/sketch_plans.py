@@ -86,8 +86,14 @@ _QUANTILES = (0.5, 0.9, 0.99)
 def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    # per-type totals via AGG + broadcast join, never an
+    # unbounded-both-sides window: WindowExec buffers the ENTIRE
+    # row-scaled type partition per task for full-partition frames —
+    # the exact shape the weighted-median 100× probe OOMed on
+    # (PLANS.md §probe-caught OOM). row_number's running frame streams.
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = ev.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(totals), "event_type"
     )
     with_p = ranked.withColumn(
         "p", F.explode(F.array(*[F.lit(p) for p in _QUANTILES]))
@@ -483,8 +489,11 @@ WINSOR_HI = 0.99
 def winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    # per-type n via AGG + broadcast join (quantiles_exact's rationale:
+    # full-partition window frames buffer row-scaled partitions)
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = ev.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(totals), "event_type"
     )
     lo_rn = F.floor((F.col("n") - 1) * F.lit(WINSOR_LO)) + 1
     hi_rn = F.floor((F.col("n") - 1) * F.lit(WINSOR_HI)) + 1
@@ -834,16 +843,23 @@ def brand_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cents", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tot = Window.partitionBy("p_brand")
+    # total_w via a tiny |brands|-keyed AGG joined back broadcast — NOT
+    # an unbounded-both-sides window, which buffers the entire brand
+    # partition per task (WindowExec's whole-partition frame) and
+    # OOMed the 100× probe (60M rows / 25 brands = 2.4M-row buffers
+    # × 32 tasks; PLANS.md §weighted-median OOM). The running frame
+    # below streams row-by-row and is safe at any partition size.
+    totals = joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("w").alias("total_w"),
+    )
     staged = joined.select(
         "p_brand",
         "cents",
-        "w",
         F.sum("w").over(run).alias("cum_w"),
-        F.sum("w").over(tot).alias("total_w"),
-    )
+    ).join(F.broadcast(totals), "p_brand")
     return staged.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.max("n_items").alias("n_items"),
         F.max("total_w").cast("bigint").alias("total_weight"),
         F.min(
             F.when(

@@ -223,7 +223,6 @@ def wallet_auc_state(wt: DataFrame) -> DataFrame:
     """
     from ..operators.windows import deterministic_order, lead_delta, running_sum
     from ..plans.wallet_model import ORDER_COLS, by_wallet
-    from pyspark.sql import Window
 
     key = ("wallet_address",)
     df = by_wallet(wt)
@@ -232,13 +231,17 @@ def wallet_auc_state(wt: DataFrame) -> DataFrame:
     auc_term = F.col("bal").cast("decimal(20,9)") * F.col("dt_us").cast("decimal(16,0)")
     df = running_sum(df, auc_term, key, ORDER_COLS, out="auc_us")
     df = deterministic_order(df, key, ORDER_COLS, out="rn")
-    df = df.withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("wallet_address")))
+    # "not the last row" ⇔ dt_us IS NOT NULL (lead_delta yields NULL
+    # exactly once, at the partition's final row) — replaces a
+    # full-partition COUNT window that buffered entire mega-wallet
+    # partitions per task (the weighted-median 100× OOM class,
+    # PLANS.md §probe-caught OOM)
     return df.groupBy("wallet_address").agg(
         F.min_by(F.col("signed_value"), F.col("rn")).alias("first_signed"),
         F.max("ts").alias("last_ts"),
         F.max_by(F.col("bal"), F.col("rn")).alias("final_balance"),
         F.max_by(F.col("auc_us"), F.col("rn")).alias("auc_total"),
-        F.max(F.when(F.col("rn") < F.col("__n"), F.col("auc_us"))).alias("max_auc_excl_last"),
+        F.max(F.when(F.col("dt_us").isNotNull(), F.col("auc_us"))).alias("max_auc_excl_last"),
         F.sum(F.when(F.col("bal") > 0, F.col("dt_us")).otherwise(F.lit(0))).alias("pos_time_us"),
     )
 
