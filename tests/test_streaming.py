@@ -501,3 +501,59 @@ def test_stream_cusum_multibatch_matches_batch(spark, tmp_path):
     # the floor must have engaged for at least one user (max > final
     # or an alarm fired) — guards against a degenerate all-zero case
     assert any(mx > 0 for _, mx, _, _ in batch.values())
+
+
+def test_stream_entropy_multibatch_matches_batch(spark, tmp_path):
+    """streaming ≡ batch for the entropy profile across TWO real
+    micro-batches — and because a histogram is order-invariant, the
+    equality must hold even though the split point is arbitrary; the
+    cross-batch accumulation lives only in the 24-slot state."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sessionization import (
+        user_activity_entropy,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_activity_entropy,
+    )
+
+    table = tmp_path / "events.parquet"
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def chunk(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+        )
+
+    hours = [0, 0, 3, 7, 7, 7, 12, 23, 23, 5, 5, 9]
+    rows = [
+        (i + 1, f"2024-01-0{1 + i % 2} {h:02d}:15:00", 100 + (i % 3), "view", 1.0, "{}")
+        for i, h in enumerate(hours)
+    ]
+    chunk(rows[:7]).write.parquet(str(table))
+    chunk(rows[7:]).write.mode("append").parquet(str(table))
+    now = time.time()
+    for name in os.listdir(table):
+        if not name.startswith("part-"):
+            continue
+        full = str(table / name)
+        mx = spark.read.parquet(full).agg(F.max("event_id")).first()[0]
+        os.utime(full, (now + mx, now + mx))
+
+    key = lambda df: {
+        r["user_id"]: (r["n_events"], r["n_active_hours"],
+                       r["top_hour"], r["hour_entropy"])
+        for r in df.collect()
+    }
+    batch = key(user_activity_entropy(spark, str(tmp_path)))
+    stream = key(stream_activity_entropy(spark, str(tmp_path), max_files_per_trigger=1))
+    assert batch == stream
+    assert len(batch) == 3

@@ -509,3 +509,10 @@ register(
     sess.session_association_rules,
     sess.SESSION_ASSOCIATION_RULES_ORACLE,
 )
+# streaming entropy mirror: O(24) histogram state per user, held to
+# the batch oracle; order-INVARIANT (exact under any arrival order)
+register(
+    "streaming_activity_entropy",
+    sj.stream_activity_entropy,
+    sess.USER_ACTIVITY_ENTROPY_ORACLE,
+)

@@ -1521,3 +1521,104 @@ def stream_cusum_monitor(
             (F.col("s_c") > CUSUM_EVENT_ALARM_C).cast("bigint")
         ).alias("n_alarms"),
     )
+
+
+def stream_activity_entropy(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger=None
+) -> DataFrame:
+    """Streaming hour-of-day activity entropy — the behavioral
+    profile maintained ON the stream, held to the BATCH
+    ``user_activity_entropy`` oracle (streaming ≡ batch). State is a
+    fixed 24-slot count histogram per user — O(24) regardless of
+    event volume, the bounded-state family (CUSUM's pair, the
+    transition job's last event). Each micro-batch folds its events
+    into the histogram and emits the CURRENT profile snapshot; the
+    serving rollup keeps each user's LAST snapshot (max n_events —
+    the count is strictly monotone in batches, so "latest" is an
+    exact integer argmax, no batch-sequence bookkeeping). Entropy
+    math replays the batch plan bit-for-bit: p = c/n as one IEEE
+    division, ln(p) quantized to the 1e-6 grid, terms added in
+    hour-ASC order — Python floats are the same doubles, so the
+    streaming and batch values are equal, not approximately equal.
+
+    Unlike the ordering-sensitive jobs (z-score, CUSUM, transitions),
+    a histogram is ORDER-INVARIANT: this mirror is exact under ANY
+    arrival order, multi-batch or not — the strongest streaming ≡
+    batch contract in the module."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_entropy_ckpt_")
+
+    out_schema = StructType.fromDDL(
+        "user_id long, n_events long, n_active_hours long,"
+        " top_hour int, hour_entropy double"
+    )
+    state_schema = StructType.fromDDL("counts array<long>")
+
+    def update(key, pdfs, state: GroupState):
+        (counts,) = state.get if state.exists else ([0] * 24,)
+        counts = [int(c) for c in counts]
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if not len(batch):
+            state.update((counts,))
+            yield pd.DataFrame(
+                {c: [] for c in ("user_id", "n_events", "n_active_hours",
+                                 "top_hour", "hour_entropy")}
+            )
+            return
+        for h in batch["ts"].dt.hour.tolist():
+            counts[int(h)] += 1
+        state.update((counts,))
+        n = sum(counts)
+        active = [(h, c) for h, c in enumerate(counts) if c > 0]
+        top = min(h for h, c in active if c == max(c for _, c in active))
+        ent = 0.0
+        for h, c in active:  # hour-ASC by construction
+            p = c / n
+            ent += -p * (round(math.log(p) * 1e6) / 1e6)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_active_hours": [len(active)],
+                "top_hour": [top],
+                "hour_entropy": [round(ent, 6)],
+            }
+        )
+
+    stream = (
+        events_stream(spark, sf_dir, static.schema, max_files_per_trigger)
+        .transform(normalize_event_ts)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "wrf_activity_entropy"
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    snaps = spark.table(name)
+    last = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        snaps.withColumn("__rk", F.row_number().over(last))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "user_id", "n_events", "n_active_hours", "top_hour", "hour_entropy"
+        )
+    )
