@@ -1395,3 +1395,74 @@ def test_assoc_rules_matches_pure_python(spark):
     assert got == want
     for (a, b), (n_ab, n_a, n_b, _, cab, cba, lift) in got.items():
         assert abs(cab * n_a - n_ab) < 1e-3 and abs(cba * n_b - n_ab) < 1e-3
+
+
+def test_range_band_r_selection_matches_oracle_case_sql(spark):
+    """ADVICE r9: the plan's adaptive band width and the oracle's SQL
+    CASE must pick the SAME r at every corpus size. Both now derive r
+    from all-integer thresholds off the same constant; this drives the
+    generated CASE through DuckDB against range_band_bits for corpus
+    sizes bracketing every threshold (and the old float-edge zone)."""
+    import duckdb
+
+    from wallet_and_risky_features_data_pipeline_spark.operators.similarity import (
+        RANGE_TARGET_PAIRS_PER_BAND,
+        range_band_bits,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        _range_r_sql,
+    )
+
+    # CAST like the real COUNT(*) (BIGINT) — a bare INT32 literal
+    # overflows n*n in DuckDB at n≈46k, which the oracle never does
+    case_sql = _range_r_sql().replace(
+        "(SELECT COUNT(*) AS n FROM embeddings)",
+        "(SELECT CAST(? AS BIGINT) AS n)",
+    )
+    con = duckdb.connect()
+    sizes = [0, 1, 100, 1000]
+    for r in range(4, 9):
+        edge = int((RANGE_TARGET_PAIRS_PER_BAND * (1 << r)) ** 0.5)
+        sizes += [edge - 1, edge, edge + 1]
+    sizes += [8000, 8001, 20_000, 56_000, 100_000, 1_000_000]
+    for n in sizes:
+        (got,) = con.execute(f"SELECT {case_sql}".replace("?", str(n))).fetchone()
+        assert got == range_band_bits(n), (n, got, range_band_bits(n))
+
+
+def test_range_band_bucket_keys_match_oracle_prefix_sql(spark):
+    """Layout parity at EVERY band width, not just the sf0.01 r=4:
+    for each pool and each r in 4..8, the plan's lsh_bucket key over
+    pool[:r] must equal the first r characters of the oracle's
+    generated 8-bit key SQL on the same vectors. Together with the
+    r-selection parity test this proves the candidate joins agree at
+    any scale — the two sides bucket identically, so they join
+    identically."""
+    import duckdb
+
+    from wallet_and_risky_features_data_pipeline_spark.operators.similarity import (
+        RANGE_BAND_POOLS,
+        lsh_bucket,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        _pool_bits_sql,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings").limit(50)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    for pool in RANGE_BAND_POOLS:
+        sql_bits = {
+            i: b
+            for i, b in con.execute(
+                f"SELECT e.vec_id, {_pool_bits_sql('e', pool)} FROM embeddings e"
+            ).fetchall()
+        }
+        for r in range(4, len(pool) + 1):
+            spark_bits = {
+                row["vec_id"]: row["bucket"]
+                for row in lsh_bucket(emb, "embedding", pool[:r]).collect()
+            }
+            assert spark_bits == {i: b[:r] for i, b in sql_bits.items()}, (pool, r)

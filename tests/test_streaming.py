@@ -249,6 +249,53 @@ def test_stream_zscore_exact_fallback_on_huge_values(spark, tmp_path):
     assert abs(batch[1][0]) == 900_000_000  # $9M -> 9e8 cents
 
 
+def test_stream_zscore_fast_path_guard_covers_outlier_predicate(spark, tmp_path):
+    """Regression (ADVICE r9): the fast-path guard must bound the
+    LARGEST intermediate, which is the outlier predicate's 9·var_n2
+    (9·W²·max²), not num² (4·W²·max²). Alternating ±$1,073,741.81
+    events sit just under the old num²-sized bound: they used to take
+    the int64 fast path, where 9·var_n2 ≈ 1.04e19 wraps negative and
+    flags a spurious outlier, silently diverging from the batch
+    oracle. With the 9·W²-sized guard they route to the exact path."""
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sketch_plans import (
+        rolling_zscore_outliers,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_rolling_zscore,
+    )
+
+    # cents = ±107_374_181: below the old (4·W²) guard, above the new
+    # (9·W²) one — the exact window where the wrap used to happen
+    v = 1_073_741.81
+    vals = [v if i % 2 == 0 else -v for i in range(12)]
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 11, "purchase", x, "{}")
+        for i, x in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    batch = {
+        r["event_id"]: (r["cents"], r["n_baseline"], r["z"], r["is_outlier"])
+        for r in rolling_zscore_outliers(spark, str(tmp_path)).collect()
+    }
+    stream = {
+        r["event_id"]: (r["cents"], r["n_baseline"], r["z"], r["is_outlier"])
+        for r in stream_rolling_zscore(spark, str(tmp_path)).collect()
+    }
+    assert batch == stream and len(batch) == len(vals)
+    # an alternating series is NOT an outlier anywhere — the old wrap
+    # flagged exactly these full-window rows
+    assert all(t[3] == 0 for t in batch.values())
+    assert abs(batch[1][0]) == 107_374_181
+
+
 def test_rolling_zscore_multibatch_ts_ordered_splits(spark, tmp_path):
     """ORDERING CONTRACT pin (ADVICE r8): with a multi-file source
     consumed one file per micro-batch, batch equivalence holds as long

@@ -2990,8 +2990,9 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job at plan build): per-band candidate volume stays ~bounded at
     # n²/2^r instead of exploding quadratically when the same 16
     # buckets meet a 10× corpus (measured 17.4 s at sf0.1 with fixed
-    # r=4; ~4 s with r=7). The sf0.01 oracle pins the r=4 layout,
-    # which this formula reproduces at that scale; wider bands are
+    # r=4; ~4 s with r=7). The oracle derives r from COUNT(*) through
+    # the SAME integer thresholds (see _range_r_sql), so plan and
+    # oracle agree on the layout at every corpus size; wider bands are
     # slices of the same pools. Recall falls with r at LOW τ — the
     # documented trade: production radius queries target high-τ
     # near-dup radii where p^r stays large.
@@ -2999,30 +3000,54 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_range_search(emb, threshold=_RANGE_TAU, bands=range_bands_for(n))
 
 
-# Banded-OR candidate mirror of operators.similarity.RANGE_BANDS —
+# Banded-OR candidate mirror of operators.similarity.RANGE_BAND_POOLS,
+# GENERATED from the same pools (layout parity by construction) —
 # UNION (set semantics) dedups pairs caught by several bands, exactly
-# like the plan's distinct() on the candidate ids.
-_RANGE_BAND_CANDIDATES_SQL = """
+# like the plan's distinct() on the candidate ids. The band width r is
+# derived IN SQL from COUNT(*) through the same integer thresholds as
+# range_band_bits (parquet footer ≡ COUNT(*)), so the oracle follows
+# the plan's adaptive banding at ANY corpus size — previously it
+# hardcoded the r=4 layout and mismatched by construction above
+# n≈8000 (ADVICE r9). Each pool emits its full 8-bit key; the join
+# compares the first r characters.
+
+
+def _range_r_sql() -> str:
+    from ..operators.similarity import RANGE_BAND_POOLS, RANGE_TARGET_PAIRS_PER_BAND
+
+    r_max = len(RANGE_BAND_POOLS[0])
+    whens = "".join(
+        f" WHEN n * n <= {RANGE_TARGET_PAIRS_PER_BAND * (1 << r)} THEN {r}"
+        for r in range(4, r_max)
+    )
+    return (
+        f"(SELECT CASE{whens} ELSE {r_max} END"
+        " FROM (SELECT COUNT(*) AS n FROM embeddings))"
+    )
+
+
+def _pool_bits_sql(tbl: str, pool: tuple[int, ...]) -> str:
+    return " || ".join(
+        f"CASE WHEN {tbl}.embedding[{d}] >= 0 THEN '1' ELSE '0' END" for d in pool
+    )
+
+
+def _range_band_candidates_sql() -> str:
+    from ..operators.similarity import RANGE_BAND_POOLS
+
+    r = _range_r_sql()
+    return "\n    UNION\n".join(
+        f"""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id
     FROM embeddings a JOIN embeddings b
-      ON (CASE WHEN a.embedding[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[9] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[17] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[25] >= 0 THEN '1' ELSE '0' END) = (CASE WHEN b.embedding[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[9] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[17] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[25] >= 0 THEN '1' ELSE '0' END)
-     AND a.vec_id < b.vec_id
-    UNION
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id
-    FROM embeddings a JOIN embeddings b
-      ON (CASE WHEN a.embedding[33] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[41] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[49] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[57] >= 0 THEN '1' ELSE '0' END) = (CASE WHEN b.embedding[33] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[41] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[49] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[57] >= 0 THEN '1' ELSE '0' END)
-     AND a.vec_id < b.vec_id
-    UNION
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id
-    FROM embeddings a JOIN embeddings b
-      ON (CASE WHEN a.embedding[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[13] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[21] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[29] >= 0 THEN '1' ELSE '0' END) = (CASE WHEN b.embedding[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[13] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[21] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[29] >= 0 THEN '1' ELSE '0' END)
-     AND a.vec_id < b.vec_id
-    UNION
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id
-    FROM embeddings a JOIN embeddings b
-      ON (CASE WHEN a.embedding[37] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[45] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[53] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.embedding[61] >= 0 THEN '1' ELSE '0' END) = (CASE WHEN b.embedding[37] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[45] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[53] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.embedding[61] >= 0 THEN '1' ELSE '0' END)
-     AND a.vec_id < b.vec_id
-"""
+      ON substr({_pool_bits_sql("a", pool)}, 1, {r})
+       = substr({_pool_bits_sql("b", pool)}, 1, {r})
+     AND a.vec_id < b.vec_id"""
+        for pool in RANGE_BAND_POOLS
+    )
+
+
+_RANGE_BAND_CANDIDATES_SQL = _range_band_candidates_sql()
 
 # τ = 1/5 exact; the radius decision is the all-integer predicate
 # 25·dot² ≥ ‖a‖²·‖b‖² over 1e-6-quantized HUGEINT dots (mirrors the

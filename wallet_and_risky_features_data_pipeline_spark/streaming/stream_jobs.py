@@ -50,6 +50,35 @@ def events_stream(spark: SparkSession, sf_dir: str, schema, max_files_per_trigge
         raise FileNotFoundError(f"events table not found at {table}")
     return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
 
+def _round_half_up(x: float, ndigits: int) -> float:
+    """Spark's ROUND(double, n): half AWAY from zero on the shortest
+    decimal repr (BigDecimal.valueOf → setScale(n, HALF_UP)). Python's
+    built-in round() is banker's (half-to-even) — exact .5 ties
+    diverge, which broke the entropy mirror's 'equal, not
+    approximately equal' claim (ADVICE r9). repr(float) and
+    Double.toString both emit the shortest round-trip decimal, so
+    quantizing that string with decimal.ROUND_HALF_UP replays the JVM
+    bit-for-bit."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-ndigits)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _round_half_up_int(x: float) -> int:
+    """Spark's ROUND(double) to scale 0, as an int (for the 1e-6 ln
+    quantization grid)."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
@@ -1188,10 +1217,12 @@ def stream_rolling_zscore(
 
     W = ZSCORE_WINDOW
     # int64 fast path is exact iff every |cents| < FAST_MAX: the
-    # largest intermediate is num² ≤ (2·W·max)², which must stay
-    # under 2⁶³ (windowed Σc² ≤ W·max² is smaller). ≈4.8e8 cents —
-    # a $4.8M single event; bigger groups take the exact-int path.
-    FAST_MAX = int(((2 ** 62) / (4 * W * W)) ** 0.5)
+    # largest intermediate is the outlier predicate's 9·var_n2 ≤
+    # 9·W²·max² (num² ≤ 4·W²·max² and windowed Σc² ≤ W·max² are
+    # smaller), which must stay under 2⁶². With W=10 that is
+    # ≈7.2e7 cents — a $716k single event; bigger values take the
+    # exact-int path.
+    FAST_MAX = int(((2 ** 62) / (9 * W * W)) ** 0.5)
 
     def _cents_exact(value, ts_unused=None):
         # round half AWAY FROM ZERO, matching the batch plan's
@@ -1582,14 +1613,14 @@ def stream_activity_entropy(
         ent = 0.0
         for h, c in active:  # hour-ASC by construction
             p = c / n
-            ent += -p * (round(math.log(p) * 1e6) / 1e6)
+            ent += -p * (_round_half_up_int(math.log(p) * 1e6) / 1e6)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
                 "n_active_hours": [len(active)],
                 "top_hour": [top],
-                "hour_entropy": [round(ent, 6)],
+                "hour_entropy": [_round_half_up(ent, 6)],
             }
         )
 
