@@ -209,6 +209,42 @@ def main() -> None:
     if bench_delta:
         isolated_total_delta = round(sum(bench_delta.values()), 4)
 
+    # Shared-set guard (VERDICT r9 #7): isolated_total grows with every
+    # added query, so round-over-round comparison needs the
+    # INTERSECTION with the previous ROUND's committed detail — not the
+    # gitignored bench_detail.json a smoke run may have overwritten.
+    # shared_set_total (this run) vs shared_set_prev_total (previous
+    # round, same query set) is the mechanical like-for-like number.
+    shared_set_total = shared_set_prev_total = None
+    shared_set_round = None
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prev_rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        if prev_rounds:
+            shared_set_round = max(prev_rounds)
+            with open(
+                os.path.join(here, f"BENCH_DETAIL_r{shared_set_round:02d}.json")
+            ) as f:
+                prev_round_detail = json.load(f)
+            if prev_round_detail.get("sf") == sf:
+                prev_iso = prev_round_detail.get("isolated", {})
+                shared = set(prev_iso) & set(isolated)
+                shared_set_total = round(sum(isolated[k] for k in shared), 4)
+                shared_set_prev_total = round(
+                    sum(prev_iso[k] for k in shared), 4
+                )
+            else:
+                shared_set_round = None
+    except (OSError, ValueError):
+        shared_set_round = None
+
     # Headline convention (r9, VERDICT r8 #2): `value` is now
     # isolated_total — the sum of clean sequential per-query runs, the
     # mechanical round-over-round signal. The 8-way co-scheduled wall
@@ -229,6 +265,9 @@ def main() -> None:
         "isolated": {k: isolated[k] for k in sorted(isolated)},
         "isolated_total": isolated_total,
         "isolated_total_delta": isolated_total_delta,
+        "shared_set_round": shared_set_round,
+        "shared_set_total": shared_set_total,
+        "shared_set_prev_total": shared_set_prev_total,
         "isolated_policy": {
             "top_n_min_of_2": len(retried),
             "retry_targeting": "measured_isolated_time",
@@ -285,6 +324,9 @@ def main() -> None:
         "n_errors": len(errors),
         "concurrent_wall": wall,
         "isolated_n": len(isolated),
+        "shared_set_round": shared_set_round,
+        "shared_set_total": shared_set_total,
+        "shared_set_prev_total": shared_set_prev_total,
         "isolated_total": isolated_total,
         "value": isolated_total,
     }
@@ -306,6 +348,9 @@ def main() -> None:
         "concurrent_wall": wall,
         "isolated_n": len(isolated),
         "isolated_total_delta": isolated_total_delta,
+        "shared_set_round": shared_set_round,
+        "shared_set_total": shared_set_total,
+        "shared_set_prev_total": shared_set_prev_total,
         "isolated_total": isolated_total,
         "value": isolated_total,
     }
