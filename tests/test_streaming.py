@@ -361,6 +361,92 @@ def test_rolling_zscore_multibatch_ts_ordered_splits(spark, tmp_path):
         ).collect()
     }
     assert batch == stream and len(batch) == len(vals)
+    # contract-compliant delivery must report ZERO violations
+    from wallet_and_risky_features_data_pipeline_spark.streaming import stream_jobs
+
+    assert stream_jobs.LAST_OOO_VIOLATIONS["stream_rolling_zscore"] == 0
+
+
+def test_out_of_order_arrival_is_loud_not_silent(spark, tmp_path):
+    """VERDICT r9 #2: the contract-bound mirrors (z-score,
+    transitions, CUSUM) must ENFORCE their ordered-arrival contract —
+    a late file delivered out of ts order used to silently diverge
+    them from the batch oracle. Two files with the LATER-consumed one
+    carrying EARLIER timestamps (maxFilesPerTrigger=1 → two real
+    micro-batches) must surface a NONZERO violation count on every
+    mirror, while the entropy mirror (order-invariant state) still
+    matches its batch oracle exactly under the same hostile arrival."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sessionization import (
+        user_activity_entropy,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming import stream_jobs
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_activity_entropy,
+        stream_cusum_monitor,
+        stream_event_transitions,
+        stream_rolling_zscore,
+    )
+
+    table = tmp_path / "events.parquet"
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def chunk(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+        )
+
+    vals = [1.0, 2.5, 0.4, 3.0, 1.7, 9.0, 0.2, 4.4, 2.2, 0.9, 6.5, 1.1]
+    types = ["view", "purchase", "view", "error", "view", "purchase"] * 2
+    rows = [
+        (i + 1, f"2024-01-01 00:{i:02d}:00", 5, types[i], v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    # LATE half written first, EARLY half appended — then mtimes force
+    # consumption order (late ts first, early ts second): out-of-order
+    chunk(rows[6:]).write.parquet(str(table))
+    chunk(rows[:6]).write.mode("append").parquet(str(table))
+    now = time.time()
+    for name in os.listdir(table):
+        if not name.startswith("part-"):
+            continue
+        full = str(table / name)
+        mx = spark.read.parquet(full).agg(F.max("event_id")).first()[0]
+        # INVERT: the part holding the LATEST event ids gets the
+        # OLDEST mtime, so it is consumed first
+        os.utime(full, (now - mx, now - mx))
+
+    for job, key in (
+        (stream_rolling_zscore, "stream_rolling_zscore"),
+        (stream_event_transitions, "stream_event_transitions"),
+        (stream_cusum_monitor, "stream_cusum_monitor"),
+    ):
+        stream_jobs.LAST_OOO_VIOLATIONS.pop(key, None)
+        job(spark, str(tmp_path), max_files_per_trigger=1).collect()
+        got = stream_jobs.LAST_OOO_VIOLATIONS[key]
+        assert got == 6, f"{key}: want all 6 behind-the-mark rows flagged, got {got}"
+
+    # the order-invariant mirror stays EXACT under the same arrival
+    batch = {
+        r["user_id"]: tuple(r)
+        for r in user_activity_entropy(spark, str(tmp_path)).collect()
+    }
+    stream = {
+        r["user_id"]: tuple(r)
+        for r in stream_activity_entropy(
+            spark, str(tmp_path), max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch == stream and len(batch) == 1
 
 
 def test_stream_dedup_cross_batch_redelivery(spark, tmp_path):

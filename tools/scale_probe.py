@@ -31,7 +31,17 @@ from wallet_and_risky_features_data_pipeline_spark.session import get_spark
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
-DST = f"/tmp/wrf_scale{COPIES}"
+# MODE=replica (default): ids shift, payloads repeat — each doc gains
+#   COPIES-1 exact near-dups; the dedup/curation stress direction.
+# MODE=structure (VERDICT r9 #1): GRAPH NODE ids (user_id AND the
+#   props.$.k counterparty) shift per copy, and every document token
+#   gets a per-copy suffix — so |V|, |E|, and the vocabulary genuinely
+#   grow COPIES×. Replication-invariant reductions (DISTINCT edge
+#   sets, vocab-bounded aggregates) measured ~flat under MODE=replica
+#   BECAUSE replication cannot grow them; this mode is the real scale
+#   axis for the graph/vocab families.
+MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "replica")
+DST = f"/tmp/wrf_{'struct' if MODE == 'structure' else 'scale'}{COPIES}"
 STRIDE = 10_000_000
 
 # table → columns shifted per copy. Star-schema shifts are CONSISTENT
@@ -79,6 +89,30 @@ def build_replica(spark, tables: set[str]) -> None:
             df = src
             for c in idcs:
                 df = df.withColumn(c, F.col(c) + F.lit(k * STRIDE))
+            if MODE == "structure" and k > 0:
+                if t == "events":
+                    # salt BOTH graph endpoints: user_id and the JSON
+                    # counterparty — copy k is a disjoint isomorphic
+                    # subgraph, so |V| and |E| grow COPIES×
+                    df = df.withColumn(
+                        "user_id", F.col("user_id") + F.lit(k * STRIDE)
+                    ).withColumn(
+                        "props",
+                        F.concat(
+                            F.lit('{"k": '),
+                            (
+                                F.get_json_object("props", "$.k").cast("bigint")
+                                + F.lit(k * STRIDE)
+                            ).cast("string"),
+                            F.lit("}"),
+                        ),
+                    )
+                elif t == "documents":
+                    # per-copy token suffix → the vocabulary (distinct
+                    # words) grows COPIES×; n_chars kept consistent
+                    df = df.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", f"$1x{k}")
+                    ).withColumn("n_chars", F.char_length("text").cast("bigint"))
             return df
 
         copies = [shifted(k) for k in range(COPIES)]
@@ -222,18 +256,36 @@ def streaming_state_probe(spark) -> None:
         )
 
 
+STRUCTURE_DEFAULTS = [
+    # the graph/vocab families whose replica-mode "flat" readings were
+    # replication artifacts (VERDICT r9 #1) — structure mode grows
+    # |V|/|E|/vocab for real
+    "wallet_components",
+    "wallet_kcore",
+    "wallet_label_propagation",
+    "wallet_community_modularity",
+    "wallet_pagerank",
+    "corpus_bpe_pairs",
+    "corpus_pmi_collocations",
+]
+
+
 def main() -> None:
-    names = sys.argv[1:] or [
-        "dedup_cluster_assign",
-        "dedup_decisions",
-        "dedup_minhash_lsh",
-        "text_repetition",
-        # r8 additions: the newest quadratic-risk surfaces
-        "entity_match_pairs",
-        "corpus_exact_substr",
-        "wallet_pagerank",
-        "similarity_ivf_int8_topk",
-    ]
+    names = sys.argv[1:] or (
+        STRUCTURE_DEFAULTS
+        if MODE == "structure"
+        else [
+            "dedup_cluster_assign",
+            "dedup_decisions",
+            "dedup_minhash_lsh",
+            "text_repetition",
+            # r8 additions: the newest quadratic-risk surfaces
+            "entity_match_pairs",
+            "corpus_exact_substr",
+            "wallet_pagerank",
+            "similarity_ivf_int8_topk",
+        ]
+    )
     if names == ["erase"]:
         spark = get_spark("wrf-scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
@@ -262,6 +314,11 @@ def main() -> None:
         reset_session_memos,
     )
 
+    from wallet_and_risky_features_data_pipeline_spark.operators import dedup as _dd
+    from wallet_and_risky_features_data_pipeline_spark.plans import (
+        risk_features as _rf,
+    )
+
     for name in names:
         fn = QUERIES[name]
         # warm at the smallest SF so the timed pairs measure the plan's
@@ -275,10 +332,18 @@ def main() -> None:
             # reset so every timed run pays its own full cost, exactly
             # like bench.py's isolated tier
             reset_session_memos(spark)
+            _dd.LAST_CC_ROUNDS = None
+            _rf.LAST_KCORE_ROUNDS = None
             start = time.perf_counter()
             with cache_scope():
                 fn(spark, d).write.format("noop").mode("overwrite").save()
-            print(f"{name:28s} {label:6s} {time.perf_counter() - start:7.2f} s", flush=True)
+            took = time.perf_counter() - start
+            rounds = ""
+            if _dd.LAST_CC_ROUNDS is not None:
+                rounds += f"  cc_rounds={_dd.LAST_CC_ROUNDS}"
+            if _rf.LAST_KCORE_ROUNDS is not None:
+                rounds += f"  kcore_rounds={_rf.LAST_KCORE_ROUNDS}"
+            print(f"{name:28s} {label:6s} {took:7.2f} s{rounds}", flush=True)
 
 
 if __name__ == "__main__":

@@ -189,6 +189,13 @@ def lsh_candidate_pairs(
     return pairs.groupBy("doc_a", "doc_b").agg(F.max("est_jaccard").alias("est_jaccard"))
 
 
+# Diagnostic only (scale probes report convergence-round counts at
+# 10×/100× structure growth): loop rounds the LAST connected_components
+# call took to converge, excluding the folded init round. Last-writer-
+# wins under concurrency — read it only after a serial run.
+LAST_CC_ROUNDS: int | None = None
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -281,6 +288,8 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if not changed:
             converged = True
+            global LAST_CC_ROUNDS
+            LAST_CC_ROUNDS = it + 1
             break
     if not converged:
         raise RuntimeError(

@@ -958,6 +958,11 @@ JOIN (SELECT component_id, COUNT(*) AS component_size
 KCORE_K = 2
 KCORE_ROUNDS = 8
 
+# Diagnostic only (structure-scale probes report peel-round counts):
+# rounds the LAST wallet_kcore call ran before hitting the edge-count
+# fixpoint. Last-writer-wins under concurrency — probe reads only.
+LAST_KCORE_ROUNDS: int | None = None
+
 
 def wallet_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = wallet_transactions(spark, sf_dir)
@@ -980,7 +985,8 @@ def wallet_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive = sym.localCheckpoint(eager=True)
     nodes = persist_tracked(alive.select("s").distinct())
     n_edges = alive.count()
-    for _ in range(KCORE_ROUNDS):
+    global LAST_KCORE_ROUNDS
+    for _round in range(KCORE_ROUNDS):
         keep = (
             alive.groupBy("s")
             .agg(F.count(F.lit(1)).alias("__deg"))
@@ -993,6 +999,7 @@ def wallet_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         alive = pruned.select("s", "d").localCheckpoint(eager=True)
         n_now = alive.count()
         if n_now == n_edges:
+            LAST_KCORE_ROUNDS = _round + 1
             break
         n_edges = n_now
     else:
@@ -1008,6 +1015,7 @@ def wallet_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"wallet_kcore: peel did not converge in {KCORE_ROUNDS} rounds"
             )
+        LAST_KCORE_ROUNDS = KCORE_ROUNDS
     core_deg = alive.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
