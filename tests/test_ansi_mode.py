@@ -56,3 +56,94 @@ def test_query_executes_under_ansi(ansi_spark, name):
     # runtime arithmetic checks both apply.
     df = QUERIES[name](ansi_spark, SF_MEDIUM)
     df.write.format("noop").mode("overwrite").save()
+
+
+def test_incremental_stitch_under_ansi(ansi_spark):
+    """VERDICT r9 #6: the incremental seeding/stitch paths
+    (streaming/incremental.py) run their DECIMAL prefix-sum, bridge-
+    term, and time-integral arithmetic OUTSIDE the registered batch
+    queries — execute the contract-state merge and the AUC stitch to
+    full materialization under ANSI so a wrap anywhere in the stitch
+    is a hard failure, and pin equality with the full recompute (the
+    property the incremental suite states, now under ANSI)."""
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_auc_rollup,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_features import (
+        contract_state_from,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.incremental import (
+        incremental_auc_rollup,
+        incremental_contract_state,
+        wallet_auc_state,
+    )
+
+    from .conftest import SF_SMALL
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    wt = wallet_transactions(ansi_spark, SF_SMALL)
+    split = F.lit("2024-01-15").cast("timestamp")
+
+    full_state = contract_state_from(wt)
+    merged_state = incremental_contract_state(
+        contract_state_from(wt.filter(F.col("ts") < split)),
+        wt.filter(F.col("ts") >= split),
+    )
+    assert rows(merged_state) == rows(full_state)
+
+    full_auc = wallet_auc_rollup(ansi_spark, SF_SMALL)
+    merged_auc = incremental_auc_rollup(
+        wallet_auc_state(wt.filter(F.col("ts") < split)),
+        wt.filter(F.col("ts") >= split),
+    )
+    assert rows(merged_auc) == rows(full_auc)
+
+
+def test_streaming_multibatch_under_ansi(ansi_spark, tmp_path):
+    """VERDICT r9 #6: the stateful streaming jobs execute sink-side
+    rollups and pre-state casts in their own child sessions, which
+    previously dropped back to non-ANSI arithmetic regardless of the
+    caller. _stream_session now inherits the caller's ANSI mode; this
+    drives the contract-bound mirrors plus the running-totals job
+    through a REAL multi-batch run (3 file splits) under ANSI — any
+    wrap in their Spark-side math is a hard failure."""
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stateful_user_totals,
+        stream_cusum_monitor,
+        stream_event_transitions,
+        stream_rolling_zscore,
+    )
+
+    from .conftest import SF_SMALL
+
+    src = ansi_spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    # 3 single-user-disjoint splits by user ranges keep each user's
+    # rows inside ONE file → multibatch state handoff without ordering
+    # violations clouding the leg's purpose (wrap detection)
+    d = str(tmp_path)
+    src.filter(F.col("user_id") % 3 == 0).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    for r in (1, 2):
+        src.filter(F.col("user_id") % 3 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/events.parquet")
+
+    for job in (
+        stream_rolling_zscore,
+        stream_event_transitions,
+        stream_cusum_monitor,
+        stateful_user_totals,
+    ):
+        got = job(ansi_spark, d, max_files_per_trigger=1).collect()
+        assert got, job.__name__

@@ -690,7 +690,7 @@ def test_schema_drift_between_generations(spark, tmp_path):
 import pytest as _pytest_cas
 
 
-@_pytest_cas.mark.parametrize("cas_backend", ["local", "condput"])
+@_pytest_cas.mark.parametrize("cas_backend", ["local", "condput", "condput-faulty"])
 def test_multiprocess_commit_contention(tmp_path, cas_backend):
     """Two REAL processes race commit_generation on one store, each
     retrying on ConcurrentCommitError (the documented optimistic-
@@ -737,7 +737,13 @@ print("DONE", tag_prefix)
 """
     )
     start_file = str(tmp_path / "start")
-    env = {**os.environ, "SPARK_GRAFT_CAS_BACKEND": cas_backend}
+    # "condput-faulty" (VERDICT r9 #4): the same two-process race, but
+    # every KV op of the conditional-put adapter goes through seeded
+    # at-least-once fault injection (lost acks, transient reads,
+    # latency) — the protocol must still land every commit exactly once
+    env = {**os.environ, "SPARK_GRAFT_CAS_BACKEND": cas_backend.split("-")[0]}
+    if cas_backend == "condput-faulty":
+        env["SPARK_GRAFT_CAS_FAULT_SEED"] = "7"
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), store, name, start_file],
@@ -878,5 +884,96 @@ def test_condput_cas_backend_protocol(spark, tmp_path):
         # vacuum releases expired claims through the same backend
         W.vacuum_generations(store, keep=1)
         assert cas.read_claim(store, "gen-000003") is None
+    finally:
+        W.set_cas_backend(None)
+
+
+@_pytest_cas.mark.parametrize("backend_kind", ["local", "condput-faulty"])
+def test_cas_chaos_crash_mid_claim_loop(tmp_path, backend_kind):
+    """VERDICT r9 #4: 100 seeded iterations of the nastiest commit
+    window — two concurrent claimants on the SAME base (even numbered
+    rounds use the SAME intended generation name, as real rivals would
+    after the rename gate crashed; odd rounds distinct names), the
+    winner then CRASHES before the pointer flip, and a recovering
+    third writer must roll the crashed winner's write-ahead intent
+    forward. For the conditional-put backend every KV op runs through
+    seeded at-least-once fault injection (lost acks AFTER the op
+    landed, transient read failures, latency) — the exact semantics a
+    real object store degrades to. Invariants per round: exactly one
+    claim winner; the recorded intent names the winner; the recovery
+    flip advances the pointer to the crashed winner's generation."""
+    import os
+    import threading
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "chaos_store")
+    os.makedirs(store)
+
+    if backend_kind == "local":
+        cas = W.LocalLinkCas()
+    else:
+        inner = W.FileConditionalKv(os.path.join(store, "_cas"))
+        # one fault stream per THREAD (deterministic per round+thread;
+        # a shared rng across threads would make replays diverge)
+        streams: dict = {}
+
+        def factory(path):
+            name = threading.current_thread().name
+            key = (path, name)
+            if key not in streams:
+                tid = 0 if name.endswith("a") else 1
+                streams[key] = W.FaultInjectingKv(
+                    inner, seed=1000 * factory.round + tid
+                )
+            return streams[key]
+
+        factory.round = 0
+        cas = W.CondPutCas(factory)
+    W.set_cas_backend(cas)
+    try:
+        base = None
+        for rnd in range(100):
+            if backend_kind != "local":
+                streams.clear()
+                factory.round = rnd
+            n = rnd + 1
+            if rnd % 2 == 0:
+                # rivals intending the SAME next generation name — only
+                # a claim token (condput) / link exclusivity (local)
+                # can discriminate the winner
+                gen_a = gen_b = f"gen-{n:06d}"
+            else:
+                gen_a, gen_b = f"gen-{n:06d}", f"gen-{n:06d}x"
+            results = {}
+
+            def claimant(label, gen):
+                results[label] = cas.claim(store, base, gen)
+
+            ts = [
+                threading.Thread(
+                    target=claimant, args=(lbl, g), name=f"claim-{lbl}"
+                )
+                for lbl, g in (("a", gen_a), ("b", gen_b))
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert sum(results.values()) == 1, (rnd, results)
+            winner_gen = gen_a if results["a"] else gen_b
+            assert cas.read_claim(store, base) == winner_gen, rnd
+            # the winner CRASHED after renaming its generation dir into
+            # place but before the pointer flip — a recovering writer
+            # completes the flip and loses its own attempt, loudly
+            os.makedirs(os.path.join(store, winner_gen))
+            try:
+                W._flip_latest(store, f"gen-{n:06d}r", expected_base=base)
+            except W.ConcurrentCommitError:
+                pass
+            else:
+                raise AssertionError(f"round {rnd}: recovery flip must lose")
+            assert os.path.basename(W.resolve_store(store)) == winner_gen, rnd
+            base = winner_gen
     finally:
         W.set_cas_backend(None)

@@ -307,11 +307,24 @@ class LocalLinkCas(CasBackend):
         ]
 
 
+class TransientKvError(RuntimeError):
+    """A network-shaped KV failure whose operation MAY have been
+    applied (lost ack): the caller must retry under at-least-once
+    semantics. Raised by fault injection in tests and by real adapters
+    on timeouts/5xx."""
+
+
 class ConditionalKv:
     """The minimal KV surface a cloud conditional store exposes:
     S3 If-None-Match PUT / DynamoDB attribute_not_exists() ≙
     ``put_if_absent``; GET ≙ ``get``; DELETE ≙ ``delete``. A real
-    adapter implements these three with SDK calls."""
+    adapter implements these three with SDK calls.
+
+    At-least-once contract: any op may raise ``TransientKvError``
+    AFTER the store applied it (the ack was lost, not the write).
+    ``CondPutCas`` is written against this contract — retries plus a
+    per-claim token for self-win detection — so a real flaky network
+    store needs no extra client-side care."""
 
     def put_if_absent(self, key: str, value: str) -> bool:
         raise NotImplementedError
@@ -369,19 +382,83 @@ class FileConditionalKv(ConditionalKv):
             return []
 
 
+class FaultInjectingKv(ConditionalKv):
+    """Chaos adapter (VERDICT r9 #4): wraps a ``ConditionalKv`` with
+    seeded network faults — random latency, acks lost AFTER the op
+    landed (put/delete applied, then ``TransientKvError`` raised), and
+    transient read failures. Deterministic per seed, so a failing
+    chaos iteration replays exactly. This is the harness that proves
+    ``CondPutCas`` survives at-least-once KV semantics; a real object
+    store behaves like the wrapped store on a bad network day."""
+
+    def __init__(
+        self,
+        inner: ConditionalKv,
+        seed: int = 0,
+        p_lost_ack: float = 0.3,
+        p_read_fail: float = 0.2,
+        max_latency_s: float = 0.001,
+    ):
+        import random
+
+        self._inner = inner
+        self._rng = random.Random(seed)
+        self._p_lost_ack = p_lost_ack
+        self._p_read_fail = p_read_fail
+        self._max_latency_s = max_latency_s
+
+    def _latency(self):
+        import time
+
+        time.sleep(self._rng.uniform(0.0, self._max_latency_s))
+
+    def put_if_absent(self, key, value):
+        self._latency()
+        ok = self._inner.put_if_absent(key, value)
+        if self._rng.random() < self._p_lost_ack:
+            # the put LANDED (or lost cleanly) — only the ack is gone
+            raise TransientKvError(f"lost ack for put {key} (applied={ok})")
+        return ok
+
+    def get(self, key):
+        self._latency()
+        if self._rng.random() < self._p_read_fail:
+            raise TransientKvError(f"transient get failure for {key}")
+        return self._inner.get(key)
+
+    def delete(self, key):
+        self._latency()
+        self._inner.delete(key)
+        if self._rng.random() < self._p_lost_ack:
+            raise TransientKvError(f"lost ack for delete {key} (applied)")
+
+    def keys(self):
+        return self._inner.keys()
+
+
 class CondPutCas(CasBackend):
     """CAS over a ``ConditionalKv`` — the cloud-shaped adapter. The
     per-store keyspace is ``advance-<base>``; a real deployment passes
     a DynamoDB/S3-backed ``ConditionalKv`` via ``kv_factory`` (keyed
     by store path); the default simulates one under ``<store>/_cas``
-    so the protocol is testable cross-process in-tree."""
+    so the protocol is testable cross-process in-tree.
+
+    AT-LEAST-ONCE HARDENING (VERDICT r9 #4): every KV op is retried
+    through ``TransientKvError``, and the recorded claim value is
+    ``"<gen_name> <token>"`` with a per-claim random token — after a
+    lost put ack, the retry that finds the key present resolves
+    ownership by TOKEN equality (self-win detection), never by gen
+    name alone (two writers advancing the same base intend the same
+    next generation number, so the name cannot discriminate).
+    ``read_claim`` strips the token, so the roll-forward protocol in
+    ``_flip_latest`` sees bare generation names (and stays compatible
+    with pre-token stores)."""
 
     _KEY_PREFIX = "advance-"
+    _MAX_RETRIES = 40
 
     def __init__(self, kv_factory=None):
-        self._kv_factory = kv_factory or (
-            lambda path: FileConditionalKv(os.path.join(path, "_cas"))
-        )
+        self._kv_factory = kv_factory or _default_kv_factory
 
     def _kv(self, path):
         return self._kv_factory(path)
@@ -390,13 +467,54 @@ class CondPutCas(CasBackend):
         return f"{self._KEY_PREFIX}{base or _GENESIS}"
 
     def claim(self, path, base, gen_name):
-        return self._kv(path).put_if_absent(self._key(base), gen_name)
+        import uuid
+
+        kv = self._kv(path)
+        key = self._key(base)
+        value = f"{gen_name} {uuid.uuid4().hex}"
+        for _ in range(self._MAX_RETRIES):
+            try:
+                if kv.put_if_absent(key, value):
+                    return True
+            except TransientKvError:
+                # the put may have landed — fall through to the read
+                pass
+            try:
+                cur = kv.get(key)
+            except TransientKvError:
+                continue
+            if cur is None:
+                # our put lost cleanly (or a rival released mid-race):
+                # retry the conditional put
+                continue
+            return cur == value  # token equality = OUR lost-ack put won
+        raise TransientKvError(
+            f"claim on {key}: KV still failing after {self._MAX_RETRIES} retries"
+        )
 
     def read_claim(self, path, base):
-        return self._kv(path).get(self._key(base))
+        for _ in range(self._MAX_RETRIES):
+            try:
+                v = self._kv(path).get(self._key(base))
+            except TransientKvError:
+                continue
+            return v.split(" ", 1)[0] if v else v
+        raise TransientKvError(
+            f"read_claim on {self._key(base)}: KV still failing after retries"
+        )
 
     def release(self, path, base):
-        self._kv(path).delete(self._key(base))
+        for _ in range(self._MAX_RETRIES):
+            try:
+                self._kv(path).delete(self._key(base))
+                return
+            except TransientKvError:
+                # delete is applied-then-lost-ack under the contract —
+                # retrying is idempotent
+                continue
+        raise TransientKvError(
+            f"release of {self._key(base)}: KV still failing after retries"
+        )
 
     def bases(self, path):
         return [
@@ -404,6 +522,19 @@ class CondPutCas(CasBackend):
             for k in self._kv(path).keys()
             if k.startswith(self._KEY_PREFIX)
         ]
+
+
+def _default_kv_factory(path: str) -> ConditionalKv:
+    """Default KV for ``CondPutCas``: the in-tree file simulation,
+    optionally wrapped in seeded fault injection when
+    ``SPARK_GRAFT_CAS_FAULT_SEED`` is set — the env seam that lets the
+    CROSS-PROCESS race test run against a flaky at-least-once KV
+    (each process derives its own rng stream from seed+pid)."""
+    kv: ConditionalKv = FileConditionalKv(os.path.join(path, "_cas"))
+    seed = os.environ.get("SPARK_GRAFT_CAS_FAULT_SEED")
+    if seed is not None:
+        kv = FaultInjectingKv(kv, seed=int(seed) + os.getpid())
+    return kv
 
 
 _CAS_BACKENDS = {"local": LocalLinkCas, "condput": CondPutCas}

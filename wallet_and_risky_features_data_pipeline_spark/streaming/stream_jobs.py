@@ -166,6 +166,17 @@ def _stream_session(spark: SparkSession, shuffle_partitions: int = 4) -> SparkSe
     s = spark.newSession()
     _ensure_session_confs(s)
     s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Carry the caller's ANSI mode into the child session (newSession
+    # starts from the base conf): the ANSI test leg (VERDICT r9 #6)
+    # must reach the streaming jobs' sink rollups and pre-state casts,
+    # not silently drop back to wrapping arithmetic. Default-off
+    # callers are unaffected.
+    try:
+        s.conf.set(
+            "spark.sql.ansi.enabled", spark.conf.get("spark.sql.ansi.enabled")
+        )
+    except Exception:
+        pass
     if os.environ.get(
         "SPARK_GRAFT_STATE_STORE", "rocksdb"
     ).lower() == "rocksdb" and _rocksdb_available(s):
