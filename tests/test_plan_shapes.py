@@ -381,6 +381,7 @@ def test_no_batch_query_plans_a_cartesian_product(spark):
         "wallet_community_modularity", # one-row edge-count m scalar (r9)
         "dq_referential_integrity",    # per-edge one-row count scalars (r9)
         "session_association_rules",   # one-row n_sessions scalar (r9)
+        "corpus_source_psi",           # one-row corpus-total ng scalar (r10)
     }
     offenders = {}
     for name, fn in QUERIES.items():

@@ -1466,3 +1466,85 @@ def test_range_band_bucket_keys_match_oracle_prefix_sql(spark):
                 for row in lsh_bucket(emb, "embedding", pool[:r]).collect()
             }
             assert spark_bits == {i: b[:r] for i, b in sql_bits.items()}, (pool, r)
+
+
+def test_psi_matches_pure_python(spark):
+    """PSI recount with math.log + the plan's exact smoothing/binning
+    — the semantic check the SQL oracle can't state (it shares the
+    quantization; this verifies the FORMULA against the textbook
+    definition with independent arithmetic), plus PSI ≥ 0 is NOT an
+    invariant of the smoothed form — instead pin the per-source doc
+    counts sum to the corpus."""
+    import math
+    from collections import Counter
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        PSI_BIN_WIDTH,
+        PSI_BINS,
+        corpus_source_psi,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
+
+    got = {
+        r["source"]: (r["n_docs"], r["psi"])
+        for r in corpus_source_psi(spark, SF_SMALL).collect()
+    }
+    docs = read_table(spark, SF_SMALL, "documents").select("source", "n_chars").collect()
+    bins = Counter()
+    for r in docs:
+        bins[(r["source"], min(r["n_chars"] // PSI_BIN_WIDTH, PSI_BINS - 1))] += 1
+    sources = sorted({s for s, _ in bins})
+    na = {s: sum(c for (s2, _), c in bins.items() if s2 == s) for s in sources}
+    cg = {b: sum(c for (_, b2), c in bins.items() if b2 == b) for b in range(PSI_BINS)}
+    ng = sum(cg.values())
+    want = {}
+    for s in sources:
+        psi = 0.0
+        for b in range(PSI_BINS):
+            ca = bins.get((s, b), 0)
+            p = (ca + 1.0) / (na[s] + PSI_BINS)
+            q = (cg.get(b, 0) + 1.0) / (ng + PSI_BINS)
+            ratio = ((ca + 1.0) * (ng + PSI_BINS)) / ((cg.get(b, 0) + 1.0) * (na[s] + PSI_BINS))
+            psi += (p - q) * (round(math.log(ratio) * 1e6) / 1e6)
+        want[s] = (na[s], round(psi, 6))
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0]
+        assert abs(got[s][1] - want[s][1]) < 1e-9, (s, got[s], want[s])
+    assert sum(n for n, _ in got.values()) == len(docs)
+
+
+def test_zipf_fit_matches_pure_python(spark):
+    """Exact-moment recount of the Zipf regression: quantized-ln ints,
+    arbitrary-precision Python sums (the DECIMAL(38,0) mirror), the
+    same two pinned divisions — plus the semantic floor that a Zipfy
+    rank-frequency curve slopes DOWN."""
+    import math
+    import re
+    from collections import Counter
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        corpus_zipf_fit,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import read_table
+
+    (row,) = corpus_zipf_fit(spark, SF_SMALL).collect()
+    docs = read_table(spark, SF_SMALL, "documents").select("text").collect()
+    vocab = Counter()
+    for r in docs:
+        for w in re.split(r"\s+", r["text"].strip().lower()):
+            if w:
+                vocab[w] += 1
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [round(math.log(i + 1) * 1e6) for i in range(len(ranked))]
+    ys = [round(math.log(f) * 1e6) for _, f in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) / n - slope * (float(sx) / n)) / 1e6
+    assert row["n_vocab"] == n
+    assert abs(row["zipf_slope"] - round(slope, 6)) < 1e-9
+    assert abs(row["zipf_intercept"] - round(intercept, 6)) < 1e-9
+    assert row["zipf_slope"] < 0  # frequency falls with rank

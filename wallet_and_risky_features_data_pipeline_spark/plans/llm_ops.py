@@ -3466,3 +3466,222 @@ WHERE p.n_pair >= {PMI_MIN_PAIR_COUNT}
 ORDER BY pmi DESC, p.w1, p.w2
 LIMIT {PMI_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source distribution drift — the Population Stability Index every
+# training-data intake monitors (Karakoulas; standard model-risk
+# practice): PSI(source ‖ corpus) over the document-length
+# distribution, Σ_bins (p_i − q_i)·ln(p_i/q_i). A source whose length
+# profile drifts from the corpus (truncated scrapes, boilerplate
+# floods) shows PSI > 0.2 long before eyeballing catches it.
+# Determinism recipe: 16 FIXED integer bins (n_chars DIV 64, capped —
+# all-integer, no width_bucket float edges); Laplace-smoothed counts
+# keep every term finite with INTEGER inputs ((c+1)/(n+B)); p, q and
+# the ratio are exact-int→double IEEE expressions in pinned order; ln
+# quantized to the 1e-6 grid at birth (the BM25/PMI rule); the 16
+# per-bin terms fold in bin-ASC order via aggregate/list_reduce (the
+# entropy discipline — constant-bounded per group, never a float SUM
+# aggregate). Scale shape: one (source, bin) hash agg, a bounded
+# sources×16 grid, bin-keyed equi join against the 16-row global
+# histogram, one-row corpus total broadcast — immune to corpus growth
+# everywhere past the first agg.
+PSI_BINS = 16
+PSI_BIN_WIDTH = 64
+
+
+def corpus_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    binned = docs.select(
+        "source",
+        # integer DIV in BOTH engines: DuckDB's CAST(double AS INT)
+        # rounds half-away while Spark's truncates — float division
+        # here would shift every odd boundary doc one bin
+        F.least(
+            F.expr(f"CAST(n_chars DIV {PSI_BIN_WIDTH} AS INT)"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    # persist the sources×16 histogram (tiny) — src_totals, the global
+    # histogram and the grid all derive from it, and without the pin
+    # each lineage re-scans the corpus (seen in the .explain audit)
+    per = persist_tracked(
+        binned.groupBy("source", "bin").agg(
+            F.count(F.lit(1)).cast("bigint").alias("ca")
+        )
+    )
+    src_totals = per.groupBy("source").agg(F.sum("ca").cast("bigint").alias("na"))
+    glob = per.groupBy("bin").agg(F.sum("ca").cast("bigint").alias("cg"))
+    corpus_total = glob.agg(F.sum("cg").cast("bigint").alias("ng"))
+    # dense source×bin grid: a bin the source never hits still
+    # contributes a smoothed term (its absence IS the drift signal)
+    grid = src_totals.select(
+        "source", "na", F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin")
+    )
+    # LEFT joins keep the grid DENSE over all 16 fixed bins: a bin
+    # empty corpus-wide still contributes a smoothed term on both
+    # sides of the comparison (textbook fixed-bin PSI), caught by the
+    # pure-Python recount when an inner join silently dropped it
+    joined = (
+        grid.join(per, ["source", "bin"], "left")
+        .withColumn("ca", F.coalesce("ca", F.lit(0)))
+        .join(glob, "bin", "left")
+        .withColumn("cg", F.coalesce("cg", F.lit(0)))
+        .crossJoin(F.broadcast(corpus_total))
+    )
+    d = lambda c: F.col(c).cast("double")
+    B = F.lit(PSI_BINS)
+    p = (d("ca") + 1.0) / (d("na") + B.cast("double"))
+    q = (d("cg") + 1.0) / (d("ng") + B.cast("double"))
+    ratio = ((d("ca") + 1.0) * (d("ng") + B.cast("double"))) / (
+        (d("cg") + 1.0) * (d("na") + B.cast("double"))
+    )
+    term = (p - q) * (F.round(F.log(ratio) * 1e6) / 1e6)
+    agg = joined.select("source", "na", "bin", term.alias("term")).groupBy(
+        "source"
+    ).agg(
+        F.max("na").alias("n_docs"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(bin, term))),"
+            " x -> x.term), cast(0.0 as double), (acc, t) -> acc + t)"
+        ).alias("psi_raw"),
+    )
+    return agg.select(
+        "source", "n_docs", F.round("psi_raw", 6).alias("psi")
+    )
+
+
+CORPUS_SOURCE_PSI_ORACLE = f"""
+WITH binned AS (
+    SELECT source,
+           LEAST(CAST(n_chars // {PSI_BIN_WIDTH} AS INTEGER), {PSI_BINS - 1}) AS bin
+    FROM documents
+),
+per AS (
+    SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS ca
+    FROM binned GROUP BY 1, 2
+),
+src_totals AS (SELECT source, CAST(SUM(ca) AS BIGINT) AS na FROM per GROUP BY 1),
+gbin AS (SELECT bin, CAST(SUM(ca) AS BIGINT) AS cg FROM per GROUP BY 1),
+corpus_total AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM gbin),
+grid AS (
+    SELECT s.source, s.na, t.bin
+    FROM src_totals s, unnest(generate_series(0, {PSI_BINS - 1})) AS t(bin)
+),
+terms AS (
+    SELECT g.source, g.na, g.bin,
+           ((CAST(COALESCE(p.ca, 0) AS DOUBLE) + 1.0)
+              / (CAST(g.na AS DOUBLE) + {PSI_BINS}.0)
+            - (CAST(COALESCE(gl.cg, 0) AS DOUBLE) + 1.0)
+              / (CAST(ct.ng AS DOUBLE) + {PSI_BINS}.0))
+           * (round(ln(((CAST(COALESCE(p.ca, 0) AS DOUBLE) + 1.0)
+                         * (CAST(ct.ng AS DOUBLE) + {PSI_BINS}.0))
+                       / ((CAST(COALESCE(gl.cg, 0) AS DOUBLE) + 1.0)
+                          * (CAST(g.na AS DOUBLE) + {PSI_BINS}.0))) * 1e6) / 1e6)
+               AS term
+    FROM grid g
+    LEFT JOIN per p ON p.source = g.source AND p.bin = g.bin
+    LEFT JOIN gbin gl ON gl.bin = g.bin
+    CROSS JOIN corpus_total ct
+)
+SELECT source, MAX(na) AS n_docs,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(term ORDER BY bin)), (acc, t) -> acc + t), 6) AS psi
+FROM terms
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit — the one-number sanity check on a corpus's
+# rank-frequency curve (natural language sits near slope −1; template
+# floods and synthetic spam bend it): least-squares slope of
+# ln(freq) on ln(rank) over the DISTINCT-word dictionary. Exactness
+# trick: x = round(ln(rank)·1e6) and y = round(ln(freq)·1e6) are
+# INTEGERS, so every regression moment (Σx, Σy, Σxy, Σx²) is an exact
+# DECIMAL(38,0) integer sum — no float summation order anywhere; the
+# only doubles are the final two divisions in pinned order. Rank ties
+# break (freq DESC, word ASC) via ROW_NUMBER in both engines. Scale
+# shape: vocab-bounded (the BPE Zipf collapse) — one word-count hash
+# agg, one vocab-sized rank sort, one scalar agg.
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr(r"array_remove(split(trim(lower(text)), '\\s+'), '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("word"))),
+    )
+    qln = lambda c: F.round(F.log(F.col(c).cast("double")) * 1e6).cast(
+        "decimal(38,0)"
+    )
+    xy = ranked.select(qln("rank").alias("x"), qln("freq").alias("y"))
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    # intercept in natural-ln units: the 1e6 grid scale cancels in the
+    # slope and divides out of the intercept
+    intercept = (
+        F.col("sy").cast("double") / F.col("n").cast("double")
+        - slope * (F.col("sx").cast("double") / F.col("n").cast("double"))
+    ) / 1e6
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+CORPUS_ZIPF_FIT_ORACLE = r"""
+WITH words AS (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                  t -> t <> '')) AS word
+    FROM documents
+),
+vocab AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY 1
+),
+ranked AS (
+    SELECT freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+    FROM vocab
+),
+xy AS (
+    SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS HUGEINT) AS x,
+           CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS HUGEINT) AS y
+    FROM ranked
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e6, 6)
+           AS zipf_intercept
+FROM mom
+"""

@@ -516,3 +516,18 @@ register(
     sj.stream_activity_entropy,
     sess.USER_ACTIVITY_ENTROPY_ORACLE,
 )
+# per-source PSI drift monitor: 16 fixed integer bins,
+# Laplace-smoothed integer inputs, quantized-ln terms folded in bin
+# order — sources×16 grid, corpus-growth-immune past the first agg
+register("corpus_source_psi", llm.corpus_source_psi, llm.CORPUS_SOURCE_PSI_ORACLE)
+# Zipf rank-frequency fit: quantized-ln ints make every regression
+# moment an exact DECIMAL(38,0) sum — vocab-bounded, two final
+# divisions are the only doubles
+register("corpus_zipf_fit", llm.corpus_zipf_fit, llm.CORPUS_ZIPF_FIT_ORACLE)
+# counterparty-graph degree distribution: integer log2 buckets via
+# length(bin(degree)), |E|-linear then ≤64-row agg
+register(
+    "wallet_degree_distribution",
+    rf.wallet_degree_distribution,
+    rf.WALLET_DEGREE_DISTRIBUTION_ORACLE,
+)

@@ -1534,3 +1534,68 @@ FROM d_c LEFT JOIN e_in ON e_in.lbl = d_c.lbl
 CROSS JOIN m
 """
 ).format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# Degree distribution of the counterparty graph — the structural
+# sanity report every graph feature above (taint, PageRank,
+# components, k-core, LPA) implicitly depends on: power-law-ish
+# degree mass says the skew machinery matters; a bent head says a
+# mixer/exchange supernode entered the data. Log₂ buckets via
+# length(bin(degree)) — the INTEGER floor(log₂)+1, exact in both
+# engines (never float log2, whose exact-power edges flip
+# cross-libm). Scale shape: |E|-linear distinct + degree hash agg,
+# then a ≤64-row bucket agg — no windows, no joins.
+
+
+def wallet_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt = wallet_transactions(spark, sf_dir)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    ).select(
+        F.col("wallet_address").cast("bigint").alias("u"),
+        F.col("interacted_with").cast("bigint").alias("v"),
+    )
+    und = (
+        legs.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("node")).unionByName(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return (
+        deg.groupBy(F.length(F.bin("degree")).cast("int").alias("deg_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("deg_bucket")
+    )
+
+
+WALLET_DEGREE_DISTRIBUTION_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+und AS (
+    SELECT DISTINCT
+        least(CAST(wallet_address AS BIGINT), CAST(interacted_with AS BIGINT)) AS a,
+        greatest(CAST(wallet_address AS BIGINT), CAST(interacted_with AS BIGINT)) AS b
+    FROM wallet_tx
+    WHERE address_role = 'sender' AND interacted_with IS NOT NULL
+      AND CAST(wallet_address AS BIGINT) <> CAST(interacted_with AS BIGINT)
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+    GROUP BY 1
+)
+SELECT CAST(length(bin(degree)) AS INTEGER) AS deg_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM deg
+GROUP BY 1
+ORDER BY 1
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
