@@ -531,3 +531,12 @@ register(
     rf.wallet_degree_distribution,
     rf.WALLET_DEGREE_DISTRIBUTION_ORACLE,
 )
+# ORDER-INVARIANT streaming transitions: watermark-delayed reorder
+# buffer — exact under ANY arrival order within the window (the
+# contract-bound chain's designed alternative, VERDICT r9 #3);
+# beyond-window stragglers dead-letter loudly
+register(
+    "streaming_transitions_reorder",
+    sj.stream_transitions_reorder,
+    sess.EVENT_TRANSITIONS_ORACLE,
+)
