@@ -396,3 +396,79 @@ def _refint_oracle() -> str:
 
 
 DQ_REFERENTIAL_INTEGRITY_ORACLE = _refint_oracle()
+
+
+# --------------------------------------------------------------------------
+# Weekday-uniformity chi-square: per event_type, the χ² statistic of
+# event counts across the 7 days of week against the uniform
+# expectation — the seasonality/anomaly screen a DQ suite runs before
+# trusting time-bucketed features (a scraper that only runs Mondays or
+# an outage that blanks weekends shows up here first). Algebra makes it
+# exact: Σ(oᵢ − n/7)²/(n/7) = (7·Σoᵢ² − n²)/n, so the numerator is an
+# exact DECIMAL(38,0) integer (o² overflows BIGINT at n≈3e9 rows/type —
+# routine at 100 TB) and the only float op is ONE final division, the
+# feature_correlations discipline. The non-uniformity verdict is a
+# pure-integer cross-multiplication against the χ²(df=6, α=0.01)
+# critical value 16.81: 100·num > 1681·n — no float in the predicate,
+# ANSI-safe, cross-engine deterministic.
+#
+# 100 TB shape: one map-side-combinable hash agg to ≤7 rows per
+# event_type, then a ≤|event_type|·7-row rollup. The day-of-week label
+# never leaves the plan (Spark dayofweek() is 1=Sunday, DuckDB dow()
+# is 0=Sunday — same PARTITION of days, different names), so the
+# engines agree without a calendar shim.
+def event_weekday_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("dayofweek(ts)").alias("dow")
+    )
+    counts = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    o_d = F.col("o").cast("decimal(19,0)")
+    per_type = counts.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.sum(o_d * o_d).cast("decimal(38,0)").alias("sum_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+    )
+    num = (
+        F.lit(7).cast("decimal(38,0)") * F.col("sum_sq")
+        - F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+    )
+    return per_type.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "n_active_days",
+        F.round(num.cast("double") / F.col("n").cast("double"), 6).alias("chisq"),
+        (
+            F.lit(100).cast("decimal(38,0)") * num
+            > F.lit(1681).cast("decimal(38,0)") * F.col("n").cast("decimal(19,0)")
+        ).alias("is_nonuniform"),
+    )
+
+
+EVENT_WEEKDAY_CHISQ_ORACLE = """
+WITH counts AS (
+    SELECT event_type, dayofweek(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+per_type AS (
+    SELECT event_type,
+           CAST(SUM(o) AS BIGINT) AS n,
+           CAST(SUM(CAST(o AS DECIMAL(19,0)) * CAST(o AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sum_sq,
+           CAST(COUNT(*) AS BIGINT) AS n_active_days
+    FROM counts GROUP BY 1
+)
+SELECT event_type,
+       n AS n_events,
+       n_active_days,
+       round(CAST(7 * sum_sq - CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                  AS DOUBLE) / CAST(n AS DOUBLE), 6) AS chisq,
+       100 * (7 * sum_sq - CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+           > 1681 * CAST(n AS DECIMAL(19,0)) AS is_nonuniform
+FROM per_type
+"""

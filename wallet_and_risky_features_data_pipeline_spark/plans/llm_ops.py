@@ -3685,3 +3685,90 @@ SELECT CAST(n AS BIGINT) AS n_vocab,
            AS zipf_intercept
 FROM mom
 """
+
+
+# --------------------------------------------------------------------------
+# Flesch reading-ease scoring: the classic readability gate a training
+# corpus runs beside quality_funnel (textbook prose scores 60-80;
+# keyword-stuffed spam and OCR noise land far outside). All counts are
+# codegen regex/string expressions — no UDFs:
+#   words      = whitespace tokens (the engine-wide tokenizer),
+#   sentences  = count of [.!?] terminators, floored at 1,
+#   syllables  = vowel-RUN count per doc (collapse [aeiouy]+ to one
+#                mark and diff the lengths — groups = len(collapsed) −
+#                len(stripped)), floored at the word count (every word
+#                has ≥1 syllable; all-consonant/numeric tokens would
+#                otherwise undercount). A heuristic, documented as
+#                such — the published formula's syllable counter is
+#                dictionary-based and no corpus pipeline ships one.
+# flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words):
+# a FIXED expression tree over exact integer counts — identical IEEE
+# double ops in both engines, so ROUND(...,4) agrees bit-for-bit, and
+# the band CASE compares the ROUNDED value (ties land on the grid).
+# One scan, fully parallel, zero shuffles before the driver-side sort.
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    n_words = token_count("text")
+    n_sent = F.greatest(
+        F.lit(1), F.expr(r"length(regexp_replace(text, '[^.!?]', ''))")
+    )
+    vowel_runs = F.expr(
+        "length(regexp_replace(lower(text), '[aeiouy]+', 'V'))"
+    ) - F.expr("length(regexp_replace(lower(text), '[aeiouy]+', ''))")
+    staged = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        vowel_runs.cast("bigint").alias("vowel_runs"),
+    ).filter(F.col("n_words") > 0)
+    n_syll = F.greatest(F.col("n_words"), F.col("vowel_runs"))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / F.col("n_words").cast("double")),
+        4,
+    )
+    return staged.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        n_syll.alias("n_syllables"),
+        flesch.alias("flesch"),
+    ).withColumn(
+        "band",
+        F.when(F.col("flesch") >= 90, F.lit("very_easy"))
+        .when(F.col("flesch") >= 60, F.lit("easy"))
+        .when(F.col("flesch") >= 30, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult")),
+    )
+
+
+TEXT_READABILITY_ORACLE = r"""
+WITH staged AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))
+                AS BIGINT) AS n_words,
+           CAST(greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+                AS BIGINT) AS n_sentences,
+           CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+                - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+                AS BIGINT) AS vowel_runs
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, n_words, n_sentences,
+           greatest(n_words, vowel_runs) AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(greatest(n_words, vowel_runs) AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)), 4) AS flesch
+    FROM staged WHERE n_words > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+       CASE WHEN flesch >= 90 THEN 'very_easy'
+            WHEN flesch >= 60 THEN 'easy'
+            WHEN flesch >= 30 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM scored
+"""

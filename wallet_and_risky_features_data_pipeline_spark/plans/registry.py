@@ -540,3 +540,16 @@ register(
     sj.stream_transitions_reorder,
     sess.EVENT_TRANSITIONS_ORACLE,
 )
+# MAD outlier gate: both medians are lower order statistics via the
+# all-integer 2·cum ≥ n predicate over the VALUE-FREQUENCY table
+# (windows scale with distinct values, not rows); |x−med| > 3·MAD is
+# integer too — robust sibling of rolling_zscore_outliers
+register("event_mad_outliers", sk.event_mad_outliers, sk.EVENT_MAD_OUTLIERS_ORACLE)
+# weekday-uniformity χ²: (7·Σo²−n²)/n with a DECIMAL(38,0) integer
+# numerator and ONE double division; the verdict is the pure-integer
+# cross-multiplication 100·num > 1681·n (χ² df=6 α=0.01)
+register("event_weekday_chisq", dq.event_weekday_chisq, dq.EVENT_WEEKDAY_CHISQ_ORACLE)
+# Flesch reading-ease: codegen regex counts (words/terminators/vowel
+# runs), fixed double expression tree → cross-engine bit-equal
+# ROUND(...,4); band CASE on the rounded grid
+register("text_readability", llm.text_readability, llm.TEXT_READABILITY_ORACLE)

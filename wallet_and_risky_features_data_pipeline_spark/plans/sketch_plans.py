@@ -896,3 +896,169 @@ SELECT p_brand,
 FROM staged
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# MAD outlier gate: median-absolute-deviation outlier counts per
+# event_type — the robust sibling of rolling_zscore_outliers (mean/σ
+# break down exactly when the data needs an outlier gate; median/MAD
+# have a 50% breakdown point). Reference's DQ gate family
+# (data_quality_ethereum_wallet_features.sql) stops at constraint
+# counts; this is the engine-extension robust-stats member.
+#
+# Exactness: both medians are LOWER order statistics picked by the
+# all-integer predicate 2·cum ≥ n over exact cents (the
+# brand_weighted_median discipline) — no float summation, no averaged
+# midpoints, so Spark ≡ DuckDB bit-for-bit. The outlier rule
+# |x − med| > 3·MAD is likewise an integer comparison (MAD = 0
+# degenerates to "any deviation flags", the standard MAD caveat).
+#
+# 100 TB shape: every window here runs over the VALUE-FREQUENCY table
+# (event_type, cents) → cnt — partition size is the number of DISTINCT
+# values per group, not the row count (prices cluster; the freq table
+# is orders of magnitude smaller than the event log). The row-scaled
+# work is two map-side-combinable hash aggs; medians/MAD/outlier
+# counts all come off the freq table, and the per-type joins broadcast
+# a ≤|event_type|-row dim. No full-partition frames anywhere (the r9
+# window-sweep rule).
+def event_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    freq = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    totals = freq.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_values"),
+    )
+    run_c = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med = (
+        freq.select("event_type", "cents", F.sum("cnt").over(run_c).alias("cum"))
+        .join(F.broadcast(totals.select("event_type", "n")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.lit(2) * F.col("cum") >= F.col("n"), F.col("cents"))
+            ).alias("median_c")
+        )
+    )
+    dev = (
+        freq.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("cents") - F.col("median_c")).alias("dev"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    run_d = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mad = (
+        dev.select("event_type", "dev", F.sum("cnt").over(run_d).alias("cum"))
+        .join(F.broadcast(totals.select("event_type", "n")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.lit(2) * F.col("cum") >= F.col("n"), F.col("dev"))
+            ).alias("mad_c")
+        )
+    )
+    outliers = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > F.lit(3) * F.col("mad_c"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        totals.join(med, "event_type")
+        .join(mad, "event_type")
+        .join(outliers, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            "n_distinct_values",
+            "median_c",
+            "mad_c",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+            ).alias("outlier_share"),
+        )
+    )
+
+
+EVENT_MAD_OUTLIERS_ORACLE = """
+WITH ev AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+freq AS (
+    SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type, SUM(cnt) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct_values
+    FROM freq GROUP BY 1
+),
+med_stage AS (
+    SELECT f.event_type, f.cents, t.n,
+           SUM(f.cnt) OVER (
+               PARTITION BY f.event_type ORDER BY f.cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM freq f JOIN totals t USING (event_type)
+),
+med AS (
+    SELECT event_type, MIN(CASE WHEN 2 * cum >= n THEN cents END) AS median_c
+    FROM med_stage GROUP BY 1
+),
+dev AS (
+    SELECT f.event_type, abs(f.cents - m.median_c) AS dev, SUM(f.cnt) AS cnt
+    FROM freq f JOIN med m USING (event_type) GROUP BY 1, 2
+),
+mad_stage AS (
+    SELECT d.event_type, d.dev, t.n,
+           SUM(d.cnt) OVER (
+               PARTITION BY d.event_type ORDER BY d.dev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM dev d JOIN totals t USING (event_type)
+),
+mad AS (
+    SELECT event_type, MIN(CASE WHEN 2 * cum >= n THEN dev END) AS mad_c
+    FROM mad_stage GROUP BY 1
+),
+outliers AS (
+    SELECT d.event_type,
+           CAST(SUM(CASE WHEN d.dev > 3 * a.mad_c THEN d.cnt ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad a USING (event_type) GROUP BY 1
+)
+SELECT t.event_type,
+       CAST(t.n AS BIGINT) AS n_events,
+       t.n_distinct_values,
+       m.median_c,
+       a.mad_c,
+       o.n_outliers,
+       round(CAST(o.n_outliers AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS outlier_share
+FROM totals t
+JOIN med m USING (event_type)
+JOIN mad a USING (event_type)
+JOIN outliers o USING (event_type)
+"""
