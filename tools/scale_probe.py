@@ -63,9 +63,14 @@ def build_replica(spark, tables: set[str]) -> None:
     # A replica left by a crashed build (no _SUCCESS) or built from a
     # different SRC must be rebuilt, not silently reused — the ratios
     # would be computed over wrong data with no warning.
+    # RECIPE_V bumps whenever shifted() changes — a replica built by an
+    # older recipe must rebuild, or ratios silently compare different
+    # data shapes (v2: structure mode also shifts the events VALUE
+    # domain).
+    stamp = f"{SRC}:v2"
     marker = f"{DST}/.built_from"
     if os.path.exists(DST):
-        stale = not (os.path.exists(marker) and open(marker).read() == SRC) or any(
+        stale = not (os.path.exists(marker) and open(marker).read() == stamp) or any(
             os.path.exists(f"{DST}/{t}.parquet")
             and not os.path.exists(f"{DST}/{t}.parquet/_SUCCESS")
             for t in ID_COLS
@@ -74,7 +79,7 @@ def build_replica(spark, tables: set[str]) -> None:
             shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
     with open(marker, "w") as f:
-        f.write(SRC)
+        f.write(stamp)
     for t in tables:
         out = f"{DST}/{t}.parquet"
         if os.path.exists(out):
@@ -94,7 +99,14 @@ def build_replica(spark, tables: set[str]) -> None:
                     # salt BOTH graph endpoints: user_id and the JSON
                     # counterparty — copy k is a disjoint isomorphic
                     # subgraph, so |V| and |E| grow COPIES×
+                    # VALUE-domain growth (v2): +7k cents per copy —
+                    # distinct cents per event_type grows COPIES×, the
+                    # real scale axis for the value-frequency median
+                    # family (event_mad_outliers), which is invariant
+                    # under payload-repeating replication.
                     df = df.withColumn(
+                        "value", F.col("value") + F.lit(k * 0.07)
+                    ).withColumn(
                         "user_id", F.col("user_id") + F.lit(k * STRIDE)
                     ).withColumn(
                         "props",

@@ -65,3 +65,83 @@ def wallet_auc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # incremental must equal the full AUC rollup → same oracle
 WALLET_AUC_INCR_ORACLE = WALLET_AUC_ROLLUP_ORACLE
+
+
+def wallet_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components — the graph family's member of
+    the incremental tier (J15/W11 discipline): CC labels computed on
+    the pre-``SPLIT_AT`` graph are merged with the post-split edges
+    WITHOUT re-propagating over the historical edge set, and the result
+    is held to the FULL-recompute oracle (same SQL as
+    ``wallet_components``), so the driver's own comparison proves
+    incremental ≡ full.
+
+    Why this is the 100 TB nightly-refresh path: the prior labels form
+    a STAR graph (node → component root, diameter ≤ 2), so the merge
+    round runs pointer-doubling CC over star_edges ∪ new_edges only —
+    |V_old| + |E_new| rows instead of |E_old| + |E_new|, and its
+    convergence depth tracks the NEW edges' component-merge chain, not
+    the historical graph's diameter (which the star already collapsed).
+    Correctness: star edges preserve exactly the old graph's
+    connectivity relation, so the combined graph's components equal the
+    full graph's, and min-label assignment picks the same component id
+    (the component's minimum wallet id) either way — label equality is
+    structural, not approximate.
+    """
+    from ..operators.dedup import connected_components
+    from ..caching import persist_tracked
+
+    wt = wallet_transactions(spark, sf_dir)
+    split = F.lit(SPLIT_AT).cast("timestamp")
+    sender = (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+
+    old_edges = persist_tracked(
+        wt.filter(sender & (F.col("ts") < split))
+        .select(
+            F.col("wallet_address").alias("w_a"),
+            F.col("interacted_with").alias("w_b"),
+        )
+        .distinct()
+    )
+    old_nodes = (
+        old_edges.select(F.col("w_a").alias("wallet_address"))
+        .union(old_edges.select(F.col("w_b").alias("wallet_address")))
+        .distinct()
+    )
+    prior = connected_components(
+        old_edges, old_nodes, "wallet_address", a_col="w_a", b_col="w_b"
+    )
+    # node → root, self-roots dropped (a root's membership rides on any
+    # neighbor's star edge; isolated-in-old nodes re-enter via new
+    # edges or the node union below)
+    star = prior.filter(F.col("wallet_address") != F.col("cluster_id")).select(
+        F.col("wallet_address").alias("w_a"), F.col("cluster_id").alias("w_b")
+    )
+    new_edges = (
+        wt.filter(sender & (F.col("ts") >= split))
+        .select(
+            F.col("wallet_address").alias("w_a"),
+            F.col("interacted_with").alias("w_b"),
+        )
+        .distinct()
+    )
+    combined = persist_tracked(star.unionByName(new_edges).distinct())
+    nodes = (
+        combined.select(F.col("w_a").alias("wallet_address"))
+        .union(combined.select(F.col("w_b").alias("wallet_address")))
+        .union(old_nodes)
+        .distinct()
+    )
+    assigned = connected_components(
+        combined, nodes, "wallet_address", a_col="w_a", b_col="w_b"
+    ).withColumnRenamed("cluster_id", "component_id")
+    sizes = assigned.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return assigned.join(F.broadcast(sizes), "component_id").select(
+        "wallet_address", "component_id", "component_size"
+    )
+
+
+# incremental must equal the full component assignment → same oracle
+from .risk_features import WALLET_COMPONENTS_ORACLE as WALLET_COMPONENTS_INCR_ORACLE  # noqa: E402

@@ -553,3 +553,11 @@ register("event_weekday_chisq", dq.event_weekday_chisq, dq.EVENT_WEEKDAY_CHISQ_O
 # runs), fixed double expression tree → cross-engine bit-equal
 # ROUND(...,4); band CASE on the rounded grid
 register("text_readability", llm.text_readability, llm.TEXT_READABILITY_ORACLE)
+# incremental CC: prior labels star-compressed (node→root) + new edges
+# only — merge depth tracks the NEW edges' chain, not the historical
+# diameter; held to the FULL-recompute oracle (J15/W11 discipline)
+register(
+    "wallet_components_incremental",
+    inc.wallet_components_incremental,
+    inc.WALLET_COMPONENTS_INCR_ORACLE,
+)
