@@ -561,3 +561,12 @@ register(
     inc.wallet_components_incremental,
     inc.WALLET_COMPONENTS_INCR_ORACLE,
 )
+# collusion pairs: top-5 value-ranked counterparty signatures (≤k index
+# rows per wallet), equi self-join on signature key with the
+# containment-family max_df hub fuse — never all-pairs; integer
+# cross-mult verdict 2·shared ≥ |a|+|b|−shared
+register(
+    "wallet_neighborhood_jaccard",
+    rf.wallet_neighborhood_jaccard,
+    rf.WALLET_NBR_JACCARD_ORACLE,
+)
