@@ -570,3 +570,11 @@ register(
     rf.wallet_neighborhood_jaccard,
     rf.WALLET_NBR_JACCARD_ORACLE,
 )
+# Spearman monotone-drift screen: ROW_NUMBER untying in BOTH engines →
+# ranks are permutations, Σd² all-integer DECIMAL(38,0); |ρ|>½ verdict
+# via 12S < n(n²−1) / 4S > n(n²−1) cross-multiplications, ANSI-safe
+register(
+    "event_spearman_trend",
+    sk.event_spearman_trend,
+    sk.EVENT_SPEARMAN_ORACLE,
+)

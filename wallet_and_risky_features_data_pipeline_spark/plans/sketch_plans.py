@@ -1062,3 +1062,109 @@ JOIN med m USING (event_type)
 JOIN mad a USING (event_type)
 JOIN outliers o USING (event_type)
 """
+
+
+def event_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Spearman rank correlation between arrival order and
+    value — the robust monotone-drift screen (is this event type's
+    value systematically creeping up or down over time?) that Pearson
+    on raw cents misses under heavy tails and that the MAD/CUSUM
+    family doesn't answer (they find level shifts, not monotone
+    association).
+
+    Exactness: both rankings are ROW_NUMBER over strict total orders
+    ((ts, event_id) and (cents, event_id)) — the engine's standard
+    deterministic untying, identical in both engines, equal to
+    textbook Spearman whenever values are tie-free. Ranks are then
+    permutations of 1..n, so ρ = 1 − 6·Σd²/(n(n²−1)) is exact:
+    Σd² is an all-integer DECIMAL(19,0)²→DECIMAL(38,0) sum (d ≤ n,
+    Σd² ≤ n³ — holds to n ≈ 3·10¹² rows/type), the ρ report is ONE
+    fixed double expression tree over exact integers (bit-equal
+    cross-engine after ROUND(,6)), and the ``is_trending`` verdict
+    (|ρ| > 0.5) never touches floats: ρ > ½ ⇔ 12·Σd² < n(n²−1) and
+    ρ < −½ ⇔ 4·Σd² > n(n²−1), both DECIMAL(38,0) cross-
+    multiplications, ANSI-safe.
+
+    Scale shape: two rank windows per event_type partition — rank
+    windows are streaming sort-based (spillable external sort), NOT
+    the unbounded-frame buffering class the r9 sweep removed; the
+    follow-up is one map-side-combinable hash agg to |event_type|
+    rows. Same partition-skew profile as the rolling_zscore family.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    w_t = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_v = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        F.row_number().over(w_t).alias("r_t"),
+        F.row_number().over(w_v).alias("r_v"),
+    )
+    d = (F.col("r_t") - F.col("r_v")).cast("decimal(19,0)")
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(d * d).cast("decimal(38,0)").alias("s_d2"),
+    )
+    n19 = F.col("n_events").cast("decimal(19,0)")
+    denom = (n19 * n19 - F.lit(1).cast("decimal(19,0)")) * n19
+    nd = F.col("n_events").cast("double")
+    rho = F.round(
+        F.lit(1.0)
+        - F.lit(6.0) * F.col("s_d2").cast("double") / (nd * (nd * nd - F.lit(1.0))),
+        6,
+    )
+    return agg.filter(F.col("n_events") >= 2).select(
+        "event_type",
+        "n_events",
+        "s_d2",
+        rho.alias("spearman_rho"),
+        (
+            (F.lit(12).cast("decimal(38,0)") * F.col("s_d2") < denom)
+            | (F.lit(4).cast("decimal(38,0)") * F.col("s_d2") > denom)
+        ).alias("is_trending"),
+    )
+
+
+EVENT_SPEARMAN_ORACLE = """
+WITH ev AS (
+    SELECT event_type, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+    SELECT event_type,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ts ASC, event_id ASC) AS r_t,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY cents ASC, event_id ASC) AS r_v
+    FROM ev
+),
+agg AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(r_t - r_v AS DECIMAL(19,0))
+                    * CAST(r_t - r_v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s_d2
+    FROM ranked GROUP BY 1
+)
+SELECT event_type, n_events, s_d2,
+       round(1.0 - 6.0 * CAST(s_d2 AS DOUBLE)
+             / (CAST(n_events AS DOUBLE)
+                * (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE) - 1.0)),
+             6) AS spearman_rho,
+       12 * s_d2 < (CAST(n_events AS DECIMAL(19,0)) * CAST(n_events AS DECIMAL(19,0)) - 1)
+                   * CAST(n_events AS DECIMAL(19,0))
+       OR 4 * s_d2 > (CAST(n_events AS DECIMAL(19,0)) * CAST(n_events AS DECIMAL(19,0)) - 1)
+                     * CAST(n_events AS DECIMAL(19,0)) AS is_trending
+FROM agg WHERE n_events >= 2
+"""
