@@ -767,3 +767,43 @@ def test_transitions_reorder_exact_under_hostile_arrival(spark, tmp_path):
         assert sj.LAST_OOO_VIOLATIONS["stream_transitions_reorder"] == 6
     finally:
         sj.TRANSITIONS_REORDER_WINDOW_US = orig
+
+
+def test_stream_source_psi_multibatch_matches_batch(spark, tmp_path):
+    """streaming ≡ batch for the PSI drift monitor across four real
+    micro-batches (the job lands the corpus as 4 files and streams
+    maxFilesPerTrigger=1). A count histogram is order-invariant, so
+    equality must hold bit-for-bit regardless of how rows land in
+    batches — and the rollup computes PSI through the SAME
+    psi_from_histogram as the batch plan, so the whole comparison
+    (grid smoothing, quantized ln, bin-ASC fold) runs one code path."""
+    import random
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        corpus_source_psi,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_source_psi,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            "x" * (1 + i % 5),
+            "en",
+            rng.choice(["web", "books", "code"]),
+            rng.randrange(1, 1400),
+        )
+        for i in range(300)
+    ]
+    rng.shuffle(rows)  # hostile landing order — must not matter
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    key = lambda df: {r["source"]: (r["n_docs"], r["psi"]) for r in df.collect()}
+    batch = key(corpus_source_psi(spark, str(tmp_path)))
+    stream = key(stream_source_psi(spark, str(tmp_path)))
+    assert batch == stream
+    assert len(batch) == 3

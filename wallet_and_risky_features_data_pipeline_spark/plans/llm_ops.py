@@ -3502,14 +3502,24 @@ def corpus_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(PSI_BINS - 1),
         ).alias("bin"),
     )
+    per = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    return psi_from_histogram(per)
+
+
+def psi_from_histogram(per: DataFrame) -> DataFrame:
+    """PSI tail over a (source, bin, ca) histogram — ONE definition
+    shared by the batch plan and the streaming mirror's rollup, so the
+    two can never drift (the same IEEE expression tree runs in both;
+    the mirror is held to the batch oracle through this function).
+    Accepts the histogram sparse (batch agg omits empty bins) or dense
+    (the streaming state emits all 16 slots, zeros included) — the
+    dense grid + LEFT-join smoothing normalizes either form."""
     # persist the sources×16 histogram (tiny) — src_totals, the global
     # histogram and the grid all derive from it, and without the pin
-    # each lineage re-scans the corpus (seen in the .explain audit)
-    per = persist_tracked(
-        binned.groupBy("source", "bin").agg(
-            F.count(F.lit(1)).cast("bigint").alias("ca")
-        )
-    )
+    # each lineage re-scans the source (seen in the .explain audit)
+    per = persist_tracked(per)
     src_totals = per.groupBy("source").agg(F.sum("ca").cast("bigint").alias("na"))
     glob = per.groupBy("bin").agg(F.sum("ca").cast("bigint").alias("cg"))
     corpus_total = glob.agg(F.sum("cg").cast("bigint").alias("ng"))

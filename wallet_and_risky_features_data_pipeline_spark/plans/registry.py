@@ -578,3 +578,12 @@ register(
     sk.event_spearman_trend,
     sk.EVENT_SPEARMAN_ORACLE,
 )
+# streaming PSI mirror: O(16) histogram state per source —
+# order-INVARIANT (entropy's contract class); rollup computes PSI
+# through the batch plan's own psi_from_histogram (one code path),
+# held to the batch oracle
+register(
+    "streaming_source_psi",
+    sj.stream_source_psi,
+    llm.CORPUS_SOURCE_PSI_ORACLE,
+)

@@ -1951,3 +1951,102 @@ def stream_transitions_reorder(
             6,
         ).alias("p_transition"),
     )
+
+
+def stream_source_psi(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger=None
+) -> DataFrame:
+    """Streaming PSI drift monitor — the per-source length-distribution
+    histograms maintained ON the document stream, held to the batch
+    ``corpus_source_psi`` oracle (streaming ≡ batch). State is a fixed
+    16-slot integer histogram per source — O(16) regardless of corpus
+    volume, the bounded-state family — and a count histogram is
+    ORDER-INVARIANT: exact under ANY arrival order, the entropy
+    mirror's contract class, no reorder buffer needed.
+
+    PSI itself compares each source against the GLOBAL histogram —
+    cross-key state that per-key streaming state cannot hold — so the
+    division of labor is: the stream maintains per-source histograms
+    and emits dense 16-row snapshots (n_docs strictly monotone per
+    source → "latest" is an exact integer argmax, no batch-sequence
+    bookkeeping); the serving rollup assembles the latest snapshots
+    and computes PSI through ``plans.llm_ops.psi_from_histogram`` —
+    the SAME function, and therefore the same IEEE expression tree,
+    as the batch plan. Streaming and batch values are equal, not
+    approximately equal, by construction.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    from ..plans.llm_ops import PSI_BINS, PSI_BIN_WIDTH, psi_from_histogram
+
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # land as 4 files so maxFilesPerTrigger=1 exercises REAL
+    # multi-batch state carry (the vocab job's staging recipe)
+    land = tempfile.mkdtemp(prefix="wrf_psi_land_")
+    static.repartition(4).write.mode("overwrite").parquet(land)
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_psi_ckpt_")
+
+    out_schema = StructType.fromDDL("source string, n_docs long, bin int, ca long")
+    state_schema = StructType.fromDDL("counts array<long>")
+
+    def update(key, pdfs, state: GroupState):
+        (counts,) = state.get if state.exists else ([0] * PSI_BINS,)
+        counts = [int(c) for c in counts]
+        for pdf in pdfs:
+            for b in pdf["bin"].tolist():
+                counts[int(b)] += 1
+        state.update((counts,))
+        n = sum(counts)
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * PSI_BINS,
+                "n_docs": [n] * PSI_BINS,
+                "bin": list(range(PSI_BINS)),
+                "ca": counts,
+            }
+        )
+
+    binned = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger or 1))
+        .parquet(land)
+        .select(
+            "source",
+            # integer DIV — the batch plan's bin rule, verbatim
+            F.least(
+                F.expr(f"CAST(n_chars DIV {PSI_BIN_WIDTH} AS INT)"),
+                F.lit(PSI_BINS - 1),
+            ).alias("bin"),
+        )
+    )
+    stream = binned.groupBy("source").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    name = "wrf_source_psi"
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    snaps = spark.table(name)
+    latest = Window.partitionBy("source", "bin").orderBy(F.col("n_docs").desc())
+    per = (
+        snaps.withColumn("__rk", F.row_number().over(latest))
+        .filter(F.col("__rk") == 1)
+        .select("source", "bin", "ca")
+        # MemoryPlan scans reuse attribute ids (no newInstance), so the
+        # PSI tail's self-joins over this lineage would conflict — pin
+        # the tiny sources×16 histogram to a LogicalRDD first (the
+        # transitions rollup's toDF trick, in checkpoint form)
+        .localCheckpoint()
+    )
+    return psi_from_histogram(per)
