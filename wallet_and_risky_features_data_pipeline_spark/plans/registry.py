@@ -587,3 +587,12 @@ register(
     sj.stream_source_psi,
     llm.CORPUS_SOURCE_PSI_ORACLE,
 )
+# temporal 2-hop layering motifs: day-bucketed hop pairing (offsets
+# {0,+1} cover the 24 h band) + per-(wallet,day) occupancy fuse —
+# never per-wallet quadratic across history; integer epoch-us band,
+# all-integer verdict
+register(
+    "wallet_flow_motifs",
+    rf.wallet_flow_motifs,
+    rf.WALLET_FLOW_MOTIFS_ORACLE,
+)

@@ -1743,3 +1743,167 @@ JOIN sz sa ON sa.wallet_address = wallet_a
 JOIN sz sb ON sb.wallet_address = wallet_b
 WHERE shared_top >= 2
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# Temporal flow motifs: 2-hop pass-through (layering) detection
+# --------------------------------------------------------------------------
+
+FLOW_WINDOW_US = 86_400_000_000  # 24 h second-hop window
+FLOW_FAST_US = 3_600_000_000  # "fast" pass-through: forwarded within 1 h
+FLOW_MAX_DAILY_LEGS = 10_000  # per-(wallet, day) occupancy fuse
+
+
+def wallet_flow_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal 2-hop flow motifs — for each intermediate wallet b,
+    count a→b→c paths where the outgoing hop happens within 24 h AFTER
+    the incoming hop and c ≠ a: the classic AML layering / pass-through
+    screen (funds arriving and promptly forwarded through a middle
+    wallet), the temporal-path sibling of the static triangle and
+    reciprocity motifs (extends the reference's counterparty features
+    to PATHS; cites queries/ethereum_wallet_features.sql counterparty
+    block for the leg model).
+
+    Scale shape — the join is day-BUCKETED and occupancy-FUSED:
+
+    - the hop-pairing joins on (b, day(out_hop)) with the incoming hop
+      exploded over day offsets {0, +1} (a 24 h band from day d can
+      only land on d or d+1), so pairing work is per-(wallet, day)
+      blocks, never per-wallet quadratic across history;
+    - a wallet moving more than ``FLOW_MAX_DAILY_LEGS`` legs in a day
+      on either side is an exchange-grade hub, not a layering
+      candidate — its (wallet, day) blocks are excluded by the same
+      occupancy-guard discipline as the entity-blocking family (the
+      fuse is semantic and mirrored in the oracle; it never binds at
+      test scale);
+    - the exact (0, 24 h] band rides as an integer epoch-microsecond
+      post-join filter (unix_micros ≡ epoch_us — the relational
+      module's timestamp parity rule), so the day bucket is purely a
+      physical strategy.
+
+    The ``is_layering`` verdict (≥5 paths through ≥2 distinct sources
+    and ≥2 distinct destinations) is all-integer, ANSI-safe.
+    """
+    wt = wallet_transactions(spark, sf_dir)
+    legs = wt.filter(
+        (F.col("address_role") == "sender")
+        & F.col("interacted_with").isNotNull()
+        & (F.col("current_value") > 0)
+    ).select(
+        F.col("wallet_address").alias("src"),
+        F.col("interacted_with").alias("dst"),
+        F.unix_micros("ts").alias("us"),
+        F.to_date("ts").alias("day"),
+    )
+    in_busy = legs.groupBy(
+        F.col("dst").alias("ib_b"), F.col("day").alias("ib_day")
+    ).agg(F.count(F.lit(1)).alias("n_in"))
+    out_busy = legs.groupBy(
+        F.col("src").alias("ob_b"), F.col("day").alias("ob_day")
+    ).agg(F.count(F.lit(1)).alias("n_out"))
+    hop_in = (
+        legs.join(
+            in_busy,
+            (F.col("dst") == F.col("ib_b")) & (F.col("day") == F.col("ib_day")),
+        )
+        .filter(F.col("n_in") <= FLOW_MAX_DAILY_LEGS)
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("mid"),
+            F.col("us").alias("us_in"),
+            F.explode(
+                F.array(F.col("day"), F.date_add(F.col("day"), 1))
+            ).alias("match_day"),
+        )
+    )
+    hop_out = (
+        legs.join(
+            out_busy,
+            (F.col("src") == F.col("ob_b")) & (F.col("day") == F.col("ob_day")),
+        )
+        .filter(F.col("n_out") <= FLOW_MAX_DAILY_LEGS)
+        .select(
+            F.col("src").alias("mid2"),
+            F.col("dst").alias("c"),
+            F.col("us").alias("us_out"),
+            F.col("day").alias("out_day"),
+        )
+    )
+    paths = (
+        hop_in.join(
+            hop_out,
+            (F.col("mid") == F.col("mid2"))
+            & (F.col("match_day") == F.col("out_day")),
+        )
+        .filter(
+            (F.col("us_out") > F.col("us_in"))
+            & (F.col("us_out") - F.col("us_in") <= F.lit(FLOW_WINDOW_US))
+            & (F.col("c") != F.col("a"))
+        )
+    )
+    return (
+        paths.groupBy(F.col("mid").alias("intermediate_wallet"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            F.countDistinct("a").cast("bigint").alias("n_sources"),
+            F.countDistinct("c").cast("bigint").alias("n_dests"),
+            F.sum(
+                F.when(
+                    F.col("us_out") - F.col("us_in") <= F.lit(FLOW_FAST_US), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_fast_paths"),
+        )
+        .select(
+            "intermediate_wallet",
+            "n_paths",
+            "n_sources",
+            "n_dests",
+            "n_fast_paths",
+            (
+                (F.col("n_paths") >= 5)
+                & (F.col("n_sources") >= 2)
+                & (F.col("n_dests") >= 2)
+            ).alias("is_layering"),
+        )
+    )
+
+
+WALLET_FLOW_MOTIFS_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+legs AS (
+    SELECT wallet_address AS src,
+           interacted_with AS dst,
+           epoch_us(ts) AS us,
+           CAST(ts AS DATE) AS day
+    FROM wallet_tx
+    WHERE address_role = 'sender'
+      AND interacted_with IS NOT NULL
+      AND current_value > 0
+),
+in_busy AS (SELECT dst AS b, day, COUNT(*) AS n_in FROM legs GROUP BY 1, 2),
+out_busy AS (SELECT src AS b, day, COUNT(*) AS n_out FROM legs GROUP BY 1, 2),
+paths AS (
+    SELECT i.src AS a, i.dst AS mid, o.dst AS c, o.us - i.us AS gap_us
+    FROM legs i
+    JOIN in_busy ib ON ib.b = i.dst AND ib.day = i.day
+    JOIN legs o ON o.src = i.dst
+    JOIN out_busy ob ON ob.b = o.src AND ob.day = o.day
+    WHERE ib.n_in <= {FLOW_MAX_DAILY_LEGS}
+      AND ob.n_out <= {FLOW_MAX_DAILY_LEGS}
+      AND o.us > i.us
+      AND o.us - i.us <= {FLOW_WINDOW_US}
+      AND o.dst <> i.src
+)
+SELECT mid AS intermediate_wallet,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT a) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_dests,
+       CAST(SUM(CASE WHEN gap_us <= {FLOW_FAST_US} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fast_paths,
+       COUNT(*) >= 5 AND COUNT(DISTINCT a) >= 2 AND COUNT(DISTINCT c) >= 2
+           AS is_layering
+FROM paths
+GROUP BY 1
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
