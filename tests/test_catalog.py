@@ -161,6 +161,18 @@ def test_lakehouse_interop_smoke(spark, tmp_path):
         ice = spark.read.format("iceberg").load(store)
         assert ice.count() == 100
         assert {r.k for r in ice.collect()} == set(range(100))
+    if fmt == "delta":
+        # same upgrade for the Delta side: a real Delta reader consumes
+        # the store's exported _delta_log (validated structurally
+        # jar-free in test_delta_export_structural)
+        from wallet_and_risky_features_data_pipeline_spark.sources.delta_export import (
+            export_delta_log,
+        )
+
+        export_delta_log(store)
+        dl = spark.read.format("delta").load(store)
+        assert dl.count() == 100
+        assert {r.k for r in dl.collect()} == set(range(100))
 
 
 def test_iceberg_export_structural(spark, tmp_path):
@@ -269,3 +281,127 @@ def test_iceberg_export_structural(spark, tmp_path):
             assert all(f["field-id"] >= 1000 for f in spec)
             src_ids = {f["id"]: f["name"] for f in fields}
             assert [src_ids[f["source-id"]] for f in spec] == ["bucket"]
+
+
+def test_delta_export_structural(spark, tmp_path):
+    """Delta-log export (the Iceberg export's sibling): map the store's
+    generation history onto Delta versions and validate the log against
+    the public protocol STRUCTURALLY (no jar): contiguous version
+    files, protocol/metaData placement, schemaString parsing through
+    Spark's own StructType.fromJson, and a full log REPLAY whose
+    reconstructed file state must equal the live generation exactly
+    (paths, sizes, partition values). The jar-gated interop smoke
+    upgrades to reading this export when a Delta runtime appears."""
+    import json
+    import os
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.delta_export import (
+        export_delta_log,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        commit_generation,
+        resolve_store,
+    )
+
+    store = str(tmp_path / "delta_store")
+    for n in (40, 60, 50):  # three generations: grow, then shrink
+        df = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("bucket"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        commit_generation(df.repartition(2), store)
+
+    summary = export_delta_log(store)
+    assert summary["n_versions"] == 3
+    log_dir = summary["log_dir"]
+    names = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    assert names == [f"{v:020d}.json" for v in range(3)]
+
+    state: dict[str, dict] = {}
+    for v, name in enumerate(names):
+        actions = [
+            json.loads(line)
+            for line in open(os.path.join(log_dir, name))
+            if line.strip()
+        ]
+        kinds = [next(iter(a)) for a in actions]
+        assert kinds[0] == "commitInfo"
+        if v == 0:
+            assert "protocol" in kinds and "metaData" in kinds
+            proto = next(a["protocol"] for a in actions if "protocol" in a)
+            assert proto["minReaderVersion"] == 1
+            meta = next(a["metaData"] for a in actions if "metaData" in a)
+            assert meta["format"]["provider"] == "parquet"
+            schema = StructType.fromJson(json.loads(meta["schemaString"]))
+            assert {f.name for f in schema.fields} >= {"k", "bucket", "v"}
+        else:
+            # overwrite commits: every prior file removed before adds
+            assert "remove" in kinds
+        for a in actions:
+            if "add" in a:
+                state[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                assert a["remove"]["path"] in state, "remove of unknown file"
+                del state[a["remove"]["path"]]
+
+    live = resolve_store(store)
+    expect = set()
+    for dirpath, dirnames, filenames in os.walk(live):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                expect.add(os.path.relpath(os.path.join(dirpath, fn), store))
+    assert {unquote(p) for p in state} == expect
+    for rel, add in state.items():
+        assert add["size"] == os.path.getsize(os.path.join(store, unquote(rel)))
+        assert add["dataChange"] is True
+
+    # replayed final state must hold exactly the last commit's rows
+    total = sum(
+        spark.read.parquet(os.path.join(store, unquote(p))).count() for p in state
+    )
+    assert total == 50
+
+
+def test_delta_export_partitioned_values(spark, tmp_path):
+    """Partition dirs become add.partitionValues and partitionColumns —
+    the hive-layout mapping a Delta reader needs to prune on."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.sources.delta_export import (
+        export_delta_log,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        commit_generation,
+        resolve_store,
+    )
+
+    store = str(tmp_path / "delta_part")
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("bucket")
+    )
+    commit_generation(df, store)
+    gen = resolve_store(store)
+    shutil.rmtree(gen)
+    df.write.partitionBy("bucket").parquet(gen)
+
+    summary = export_delta_log(store)
+    assert summary["partition_columns"] == ["bucket"]
+    actions = [
+        json.loads(line)
+        for line in open(os.path.join(summary["log_dir"], f"{0:020d}.json"))
+        if line.strip()
+    ]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds and all(a["partitionValues"].get("bucket") in {"0", "1", "2"} for a in adds)
+    seen = {a["partitionValues"]["bucket"] for a in adds}
+    assert seen == {"0", "1", "2"}
