@@ -596,3 +596,11 @@ register(
     rf.wallet_flow_motifs,
     rf.WALLET_FLOW_MOTIFS_ORACLE,
 )
+# sleeper-wallet spikes: one LAG over the strict (us, event_id, role)
+# total order (self-transfer ties broken identically cross-engine),
+# integer µs/cents comparisons throughout
+register(
+    "wallet_dormancy_revival",
+    rf.wallet_dormancy_revival,
+    rf.WALLET_DORMANCY_ORACLE,
+)

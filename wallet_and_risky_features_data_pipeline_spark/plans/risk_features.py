@@ -1907,3 +1907,109 @@ SELECT mid AS intermediate_wallet,
 FROM paths
 GROUP BY 1
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# Dormancy → revival: sleeper-wallet spike screen
+# --------------------------------------------------------------------------
+
+DORMANCY_US = 172_800_000_000  # 2 days at this corpus's 30-day span
+MIN_REVIVAL_CENTS = 5_000  # $50 — above the corpus value median
+
+
+def wallet_dormancy_revival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sleeper-wallet screen: wallets that go dormant (no activity in
+    either role for ``DORMANCY_US``) and then wake with a
+    value-carrying leg — the classic rug-pull / compromised-key
+    precursor the reference's risk classifiers consume activity-recency
+    features for (cites src/pipelines/analytics/features/queries/
+    ethereum_wallet_features.sql activity-window block). At this
+    corpus's 30-day span the dormancy bound is 2 days (the p99
+    inter-event gap); a production deployment sets 90 d — the plan is
+    threshold-independent.
+
+    Per-wallet activity timeline = BOTH role legs ordered by the strict
+    total order (us, event_id, address_role) — the third key breaks the
+    self-transfer tie where one event yields two legs for the same
+    wallet, identically in both engines. ``gap`` is one LAG over that
+    order (streaming window, no frame buffering); everything after the
+    gap filter is a hash agg to ≤|wallets| rows. All comparisons are
+    integer (epoch µs, cents, integer-division day counts) — ANSI-safe,
+    bit-equal cross-engine.
+    """
+    wt = wallet_transactions(spark, sf_dir)
+    legs = wt.select(
+        "wallet_address",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "address_role",
+        F.expr("CAST(round(current_value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("wallet_address").orderBy(
+        "us", "event_id", "address_role"
+    )
+    gapped = legs.withColumn("gap", F.col("us") - F.lag("us").over(w))
+    dormant = gapped.filter(F.col("gap") >= F.lit(DORMANCY_US))
+    return (
+        dormant.groupBy("wallet_address")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dormancy_gaps"),
+            F.sum(
+                F.when(F.col("cents") >= MIN_REVIVAL_CENTS, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_value_revivals"),
+            F.max("gap").alias("__max_gap_us"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("cents") >= MIN_REVIVAL_CENTS, F.col("cents")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("max_revival_cents"),
+        )
+        .select(
+            "wallet_address",
+            "n_dormancy_gaps",
+            "n_value_revivals",
+            F.expr("CAST(__max_gap_us DIV 86400000000 AS INT)").alias(
+                "max_gap_days"
+            ),
+            "max_revival_cents",
+            (F.col("n_value_revivals") >= 1).alias("is_sleeper_spike"),
+        )
+    )
+
+
+WALLET_DORMANCY_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+legs AS (
+    SELECT wallet_address,
+           epoch_us(ts) AS us,
+           event_id,
+           address_role,
+           CAST(round(current_value * 100) AS BIGINT) AS cents
+    FROM wallet_tx
+),
+gapped AS (
+    SELECT wallet_address, cents,
+           us - lag(us) OVER (PARTITION BY wallet_address
+                              ORDER BY us, event_id, address_role) AS gap
+    FROM legs
+),
+dormant AS (SELECT * FROM gapped WHERE gap >= {DORMANCY_US})
+SELECT wallet_address,
+       CAST(COUNT(*) AS BIGINT) AS n_dormancy_gaps,
+       CAST(SUM(CASE WHEN cents >= {MIN_REVIVAL_CENTS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_value_revivals,
+       CAST(MAX(gap) // 86400000000 AS INTEGER) AS max_gap_days,
+       CAST(COALESCE(MAX(CASE WHEN cents >= {MIN_REVIVAL_CENTS} THEN cents END), 0)
+            AS BIGINT) AS max_revival_cents,
+       SUM(CASE WHEN cents >= {MIN_REVIVAL_CENTS} THEN 1 ELSE 0 END) >= 1
+           AS is_sleeper_spike
+FROM dormant
+GROUP BY 1
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
