@@ -807,3 +807,42 @@ def test_stream_source_psi_multibatch_matches_batch(spark, tmp_path):
     stream = key(stream_source_psi(spark, str(tmp_path)))
     assert batch == stream
     assert len(batch) == 3
+
+
+def test_stream_embedding_drift_multibatch_matches_batch(spark, tmp_path):
+    """streaming ≡ batch for the embedding-drift monitor across four
+    real micro-batches under a seeded hostile arrival shuffle — integer
+    component sums are commutative, so the mirror must be exact under
+    ANY order; the rollup replays the batch plan's exact moment
+    discipline, so values are equal, not approximately equal."""
+    import random
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        embedding_label_drift,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_embedding_drift,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            [rng.uniform(-1, 1) for _ in range(8)],
+            rng.randrange(4),
+        )
+        for i in range(200)
+    ]
+    rng.shuffle(rows)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    key = lambda df: {
+        r["label"]: (r["n_vectors"], r["cosine_to_global"], r["is_drifted"])
+        for r in df.collect()
+    }
+    batch = key(embedding_label_drift(spark, str(tmp_path)))
+    stream = key(stream_embedding_drift(spark, str(tmp_path)))
+    assert batch == stream
+    assert len(batch) == 4

@@ -3782,3 +3782,108 @@ SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
             ELSE 'very_difficult' END AS band
 FROM scored
 """
+
+
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid coherence: cosine between each label's
+    embedding centroid and the global centroid — the embedding-space
+    drift monitor (a training-data class whose centroid swings away
+    from the corpus signals labeling drift or a poisoned slice; the
+    vector-space sibling of corpus_source_psi's length-histogram
+    drift).
+
+    Exactness: vectors are quantized to the engine-wide 1e-6 BIGINT
+    grid at birth (the QUANT_VEC recipe), so per-(label, dim) component
+    sums are exact integers, and cos(Σa, Σb) — which equals
+    cos(centroid_a, centroid_b) because cosine is scale-invariant, so
+    the counts never divide anything — is assembled from three exact
+    DECIMAL(19,0)²→DECIMAL(38,0) moments (dot, |a|², |b|²; bounds: a
+    component sum ≤ N·1e6 holds to N ≈ 10¹⁰ vectors, the products to
+    ~10³¹ at 64 dims). ONE final double expression (dot/√(na·nb),
+    ROUND 6) is bit-equal cross-engine; the is_drifted verdict
+    compares on that rounded grid (cos < 0.95) — dot² would overflow
+    DECIMAL(38,0) at real corpus sizes, the lsh_range_search τ-bound
+    lesson, so the verdict deliberately stays on the rounded double.
+
+    Scale shape: posexplode to (label, dim) — 64·N rows, one map-side-
+    combinable hash agg to |labels|·64, broadcast join on dim against
+    the 64-row global sums, final agg to |labels| rows. No windows, no
+    per-label buffering.
+    """
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("dim", "q"),
+    )
+    label_sums = comp.groupBy("label", "dim").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    global_sums = label_sums.groupBy("dim").agg(
+        F.sum("s").alias("g")
+    )
+    s19 = F.col("s").cast("decimal(19,0)")
+    g19 = F.col("g").cast("decimal(19,0)")
+    per_label = (
+        label_sums.join(F.broadcast(global_sums), "dim")
+        .groupBy("label")
+        .agg(
+            F.max("n_rows").alias("n_vectors"),
+            F.sum(s19 * g19).cast("decimal(38,0)").alias("__dot"),
+            F.sum(s19 * s19).cast("decimal(38,0)").alias("__na"),
+            F.sum(g19 * g19).cast("decimal(38,0)").alias("__nb"),
+        )
+    )
+    cos = F.round(
+        F.col("__dot").cast("double")
+        / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+        6,
+    )
+    return per_label.select(
+        "label",
+        "n_vectors",
+        cos.alias("cosine_to_global"),
+        (cos < F.lit(0.95)).alias("is_drifted"),
+    )
+
+
+EMBEDDING_LABEL_DRIFT_ORACLE = f"""
+WITH comp AS (
+    -- unnest + generate_subscripts zip positionally in DuckDB (no
+    -- WITH ORDINALITY in this build); dim is join-internal only, so
+    -- the 1-based DuckDB / 0-based Spark difference never surfaces
+    SELECT label,
+           generate_subscripts({_QVEC_SQL.format(v="embedding")}, 1) AS dim,
+           unnest({_QVEC_SQL.format(v="embedding")}) AS q
+    FROM embeddings
+),
+label_sums AS (
+    SELECT label, dim, SUM(q) AS s, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM comp GROUP BY 1, 2
+),
+global_sums AS (SELECT dim, SUM(s) AS g FROM label_sums GROUP BY 1),
+per_label AS (
+    SELECT label,
+           MAX(n_rows) AS n_vectors,
+           CAST(SUM(CAST(s AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS dot,
+           CAST(SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS na,
+           CAST(SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS nb
+    FROM label_sums JOIN global_sums USING (dim)
+    GROUP BY 1
+)
+SELECT label, n_vectors,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+           AS cosine_to_global,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) < 0.95
+           AS is_drifted
+FROM per_label
+"""

@@ -604,3 +604,19 @@ register(
     rf.wallet_dormancy_revival,
     rf.WALLET_DORMANCY_ORACLE,
 )
+# embedding-space drift: per-label vs global centroid cosine over
+# exact 1e-6-grid integer component sums (cosine is scale-invariant →
+# counts never divide); verdict on the bit-equal ROUND(,6) grid
+register(
+    "embedding_label_drift",
+    llm.embedding_label_drift,
+    llm.EMBEDDING_LABEL_DRIFT_ORACLE,
+)
+# streaming drift mirror: O(64) integer component-sum state per label
+# — order-INVARIANT (integer sums commute); rollup replays the batch
+# moment discipline, held to the batch oracle
+register(
+    "streaming_embedding_drift",
+    sj.stream_embedding_drift,
+    llm.EMBEDDING_LABEL_DRIFT_ORACLE,
+)

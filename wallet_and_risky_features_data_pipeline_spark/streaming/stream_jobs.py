@@ -2050,3 +2050,122 @@ def stream_source_psi(
         .localCheckpoint()
     )
     return psi_from_histogram(per)
+
+
+def stream_embedding_drift(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger=None
+) -> DataFrame:
+    """Streaming embedding-drift monitor — per-label quantized
+    component sums maintained ON the vector stream, held to the batch
+    ``embedding_label_drift`` oracle (streaming ≡ batch). State per
+    label is 64 BIGINT component sums + a count — O(dims), and integer
+    sums are commutative/associative, so the mirror is ORDER-INVARIANT
+    (the entropy/PSI contract class): exact under ANY arrival order,
+    no reorder buffer.
+
+    Like PSI, the drift comparison needs CROSS-key state (the global
+    centroid), so the stream emits dense monotone snapshots
+    (n_vectors strictly monotone per label → "latest" is an exact
+    integer argmax) and the serving rollup assembles global sums and
+    the cosine from the latest snapshots with the batch plan's own
+    moment discipline (DECIMAL(19,0)²→(38,0), one final double,
+    ROUND 6) — the numbers are equal, not approximately equal.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    land = tempfile.mkdtemp(prefix="wrf_embdrift_land_")
+    static.repartition(4).write.mode("overwrite").parquet(land)
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_embdrift_ckpt_")
+
+    out_schema = StructType.fromDDL("label int, n_vectors long, dim int, s long")
+    state_schema = StructType.fromDDL("n long, sums array<long>")
+
+    def update(key, pdfs, state: GroupState):
+        n, sums = state.get if state.exists else (0, None)
+        n = int(n)
+        sums = [int(x) for x in sums] if sums is not None else None
+        for pdf in pdfs:
+            for q in pdf["qvec"].tolist():
+                q = [int(x) for x in q]
+                if sums is None:
+                    sums = [0] * len(q)
+                sums = [a + b for a, b in zip(sums, q)]
+                n += 1
+        if sums is None:
+            sums = []
+        state.update((n, sums))
+        yield pd.DataFrame(
+            {
+                "label": [key[0]] * len(sums),
+                "n_vectors": [n] * len(sums),
+                "dim": list(range(len(sums))),
+                "s": sums,
+            }
+        )
+
+    qvecs = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger or 1))
+        .parquet(land)
+        .select(
+            "label",
+            # the engine-wide QUANT_VEC recipe, verbatim
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            ).alias("qvec"),
+        )
+    )
+    stream = qvecs.groupBy("label").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    name = "wrf_embedding_drift"
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    snaps = spark.table(name)
+    latest = Window.partitionBy("label", "dim").orderBy(F.col("n_vectors").desc())
+    # labels×64 — tiny; LogicalRDD pin for the same MemoryPlan
+    # self-join reason as the PSI rollup
+    label_sums = (
+        snaps.withColumn("__rk", F.row_number().over(latest))
+        .filter(F.col("__rk") == 1)
+        .select("label", "dim", "s", F.col("n_vectors").alias("n_rows"))
+        .localCheckpoint()
+    )
+    global_sums = label_sums.groupBy("dim").agg(F.sum("s").alias("g"))
+    s19 = F.col("s").cast("decimal(19,0)")
+    g19 = F.col("g").cast("decimal(19,0)")
+    per_label = (
+        label_sums.join(F.broadcast(global_sums), "dim")
+        .groupBy("label")
+        .agg(
+            F.max("n_rows").alias("n_vectors"),
+            F.sum(s19 * g19).cast("decimal(38,0)").alias("__dot"),
+            F.sum(s19 * s19).cast("decimal(38,0)").alias("__na"),
+            F.sum(g19 * g19).cast("decimal(38,0)").alias("__nb"),
+        )
+    )
+    cos = F.round(
+        F.col("__dot").cast("double")
+        / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+        6,
+    )
+    return per_label.select(
+        "label",
+        "n_vectors",
+        cos.alias("cosine_to_global"),
+        (cos < F.lit(0.95)).alias("is_drifted"),
+    )
