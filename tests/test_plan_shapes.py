@@ -398,3 +398,17 @@ def test_no_batch_query_plans_a_cartesian_product(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_budget:
             offenders[name] = "BroadcastNestedLoopJoin (not in scalar allowlist)"
     assert not offenders, offenders
+
+
+def test_weighted_sample_rank_pushes_group_limit(spark):
+    """The A-ES sampler's ROW_NUMBER ≤ k filter must reach the sort as
+    a WindowGroupLimit — per-partition state is then k rows instead of
+    the whole stratum, the property that makes a per-source top-k
+    window safe at any corpus size."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        corpus_weighted_sample,
+    )
+
+    df = corpus_weighted_sample(spark, SF_MEDIUM)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

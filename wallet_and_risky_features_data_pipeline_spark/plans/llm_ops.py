@@ -3887,3 +3887,80 @@ SELECT label, n_vectors,
            AS is_drifted
 FROM per_label
 """
+
+
+# per-source without-replacement quota; small enough that the rank
+# windows hit Spark's WindowGroupLimit pushdown at any corpus size
+WEIGHTED_SAMPLE_K = 25
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, stratified per source —
+    Efraimidis–Spirakis A-ES keys: each doc draws u from a hash and
+    wins by the k smallest −ln(u)/w, which selects k docs with
+    probability proportional to weight w (here n_chars: sample
+    length-proportionally, the 'token budget per source' curation step
+    corpus_importance_sample's Bernoulli gate can't express — Bernoulli
+    controls RATE, this controls exact per-stratum COUNT with
+    weight-proportional inclusion).
+
+    Determinism: u is the dyadic (v+1)/2^52 from the first 13 md5 hex
+    digits (exact in both engines; +1 dodges ln(0)), ln(u) is quantized
+    to the 1e-6 grid AT BIRTH (the engine-wide cross-libm rule — the
+    ≤1e-6 key perturbation is a determinism device, far below the key
+    gaps that decide selection in distribution), and the final key is
+    ONE IEEE division by the integer weight → bit-equal cross-engine;
+    ties (same quantized key) break on doc_id, a strict total order.
+
+    Scale shape: the rank window is ROW_NUMBER ≤ k per source — Spark
+    pushes the limit into the sort (WindowGroupLimit, asserted by the
+    plan-shape test below), so per-partition state is k rows, never the
+    stratum; no full-partition frames anywhere.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    v = F.expr(
+        "cast(conv(substr(md5(concat('ws:', cast(doc_id as string))), 1, 13),"
+        " 16, 10) as bigint)"
+    )
+    u = (v + F.lit(1)).cast("double") / F.lit(float(2**52))
+    q_ln = F.round(F.log(u) * 1e6) / 1e6
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    key = -q_ln / w.cast("double")
+    from pyspark.sql import Window as W
+
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", key.alias("es_key")
+    ).withColumn(
+        "sample_rank",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.col("es_key").asc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("sample_rank") <= WEIGHTED_SAMPLE_K).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round("es_key", 6).alias("es_key"),
+        "sample_rank",
+    )
+
+
+CORPUS_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           -(round(ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                       AS BIGINT) + 1.0) / {float(2**52)}) * 1e6) / 1e6)
+             / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS es_key
+    FROM documents
+),
+ranked AS (
+    SELECT source, doc_id, n_chars, es_key,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY es_key ASC, doc_id ASC) AS sample_rank
+    FROM keyed
+)
+SELECT source, doc_id, n_chars, round(es_key, 6) AS es_key, sample_rank
+FROM ranked WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
+"""

@@ -620,3 +620,11 @@ register(
     sj.stream_embedding_drift,
     llm.EMBEDDING_LABEL_DRIFT_ORACLE,
 )
+# Efraimidis–Spirakis weighted sample without replacement: dyadic
+# hash-u, birth-quantized ln, one IEEE division per key; ROW_NUMBER≤k
+# hits WindowGroupLimit so per-partition state is k rows
+register(
+    "corpus_weighted_sample",
+    llm.corpus_weighted_sample,
+    llm.CORPUS_WEIGHTED_SAMPLE_ORACLE,
+)
