@@ -628,3 +628,11 @@ register(
     llm.corpus_weighted_sample,
     llm.CORPUS_WEIGHTED_SAMPLE_ORACLE,
 )
+# wash-trading rings: temporal 3-cycles — strict leg ordering makes
+# the earliest leg the unique anchor (no rotation dedup); fenced legs
+# + day-bucketed pairing + two-column closing equi key
+register(
+    "wallet_wash_cycles",
+    rf.wallet_wash_cycles,
+    rf.WALLET_WASH_CYCLES_ORACLE,
+)

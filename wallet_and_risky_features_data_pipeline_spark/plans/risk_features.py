@@ -2013,3 +2013,159 @@ SELECT wallet_address,
 FROM dormant
 GROUP BY 1
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+def wallet_wash_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal directed 3-cycles — wash-trading ring detection, the
+    loop-CLOSING extension of ``wallet_flow_motifs``' open 2-hop paths:
+    a→b→c→a with strictly increasing leg times inside a 24 h window.
+    Strict temporal ordering makes each ring's earliest leg the unique
+    anchor, so every cycle is found exactly once — no rotation
+    canonicalization, identically in both engines. ``washed_cents`` is
+    the per-cycle MIN leg (the volume that actually round-tripped),
+    credited to all three members.
+
+    Scale shape: one globally FENCED leg table (per-(wallet, day)
+    occupancy ≤ ``FLOW_MAX_DAILY_LEGS`` on both the out and in side —
+    exchange-grade hubs out, the flow-motif fuse applied once, mirrored
+    in the oracle), then (1) the a→b ⋈ b→c pairing day-bucketed on
+    (b, day(e2)) with e1 exploded over {0,+1} exactly as the 2-hop
+    plan, and (2) the closing hop joined on the TWO-column equi key
+    (src=c, dst=a) — per candidate path the closing matches are one
+    wallet-pair's fenced daily legs, never a hub fan-out. Self-loop
+    legs are dropped once (src ≠ dst), which by construction makes
+    a, b, c pairwise distinct. All band math is integer epoch-µs;
+    the verdict (≥3 rings) is integer, ANSI-safe.
+    """
+    wt = wallet_transactions(spark, sf_dir)
+    raw = wt.filter(
+        (F.col("address_role") == "sender")
+        & F.col("interacted_with").isNotNull()
+        & (F.col("current_value") > 0)
+        & (F.col("wallet_address") != F.col("interacted_with"))
+    ).select(
+        F.col("wallet_address").alias("src"),
+        F.col("interacted_with").alias("dst"),
+        F.unix_micros("ts").alias("us"),
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(round(current_value * 100) AS BIGINT)").alias("cents"),
+    )
+    out_busy = raw.groupBy(
+        F.col("src").alias("ob_b"), F.col("day").alias("ob_day")
+    ).agg(F.count(F.lit(1)).alias("n_out"))
+    in_busy = raw.groupBy(
+        F.col("dst").alias("ib_b"), F.col("day").alias("ib_day")
+    ).agg(F.count(F.lit(1)).alias("n_in"))
+    legs = persist_tracked(
+        raw.join(
+            out_busy,
+            (F.col("src") == F.col("ob_b")) & (F.col("day") == F.col("ob_day")),
+        )
+        .filter(F.col("n_out") <= FLOW_MAX_DAILY_LEGS)
+        .join(
+            in_busy,
+            (F.col("dst") == F.col("ib_b")) & (F.col("day") == F.col("ib_day")),
+        )
+        .filter(F.col("n_in") <= FLOW_MAX_DAILY_LEGS)
+        .select("src", "dst", "us", "day", "cents")
+    )
+    e1 = legs.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("us").alias("us1"),
+        F.col("cents").alias("c1"),
+        F.explode(F.array(F.col("day"), F.date_add(F.col("day"), 1))).alias(
+            "match_day"
+        ),
+    )
+    e2 = legs.select(
+        F.col("src").alias("b2"),
+        F.col("dst").alias("c"),
+        F.col("us").alias("us2"),
+        F.col("cents").alias("c2"),
+        F.col("day").alias("day2"),
+    )
+    e3 = legs.select(
+        F.col("src").alias("c3"),
+        F.col("dst").alias("a3"),
+        F.col("us").alias("us3"),
+        F.col("cents").alias("c3c"),
+    )
+    two = e1.join(
+        e2, (F.col("b") == F.col("b2")) & (F.col("match_day") == F.col("day2"))
+    ).filter(
+        (F.col("us2") > F.col("us1"))
+        & (F.col("us2") - F.col("us1") <= F.lit(FLOW_WINDOW_US))
+    )
+    cycles = two.join(
+        e3, (F.col("c") == F.col("c3")) & (F.col("a") == F.col("a3"))
+    ).filter(
+        (F.col("us3") > F.col("us2"))
+        & (F.col("us3") - F.col("us1") <= F.lit(FLOW_WINDOW_US))
+    ).select(
+        "a", "b", "c", F.least("c1", "c2", "c3c").alias("min_cents")
+    )
+    members = cycles.select(
+        F.explode(F.array("a", "b", "c")).alias("wallet_address"), "min_cents"
+    )
+    return (
+        members.groupBy("wallet_address")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cycles"),
+            F.sum("min_cents").cast("bigint").alias("washed_cents"),
+        )
+        .select(
+            "wallet_address",
+            "n_cycles",
+            "washed_cents",
+            (F.col("n_cycles") >= 3).alias("is_wash_trader"),
+        )
+    )
+
+
+WALLET_WASH_CYCLES_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+raw AS (
+    SELECT wallet_address AS src,
+           interacted_with AS dst,
+           epoch_us(ts) AS us,
+           CAST(ts AS DATE) AS day,
+           CAST(round(current_value * 100) AS BIGINT) AS cents
+    FROM wallet_tx
+    WHERE address_role = 'sender'
+      AND interacted_with IS NOT NULL
+      AND current_value > 0
+      AND wallet_address <> interacted_with
+),
+out_busy AS (SELECT src AS b, day, COUNT(*) AS n_out FROM raw GROUP BY 1, 2),
+in_busy AS (SELECT dst AS b, day, COUNT(*) AS n_in FROM raw GROUP BY 1, 2),
+legs AS (
+    SELECT r.src, r.dst, r.us, r.cents
+    FROM raw r
+    JOIN out_busy ob ON ob.b = r.src AND ob.day = r.day
+    JOIN in_busy ib ON ib.b = r.dst AND ib.day = r.day
+    WHERE ob.n_out <= {FLOW_MAX_DAILY_LEGS} AND ib.n_in <= {FLOW_MAX_DAILY_LEGS}
+),
+cycles AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+           LEAST(e1.cents, e2.cents, e3.cents) AS min_cents
+    FROM legs e1
+    JOIN legs e2 ON e2.src = e1.dst
+                AND e2.us > e1.us
+                AND e2.us - e1.us <= {FLOW_WINDOW_US}
+    JOIN legs e3 ON e3.src = e2.dst AND e3.dst = e1.src
+                AND e3.us > e2.us
+                AND e3.us - e1.us <= {FLOW_WINDOW_US}
+),
+members AS (
+    SELECT a AS wallet_address, min_cents FROM cycles
+    UNION ALL SELECT b, min_cents FROM cycles
+    UNION ALL SELECT c, min_cents FROM cycles
+)
+SELECT wallet_address,
+       CAST(COUNT(*) AS BIGINT) AS n_cycles,
+       CAST(SUM(min_cents) AS BIGINT) AS washed_cents,
+       COUNT(*) >= 3 AS is_wash_trader
+FROM members
+GROUP BY 1
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
