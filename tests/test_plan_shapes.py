@@ -412,3 +412,14 @@ def test_weighted_sample_rank_pushes_group_limit(spark):
     df = corpus_weighted_sample(spark, SF_MEDIUM)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_split_stratified_no_full_partition_window(spark):
+    """r10 continuation of the r9 full-partition-frame sweep: stratum
+    sizes must be an AGG + broadcast join-back, never a count window
+    over the (lang, split) partition — a train stratum is ~80% of a
+    language's corpus, exactly the row-scaled-partition buffering the
+    sweep removed everywhere else."""
+    plan = _physical(QUERIES["corpus_split_stratified"](spark, SF_MEDIUM))
+    assert "Window" not in plan, "row-scaled stratum buffering is back"
+    assert "BroadcastHashJoin" in plan

@@ -1421,11 +1421,19 @@ def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bucket") < SPLIT_VAL_PCT, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    w = Window.partitionBy("lang", "split")
-    return (
-        docs.select("doc_id", "lang", bucket.alias("bucket"))
-        .withColumn("split", split)
-        .withColumn("stratum_size", F.count("*").over(w).cast("bigint"))
+    assigned = docs.select("doc_id", "lang", bucket.alias("bucket")).withColumn(
+        "split", split
+    )
+    # stratum sizes via AGG + broadcast join-back — a (lang, split)
+    # stratum is a row-scaled partition (train ≈ 80% of a language),
+    # so the original full-partition count window was a member of the
+    # weighted-median 100× OOM class the r9 sweep removed; this site
+    # was the sweep's one miss (caught r10, hash-identical rewrite)
+    sizes = assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("stratum_size")
+    )
+    return assigned.join(F.broadcast(sizes), ["lang", "split"]).select(
+        "doc_id", "lang", "bucket", "split", "stratum_size"
     )
 
 
