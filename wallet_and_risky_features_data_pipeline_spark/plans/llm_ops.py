@@ -3972,3 +3972,82 @@ ranked AS (
 SELECT source, doc_id, n_chars, round(es_key, 6) AS es_key, sample_rank
 FROM ranked WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
 """
+
+
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit — the eval-hygiene closure over two existing
+    operators: near-dup clusters (MinHash→LSH→CC, the
+    dedup_cluster_assign pipeline) joined against the hash-bucket
+    train/val/test assignment (the corpus_split_stratified rule).
+    A multi-doc cluster straddling splits means near-duplicates of
+    training documents sit in val/test — the leakage that silently
+    inflates every evaluation metric; deduplicating WITHIN splits
+    (what the dedup family does) can never catch it, because the
+    duplicates are in DIFFERENT splits by construction.
+
+    Output: every multi-doc cluster with its per-split member counts
+    and the integer ``is_leaky`` verdict (≥2 distinct splits). Scale
+    shape: the cluster assignment is the existing bounded-candidate
+    iterative pipeline (memoized per session); the audit itself adds
+    one doc_id equi join and one hash agg to ≤|clusters| rows — no
+    windows, nothing new to buffer.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as int) % 100"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = _cluster_assignment(spark, sf_dir)
+    joined = assigned.join(docs.select("doc_id", split.alias("split")), "doc_id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "cluster_id",
+            "n_docs",
+            "n_train",
+            "n_val",
+            "n_test",
+            (F.col("n_splits") >= 2).alias("is_leaky"),
+        )
+    )
+
+
+CORPUS_SPLIT_LEAKAGE_ORACLE = f"""
+WITH RECURSIVE assigned AS ({DEDUP_CLUSTER_ORACLE}),
+splits AS (
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS BIGINT) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS BIGINT) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       COUNT(DISTINCT split) >= 2 AS is_leaky
+FROM assigned JOIN splits USING (doc_id)
+GROUP BY 1
+HAVING COUNT(*) >= 2
+"""

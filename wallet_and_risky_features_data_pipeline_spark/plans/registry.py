@@ -636,3 +636,11 @@ register(
     rf.wallet_wash_cycles,
     rf.WALLET_WASH_CYCLES_ORACLE,
 )
+# eval-hygiene closure: near-dup clusters × split assignment — a
+# cluster straddling splits is the leakage within-split dedup can
+# never catch; one equi join + one hash agg over existing operators
+register(
+    "corpus_split_leakage",
+    llm.corpus_split_leakage,
+    llm.CORPUS_SPLIT_LEAKAGE_ORACLE,
+)
