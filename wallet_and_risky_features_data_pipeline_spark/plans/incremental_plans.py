@@ -145,3 +145,50 @@ def wallet_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # incremental must equal the full component assignment → same oracle
 from .risk_features import WALLET_COMPONENTS_ORACLE as WALLET_COMPONENTS_INCR_ORACLE  # noqa: E402
+
+
+def wallet_flow_motifs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental temporal flow motifs — the band-limited-rescan
+    member of the incremental tier: because a path's two hops are at
+    most ``FLOW_WINDOW_US`` apart, every path not already in the prior
+    state has its OUT-hop in the new batch, and its in-hop can only lie
+    in the trailing 24 h window before the split — so the refresh pairs
+    (trailing-window ∪ new) in-hops against NEW out-hops only, never
+    re-scanning history. State is the (mid, a, c) pair grain, whose
+    counts add across disjoint path sets and whose per-mid DISTINCT
+    source/dest counts are recoverable from the grain itself — merge is
+    a union + sum. Disjointness/completeness: prior holds exactly the
+    paths with out-hop before the split (both hops old by the band),
+    delta exactly those with out-hop at/after it. Occupancy fences are
+    computed over ALL legs in both passes — daily counts are additive
+    metadata a deployment maintains incrementally, so full and
+    incremental read the same fence. Held to the FULL-recompute oracle
+    (J15/W11 discipline): incremental(prior) + delta ≡ full.
+    """
+    from .risk_features import (
+        FLOW_WINDOW_US,
+        _flow_legs_and_fences,
+        _flow_pair_grain,
+        _flow_paths,
+        _flow_rollup,
+    )
+
+    legs, in_busy, out_busy = _flow_legs_and_fences(spark, sf_dir)
+    split_us = F.unix_micros(F.lit(SPLIT_AT).cast("timestamp"))
+    old = legs.filter(F.col("us") < split_us)
+    new = legs.filter(F.col("us") >= split_us)
+    tail = legs.filter(F.col("us") >= split_us - F.lit(FLOW_WINDOW_US))
+    prior = _flow_pair_grain(_flow_paths(old, old, in_busy, out_busy))
+    delta = _flow_pair_grain(_flow_paths(tail, new, in_busy, out_busy))
+    merged = (
+        prior.unionByName(delta)
+        .groupBy("mid", "a", "c")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("n_fast").cast("bigint").alias("n_fast"),
+        )
+    )
+    return _flow_rollup(merged)
+
+
+from .risk_features import WALLET_FLOW_MOTIFS_ORACLE as WALLET_FLOW_MOTIFS_INCR_ORACLE  # noqa: E402

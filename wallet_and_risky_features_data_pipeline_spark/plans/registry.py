@@ -644,3 +644,11 @@ register(
     llm.corpus_split_leakage,
     llm.CORPUS_SPLIT_LEAKAGE_ORACLE,
 )
+# incremental flow motifs: band-limited rescan — new out-hops paired
+# against trailing-24h in-hops only; (mid,a,c) pair-grain state merges
+# by union+sum; held to the FULL-recompute oracle
+register(
+    "wallet_flow_motifs_incremental",
+    inc.wallet_flow_motifs_incremental,
+    inc.WALLET_FLOW_MOTIFS_INCR_ORACLE,
+)

@@ -1784,6 +1784,16 @@ def wallet_flow_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ``is_layering`` verdict (≥5 paths through ≥2 distinct sources
     and ≥2 distinct destinations) is all-integer, ANSI-safe.
     """
+    legs, in_busy, out_busy = _flow_legs_and_fences(spark, sf_dir)
+    pairs = _flow_pair_grain(_flow_paths(legs, legs, in_busy, out_busy))
+    return _flow_rollup(pairs)
+
+
+def _flow_legs_and_fences(spark: SparkSession, sf_dir: str):
+    """Sender legs + the per-(wallet, day) occupancy fences. The fences
+    are computed over ALL legs — daily leg counts are additive, so a
+    real deployment maintains them incrementally as table metadata and
+    every (full or incremental) motif scan reads the same fence."""
     wt = wallet_transactions(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender")
@@ -1801,8 +1811,16 @@ def wallet_flow_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_busy = legs.groupBy(
         F.col("src").alias("ob_b"), F.col("day").alias("ob_day")
     ).agg(F.count(F.lit(1)).alias("n_out"))
+    return legs, in_busy, out_busy
+
+
+def _flow_paths(e1_legs, e2_legs, in_busy, out_busy):
+    """Fenced a→b→c path rows (a, mid, c, gap_us) with the in-hop from
+    ``e1_legs`` and the out-hop from ``e2_legs`` — parameterized so the
+    incremental plan can pair only the trailing-window in-hops against
+    the new out-hops while the full plan passes the whole table twice."""
     hop_in = (
-        legs.join(
+        e1_legs.join(
             in_busy,
             (F.col("dst") == F.col("ib_b")) & (F.col("day") == F.col("ib_day")),
         )
@@ -1817,7 +1835,7 @@ def wallet_flow_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hop_out = (
-        legs.join(
+        e2_legs.join(
             out_busy,
             (F.col("src") == F.col("ob_b")) & (F.col("day") == F.col("ob_day")),
         )
@@ -1829,7 +1847,7 @@ def wallet_flow_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("out_day"),
         )
     )
-    paths = (
+    return (
         hop_in.join(
             hop_out,
             (F.col("mid") == F.col("mid2"))
@@ -1840,20 +1858,33 @@ def wallet_flow_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("us_out") - F.col("us_in") <= F.lit(FLOW_WINDOW_US))
             & (F.col("c") != F.col("a"))
         )
+        .select("a", "mid", "c", (F.col("us_out") - F.col("us_in")).alias("gap_us"))
     )
+
+
+def _flow_pair_grain(paths):
+    """(mid, a, c) pair-grain counts — the motif family's mergeable
+    state grain: plain counts add across disjoint path sets, and the
+    per-mid DISTINCT source/dest counts are recoverable from the grain
+    itself, so incremental merge is a union + sum."""
+    return paths.groupBy("mid", "a", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("gap_us") <= F.lit(FLOW_FAST_US), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fast"),
+    )
+
+
+def _flow_rollup(pairs):
+    """Per-intermediate rollup from the pair grain (shared by the full
+    and incremental plans — one code path, one expression tree)."""
     return (
-        paths.groupBy(F.col("mid").alias("intermediate_wallet"))
+        pairs.groupBy(F.col("mid").alias("intermediate_wallet"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            F.sum("n").cast("bigint").alias("n_paths"),
             F.countDistinct("a").cast("bigint").alias("n_sources"),
             F.countDistinct("c").cast("bigint").alias("n_dests"),
-            F.sum(
-                F.when(
-                    F.col("us_out") - F.col("us_in") <= F.lit(FLOW_FAST_US), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_fast_paths"),
+            F.sum("n_fast").cast("bigint").alias("n_fast_paths"),
         )
         .select(
             "intermediate_wallet",
