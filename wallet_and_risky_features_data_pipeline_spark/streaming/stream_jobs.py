@@ -2085,16 +2085,25 @@ def stream_embedding_drift(
     state_schema = StructType.fromDDL("n long, sums array<long>")
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, sums = state.get if state.exists else (0, None)
         n = int(n)
         sums = [int(x) for x in sums] if sums is not None else None
         for pdf in pdfs:
-            for q in pdf["qvec"].tolist():
-                q = [int(x) for x in q]
-                if sums is None:
-                    sums = [0] * len(q)
-                sums = [a + b for a, b in zip(sums, q)]
-                n += 1
+            if not len(pdf):
+                continue
+            # vectorized fold (the z-score fast-path precedent): one
+            # int64 matrix sum per Arrow batch instead of a per-row
+            # Python zip loop. Exactness holds — components are on the
+            # 1e-6 grid (|q| ≤ ~1e6), so per-batch column sums stay
+            # ≤ rows·1e6 ≪ 2⁶³ and int64 addition is exact.
+            mat = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            batch_sums = mat.sum(axis=0, dtype=np.int64)
+            if sums is None:
+                sums = [0] * len(batch_sums)
+            sums = [a + int(b) for a, b in zip(sums, batch_sums)]
+            n += int(mat.shape[0])
         if sums is None:
             sums = []
         state.update((n, sums))
