@@ -652,3 +652,11 @@ register(
     inc.wallet_flow_motifs_incremental,
     inc.WALLET_FLOW_MOTIFS_INCR_ORACLE,
 )
+# Markov-assumption test: P(t3|t1,t2) vs P(t3|t2) from one ordered
+# pass (two streaming LEADs); |types|³/|types|² grains structurally
+# bounded; verdict on the two ROUND(,6) grids
+register(
+    "user_event_trigrams",
+    sess.user_event_trigrams,
+    sess.USER_EVENT_TRIGRAMS_ORACLE,
+)

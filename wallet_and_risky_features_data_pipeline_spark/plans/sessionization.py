@@ -808,3 +808,120 @@ JOIN item ia ON ia.event_type = p.a
 JOIN item ib ON ib.event_type = p.b
 CROSS JOIN totals t
 """
+
+
+def user_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-order sequential patterns — the Markov-assumption TEST the
+    first-order ``event_transitions`` matrix cannot run on itself: for
+    every observed (t1, t2) → t3 continuation, compare the second-order
+    conditional P(t3 | t1,t2) against the first-order P(t3 | t2); a
+    large gap (``is_nonmarkov``) means the chain has memory and any
+    model (or streaming mirror) built on the first-order matrix is
+    structurally blind there.
+
+    Both conditionals come from the SAME per-user (ts, event_id)-ordered
+    pass: two LEAD windows (streaming, no frames), then hash aggs to the
+    |types|³ and |types|² grains — both structurally bounded, the
+    transitions family's exemption class. Probabilities are single IEEE
+    divisions ROUND(,6); the verdict compares the two rounded grids
+    (|p₂−p₁| > 0.1), deterministic cross-engine.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    pairs = seq.filter(F.col("t2").isNotNull())
+    pair_counts = pairs.groupBy(
+        F.col("t1").alias("p_from"), F.col("t2").alias("p_to")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    per_from = Window.partitionBy("p_from")
+    first_order = pair_counts.select(
+        "p_from",
+        "p_to",
+        F.round(
+            F.col("n_pair").cast("double")
+            / F.sum("n_pair").over(per_from).cast("double"),
+            6,
+        ).alias("p_pair"),
+    )
+    tris = seq.filter(F.col("t3").isNotNull())
+    tri_counts = tris.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    per_prefix = Window.partitionBy("t1", "t2")
+    scored = tri_counts.select(
+        "t1",
+        "t2",
+        "t3",
+        "n_sequences",
+        "n_users",
+        F.round(
+            F.col("n_sequences").cast("double")
+            / F.sum("n_sequences").over(per_prefix).cast("double"),
+            6,
+        ).alias("p_next"),
+    )
+    return (
+        scored.join(
+            F.broadcast(first_order),
+            (F.col("t2") == F.col("p_from")) & (F.col("t3") == F.col("p_to")),
+        )
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_sequences",
+            "n_users",
+            "p_next",
+            "p_pair",
+            (F.abs(F.col("p_next") - F.col("p_pair")) > F.lit(0.1)).alias(
+                "is_nonmarkov"
+            ),
+        )
+    )
+
+
+USER_EVENT_TRIGRAMS_ORACLE = """
+WITH seq AS (
+    SELECT user_id,
+           event_type AS t1,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS t2,
+           lead(event_type, 2) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS t3
+    FROM events
+),
+pair_counts AS (
+    SELECT t1 AS p_from, t2 AS p_to, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM seq WHERE t2 IS NOT NULL GROUP BY 1, 2
+),
+first_order AS (
+    SELECT p_from, p_to,
+           round(CAST(n_pair AS DOUBLE)
+                 / CAST(SUM(n_pair) OVER (PARTITION BY p_from) AS DOUBLE), 6)
+               AS p_pair
+    FROM pair_counts
+),
+tri_counts AS (
+    SELECT t1, t2, t3,
+           CAST(COUNT(*) AS BIGINT) AS n_sequences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT t1, t2, t3, n_sequences, n_users,
+           round(CAST(n_sequences AS DOUBLE)
+                 / CAST(SUM(n_sequences) OVER (PARTITION BY t1, t2) AS DOUBLE), 6)
+               AS p_next
+    FROM tri_counts
+)
+SELECT s.t1, s.t2, s.t3, s.n_sequences, s.n_users, s.p_next, f.p_pair,
+       abs(s.p_next - f.p_pair) > 0.1 AS is_nonmarkov
+FROM scored s
+JOIN first_order f ON f.p_from = s.t2 AND f.p_to = s.t3
+"""
