@@ -472,3 +472,85 @@ SELECT event_type,
            > 1681 * CAST(n AS DECIMAL(19,0)) AS is_nonuniform
 FROM per_type
 """
+
+
+def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quality gate — the embedding table's member of the DQ
+    constraint family: per label, count zero vectors and vectors whose
+    norm strays >1% from unit (either breaks cosine ANN: a zero vector
+    poisons normalization, an unnormalized one biases every dot-product
+    ranking), plus the exact norm² envelope. Entirely on the engine's
+    1e-6 integer grid: norm² = Σq² is one JVM-side ``aggregate`` over
+    the quantized array (no explode, no shuffle before the final ≤
+    |labels|-row hash agg), unit-band membership is the integer
+    interval |norm² − 10¹²| ≤ 10¹⁰, and the verdict is an integer
+    count comparison — ANSI-safe, bit-equal cross-engine.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n2 = F.expr(
+        "aggregate(transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, q) -> a + q * q)"
+    )
+    UNIT = 1_000_000_000_000  # (1e6)² — unit norm² on the grid
+    TOL = 10_000_000_000  # 1% of unit
+    rows = emb.select("label", n2.alias("n2"))
+    return (
+        rows.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("n2") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n2") - F.lit(UNIT)) > F.lit(TOL), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_off_unit"),
+            F.min("n2").alias("min_norm2"),
+            F.max("n2").alias("max_norm2"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_zero",
+            "n_off_unit",
+            "min_norm2",
+            "max_norm2",
+            ((F.col("n_zero") == 0) & (F.col("n_off_unit") == 0)).alias(
+                "is_ann_safe"
+            ),
+        )
+    )
+
+
+DQ_EMBEDDING_NORMS_ORACLE = """
+WITH rows_n AS (
+    SELECT label,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+                   q -> q * q)),
+               (a, v) -> a + v) AS n2
+    FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(CASE WHEN abs(n2 - 1000000000000) > 10000000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_off_unit,
+       MIN(n2) AS min_norm2,
+       MAX(n2) AS max_norm2,
+       SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) = 0
+       AND SUM(CASE WHEN abs(n2 - 1000000000000) > 10000000000 THEN 1 ELSE 0 END) = 0
+           AS is_ann_safe
+FROM rows_n
+GROUP BY 1
+"""

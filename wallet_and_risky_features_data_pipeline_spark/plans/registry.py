@@ -660,3 +660,11 @@ register(
     sess.user_event_trigrams,
     sess.USER_EVENT_TRIGRAMS_ORACLE,
 )
+# vector-DQ gate: norm² on the 1e-6 integer grid via one JVM-side
+# aggregate per row (no explode); zero/off-unit counts and verdict
+# all-integer
+register(
+    "dq_embedding_norms",
+    dq.dq_embedding_norms,
+    dq.DQ_EMBEDDING_NORMS_ORACLE,
+)
