@@ -4051,3 +4051,72 @@ FROM assigned JOIN splits USING (doc_id)
 GROUP BY 1
 HAVING COUNT(*) >= 2
 """
+
+
+def corpus_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the eval harness for the
+    ``text_language_id`` classifier against the corpus's own ``lang``
+    labels: per (label, predicted) cell counts and the per-label row
+    share (recall on the diagonal, the error budget off it). This is
+    the classifier-eval pattern every model-backed curation gate needs
+    (quality LR, lang-ID, PII) expressed once as a first-class query:
+    the matrix itself is the |langs|² structurally bounded grain, so
+    the row-share window sits in the transitions family's exemption
+    class, and every count is integer with ONE ROUND(,6) division per
+    cell.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    scores = {code: marker_count("text", words) for code, words in LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), F.lit("en")
+        )
+        .when(scores["es"] >= scores["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    cells = (
+        docs.select(F.col("lang").alias("label_lang"), predicted.alias("predicted_lang"))
+        .groupBy("label_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    from pyspark.sql import Window as W
+
+    per_label = W.partitionBy("label_lang")
+    return cells.select(
+        "label_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(per_label).cast("double"),
+            6,
+        ).alias("row_share"),
+        (F.col("label_lang") == F.col("predicted_lang")).alias("is_diagonal"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    s = {code: marker_count_sql("text", words) for code, words in LANG_MARKERS.items()}
+    return f"""
+WITH scored AS (
+    SELECT lang AS label_lang,
+           CASE WHEN CAST({s['en']} AS INT) >= CAST({s['es']} AS INT)
+                 AND CAST({s['en']} AS INT) >= CAST({s['de']} AS INT) THEN 'en'
+                WHEN CAST({s['es']} AS INT) >= CAST({s['de']} AS INT) THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM documents
+),
+cells AS (
+    SELECT label_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY 1, 2
+)
+SELECT label_lang, predicted_lang, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY label_lang) AS DOUBLE), 6)
+           AS row_share,
+       label_lang = predicted_lang AS is_diagonal
+FROM cells
+"""
+
+
+CORPUS_LANG_CONFUSION_ORACLE = _lang_confusion_oracle()

@@ -668,3 +668,10 @@ register(
     dq.dq_embedding_norms,
     dq.DQ_EMBEDDING_NORMS_ORACLE,
 )
+# classifier-eval harness: lang-ID confusion matrix vs corpus labels —
+# |langs|² bounded grain, integer cells, one ROUND(,6) share per cell
+register(
+    "corpus_language_confusion",
+    llm.corpus_language_confusion,
+    llm.CORPUS_LANG_CONFUSION_ORACLE,
+)
