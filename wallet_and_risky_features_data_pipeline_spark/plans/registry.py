@@ -675,3 +675,11 @@ register(
     llm.corpus_language_confusion,
     llm.CORPUS_LANG_CONFUSION_ORACLE,
 )
+# peeling chains: value-conserving successor pairs (two integer
+# cross-mults, no division) built once with the motif discipline;
+# depth via bounded taint-style rounds over the persisted pair table
+register(
+    "wallet_peel_depth",
+    rf.wallet_peel_depth,
+    rf.WALLET_PEEL_ORACLE,
+)

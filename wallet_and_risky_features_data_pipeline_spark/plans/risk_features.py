@@ -1800,10 +1800,12 @@ def _flow_legs_and_fences(spark: SparkSession, sf_dir: str):
         & F.col("interacted_with").isNotNull()
         & (F.col("current_value") > 0)
     ).select(
+        "event_id",
         F.col("wallet_address").alias("src"),
         F.col("interacted_with").alias("dst"),
         F.unix_micros("ts").alias("us"),
         F.to_date("ts").alias("day"),
+        F.expr("CAST(round(current_value * 100) AS BIGINT)").alias("cents"),
     )
     in_busy = legs.groupBy(
         F.col("dst").alias("ib_b"), F.col("day").alias("ib_day")
@@ -2198,5 +2200,164 @@ SELECT wallet_address,
        CAST(SUM(min_cents) AS BIGINT) AS washed_cents,
        COUNT(*) >= 3 AS is_wash_trader
 FROM members
+GROUP BY 1
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+# --------------------------------------------------------------------------
+# Peeling chains: value-conserving forward chains (layering by peel)
+# --------------------------------------------------------------------------
+
+PEEL_MAX_DEPTH = 4  # bounded like TAINT_MAX_HOPS — rounds, not recursion
+
+
+def wallet_peel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peeling-chain detection — the VALUE-conserving sibling of taint
+    (reachability) and the motif family (counts): a peel step is an
+    edge pair where the intermediate forwards 80–100% of what it just
+    received within 24 h, and ``max_peel_depth`` is the longest such
+    chain starting at each wallet's out-legs, capped at
+    ``PEEL_MAX_DEPTH``. Classic AML layering signature: the same value
+    hopping wallet-to-wallet with a small peel taken at each step.
+
+    Scale shape: the successor relation P(e, f) is built ONCE with the
+    flow-motif discipline (per-hop occupancy fences, day-bucketed
+    pairing, integer epoch-µs band) plus two integer value
+    cross-multiplications (4·in ≤ 5·out ∧ out ≤ in — no division);
+    depth then takes ``PEEL_MAX_DEPTH − 1`` bounded rounds of
+    d(e) ← max(d(e), 1 + max_{(e,f)∈P} d(f)) over the persisted pair
+    table — the taint-hops iteration pattern, |P|-linear per round,
+    never recursive path enumeration (the oracle's recursive CTE
+    enumerates paths, which is fine for DuckDB at test scale and
+    exactly what the distributed plan must NOT do).
+    """
+    legs, in_busy, out_busy = _flow_legs_and_fences(spark, sf_dir)
+    hop_in = (
+        legs.join(
+            in_busy,
+            (F.col("dst") == F.col("ib_b")) & (F.col("day") == F.col("ib_day")),
+        )
+        .filter(F.col("n_in") <= FLOW_MAX_DAILY_LEGS)
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("dst").alias("mid"),
+            F.col("us").alias("us_in"),
+            F.col("cents").alias("c_in"),
+            F.explode(
+                F.array(F.col("day"), F.date_add(F.col("day"), 1))
+            ).alias("match_day"),
+        )
+    )
+    hop_out = (
+        legs.join(
+            out_busy,
+            (F.col("src") == F.col("ob_b")) & (F.col("day") == F.col("ob_day")),
+        )
+        .filter(F.col("n_out") <= FLOW_MAX_DAILY_LEGS)
+        .select(
+            F.col("event_id").alias("f_id"),
+            F.col("src").alias("mid2"),
+            F.col("us").alias("us_out"),
+            F.col("cents").alias("c_out"),
+            F.col("day").alias("out_day"),
+        )
+    )
+    P = persist_tracked(
+        hop_in.join(
+            hop_out,
+            (F.col("mid") == F.col("mid2"))
+            & (F.col("match_day") == F.col("out_day")),
+        )
+        .filter(
+            (F.col("us_out") > F.col("us_in"))
+            & (F.col("us_out") - F.col("us_in") <= F.lit(FLOW_WINDOW_US))
+            & (F.lit(4) * F.col("c_in") <= F.lit(5) * F.col("c_out"))
+            & (F.col("c_out") <= F.col("c_in"))
+        )
+        .select("e_id", "f_id")
+    )
+    depth = legs.select(F.col("event_id").alias("e_id")).withColumn(
+        "d", F.lit(1).cast("bigint")
+    )
+    for _ in range(PEEL_MAX_DEPTH - 1):
+        ext = (
+            P.join(
+                depth.select(
+                    F.col("e_id").alias("f_id"), F.col("d").alias("fd")
+                ),
+                "f_id",
+            )
+            .groupBy("e_id")
+            .agg((F.max("fd") + F.lit(1)).alias("d2"))
+        )
+        depth = persist_tracked(
+            depth.join(ext, "e_id", "left").select(
+                "e_id",
+                F.greatest(
+                    F.col("d"), F.coalesce(F.col("d2"), F.lit(0))
+                ).alias("d"),
+            )
+        )
+    return (
+        legs.select(F.col("event_id").alias("e_id"), "src")
+        .join(depth, "e_id")
+        .groupBy(F.col("src").alias("wallet_address"))
+        .agg(
+            F.max("d").cast("bigint").alias("max_peel_depth"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_peel_edges"),
+        )
+        .select(
+            "wallet_address",
+            "max_peel_depth",
+            "n_peel_edges",
+            (F.col("max_peel_depth") >= 3).alias("is_peeling"),
+        )
+    )
+
+
+WALLET_PEEL_ORACLE = f"""
+WITH RECURSIVE {{wallet_tx_cte}},
+raw AS (
+    SELECT event_id,
+           wallet_address AS src,
+           interacted_with AS dst,
+           epoch_us(ts) AS us,
+           CAST(ts AS DATE) AS day,
+           CAST(round(current_value * 100) AS BIGINT) AS cents
+    FROM wallet_tx
+    WHERE address_role = 'sender'
+      AND interacted_with IS NOT NULL
+      AND current_value > 0
+),
+in_busy AS (SELECT dst AS b, day, COUNT(*) AS n_in FROM raw GROUP BY 1, 2),
+out_busy AS (SELECT src AS b, day, COUNT(*) AS n_out FROM raw GROUP BY 1, 2),
+P AS (
+    SELECT i.event_id AS e_id, o.event_id AS f_id
+    FROM raw i
+    JOIN in_busy ib ON ib.b = i.dst AND ib.day = i.day
+    JOIN raw o ON o.src = i.dst
+    JOIN out_busy ob ON ob.b = o.src AND ob.day = o.day
+    WHERE ib.n_in <= {FLOW_MAX_DAILY_LEGS}
+      AND ob.n_out <= {FLOW_MAX_DAILY_LEGS}
+      AND o.us > i.us
+      AND o.us - i.us <= {FLOW_WINDOW_US}
+      AND 4 * i.cents <= 5 * o.cents
+      AND o.cents <= i.cents
+),
+chain(e_id, d) AS (
+    SELECT event_id, 1 FROM raw
+    UNION ALL
+    SELECT p.e_id, c.d + 1
+    FROM chain c JOIN P p ON p.f_id = c.e_id
+    WHERE c.d < {PEEL_MAX_DEPTH}
+),
+md AS (SELECT e_id, MAX(d) AS d FROM chain GROUP BY 1)
+SELECT r.src AS wallet_address,
+       CAST(MAX(md.d) AS BIGINT) AS max_peel_depth,
+       CAST(SUM(CASE WHEN md.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_peel_edges,
+       MAX(md.d) >= 3 AS is_peeling
+FROM raw r JOIN md ON md.e_id = r.event_id
 GROUP BY 1
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
