@@ -846,3 +846,60 @@ def test_stream_embedding_drift_multibatch_matches_batch(spark, tmp_path):
     stream = key(stream_embedding_drift(spark, str(tmp_path)))
     assert batch == stream
     assert len(batch) == 4
+
+
+def test_stream_value_freq_mad_multibatch_and_fence(spark, tmp_path):
+    """streaming ≡ batch for the MAD profile across four real store
+    merges under a seeded hostile arrival shuffle (counts commute →
+    order-invariant), and the additive merge is replay-PROOF: a
+    redelivered epoch ≤ the live generation tag is skipped, so counts
+    can never double."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.sketch_plans import (
+        event_mad_outliers,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.streaming.stream_jobs import (
+        stream_value_freq_mad,
+        value_freq_merge_batch,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        read_store,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            f"2024-01-{1 + i % 9:02d} 10:00:00",
+            100 + i % 7,
+            rng.choice(["view", "click", "purchase"]),
+            round(rng.uniform(1, 200), 2),
+            "{}",
+        )
+        for i in range(400)
+    ]
+    rng.shuffle(rows)
+    schema = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    key = lambda d: {tuple(r) for r in d.collect()}
+    batch = key(event_mad_outliers(spark, str(tmp_path)))
+    stream = key(stream_value_freq_mad(spark, str(tmp_path)))
+    assert batch == stream and len(batch) == 3
+
+    # replay fence: same epoch delivered twice applies exactly once
+    store = str(tmp_path / "fence_store") + "/value_freqs"
+    assert value_freq_merge_batch(spark, store, df, 1) is True
+    before = {tuple(r) for r in read_store(spark, store).collect()}
+    assert value_freq_merge_batch(spark, store, df, 1) is False
+    after = {tuple(r) for r in read_store(spark, store).collect()}
+    assert before == after

@@ -683,3 +683,12 @@ register(
     rf.wallet_peel_depth,
     rf.WALLET_PEEL_ORACLE,
 )
+# streaming robust stats via the STORE-MERGE family: value-frequency
+# state is distinct-domain-sized (wrong shape for per-key state), so
+# it rides the generation store with the vocab job's epoch fence;
+# rollup through the batch plan's own mad_from_freq
+register(
+    "streaming_value_freq_mad",
+    sj.stream_value_freq_mad,
+    sk.EVENT_MAD_OUTLIERS_ORACLE,
+)

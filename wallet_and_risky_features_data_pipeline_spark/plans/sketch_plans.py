@@ -933,6 +933,16 @@ def event_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = ev.groupBy("event_type", "cents").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+    return mad_from_freq(freq)
+
+
+def mad_from_freq(freq: DataFrame) -> DataFrame:
+    """MAD-outlier tail over an (event_type, cents, cnt) value-frequency
+    table — ONE definition shared by the batch plan and the streaming
+    value-frequency store's rollup (the psi_from_histogram pattern), so
+    the two can never drift: both medians are the all-integer
+    2·cum ≥ n lower order statistics, |x−med| > 3·MAD is an integer
+    comparison, and the only double is the final ROUND(,6) share."""
     totals = freq.groupBy("event_type").agg(
         F.sum("cnt").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_values"),

@@ -2178,3 +2178,85 @@ def stream_embedding_drift(
         cos.alias("cosine_to_global"),
         (cos < F.lit(0.95)).alias("is_drifted"),
     )
+
+
+def value_freq_merge_batch(
+    spark: SparkSession, store: str, batch: DataFrame, epoch: int
+) -> bool:
+    """One fenced merge step of the value-frequency maintenance stream
+    — the vocab job's at-least-once discipline applied to the robust-
+    stats state: per-(event_type, cents) counts are ADDITIVE (replay
+    would double them), so the epoch id rides the generation tag and a
+    redelivered epoch ≤ the live tag is skipped. Returns True iff the
+    batch was applied."""
+    from ..sources.writers import (
+        commit_generation,
+        generation_tag,
+        read_store,
+        store_committed,
+    )
+
+    applied = generation_tag(store)
+    if applied is not None and int(applied) >= epoch:
+        return False
+    counts = (
+        batch.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    if store_committed(store):
+        counts = (
+            read_store(spark, store)
+            .unionByName(counts)
+            .groupBy("event_type", "cents")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+    commit_generation(counts, store, tag=str(epoch))
+    return True
+
+
+def stream_value_freq_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MAD-outlier maintenance — robust stats ON the event
+    stream via the STORE-MERGE family (the vocab job's pattern, not the
+    O(1)-per-key state family): each micro-batch's per-(event_type,
+    cents) counts merge into a generation-committed value-frequency
+    store (bigint count-merge is exactly associative, so batching can
+    never drift the state, and the epoch fence makes the additive merge
+    replay-proof); the rollup computes medians/MAD/outliers from the
+    store through ``plans.sketch_plans.mad_from_freq`` — the SAME
+    function as the batch plan, so streaming ≡ batch by construction,
+    held to the batch oracle. Order-INVARIANT (counts commute).
+
+    Why store-merge and not applyInPandasWithState: the state is the
+    value-frequency table, whose size grows with the DISTINCT value
+    domain — unbounded per key, the wrong shape for per-key state, and
+    exactly what the generation store already handles (committed,
+    time-travelable, crash-safe)."""
+    from ..plans.sketch_plans import mad_from_freq
+    from ..sources.writers import read_store
+
+    spark = _stream_session(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    land = tempfile.mkdtemp(prefix="wrf_vfreq_land_")
+    static.repartition(4).write.mode("overwrite").parquet(land)
+    ckpt_dir = tempfile.mkdtemp(prefix="wrf_vfreq_ckpt_")
+    store = tempfile.mkdtemp(prefix="wrf_vfreq_store_") + "/value_freqs"
+
+    def merge_batch(batch: DataFrame, epoch: int) -> None:
+        value_freq_merge_batch(spark, store, batch, epoch)
+
+    q = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(merge_batch)
+        .start()
+    )
+    q.awaitTermination()
+    return mad_from_freq(read_store(spark, store))
