@@ -692,3 +692,11 @@ register(
     sj.stream_value_freq_mad,
     sk.EVENT_MAD_OUTLIERS_ORACLE,
 )
+# fulfillment SLA view: integer day gaps, median/p90 as lower order
+# statistics over the bounded (priority × delay-domain) frequency
+# grain — the quantile discipline on the relational side
+register(
+    "order_shipping_latency",
+    rel.order_shipping_latency,
+    rel.ORDER_SHIPPING_LATENCY_ORACLE,
+)

@@ -1061,3 +1061,107 @@ JOIN customer b
 WHERE levenshtein(a.c_name, b.c_name) <= {ENTITY_NAME_DIST}
   AND abs(a.c_acctbal - b.c_acctbal) < {ENTITY_BAL_DELTA}
 """
+
+
+def order_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-delay distribution per order priority — the fulfillment
+    SLA view over the orders ⋈ lineitem join: integer day gaps
+    (datediff never leaves the integer domain), with the median and
+    p90 as LOWER order statistics over the per-(priority, delay)
+    frequency table via the engine's all-integer 2·cum ≥ n /
+    10·cum ≥ 9·n predicates — the MAD/quantile family's discipline on
+    the relational side, so Spark ≡ DuckDB bit-for-bit with no float
+    anywhere but the final ROUND(,6) mean.
+
+    Scale shape: the join shuffles on orderkey once; everything after
+    is the (priority × distinct-delay) frequency grain — bounded by
+    the delay domain (days), not by row count — and the running-sum
+    windows over it are streaming frames on that bounded grain.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    gaps = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_days"),
+    )
+    freq = gaps.groupBy("priority", "delay_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    totals = freq.groupBy("priority").agg(
+        F.sum("cnt").cast("bigint").alias("n_lines"),
+        F.min("delay_days").alias("min_delay"),
+        F.max("delay_days").alias("max_delay"),
+        F.sum(F.col("delay_days") * F.col("cnt")).cast("bigint").alias("__sum_d"),
+    )
+    from pyspark.sql import Window
+
+    run = (
+        Window.partitionBy("priority")
+        .orderBy("delay_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = freq.select(
+        "priority", "delay_days", F.sum("cnt").over(run).alias("cum")
+    ).join(F.broadcast(totals.select("priority", "n_lines")), "priority")
+    quants = cum.groupBy("priority").agg(
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("n_lines"), F.col("delay_days"))
+        ).alias("median_delay"),
+        F.min(
+            F.when(
+                F.lit(10) * F.col("cum") >= F.lit(9) * F.col("n_lines"),
+                F.col("delay_days"),
+            )
+        ).alias("p90_delay"),
+    )
+    return totals.join(quants, "priority").select(
+        "priority",
+        "n_lines",
+        "min_delay",
+        "median_delay",
+        "p90_delay",
+        "max_delay",
+        F.round(
+            F.col("__sum_d").cast("double") / F.col("n_lines").cast("double"), 6
+        ).alias("mean_delay"),
+    )
+
+
+ORDER_SHIPPING_LATENCY_ORACLE = """
+WITH gaps AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+freq AS (
+    SELECT priority, delay_days, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM gaps GROUP BY 1, 2
+),
+totals AS (
+    SELECT priority,
+           CAST(SUM(cnt) AS BIGINT) AS n_lines,
+           MIN(delay_days) AS min_delay,
+           MAX(delay_days) AS max_delay,
+           CAST(SUM(delay_days * cnt) AS BIGINT) AS sum_d
+    FROM freq GROUP BY 1
+),
+cum AS (
+    SELECT f.priority, f.delay_days, t.n_lines,
+           SUM(f.cnt) OVER (PARTITION BY f.priority ORDER BY f.delay_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM freq f JOIN totals t USING (priority)
+),
+quants AS (
+    SELECT priority,
+           MIN(CASE WHEN 2 * cum >= n_lines THEN delay_days END) AS median_delay,
+           MIN(CASE WHEN 10 * cum >= 9 * n_lines THEN delay_days END) AS p90_delay
+    FROM cum GROUP BY 1
+)
+SELECT t.priority, t.n_lines, t.min_delay, q.median_delay, q.p90_delay, t.max_delay,
+       round(CAST(t.sum_d AS DOUBLE) / CAST(t.n_lines AS DOUBLE), 6) AS mean_delay
+FROM totals t JOIN quants q USING (priority)
+"""
