@@ -700,3 +700,12 @@ register(
     rel.order_shipping_latency,
     rel.ORDER_SHIPPING_LATENCY_ORACLE,
 )
+# sliding COUNT DISTINCT at the day grain: set union isn't invertible
+# (no streaming frame), so each day-grain distinct row serves its ≤7
+# window anchors via explode + re-distinct — fixed 7× day-grain work,
+# independent of per-day event volume, zero windows
+register(
+    "wallet_rolling_distinct_7d",
+    rf.wallet_rolling_distinct_7d,
+    rf.WALLET_ROLLING_DISTINCT_ORACLE,
+)

@@ -2361,3 +2361,82 @@ SELECT r.src AS wallet_address,
 FROM raw r JOIN md ON md.e_id = r.event_id
 GROUP BY 1
 """.format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
+
+
+def wallet_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT DISTINCT — 7-day rolling distinct
+    counterparties per wallet, anchored at each of the wallet's active
+    days: the counterparty-churn velocity feature (a wallet suddenly
+    touching many fresh counterparties is the fan-out precursor the
+    static n_counterparties total hides).
+
+    Sliding DISTINCT is the aggregate windows can't stream (set union
+    is not invertible — no O(1) frame update), so the plan solves it
+    at the DAY GRAIN: the distinct (wallet, counterparty, day) table is
+    exploded over the ≤7 window anchors each day can serve, re-
+    distincted, and counted — total work is a fixed 7× the day-grain
+    distinct table, independent of per-day event volume, and every step
+    is a hash agg or equi join (no windows at all). Anchoring on active
+    days keeps the output join-defined (no data-dependent calendar
+    constant) and the row count ≤ |wallet-active-days|.
+    """
+    wt = wallet_transactions(spark, sf_dir)
+    dg = (
+        wt.filter(
+            (F.col("address_role") == "sender")
+            & F.col("interacted_with").isNotNull()
+        )
+        .select(
+            "wallet_address",
+            F.col("interacted_with").alias("counterparty"),
+            F.to_date("ts").alias("day"),
+        )
+        .distinct()
+    )
+    active = dg.select("wallet_address", "day").distinct()
+    pairs = (
+        dg.withColumn(
+            "win_day",
+            F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)")),
+        )
+        .select("wallet_address", "counterparty", "win_day")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            active.withColumnRenamed("day", "win_day"),
+            ["wallet_address", "win_day"],
+        )
+        .groupBy(
+            "wallet_address",
+            # dates leave the plan as formatted strings (the relational
+            # module's timestamp-parity rule — raw DATE hashes as
+            # datetime64 in one engine and date objects in the other)
+            F.date_format("win_day", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_7d"))
+    )
+
+
+WALLET_ROLLING_DISTINCT_ORACLE = f"""
+WITH {{wallet_tx_cte}},
+dg AS (
+    SELECT DISTINCT wallet_address,
+           interacted_with AS counterparty,
+           CAST(ts AS DATE) AS day
+    FROM wallet_tx
+    WHERE address_role = 'sender' AND interacted_with IS NOT NULL
+),
+active AS (SELECT DISTINCT wallet_address, day FROM dg),
+pairs AS (
+    SELECT DISTINCT d.wallet_address, d.counterparty, CAST(w.win_day AS DATE) AS win_day
+    FROM dg d,
+         unnest(generate_series(d.day, d.day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+             AS w(win_day)
+)
+SELECT p.wallet_address, strftime(p.win_day, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_7d
+FROM pairs p
+JOIN active a ON a.wallet_address = p.wallet_address AND a.day = p.win_day
+GROUP BY 1, 2
+""".format(wallet_tx_cte=WALLET_TX_ORACLE_CTE)
