@@ -99,3 +99,41 @@ def test_incremental_append_idempotent(spark, tmp_path):
     n3 = incremental_append(spark, events, target, "t", ["event_id"], "ts", store)
     assert n3 == events.count() - 500
     assert spark.read.parquet(target).count() == events.count()
+
+
+@pytest.mark.parametrize("split_at", ["2024-01-08", "2024-01-15", "2024-01-29"])
+def test_flow_motifs_incremental_equals_full(spark, split_at):
+    """Band-limited rescan ≡ full recompute at ANY split point — the
+    disjointness (prior = out-hop before split, delta = at/after) and
+    completeness (delta in-hops ⊆ trailing 24 h window) arguments hold
+    for every split, so sweeping three must produce identical rollups."""
+    from pyspark.sql import functions as F
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        FLOW_WINDOW_US,
+        _flow_legs_and_fences,
+        _flow_pair_grain,
+        _flow_paths,
+        _flow_rollup,
+        wallet_flow_motifs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    legs, in_busy, out_busy = _flow_legs_and_fences(spark, sf)
+    split_us = F.unix_micros(F.lit(split_at).cast("timestamp"))
+    old = legs.filter(F.col("us") < split_us)
+    new = legs.filter(F.col("us") >= split_us)
+    tail = legs.filter(F.col("us") >= split_us - F.lit(FLOW_WINDOW_US))
+    prior = _flow_pair_grain(_flow_paths(old, old, in_busy, out_busy))
+    delta = _flow_pair_grain(_flow_paths(tail, new, in_busy, out_busy))
+    merged = (
+        prior.unionByName(delta)
+        .groupBy("mid", "a", "c")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("n_fast").cast("bigint").alias("n_fast"),
+        )
+    )
+    incremental = {tuple(r) for r in _flow_rollup(merged).collect()}
+    full = {tuple(r) for r in wallet_flow_motifs(spark, sf).collect()}
+    assert incremental == full
