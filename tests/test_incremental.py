@@ -137,3 +137,23 @@ def test_flow_motifs_incremental_equals_full(spark, split_at):
     incremental = {tuple(r) for r in _flow_rollup(merged).collect()}
     full = {tuple(r) for r in wallet_flow_motifs(spark, sf).collect()}
     assert incremental == full
+
+
+@pytest.mark.parametrize("split_at", ["2024-01-08", "2024-01-15", "2024-01-29"])
+def test_rolling_distinct_incremental_equals_full(spark, split_at, monkeypatch):
+    """Day-grain band-limited rescan ≡ full at ANY split day: anchors
+    before the split are final forever, anchors at/after draw only on
+    the trailing 7 days."""
+    import wallet_and_risky_features_data_pipeline_spark.plans.incremental_plans as inc
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_rolling_distinct_7d,
+    )
+
+    monkeypatch.setattr(inc, "SPLIT_AT", split_at)
+    sf = "/root/testdata/sf0.001"
+    incremental = {
+        tuple(r)
+        for r in inc.wallet_rolling_distinct_incremental(spark, sf).collect()
+    }
+    full = {tuple(r) for r in wallet_rolling_distinct_7d(spark, sf).collect()}
+    assert incremental == full

@@ -192,3 +192,81 @@ def wallet_flow_motifs_incremental(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 from .risk_features import WALLET_FLOW_MOTIFS_ORACLE as WALLET_FLOW_MOTIFS_INCR_ORACLE  # noqa: E402
+
+
+def wallet_rolling_distinct_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental 7-day rolling distinct — the band-limited rescan at
+    the DAY grain: an anchor before the split day is computed entirely
+    from pre-split days (its window ends at the anchor), so prior
+    results for anchors < split_day are final forever; every anchor at
+    or after the split draws only on days ≥ split_day − 6 — the
+    trailing window plus the new batch — so the refresh re-distincts
+    7 days of the day-grain table, never history. Held to the FULL-
+    recompute oracle (J15/W11 discipline).
+    """
+    from ..plans.wallet_model import wallet_transactions as _wt
+    from .risk_features import wallet_rolling_distinct_7d  # noqa: F401
+
+    wt = _wt(spark, sf_dir)
+    split_day = F.lit(SPLIT_AT).cast("date")
+    dg = (
+        wt.filter(
+            (F.col("address_role") == "sender")
+            & F.col("interacted_with").isNotNull()
+        )
+        .select(
+            "wallet_address",
+            F.col("interacted_with").alias("counterparty"),
+            F.to_date("ts").alias("day"),
+        )
+        .distinct()
+    )
+
+    def rolled(day_grain, anchor_pred):
+        active = day_grain.select("wallet_address", "day").distinct()
+        pairs = (
+            day_grain.withColumn(
+                "win_day",
+                F.explode(
+                    F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+                ),
+            )
+            .select("wallet_address", "counterparty", "win_day")
+            .distinct()
+        )
+        return (
+            pairs.join(
+                active.withColumnRenamed("day", "win_day"),
+                ["wallet_address", "win_day"],
+            )
+            .filter(anchor_pred(F.col("win_day")))
+            .groupBy(
+                "wallet_address",
+                F.date_format("win_day", "yyyy-MM-dd").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_7d"))
+        )
+
+    # prior state: anchors strictly before the split day, computed from
+    # old days only (complete: such an anchor's window never reaches
+    # the split). Active-day anchoring is safe on the old subset — an
+    # anchor < split_day is active iff an OLD row falls on it.
+    prior = rolled(
+        dg.filter(F.col("day") < split_day), lambda w: w < split_day
+    )
+    # refresh: anchors ≥ split day draw only on the trailing window —
+    # day ≥ split_day − 6 (complete by the 7-day band); anchor-activity
+    # for these anchors also lives in the same slice (an active anchor
+    # ≥ split_day IS a day ≥ split_day).
+    refreshed = rolled(
+        dg.filter(F.col("day") >= F.date_sub(split_day, 6)),
+        lambda w: w >= split_day,
+    )
+    return prior.unionByName(refreshed)
+
+
+from .risk_features import (  # noqa: E402
+    WALLET_ROLLING_DISTINCT_ORACLE as WALLET_ROLLING_DISTINCT_INCR_ORACLE,
+)

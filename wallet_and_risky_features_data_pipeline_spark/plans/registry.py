@@ -709,3 +709,12 @@ register(
     rf.wallet_rolling_distinct_7d,
     rf.WALLET_ROLLING_DISTINCT_ORACLE,
 )
+# incremental sliding distinct: anchors before the split are final
+# forever (their window ends at the anchor); anchors at/after draw
+# only on the trailing 7 days — band-limited rescan at the day grain;
+# held to the FULL-recompute oracle
+register(
+    "wallet_rolling_distinct_incremental",
+    inc.wallet_rolling_distinct_incremental,
+    inc.WALLET_ROLLING_DISTINCT_INCR_ORACLE,
+)
