@@ -718,3 +718,11 @@ register(
     inc.wallet_rolling_distinct_incremental,
     inc.WALLET_ROLLING_DISTINCT_INCR_ORACLE,
 )
+# seasonally-adjusted robust outliers: per-(type,dow,hour) cell
+# medians over the value-frequency grain + the global MAD from
+# mad_from_freq (one code path); |c−med_cell| > 3·MAD all-integer
+register(
+    "event_seasonal_outliers",
+    sk.event_seasonal_outliers,
+    sk.EVENT_SEASONAL_OUTLIERS_ORACLE,
+)

@@ -1178,3 +1178,169 @@ SELECT event_type, n_events, s_d2,
                      * CAST(n_events AS DECIMAL(19,0)) AS is_trending
 FROM agg WHERE n_events >= 2
 """
+
+
+def event_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted robust outliers — the screen
+    ``event_mad_outliers`` structurally misses: a $500 purchase at 3am
+    Sunday can be wildly anomalous while unremarkable against the
+    GLOBAL median. Baseline = the exact median per (event_type,
+    day-of-week, hour) cell; an event is a seasonal outlier when its
+    deviation from ITS CELL's median exceeds 3× the type's global MAD
+    (the robust scale already computed by the MAD family).
+
+    All-integer throughout: cell medians are 2·cum ≥ n lower order
+    statistics over the (cell × cents) VALUE-FREQUENCY table (windows
+    scale with distinct values per cell, not rows — the MAD
+    discipline), the global MAD rides in from ``mad_from_freq`` (one
+    code path with the registered MAD query), and the outlier predicate
+    |c − med_cell| > 3·MAD is an integer comparison. Day-of-week/hour
+    labels never leave the plan (the chisq rule — Spark's 1=Sunday vs
+    DuckDB's 0=Sunday is a bijective cell relabeling, invisible to
+    per-cell medians).
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("dayofweek(ts)").alias("dow"),
+            F.expr("hour(ts)").alias("hr"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    freq4 = ev.groupBy("event_type", "dow", "hr", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cell_tot = freq4.groupBy("event_type", "dow", "hr").agg(
+        F.sum("cnt").alias("cell_n")
+    )
+    run = (
+        Window.partitionBy("event_type", "dow", "hr")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med_cell = (
+        freq4.select(
+            "event_type", "dow", "hr", "cents", F.sum("cnt").over(run).alias("cum")
+        )
+        .join(cell_tot, ["event_type", "dow", "hr"])
+        .groupBy("event_type", "dow", "hr")
+        .agg(
+            F.min(
+                F.when(F.lit(2) * F.col("cum") >= F.col("cell_n"), F.col("cents"))
+            ).alias("med_cell")
+        )
+    )
+    # global robust scale — the SAME code path as the registered MAD
+    # query (mad_from_freq), so the two screens can never drift
+    global_freq = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    mad = mad_from_freq(global_freq).select("event_type", "mad_c")
+    flagged = (
+        freq4.join(med_cell, ["event_type", "dow", "hr"])
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_value_cells"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med_cell"))
+                    > F.lit(3) * F.col("mad_c"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_seasonal_outliers"),
+        )
+    )
+    return flagged.select(
+        "event_type",
+        "n_events",
+        "n_value_cells",
+        "n_seasonal_outliers",
+        F.round(
+            F.col("n_seasonal_outliers").cast("double")
+            / F.col("n_events").cast("double"),
+            6,
+        ).alias("seasonal_outlier_share"),
+    )
+
+
+EVENT_SEASONAL_OUTLIERS_ORACLE = """
+WITH ev AS (
+    SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hr,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+freq4 AS (
+    SELECT event_type, dow, hr, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY 1, 2, 3, 4
+),
+cell_tot AS (
+    SELECT event_type, dow, hr, SUM(cnt) AS cell_n
+    FROM freq4 GROUP BY 1, 2, 3
+),
+med_cell AS (
+    SELECT f.event_type, f.dow, f.hr,
+           MIN(CASE WHEN 2 * f.cum >= t.cell_n THEN f.cents END) AS med_cell
+    FROM (
+        SELECT event_type, dow, hr, cents,
+               SUM(cnt) OVER (PARTITION BY event_type, dow, hr ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM freq4
+    ) f
+    JOIN cell_tot t ON t.event_type = f.event_type AND t.dow = f.dow
+                   AND t.hr = f.hr
+    GROUP BY 1, 2, 3
+),
+gfreq AS (
+    SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY 1, 2
+),
+gtot AS (SELECT event_type, SUM(cnt) AS n FROM gfreq GROUP BY 1),
+gmed AS (
+    SELECT f.event_type,
+           MIN(CASE WHEN 2 * f.cum >= t.n THEN f.cents END) AS median_c
+    FROM (
+        SELECT event_type, cents,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM gfreq
+    ) f JOIN gtot t USING (event_type)
+    GROUP BY 1
+),
+gdev AS (
+    SELECT g.event_type, abs(g.cents - m.median_c) AS dev, SUM(g.cnt) AS cnt
+    FROM gfreq g JOIN gmed m USING (event_type)
+    GROUP BY 1, 2
+),
+gmad AS (
+    SELECT d.event_type,
+           MIN(CASE WHEN 2 * d.cum >= t.n THEN d.dev END) AS mad_c
+    FROM (
+        SELECT event_type, dev,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM gdev
+    ) d JOIN gtot t USING (event_type)
+    GROUP BY 1
+)
+SELECT f.event_type,
+       CAST(SUM(f.cnt) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_value_cells,
+       CAST(SUM(CASE WHEN abs(f.cents - m.med_cell) > 3 * g.mad_c
+                     THEN f.cnt ELSE 0 END) AS BIGINT) AS n_seasonal_outliers,
+       round(CAST(SUM(CASE WHEN abs(f.cents - m.med_cell) > 3 * g.mad_c
+                           THEN f.cnt ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(f.cnt) AS DOUBLE), 6) AS seasonal_outlier_share
+FROM freq4 f
+JOIN med_cell m ON m.event_type = f.event_type AND m.dow = f.dow AND m.hr = f.hr
+JOIN gmad g ON g.event_type = f.event_type
+GROUP BY 1
+"""
