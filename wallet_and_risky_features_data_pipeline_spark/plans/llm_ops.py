@@ -4120,3 +4120,63 @@ FROM cells
 
 
 CORPUS_LANG_CONFUSION_ORACLE = _lang_confusion_oracle()
+
+
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language — chars-per-token, the
+    standard tokenizer-efficiency gate before committing a vocabulary
+    (a language whose text costs ≫ more tokens per character than the
+    corpus average gets under-trained at the same token budget; the
+    per-language companion to corpus_vocab_coverage's global view).
+    Whitespace tokens are the engine's standard token_count (codegen
+    regex split, zero UDFs); chars and token counts ride as exact
+    integer sums, the ratio is ONE ROUND(,6) division, and the
+    ``is_token_hungry`` verdict is the integer cross-multiplication
+    total_chars > 6·total_tokens — ANSI-safe. One scan, one hash agg
+    to |langs| rows.
+    """
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    per = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        token_count("text").cast("bigint").alias("nt"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nc").cast("bigint").alias("total_chars"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.round(
+            F.col("total_chars").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+        (F.col("total_chars") > F.lit(6) * F.col("total_tokens")).alias(
+            "is_token_hungry"
+        ),
+    )
+
+
+CORPUS_TOKENIZER_FERTILITY_ORACLE = """
+WITH per AS (
+    SELECT lang,
+           CAST(n_chars AS BIGINT) AS nc,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS nt
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE), 6)
+           AS chars_per_token,
+       SUM(nc) > 6 * SUM(nt) AS is_token_hungry
+FROM per
+GROUP BY 1
+"""

@@ -726,3 +726,10 @@ register(
     sk.event_seasonal_outliers,
     sk.EVENT_SEASONAL_OUTLIERS_ORACLE,
 )
+# tokenizer-fertility gate: chars-per-token per language from exact
+# integer sums; verdict via total_chars > 6·total_tokens cross-mult
+register(
+    "corpus_tokenizer_fertility",
+    llm.corpus_tokenizer_fertility,
+    llm.CORPUS_TOKENIZER_FERTILITY_ORACLE,
+)
