@@ -1249,8 +1249,9 @@ def stream_rolling_zscore(
     Inner loop (VERDICT r8 #5): the per-row itertuples walk is
     replaced by numpy sliding-window moments (Σc, Σc² over the ≤10
     trailing entries per row) on an int64 fast path, guarded by the
-    exactness bound |cents| < ~4.8e8 (num² ≤ 4·W²·max² must stay
-    below 2⁶³); groups exceeding the bound fall back to the exact
+    exactness bound |cents| < FAST_MAX ≈ 7.2e7 (the outlier
+    predicate's 9·var_n2 ≤ 9·W²·max² must stay below 2⁶²; see the
+    FAST_MAX derivation below); groups exceeding the bound fall back to the exact
     arbitrary-precision Python path, so vectorization can never
     reintroduce the silent-overflow class the r9 ANSI leg exists to
     kill."""
