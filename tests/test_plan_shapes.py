@@ -234,6 +234,32 @@ def test_token_budget_window_partitioned_by_band(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_spearman_windows_partitioned_by_band(spark):
+    """event_spearman_trend's two ROW_NUMBER windows must exchange on
+    (event_type, band) — a rank window partitioned by the
+    low-cardinality event_type alone sorts one hot type's entire
+    history on a single task (the r10 16.2× 100×-probe outlier). Every
+    window ordering a row-level sort key (ts_s / cents) must carry the
+    matching band column in its spec; event_type-only windows are
+    allowed ONLY for the tiny per-band offset prefix sums, whose order
+    key is the band itself."""
+    import re
+
+    plan = _physical(QUERIES["event_spearman_trend"](spark, SF_MEDIUM))
+    # row-level rank exchanges carry the band key
+    assert re.search(r"hashpartitioning\(event_type#\d+[^)]*band_t#\d+", plan)
+    assert re.search(r"hashpartitioning\(event_type#\d+[^)]*band_v#\d+", plan)
+    # band offsets re-enter via broadcast, not another row-level shuffle
+    assert "BroadcastHashJoin" in plan
+    specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
+    assert specs, "no window specs found — plan format changed?"
+    for s in specs:
+        if "ts_s#" in s:
+            assert "band_t#" in s, f"time rank window not banded: {s}"
+        if "cents#" in s:
+            assert "band_v#" in s, f"value rank window not banded: {s}"
+
+
 def test_ngram_freq_topk_no_global_sort(spark):
     """Top-K must plan as TakeOrderedAndProject (per-partition heaps),
     never a full global Sort of the counted ngrams."""

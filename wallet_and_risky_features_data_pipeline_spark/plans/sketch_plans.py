@@ -1095,33 +1095,96 @@ def event_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ρ < −½ ⇔ 4·Σd² > n(n²−1), both DECIMAL(38,0) cross-
     multiplications, ANSI-safe.
 
-    Scale shape: two rank windows per event_type partition — rank
-    windows are streaming sort-based (spillable external sort), NOT
-    the unbounded-frame buffering class the r9 sweep removed; the
-    follow-up is one map-side-combinable hash agg to |event_type|
-    rows. Same partition-skew profile as the rolling_zscore family.
+    Scale shape (r11 de-skew — VERDICT r10 #2): partitioning a rank
+    window by the low-cardinality ``event_type`` alone puts one hot
+    type's ENTIRE sort on one task (the round's only near-linear 100×
+    probe, 16.2×). Both ranks now use the banded distributed rank
+    discipline of ``corpus_token_budget``: band each sort key into
+    ~256 per-type integer buckets (band widths derived from a tiny
+    per-type min/max aggregate, so the layout adapts to any value
+    domain), rank within (event_type, band) in parallel, and add the
+    broadcast prefix-sum of per-band counts as the band offset. Band
+    = monotone function of the sort key and equal keys share a band,
+    so band-major order ≡ the global (key, event_id) order and the
+    composed rank is IDENTICAL to the single-partition ROW_NUMBER —
+    the banding never surfaces (oracle unchanged). Parallelism scales
+    with types×bands instead of types; per-task memory scales with
+    rows/band. Guarded by
+    test_spearman_windows_partitioned_by_band.
     """
+    from ..caching import persist_tracked
+
+    BANDS = 256
     ev = (
         read_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
             "event_type",
             "event_id",
-            "ts",
+            # full-precision epoch micros: ordering by ts_s must be
+            # EXACTLY the timestamp order (a seconds cast would merge
+            # sub-second ties and diverge from the oracle's ORDER BY ts)
+            F.unix_micros(F.col("ts")).alias("ts_s"),
             F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
         )
     )
-    w_t = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+    # tiny per-type stats → integer band widths (≥1, so degenerate
+    # all-equal domains collapse to one band instead of dividing by 0)
+    stats = ev.groupBy("event_type").agg(
+        F.min("ts_s").alias("min_t"),
+        F.max("ts_s").alias("max_t"),
+        F.min("cents").alias("min_c"),
+        F.max("cents").alias("max_c"),
     )
-    w_v = Window.partitionBy("event_type").orderBy(
-        F.col("cents").asc(), F.col("event_id").asc()
+    w_t = F.greatest(
+        F.lit(1).cast("bigint"),
+        ((F.col("max_t") - F.col("min_t")) / BANDS + 1).cast("bigint"),
     )
-    ranked = ev.select(
-        "event_type",
-        F.row_number().over(w_t).alias("r_t"),
-        F.row_number().over(w_v).alias("r_v"),
+    w_c = F.greatest(
+        F.lit(1).cast("bigint"),
+        ((F.col("max_c") - F.col("min_c")) / BANDS + 1).cast("bigint"),
     )
+    banded = persist_tracked(
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "ts_s",
+            "cents",
+            F.floor((F.col("ts_s") - F.col("min_t")) / w_t).alias("band_t"),
+            F.floor((F.col("cents") - F.col("min_c")) / w_c).alias("band_v"),
+        )
+    )
+
+    def banded_rank(df: DataFrame, band: str, key: str, out: str) -> DataFrame:
+        # per-(type, band) counts → prefix-sum offsets over the tiny
+        # aggregate (rows = types×bands, one light exchange), broadcast
+        # back; rank = offset + ROW_NUMBER inside the band partition.
+        counts = df.groupBy("event_type", band).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        wo = (
+            Window.partitionBy("event_type")
+            .orderBy(F.col(band).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "event_type",
+            band,
+            F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"),
+        )
+        wr = Window.partitionBy("event_type", band).orderBy(
+            F.col(key).asc(), F.col("event_id").asc()
+        )
+        return (
+            df.join(F.broadcast(offsets), ["event_type", band])
+            .withColumn(out, (F.col("_off") + F.row_number().over(wr)).cast("bigint"))
+            .drop("_off")
+        )
+
+    ranked = banded_rank(
+        banded_rank(banded, "band_t", "ts_s", "r_t"), "band_v", "cents", "r_v"
+    ).select("event_type", "r_t", "r_v")
     d = (F.col("r_t") - F.col("r_v")).cast("decimal(19,0)")
     agg = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
