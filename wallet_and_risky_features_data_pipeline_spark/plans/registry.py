@@ -733,3 +733,22 @@ register(
     llm.corpus_tokenizer_fertility,
     llm.CORPUS_TOKENIZER_FERTILITY_ORACLE,
 )
+# --------------------------------------------------------------------------
+# r11 SQL-text surface (VERDICT r10 #6): the reference's user interface
+# is SQL text — each flagship plan rendered as a spark.sql twin over
+# register_views, held to the SAME DuckDB oracle as its DataFrame
+# version. Dialect parity proven on the hard shapes: the single-scan
+# LATERAL VIEW inline role explosion, chained rank/dedup/running
+# windows, max_by final-state picks, the day-bucketed broadcast as-of.
+register("wallet_features_sql", sqls.wallet_features_sql, sqls.WALLET_FEATURES_SQL_ORACLE)
+register(
+    "wallet_coin_balances_sql",
+    sqls.wallet_coin_balances_sql,
+    sqls.WALLET_COIN_BALANCES_SQL_ORACLE,
+)
+register("asof_price_sql", sqls.asof_price_sql, sqls.ASOF_PRICE_SQL_ORACLE)
+register(
+    "window_running_balance_eth_sql",
+    sqls.window_running_balance_eth_sql,
+    sqls.WINDOW_RUNNING_BALANCE_ETH_SQL_ORACLE,
+)

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import register_views
-from .relational import PRICING_SUMMARY_ORACLE
+from .relational import ASOF_PRICE_ORACLE, PRICING_SUMMARY_ORACLE
+from .wallet_features import WALLET_FEATURES_ORACLE
+from .windows_plans import (
+    WALLET_COIN_BALANCES_ORACLE,
+    WINDOW_RUNNING_BALANCE_ETH_ORACLE,
+)
 
 
 def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,3 +47,310 @@ def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PRICING_SUMMARY_SQL_ORACLE = PRICING_SUMMARY_ORACLE
+
+
+# --------------------------------------------------------------------------
+# r11 (VERDICT r10 #6): the reference's user interface is SQL text
+# (src/pipelines/*/transformations/*.sql) — prove Spark-SQL dialect
+# parity on the HARD queries (the role-exploded wallet model, chained
+# rank/dedup/running-balance windows, max_by final-state picks, the
+# day-bucketed as-of join) by rendering each flagship plan as a
+# spark.sql twin registered against the SAME DuckDB oracle as its
+# DataFrame version. The twins go through the same analyzer, so every
+# decimal-precision rule and window frame matches the DataFrame plans
+# expression-for-expression; plan-level disciplines ride in as hints
+# (REPARTITION for the shared wallet exchange, BROADCAST for the
+# exploded quote dim — the SQL spellings of by_wallet / broadcast()).
+
+# Spark-SQL rendering of plans.wallet_model.wallet_transactions: the
+# single-scan role explosion via LATERAL VIEW inline(array(...)) —
+# one events pass for both legs, exactly like the DataFrame builder
+# (a UNION ALL twin would scan the table twice, the reference's
+# Presto shape). Textually adjacent fields mirror WALLET_TX_ORACLE_CTE
+# so drift is caught in review. The leg struct fields are renamed
+# positionally by the LATERAL VIEW column list (leg_tx_fee) to avoid
+# colliding with wt_typed.tx_fee.
+WALLET_TX_SQL_CTE = """
+wt_base AS (
+    SELECT
+        event_id,
+        ts,
+        user_id,
+        event_type,
+        CAST(get_json_object(props, '$.k') AS INT) AS k,
+        CASE WHEN event_type = 'purchase' THEN 'normal'
+             WHEN event_type = 'error' THEN 'internal'
+             ELSE 'erc20' END AS transaction_type,
+        CAST(CASE WHEN event_type = 'error' THEN 0 ELSE value END
+             AS DECIMAL(38,9)) AS current_value
+    FROM events
+),
+wt_typed AS (
+    SELECT *,
+        CASE transaction_type WHEN 'normal' THEN 1
+                              WHEN 'internal' THEN 2
+                              ELSE 3 END AS priority,
+        CASE transaction_type WHEN 'normal' THEN event_id
+                              WHEN 'internal' THEN 999
+                              ELSE 1000 END AS transaction_index,
+        CAST(CASE WHEN transaction_type = 'normal'
+                  THEN round(CAST(current_value AS DOUBLE) * 0.01D, 5)
+                  ELSE 0.0D END AS DECIMAL(38,9)) AS tx_fee
+    FROM wt_base
+),
+wallet_tx AS (
+    SELECT
+        event_id,
+        ts,
+        event_type AS contract_address,
+        transaction_type,
+        priority,
+        transaction_index,
+        current_value,
+        wallet_address,
+        interacted_with,
+        address_role,
+        role_rank,
+        leg_tx_fee AS tx_fee,
+        signed_value
+    FROM wt_typed
+    LATERAL VIEW inline(array(
+        named_struct(
+            'wallet_address', CAST(user_id AS STRING),
+            'interacted_with', CAST(k AS STRING),
+            'address_role', 'sender',
+            'role_rank', 1,
+            'tx_fee', tx_fee,
+            'signed_value', CAST(-(current_value + tx_fee) AS DECIMAL(38,9))),
+        named_struct(
+            'wallet_address', CAST(k AS STRING),
+            'interacted_with', CAST(user_id AS STRING),
+            'address_role', 'receiver',
+            'role_rank', 0,
+            'tx_fee', CAST(0 AS DECIMAL(38,9)),
+            'signed_value', current_value)
+    )) leg AS wallet_address, interacted_with, address_role,
+              role_rank, leg_tx_fee, signed_value
+)
+"""
+
+_WT_ORDER = "ts, priority, transaction_index, role_rank, event_id"
+
+# Steps 2-6 of the feature pipeline (ordering rank, canonical-leg
+# dedup rank, running balance, lifetime hash aggregate) — shared by
+# the features and coin-balances twins, like contract_state_from is
+# by the DataFrame plans. The REPARTITION hint is by_wallet's SQL
+# spelling: one wallet exchange serves every window family (a hash
+# partitioning on a subset of the partition keys satisfies the
+# clustering requirement).
+_CONTRACT_STATE_SQL = f"""
+ordered AS (
+    SELECT /*+ REPARTITION(wallet_address) */ *,
+        ROW_NUMBER() OVER (
+            PARTITION BY wallet_address, contract_address
+            ORDER BY {_WT_ORDER}) AS row_num,
+        DENSE_RANK() OVER (
+            PARTITION BY wallet_address, event_id
+            ORDER BY priority) AS hash_rank
+    FROM wallet_tx
+),
+balanced AS (
+    SELECT *,
+        SUM(signed_value) OVER (
+            PARTITION BY wallet_address, contract_address
+            ORDER BY {_WT_ORDER}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+    FROM ordered
+),
+contract_state AS (
+    SELECT
+        wallet_address,
+        contract_address,
+        max_by(balance, row_num) AS final_balance,
+        SUM(CASE WHEN address_role = 'receiver' THEN current_value
+                 ELSE CAST(0 AS DECIMAL(38,9)) END) AS incoming_value,
+        SUM(CASE WHEN address_role = 'sender' THEN current_value
+                 ELSE CAST(0 AS DECIMAL(38,9)) END) AS outgoing_value,
+        SUM(tx_fee) AS contract_fees,
+        COUNT(CASE WHEN hash_rank = 1 THEN 1 END) AS contract_tx,
+        MIN(ts) AS first_ts,
+        MAX(ts) AS last_ts,
+        MAX(balance) AS max_balance,
+        MIN(CASE WHEN balance > 0 THEN balance END) AS min_pos_balance
+    FROM balanced
+    GROUP BY 1, 2
+)
+"""
+
+
+def wallet_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL twin of plans.wallet_features.wallet_features (the flagship
+    per-wallet rollup) — same oracle, same decimal discipline."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        f"""
+        WITH {WALLET_TX_SQL_CTE.strip()},
+        {_CONTRACT_STATE_SQL.strip()}
+        SELECT
+            wallet_address,
+            COUNT(*) AS n_contracts,
+            SUM(contract_tx) AS n_tx,
+            CAST(SUM(incoming_value) AS DOUBLE) AS total_incoming,
+            CAST(SUM(outgoing_value) AS DOUBLE) AS total_outgoing,
+            CAST(SUM(contract_fees) AS DOUBLE) AS total_fees,
+            CAST(SUM(final_balance) AS DOUBLE) AS net_balance,
+            CAST(MAX(max_balance) AS DOUBLE) AS max_balance_ever,
+            CAST(COALESCE(MIN(min_pos_balance), 0) AS DOUBLE) AS min_pos_balance,
+            unix_micros(MIN(first_ts)) AS first_tx_us,
+            unix_micros(MAX(last_ts)) AS last_tx_us,
+            unix_micros(MAX(last_ts)) - unix_micros(MIN(first_ts)) AS life_us
+        FROM contract_state
+        GROUP BY wallet_address
+        """
+    )
+
+
+WALLET_FEATURES_SQL_ORACLE = WALLET_FEATURES_ORACLE
+
+
+def wallet_coin_balances_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL twin of plans.windows_plans.wallet_coin_balances (W7/W8
+    final-state pick per (wallet, contract))."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        f"""
+        WITH {WALLET_TX_SQL_CTE.strip()},
+        {_CONTRACT_STATE_SQL.strip()}
+        SELECT
+            wallet_address,
+            contract_address,
+            CAST(final_balance AS DOUBLE) AS final_balance,
+            CAST(incoming_value AS DOUBLE) AS incoming_value,
+            CAST(outgoing_value AS DOUBLE) AS outgoing_value,
+            contract_tx,
+            unix_micros(first_ts) AS first_ts_us,
+            unix_micros(last_ts) AS last_ts_us
+        FROM contract_state
+        """
+    )
+
+
+WALLET_COIN_BALANCES_SQL_ORACLE = WALLET_COIN_BALANCES_ORACLE
+
+
+# Day-bucketed as-of join in SQL: quotes explode over their reachable
+# 7-day span (LATERAL VIEW explode(sequence(...))), the join is an
+# EQUI join on (event_type, day) with the exploded dim broadcast, and
+# best-quote selection is a min_by hash aggregate over the
+# deterministic (distance ASC, later-quote-wins) ordering struct —
+# the exact operators.joins.asof_join(bucket_days=7) shape, no window
+# rank, fan-out bounded by the day span at any history length.
+_ASOF_BEST_SQL = """
+exploded AS (
+    SELECT event_type, price_day, price,
+           date_add(to_date(price_day), off) AS ev_day
+    FROM daily_quotes
+    LATERAL VIEW explode(sequence(0, 7)) t AS off
+),
+joined AS (
+    SELECT /*+ BROADCAST(x) */ e.event_id, e.ts, x.price_day, x.price
+    FROM events e
+    JOIN exploded x
+      ON x.event_type = e.event_type AND x.ev_day = to_date(e.ts)
+    WHERE x.price_day BETWEEN e.ts - INTERVAL 7 DAYS AND e.ts
+),
+best AS (
+    SELECT event_id,
+           min_by(named_struct('price_day', price_day, 'price', price),
+                  named_struct('d', abs(unix_micros(ts) - unix_micros(price_day)),
+                               'nt', -unix_micros(price_day))) AS b
+    FROM joined
+    GROUP BY event_id
+)
+"""
+
+
+def asof_price_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL twin of plans.relational.asof_price (J8/W12 nearest-price
+    as-of join, 7-day backward tolerance)."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        f"""
+        WITH daily_quotes AS (
+            SELECT event_type, date_trunc('day', ts) AS price_day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS price
+            FROM events
+            GROUP BY 1, 2
+        ),
+        {_ASOF_BEST_SQL.strip()}
+        SELECT e.event_id,
+               COALESCE(b.b.price, 0.0D) AS asof_price,
+               unix_micros(b.b.price_day) AS price_day_us
+        FROM events e
+        LEFT JOIN best b ON e.event_id = b.event_id
+        """
+    )
+
+
+ASOF_PRICE_SQL_ORACLE = ASOF_PRICE_ORACLE
+
+
+def window_running_balance_eth_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL twin of plans.windows_plans.window_running_balance_eth —
+    the hardest composition in the engine: as-of priced legs over the
+    wallet model with dual running ETH balances (per-contract and
+    per-wallet) on the 4-level deterministic order, every intermediate
+    in the same DECIMAL types as the DataFrame plan."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        f"""
+        WITH {WALLET_TX_SQL_CTE.strip()},
+        daily_quotes AS (
+            SELECT event_type, date_trunc('day', ts) AS price_day,
+                   MAX(CAST(value AS DECIMAL(12,4))) AS price
+            FROM events
+            WHERE event_type IN ('click', 'error', 'view')
+            GROUP BY 1, 2
+        ),
+        {_ASOF_BEST_SQL.strip()},
+        priced AS (
+            SELECT /*+ REPARTITION(wallet_address) */ w.*, b.b.price AS price,
+                   COALESCE(b.b.price,
+                            CAST(CASE WHEN w.contract_address = 'purchase'
+                                      THEN 1 ELSE 0 END AS DECIMAL(12,4))) AS price_eff
+            FROM wallet_tx w
+            LEFT JOIN best b ON w.event_id = b.event_id
+        ),
+        signed AS (
+            SELECT *,
+                CAST(CASE WHEN address_role = 'sender'
+                     THEN -(CAST(current_value AS DECIMAL(20,9)) * price_eff)
+                          - CAST(tx_fee AS DECIMAL(20,13))
+                     ELSE CAST(current_value AS DECIMAL(20,9)) * price_eff
+                     END AS DECIMAL(34,13)) AS eth_signed
+            FROM priced
+        )
+        SELECT
+            event_id,
+            wallet_address,
+            contract_address,
+            address_role,
+            CAST(price_eff AS DOUBLE) AS eth_price,
+            CAST(CAST(current_value AS DECIMAL(20,9))
+                 * COALESCE(price, CAST(0 AS DECIMAL(12,4))) AS DOUBLE) AS value_in_eth,
+            CAST(CAST(ROUND(SUM(eth_signed) OVER (
+                PARTITION BY wallet_address, contract_address
+                ORDER BY {_WT_ORDER}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS DECIMAL(38,5))
+                AS STRING) AS bal_eth_by_contract,
+            CAST(CAST(ROUND(SUM(eth_signed) OVER (
+                PARTITION BY wallet_address
+                ORDER BY {_WT_ORDER}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS DECIMAL(38,5))
+                AS STRING) AS bal_eth_wallet
+        FROM signed
+        """
+    )
+
+
+WINDOW_RUNNING_BALANCE_ETH_SQL_ORACLE = WINDOW_RUNNING_BALANCE_ETH_ORACLE
