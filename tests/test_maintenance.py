@@ -977,3 +977,344 @@ def test_cas_chaos_crash_mid_claim_loop(tmp_path, backend_kind):
             base = winner_gen
     finally:
         W.set_cas_backend(None)
+
+
+def test_erase_from_store_generation_commit(spark, tmp_path):
+    """erase_from_store (r11): right-to-erasure as a GENERATION commit —
+    erased keys gone from the new live generation, untouched partitions
+    HARDLINKED (same inode, no data copied), a fully-emptied partition
+    dropped rather than relinked (the resurrection failure mode), the
+    prior generation intact for time travel until vacuum expires it."""
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "erase_store")
+    schema = "k long, val long, bucket string"
+    rows = [(k, 10 * k, str(k % 2)) for k in range(8)] + [(100, 1, "solo")]
+    W.merge_upsert(
+        spark,
+        spark.createDataFrame(rows, schema),
+        store,
+        key=["k"],
+        partition_cols=["bucket"],
+    )
+
+    doomed = spark.createDataFrame([(1,), (3,), (100,)], "k long")
+    n = W.erase_from_store(spark, doomed, store, "k", partition_cols=("bucket",))
+    assert n == 3
+
+    live = W.read_store(spark, store)
+    left = {r.k for r in live.collect()}
+    assert left == {0, 2, 4, 5, 6, 7}
+    # the solo partition was fully erased: its dir must NOT exist in
+    # the live generation (relinking it would resurrect k=100)
+    gen2 = W.resolve_store(store)
+    assert not os.path.exists(os.path.join(gen2, "bucket=solo"))
+    # bucket=0 was untouched (keys 1,3 live in bucket=1): hardlinked
+    gen1 = W.resolve_store(store, generation=1)
+    f1 = [f for f in os.listdir(os.path.join(gen1, "bucket=0")) if f.endswith(".parquet")]
+    f2 = [f for f in os.listdir(os.path.join(gen2, "bucket=0")) if f.endswith(".parquet")]
+    assert f1 == f2
+    ino1 = os.stat(os.path.join(gen1, "bucket=0", f1[0])).st_ino
+    ino2 = os.stat(os.path.join(gen2, "bucket=0", f2[0])).st_ino
+    assert ino1 == ino2, "untouched partition must be hardlinked, not rewritten"
+    # generation 1 still holds the erased rows (time travel) — the
+    # documented two-step: the erase completes when vacuum expires it
+    assert spark.read.parquet(gen1).filter("k in (1, 3, 100)").count() == 3
+    W.vacuum_generations(store, keep=1, stage_grace_sec=0)
+    assert W.list_generations(store) == [os.path.basename(gen2)]
+    # idempotent: erasing the same keys again is a no-op (no new gen)
+    assert W.erase_from_store(spark, doomed, store, "k", partition_cols=("bucket",)) == 0
+    assert W.list_generations(store) == [os.path.basename(gen2)]
+
+
+def test_vacuum_fence_protects_inflight_publish(spark, tmp_path):
+    """The r11 concurrency contract: while a WRITER holds the live
+    base's advance claim (mid-publish or crashed winner), vacuum must
+    skip uncommitted generations entirely — and once the claim is
+    gone, reclaim them behind its own fence and release the fence."""
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "fence_store")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    W.commit_generation(df, store)
+    live = os.path.basename(W.resolve_store(store))
+
+    # a "renamed but not yet flipped" generation + its writer's claim
+    os.makedirs(os.path.join(store, "gen-000009"))
+    cas = W.get_cas_backend()
+    assert cas.claim(store, live, "gen-000009")
+    removed = W.vacuum_generations(store, keep=1, stage_grace_sec=0)
+    assert removed == [], "claim-held uncommitted gen must survive vacuum"
+    assert os.path.isdir(os.path.join(store, "gen-000009"))
+
+    # claim gone (writer finished its recovery/rollback): reclaimable
+    cas.release(store, live)
+    removed = W.vacuum_generations(store, keep=1, stage_grace_sec=0)
+    assert removed == ["gen-000009"]
+    # the sweep released its own fence: the next commit proceeds clean
+    assert cas.read_claim(store, live) is None
+    W.commit_generation(df, store)
+    # numbering reuses 2: the ghost that would have forced a skip is gone
+    assert os.path.basename(W.resolve_store(store)) == "gen-000002"
+
+
+def test_vacuum_fence_stale_break_and_writer_retry(spark, tmp_path):
+    """A fence orphaned by a crashed sweep: writers see it, raise a
+    retryable ConcurrentCommitError while it is fresh, and BREAK it
+    once it is older than the TTL; a later sweep breaks it the same
+    way. Ghost dirs a crashed writer renamed are only flipped to if
+    they still exist (the torn-snapshot closure)."""
+    import pytest
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "stale_store")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    W.commit_generation(df, store)
+    live = os.path.basename(W.resolve_store(store))
+    cas = W.get_cas_backend()
+
+    # fresh fence: commits fail retryably and do NOT steal the fence
+    assert cas.claim(store, live, W._make_vacuum_fence())
+    with pytest.raises(W.ConcurrentCommitError, match="vacuum sweep holds"):
+        W.commit_generation(df, store)
+    assert (cas.read_claim(store, live) or "").startswith(W._VFENCE_PREFIX)
+
+    # stale fence (TTL elapsed): the next commit breaks it and retries
+    cas.release(store, live)
+    assert cas.claim(store, live, f"{W._VFENCE_PREFIX}0.000-0-dead")
+    with pytest.raises(W.ConcurrentCommitError):
+        W.commit_generation(df, store)  # breaks the stale fence, loses once
+    W.commit_generation(df, store)  # retry wins
+    # (failed attempts clean their own dest dirs, so numbering reuses 2)
+    assert os.path.basename(W.resolve_store(store)) == "gen-000002"
+
+    # torn-snapshot closure: a claim won at a vanished generation must
+    # refuse to flip (release + retryable error), never publish a
+    # pointer at a missing directory
+    base = "gen-000002"
+    with pytest.raises(W.ConcurrentCommitError, match="reclaimed by a vacuum"):
+        W._flip_latest(store, "gen-000055", expected_base=base)
+    assert cas.read_claim(store, base) is None
+    assert os.path.basename(W.resolve_store(store)) == base
+
+
+def test_three_way_chaos_merge_vacuum_erase(spark, tmp_path):
+    """VERDICT r10 #7: merge_upsert × vacuum_generations ×
+    erase_from_store interleaved ACROSS PROCESSES with crash injection
+    between commit phases — the 100 TB deploy story runs maintenance
+    concurrently with writes. Two real Spark processes (a merger
+    upserting value batches, an eraser erasing seeded subjects) crash
+    at seeded points in the protocol (before the staged rename; after
+    the rename, before the claim — the exact window the r11 vacuum
+    fence exists for; after the claim, before the pointer write) and
+    are restarted to resume from their fsync'd progress logs, while
+    the parent sweeps vacuum_generations ≥100 times throughout.
+
+    Invariants: the pointer ALWAYS names an existing generation (no
+    torn snapshot — checked after every sweep), vacuum never collects
+    the live generation, every committed merge batch's final values
+    survive, committed erases never resurrect (checked against EVERY
+    surviving generation after the final quiesced keep=1 sweep), and
+    no crashed residue outlives a zero-grace sweep."""
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "chaos3_store")
+    logs = {"merge": str(tmp_path / "merge.log"), "erase": str(tmp_path / "erase.log")}
+    schema = "k long, val long, bucket string"
+
+    # seed: erase-range subjects (100-129), a solo partition that a
+    # complete erase must DROP (300-304), untouched bystanders (200-219)
+    seed = (
+        [(k, -1, str(k % 4)) for k in range(100, 130)]
+        + [(k, -2, "solo") for k in range(300, 305)]
+        + [(k, -3, str(k % 4)) for k in range(200, 220)]
+    )
+    W.merge_upsert(
+        spark,
+        spark.createDataFrame(seed, schema),
+        store,
+        key=["k"],
+        partition_cols=["bucket"],
+    )
+
+    worker_src = """
+import os, random, sys, time
+
+sys.path.insert(0, "/root/repo")
+from wallet_and_risky_features_data_pipeline_spark.session import get_spark
+from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+role, store, log_path, crash_spec = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+# crash_spec: comma list of iter:phase, consumed by the parent (a spec
+# entry is passed only until its crash has fired once)
+plan = {}
+for tok in crash_spec.split(","):
+    if tok:
+        it, ph = tok.split(":")
+        plan[int(it)] = ph
+armed = {"phase": None}
+
+_real_rename = os.rename
+def _rename_hook(src, dst):
+    if armed["phase"] == "pre-rename" and "/gen-" in str(dst):
+        os._exit(9)
+    return _real_rename(src, dst)
+os.rename = _rename_hook
+
+_real_flip = W._flip_latest
+def _flip_hook(path, gen_name, expected_base=None):
+    if armed["phase"] == "pre-claim":
+        os._exit(9)  # renamed, never claimed: the vacuum-fence window
+    return _real_flip(path, gen_name, expected_base)
+W._flip_latest = _flip_hook
+
+_real_rp = W._replace_pointer
+def _rp_hook(path, gen_name):
+    if armed["phase"] == "pre-pointer":
+        os._exit(9)  # claimed, never published: the roll-forward window
+    return _real_rp(path, gen_name)
+W._replace_pointer = _rp_hook
+
+spark = get_spark(f"chaos3-{role}", shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+schema = "k long, val long, bucket string"
+rng = random.Random(hash(role) & 0xFFFF)
+
+done = set()
+if os.path.exists(log_path):
+    with open(log_path) as f:
+        done = {int(l) for l in f.read().split() if l}
+
+N = 8 if role == "merge" else 7
+for i in range(N):
+    if i in done:
+        continue
+    armed["phase"] = plan.get(i)
+    if role == "merge":
+        rows = [(k, i, str(k % 4)) for k in range(8)]
+        batch = spark.createDataFrame(rows, schema)
+        op = lambda: W.merge_upsert(spark, batch, store, key=["k"], partition_cols=["bucket"])
+    else:
+        if i < 6:
+            keys = list(range(100 + 5 * i, 100 + 5 * (i + 1)))
+        else:
+            keys = list(range(300, 305))  # empties the solo partition
+        kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+        op = lambda: W.erase_from_store(spark, kdf, store, "k", partition_cols=("bucket",))
+    while True:
+        try:
+            op()
+            break
+        except W.ConcurrentCommitError:
+            time.sleep(rng.uniform(0.02, 0.15))
+        except Exception as e:
+            # expired-snapshot read: the sweep reclaimed the generation
+            # this op was scanning (keep=2 retention under sub-second
+            # commits). The documented client contract — like Iceberg
+            # readers racing expire_snapshots — is retry on the NEW
+            # snapshot; anything else is a real failure.
+            msg = str(e)
+            if ("FileNotFoundException" in msg or "PATH_NOT_FOUND" in msg
+                    or "does not exist" in msg or "FileNotFoundError" in msg):
+                time.sleep(rng.uniform(0.02, 0.15))
+            else:
+                raise
+    armed["phase"] = None
+    with open(log_path, "a") as f:
+        f.write(f"{i}\\n")
+        f.flush()
+        os.fsync(f.fileno())
+print("DONE", role)
+"""
+    script = tmp_path / "chaos_worker.py"
+    script.write_text(worker_src)
+
+    crash_plans = {
+        "merge": {2: "pre-claim", 5: "pre-pointer"},
+        "erase": {1: "pre-rename", 4: "pre-claim"},
+    }
+
+    stop = threading.Event()
+    sweep_stats = {"n": 0, "violations": []}
+
+    def vacuum_loop():
+        while not stop.is_set() or sweep_stats["n"] < 100:
+            try:
+                W.vacuum_generations(store, keep=2)
+            except FileNotFoundError:
+                pass  # a rival removed a listed dir first — tolerated
+            try:
+                live = W.resolve_store(store)
+                if not os.path.isdir(live):
+                    sweep_stats["violations"].append(f"torn pointer: {live}")
+            except Exception as e:  # noqa: BLE001
+                sweep_stats["violations"].append(f"resolve failed: {e}")
+            sweep_stats["n"] += 1
+            time.sleep(0.02)
+
+    import time
+
+    sweeper = threading.Thread(target=vacuum_loop, daemon=True)
+    sweeper.start()
+
+    def run_role(role):
+        plan = dict(crash_plans[role])
+        for _restart in range(6):
+            spec = ",".join(f"{i}:{p}" for i, p in sorted(plan.items()))
+            proc = subprocess.run(
+                [sys.executable, str(script), role, store, logs[role], spec],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                timeout=300,
+            )
+            out = proc.stdout.decode()
+            if proc.returncode == 0:
+                assert f"DONE {role}" in out, out[-2000:]
+                return
+            assert proc.returncode == 9, f"{role} died unexpectedly: {out[-2000:]}"
+            # the armed crash fired: drop every plan entry at-or-before
+            # the furthest progress (the log tells which iter crashed)
+            done = set()
+            if os.path.exists(logs[role]):
+                with open(logs[role]) as f:
+                    done = {int(l) for l in f.read().split() if l}
+            nxt = min(set(range(20)) - done)
+            plan.pop(nxt, None)
+        raise AssertionError(f"{role} did not finish within restart budget")
+
+    threads = [threading.Thread(target=run_role, args=(r,)) for r in ("merge", "erase")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    sweeper.join(timeout=120)
+    assert sweep_stats["n"] >= 100, sweep_stats["n"]
+    assert sweep_stats["violations"] == [], sweep_stats["violations"][:5]
+
+    # quiesced final sweep reclaims everything but the live generation
+    W.vacuum_generations(store, keep=1, stage_grace_sec=0)
+    gens = W.list_generations(store)
+    live = os.path.basename(W.resolve_store(store))
+    assert gens == [live], (gens, live)
+    residue = [e for e in os.listdir(store) if e.startswith(".tmp-gen-")]
+    assert residue == [], residue
+
+    final = {r.k: r.val for r in W.read_store(spark, store).collect()}
+    # every committed merge batch's final value survives: val = last i
+    with open(logs["merge"]) as f:
+        last_merge = max(int(l) for l in f.read().split())
+    assert {k: final.get(k) for k in range(8)} == {k: last_merge for k in range(8)}
+    # committed erases never resurrect — in ANY surviving generation
+    erased = set(range(100, 130)) | set(range(300, 305))
+    survivors = erased & set(final)
+    assert survivors == set(), sorted(survivors)
+    assert not os.path.exists(os.path.join(W.resolve_store(store), "bucket=solo"))
+    # bystanders untouched
+    assert {final[k] for k in range(200, 220)} == {-3}

@@ -858,7 +858,7 @@ def test_merge_upsert_detects_concurrent_commit(spark, tmp_path):
     real_link = writers._link_untouched
     raced = {"done": False}
 
-    def racing_link(cur_gen, staged):
+    def racing_link(cur_gen, staged, skip=frozenset()):
         # the RIVAL writer lands a full commit while we are mid-commit
         if not raced["done"]:
             raced["done"] = True
@@ -869,7 +869,7 @@ def test_merge_upsert_detects_concurrent_commit(spark, tmp_path):
                 key=["id"],
                 partition_cols=["part"],
             )
-        real_link(cur_gen, staged)
+        real_link(cur_gen, staged, skip=skip)
 
     writers._link_untouched = racing_link
     try:

@@ -627,6 +627,38 @@ def _next_gen_number(path: str) -> int:
     return max(seen) + 1
 
 
+# Vacuum fence (r11, VERDICT r10 #7): a maintenance sweep that wants to
+# reclaim UNCOMMITTED generations takes the live base's advance claim
+# with a reserved intent value — excluding every writer for the sweep's
+# duration instead of racing them. The fence carries its creation time:
+# writers (and later sweeps) may BREAK a fence older than the TTL (a
+# crashed vacuum must not wedge the store), so a sweep must finish well
+# inside the TTL — trivially true for directory removals. "__vacuum-"
+# can never collide with a real generation intent ("gen-" prefix).
+_VFENCE_PREFIX = "__vacuum-"
+
+
+def _vacuum_fence_ttl() -> float:
+    return float(os.environ.get("SPARK_GRAFT_VACUUM_FENCE_TTL", "900"))
+
+
+def _make_vacuum_fence() -> str:
+    import time as _time
+    import uuid as _uuid
+
+    return f"{_VFENCE_PREFIX}{_time.time():.3f}-{os.getpid()}-{_uuid.uuid4().hex[:6]}"
+
+
+def _vacuum_fence_stale(intent: str) -> bool:
+    import time as _time
+
+    try:
+        born = float(intent[len(_VFENCE_PREFIX) :].split("-", 1)[0])
+    except ValueError:
+        return True  # unparseable fence: treat as stale, let it be broken
+    return _time.time() - born > _vacuum_fence_ttl()
+
+
 def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> None:
     """Atomically commit ``gen_name`` as the live generation — an
     intent-logged compare-and-swap on the BASE snapshot.
@@ -656,6 +688,21 @@ def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> 
     cas = get_cas_backend()
     if not cas.claim(path, expected_base, gen_name):
         intended = cas.read_claim(path, expected_base) or ""
+        if intended.startswith(_VFENCE_PREFIX):
+            # a vacuum sweep holds this base's advance slot: never roll
+            # it forward (its target is no directory) and never release
+            # a LIVE fence — stealing it mid-sweep would let this
+            # writer publish a generation the sweep is about to list...
+            # except sweeps only remove dirs listed BEFORE fencing; the
+            # real hazard is symmetric fence theft (two "winners").
+            # Only a STALE fence (crashed vacuum, TTL elapsed) may be
+            # broken, restoring liveness; the retry then claims anew.
+            if _vacuum_fence_stale(intended):
+                cas.release(path, expected_base)
+            raise ConcurrentCommitError(
+                f"store {path}: a vacuum sweep holds the advance slot of "
+                f"{expected_base or 'the empty store'}; retry the commit"
+            ) from None
         if intended and intended != gen_name and _read_pointer(path) == expected_base:
             if os.path.isdir(os.path.join(path, intended)):
                 # the rival crashed (or is mid-flip) after winning this
@@ -670,6 +717,18 @@ def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> 
             f"store {path}: another writer already advanced "
             f"{expected_base or 'the empty store'}; re-run on the new snapshot"
         ) from None
+    # Concurrent-vacuum closure (r11): this writer RENAMED its dir
+    # before claiming, so a fence-holding sweep that listed the dir as
+    # uncommitted may have removed it before this claim landed. Having
+    # won the claim, verify the generation still exists — flipping the
+    # pointer at a vanished directory is the torn-snapshot failure the
+    # chaos harness exists to rule out.
+    if not os.path.isdir(os.path.join(path, gen_name)):
+        cas.release(path, expected_base)
+        raise ConcurrentCommitError(
+            f"store {path}: generation {gen_name} was reclaimed by a "
+            "vacuum sweep before its publish; re-run on the new snapshot"
+        )
     # Defense in depth behind the CAS: having won the advance from
     # expected_base, the pointer can only be expected_base (normal) or
     # already gen_name (a helpful rival rolled our intent forward).
@@ -682,16 +741,26 @@ def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> 
     _replace_pointer(path, gen_name)
 
 
-def _link_untouched(cur_gen: str, staged: str) -> None:
+def _link_untouched(
+    cur_gen: str, staged: str, skip: frozenset[str] = frozenset()
+) -> None:
     """Hardlink every file of ``cur_gen`` whose leaf partition dir was
     NOT rewritten into ``staged``. Metadata-only (no data copied) —
     the local-fs equivalent of an Iceberg manifest pointing at the
-    previous snapshot's unchanged data files."""
+    previous snapshot's unchanged data files.
+
+    ``skip``: relative partition dirs that were TOUCHED by the rewrite
+    but may be absent from ``staged`` — a partition whose every row was
+    deleted writes no output, and relinking it would resurrect the
+    deleted rows (the erase path's failure mode; a merge's union always
+    rewrites its touched partitions, so merges pass nothing here)."""
     for dirpath, dirnames, filenames in os.walk(cur_gen):
         dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
         rel = os.path.relpath(dirpath, cur_gen)
         if rel == ".":
             continue  # root holds only markers (_SUCCESS), Spark rewrites them
+        if any(rel == s or rel.startswith(s + os.sep) for s in skip):
+            continue  # touched by the rewrite: absence means fully deleted
         dst_dir = os.path.join(staged, rel)
         if os.path.isdir(dst_dir):
             continue  # partition rewritten by this merge
@@ -945,19 +1014,44 @@ def evolve_partitioning(
     return gen_name
 
 
-def vacuum_generations(path: str, keep: int = 1) -> list[str]:
+def vacuum_generations(
+    path: str, keep: int = 1, stage_grace_sec: float = 3600.0
+) -> list[str]:
     """Drop (a) all but the newest ``keep`` COMMITTED generations,
-    (b) every UNCOMMITTED generation — dirs newer than the live
-    pointer, left by a commit that crashed between rename and flip —
-    and (c) crashed staging dirs. Iceberg's ``expire_snapshots``
-    analog, and a REQUIRED step of right-to-erasure: BOTH old snapshots
-    and unpublished crash leftovers retain erased subjects' rows, so an
-    erase that skipped either would silently leave data recoverable.
-    Never touches the live generation. Returns removed names.
+    (b) UNCOMMITTED generations — dirs newer than the live pointer,
+    left by a commit that crashed between rename and flip — and
+    (c) crashed staging dirs older than ``stage_grace_sec``. Iceberg's
+    ``expire_snapshots`` analog, and a REQUIRED step of
+    right-to-erasure: BOTH old snapshots and unpublished crash
+    leftovers retain erased subjects' rows, so an erase that skipped
+    either would silently leave data recoverable. Never touches the
+    live generation. Returns removed names.
 
-    Single-maintainer assumption: do not run concurrently with an
-    in-flight merge (its rename-but-not-yet-flipped generation is
-    indistinguishable from a crash leftover)."""
+    Concurrency contract (r11, VERDICT r10 #7 — previously
+    single-maintainer): safe to run WHILE writers commit.
+
+    - Historic committed generations are reclaimed unconditionally: no
+      writer ever advances FROM a historic base (a straggler that
+      computed against one fails ``_flip_latest``'s pointer check).
+    - Uncommitted generations are reclaimed only after this sweep wins
+      the live base's advance slot with a VACUUM FENCE — the same CAS
+      every writer's publish goes through — so no writer can be
+      between its rename and its claim while the sweep deletes. A
+      writer whose pre-claim rename the sweep removed detects it at
+      claim time (``_flip_latest`` existence check) and retries. If
+      the claim is held (in-flight or crashed winner), the sweep
+      SKIPS uncommitted dirs: a crashed winner's generation is rolled
+      FORWARD by the next writer, after which it is history and a
+      later sweep reclaims it. The fence is released when the sweep
+      still owns it; a fence orphaned by a crashed sweep is broken by
+      writers/sweeps after ``SPARK_GRAFT_VACUUM_FENCE_TTL`` (900 s
+      default — a sweep is directory removals and must finish far
+      inside it).
+    - Staging dirs get an mtime grace window because staging happens
+      BEFORE the fence-visible protocol starts: a live writer's
+      in-flight Spark output is indistinguishable from a crash
+      leftover for its first ``stage_grace_sec`` seconds.
+    """
     removed: list[str] = []
     if not os.path.isdir(path):
         return removed
@@ -976,26 +1070,59 @@ def vacuum_generations(path: str, keep: int = 1) -> list[str]:
         # leftover (resolve_store refuses these stores for the same
         # reason)
         committed, uncommitted = [], gens
-    doomed = committed[: max(0, len(committed) - keep)] + uncommitted
-    doomed = [g for g in doomed if g != live]
+    cas = get_cas_backend()
+
+    import time as _time
+
+    doomed = [g for g in committed[: max(0, len(committed) - keep)] if g != live]
     for d in os.listdir(path):
         if d.startswith(_STAGE_PREFIX):
-            doomed.append(d)
-    cas = get_cas_backend()
-    for g in doomed:
-        shutil.rmtree(os.path.join(path, g), ignore_errors=False)
-        # drop the expired generation's advance claim with it
-        cas.release(path, g)
-        removed.append(g)
-    # Roll BACK any pending intent whose target this sweep destroyed
-    # (advance marker at the live base pointing at a now-removed
-    # uncommitted gen), and the inert genesis marker once a pointer
-    # exists — otherwise a future commit from this base would wedge on
-    # a marker naming a vanished generation.
-    if uncommitted and live is not None:
-        cas.release(path, live)
+            try:
+                age = _time.time() - os.path.getmtime(os.path.join(path, d))
+            except OSError:
+                continue  # vanished mid-listing (a rival sweep)
+            if age >= stage_grace_sec:
+                doomed.append(d)
+
+    # Uncommitted reclamation behind the vacuum fence.
+    fenced = False
+    token = None
+    if uncommitted:
+        intent = cas.read_claim(path, live)
+        if intent and intent.startswith(_VFENCE_PREFIX) and _vacuum_fence_stale(intent):
+            cas.release(path, live)  # crashed sweep: break its fence
+            intent = None
+        if intent is None:
+            token = _make_vacuum_fence()
+            if cas.claim(path, live, token):
+                # the pointer may have advanced between the listing and
+                # the fence claim — the computed "uncommitted" set would
+                # then straddle the NEW live generation; skip this sweep
+                if _read_pointer(path) == live:
+                    fenced = True
+                    doomed += [g for g in uncommitted if g != live]
+        # claim held by a writer or live fence: leave uncommitted dirs
+        # for the next sweep (or the next writer's roll-forward)
+
+    try:
+        for g in doomed:
+            shutil.rmtree(os.path.join(path, g), ignore_errors=False)
+            # drop the expired generation's advance claim with it
+            cas.release(path, g)
+            removed.append(g)
+    finally:
+        if token is not None and cas.read_claim(path, live) == token:
+            # release only the fence this sweep itself placed — never a
+            # claim a rival took after breaking a stale fence of ours
+            cas.release(path, live)
+    # Drop the inert genesis marker once a pointer exists — the
+    # empty-store base can never be advanced from again.
     if live is not None:
-        cas.release(path, None)
+        genesis_intent = cas.read_claim(path, None) or ""
+        if not genesis_intent.startswith(_VFENCE_PREFIX) or _vacuum_fence_stale(
+            genesis_intent
+        ):
+            cas.release(path, None)
     return removed
 
 
@@ -1097,7 +1224,27 @@ def merge_upsert(
     )
     kept = touched.join(updates.select(*key), on=list(key), how="left_anti")
     merged = kept.unionByName(updates.select(*kept.columns))
+    return _commit_partition_rewrite(
+        spark, path, cur_gen, merged, partition_cols, next_n
+    )
 
+
+def _commit_partition_rewrite(
+    spark: SparkSession,
+    path: str,
+    cur_gen: str,
+    merged: DataFrame,
+    partition_cols: Sequence[str],
+    next_n: int,
+    skip_relink: frozenset[str] = frozenset(),
+) -> int:
+    """Shared publish tail of the partition-rewrite family
+    (``merge_upsert``, ``erase_from_store``): stage the rewritten
+    partitions, hardlink the untouched ones from the live generation,
+    rename, and CAS-flip the pointer. Returns the staged row count."""
+    import uuid
+
+    gen_name = f"{_GEN_PREFIX}{next_n:06d}"
     # gen_name/next_n computed up front by _next_gen_number (ghost-skip).
     # Unique per-writer staging: a shared .tmp-gen-N name would let a
     # rival's startup cleanup delete THIS writer's in-flight Spark
@@ -1109,9 +1256,17 @@ def merge_upsert(
     # still-immutable live generation, so no localCheckpoint is needed.
     merged.write.partitionBy(*partition_cols).mode("overwrite").parquet(staged)
     # Row count by reading back the staged files — cheaper than
-    # re-executing the merge plan and exact by construction.
-    n = spark.read.parquet(staged).count()
-    _link_untouched(cur_gen, staged)
+    # re-executing the merge plan and exact by construction. An erase
+    # that empties every touched partition stages no parquet at all
+    # (only _SUCCESS) — schema inference would fail on it, and 0 is
+    # exact.
+    staged_has_data = any(
+        f.endswith(".parquet")
+        for _dp, _dn, fs in os.walk(staged)
+        for f in fs
+    )
+    n = spark.read.parquet(staged).count() if staged_has_data else 0
+    _link_untouched(cur_gen, staged, skip=skip_relink)
     dest = os.path.join(path, gen_name)
     # the numbering skipped every ghost visible at merge start, so an
     # existing dest now means a rival renamed it during this merge
@@ -1137,6 +1292,99 @@ def merge_upsert(
         shutil.rmtree(dest, ignore_errors=True)
         raise
     return n
+
+
+def erase_from_store(
+    spark: SparkSession,
+    keys: DataFrame,
+    path: str,
+    key_col: str,
+    partition_cols: Sequence[str] = ("address_partition",),
+) -> int:
+    """Right-to-erasure as a GENERATION commit — the store-native
+    counterpart of ``maintenance.propagate_deletes`` (which rewrites a
+    plain parquet table in place): remove every row whose ``key_col``
+    appears in ``keys`` from the live generation by committing a NEW
+    generation with the touched partitions rewritten (anti-join) and
+    the untouched ones hardlinked — the same staged-write → rename →
+    CAS-flip protocol as ``merge_upsert``, so it is crash-safe and
+    safe to interleave with concurrent writers (optimistic retry on
+    ``ConcurrentCommitError``) and with the fenced
+    ``vacuum_generations``. A partition whose every row is erased is
+    dropped from the new generation outright (``_link_untouched``'s
+    ``skip`` contract — relinking it would resurrect the rows).
+
+    The erase is complete only after ``vacuum_generations`` expires
+    the prior generations (and crash leftovers) that still hold the
+    subject's rows — the documented two-step the module docstring and
+    the reference's Iceberg DELETE+expire flow share. Returns the
+    number of rows erased from the live snapshot."""
+    keys = keys.select(key_col).distinct().localCheckpoint(eager=True)
+    if keys.isEmpty():
+        return 0
+    from .readers import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    cur_gen = resolve_store(path)
+    next_n = _next_gen_number(path)
+    target = spark.read.parquet(cur_gen)
+    doomed_parts = (
+        target.join(keys.hint("broadcast"), on=key_col, how="left_semi")
+        .select(*partition_cols)
+        .distinct()
+    )
+    # driver-scale: partition fan-out is bounded (≤256 buckets)
+    doomed_vals = {
+        tuple(str(r[c]) for c in partition_cols) for r in doomed_parts.collect()
+    }
+    if not doomed_vals:
+        return 0
+    touched = target.join(
+        doomed_parts.hint("broadcast"), on=list(partition_cols), how="left_semi"
+    )
+    n_erased = touched.join(keys.hint("broadcast"), on=key_col, how="left_semi").count()
+    kept = touched.join(keys.hint("broadcast"), on=key_col, how="left_anti")
+    # Touched partitions absent from the staged output (fully erased)
+    # must NOT be relinked: resolve the on-disk dir names by PARSING
+    # the live generation's layout (decode-direction matching — robust
+    # to Spark's hive escaping) instead of re-encoding values.
+    skip_relink = frozenset(
+        rel
+        for rel, vals in _partition_dirs(cur_gen, list(partition_cols)).items()
+        if vals in doomed_vals
+    )
+    _commit_partition_rewrite(
+        spark, path, cur_gen, kept, partition_cols, next_n, skip_relink=skip_relink
+    )
+    return n_erased
+
+
+def _partition_dirs(gen_dir: str, partition_cols: list[str]) -> dict[str, tuple]:
+    """Map each relative leaf partition dir of ``gen_dir`` to its
+    decoded value tuple (hive ``col=value`` segments, %-unescaped,
+    ``__HIVE_DEFAULT_PARTITION__`` → the string ``"None"`` to match
+    ``str(None)`` on the DataFrame side)."""
+    from urllib.parse import unquote
+
+    out: dict[str, tuple] = {}
+    for dirpath, dirnames, _filenames in os.walk(gen_dir):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        rel = os.path.relpath(dirpath, gen_dir)
+        if rel == ".":
+            continue
+        segs = rel.split(os.sep)
+        if len(segs) != len(partition_cols):
+            continue  # not a leaf at the partition depth
+        kv = {}
+        for seg in segs:
+            if "=" not in seg:
+                break
+            c, v = seg.split("=", 1)
+            kv[c] = "None" if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        else:
+            if list(kv) == partition_cols:
+                out[rel] = tuple(kv[c] for c in partition_cols)
+    return out
 
 
 def store_snapshots(spark: SparkSession, path: str) -> DataFrame:

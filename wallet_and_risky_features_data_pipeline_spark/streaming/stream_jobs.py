@@ -122,6 +122,35 @@ def _ooo_total(snaps, job_name: str) -> None:
     LAST_OOO_VIOLATIONS[job_name] = int(row[0] or 0)
 
 
+def _run_append_to_parquet(spark, stream, ckpt_dir: str, prefix: str, query_out=None):
+    """Drain an append-mode stream through a PARQUET sink and read the
+    result back. The memory sink parks every emitted row in the DRIVER
+    heap — fine for the bounded snapshot emitters (PSI's O(16)
+    histograms, drift's O(64) sums, hours×types OHLC, the
+    complete/update-mode rollups whose retained table is the result
+    grain), but a row- or pair-scaled append emitter is a driver OOM
+    at scale (observed: stream_transitions_reorder at the r11 100×
+    structure probe, 8 g heap). The file sink keeps emission
+    executor-side at any volume; the explicit schema keeps a
+    zero-emission run readable (no part files to infer from); and a
+    parquet scan mints fresh attribute ids per read, so the
+    MemoryPlan self-join hazard (conflicting attributes) cannot reach
+    rollups over the returned frame."""
+    out_dir = tempfile.mkdtemp(prefix=prefix)
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    if query_out is not None:
+        query_out.append(q)
+    q.awaitTermination()
+    return spark.read.schema(stream.schema).parquet(out_dir)
+
+
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
@@ -162,9 +191,17 @@ def _stream_session(spark: SparkSession, shuffle_partitions: int = 4) -> SparkSe
     block cache, so state volume is limited by disk, not heap; it is
     the provider every stateful job here gets whenever the class is on
     the classpath (disable with SPARK_GRAFT_STATE_STORE=hdfs — the
-    env-gated fallback, e.g. to reproduce heap-provider behavior)."""
+    env-gated fallback, e.g. to reproduce heap-provider behavior).
+
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` overrides the per-job partition
+    count globally — the deploy-time knob for sizing state parallelism
+    to the real keyspace (scale probes use it; a 1000-executor cluster
+    would set it to O(cores))."""
     s = spark.newSession()
     _ensure_session_confs(s)
+    shuffle_partitions = int(
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", shuffle_partitions)
+    )
     s.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     # Carry the caller's ANSI mode into the child session (newSession
     # starts from the base conf): the ANSI test leg (VERDICT r9 #6)
@@ -614,18 +651,9 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND p_ts <= c_ts + INTERVAL 1 HOUR"
         ),
     )
-    name = "wrf_stream_stream_band_join"
-    q = (
-        joined.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    rows = _run_append_to_parquet(spark, joined, ckpt_dir, "wrf_stream_stream_band_join_out_")
 
-    return spark.table(name).select(
+    return rows.select(
         F.col("c_id").alias("click_id"),
         F.col("p_id").alias("purchase_id"),
         F.col("c_user").alias("user_id"),
@@ -696,18 +724,9 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_day_avg",
         (F.col("value") - F.col("type_day_avg")).alias("deviation"),
     )
-    name = "wrf_stream_static_enrichment"
-    q = (
-        joined.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    rows = _run_append_to_parquet(spark, joined, ckpt_dir, "wrf_stream_static_enrichment_out_")
 
-    return spark.table(name)
+    return rows
 
 
 STREAM_STATIC_ENRICHMENT_ORACLE = """
@@ -818,17 +837,8 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
-    name = "wrf_threshold_alerts"
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    rows = _run_append_to_parquet(spark, stream, ckpt_dir, "wrf_threshold_alerts_out_")
+    return rows
 
 
 STREAM_THRESHOLD_ALERTS_ORACLE = f"""
@@ -1004,19 +1014,13 @@ def stream_funnel_alerts(
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
-    name = "wrf_funnel_alerts"
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
+    queries: list = []
+    rows = _run_append_to_parquet(
+        spark, stream, ckpt_dir, "wrf_funnel_alerts_out_", query_out=queries
     )
-    q.awaitTermination()
     if metrics_out is not None:
-        metrics_out.extend(state_store_metrics(q))
-    return spark.table(name)
+        metrics_out.extend(state_store_metrics(queries[0]))
+    return rows
 
 
 STREAM_FUNNEL_ALERTS_ORACLE = """
@@ -1402,17 +1406,7 @@ def stream_rolling_zscore(
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
-    name = "wrf_rolling_zscore"
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
-    snaps = spark.table(name)
+    snaps = _run_append_to_parquet(spark, stream, ckpt_dir, "wrf_rolling_zscore_out_")
     _ooo_total(snaps, "stream_rolling_zscore")
     return snaps.select(
         "user_id", "event_id", "ts", "cents", "n_baseline", "z", "is_outlier"
@@ -1510,19 +1504,9 @@ def stream_event_transitions(
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
-    name = "wrf_event_transitions"
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    pairs = _run_append_to_parquet(spark, stream, ckpt_dir, "wrf_event_transitions_out_")
     from pyspark.sql import Window
 
-    pairs = spark.table(name)
     _ooo_total(pairs, "stream_event_transitions")
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
@@ -1647,19 +1631,9 @@ def stream_cusum_monitor(
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
-    name = "wrf_cusum_monitor"
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    rows = _run_append_to_parquet(spark, stream, ckpt_dir, "wrf_cusum_monitor_out_")
     from pyspark.sql import Window
 
-    rows = spark.table(name)
     _ooo_total(rows, "stream_cusum_monitor")
     last = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -1755,19 +1729,9 @@ def stream_activity_entropy(
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
-    name = "wrf_activity_entropy"
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    snaps = _run_append_to_parquet(spark, stream, ckpt_dir, "wrf_activity_entropy_out_")
     from pyspark.sql import Window
 
-    snaps = spark.table(name)
     last = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         snaps.withColumn("__rk", F.row_number().over(last))
@@ -1818,7 +1782,12 @@ def stream_transitions_reorder(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import StructType
 
-    spark = _stream_session(spark)
+    # 16 state partitions, not the 4-partition default: this is the
+    # family's heaviest per-key state (the O(window-events) reorder
+    # buffer), and state parallelism == shuffle partitions; the r11
+    # 100x probe ran 35x at 4 partitions purely on state-task
+    # serialization. SPARK_GRAFT_STREAM_SHUFFLE still overrides.
+    spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_transitions_ro_ckpt_")
 
@@ -1906,26 +1875,18 @@ def stream_transitions_reorder(
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
-    name = "wrf_transitions_reorder"
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
+    # FILE sink, not a memory sink: this job's output is PAIR-SCALED
+    # (every sealed transition plus each batch's provisional tail),
+    # and a memory sink parks all of it in the driver heap — observed
+    # as a driver OOM at the r11 100× structure probe. See
+    # _run_append_to_parquet.
+    rows = _run_append_to_parquet(
+        spark, stream, ckpt_dir, "wrf_transitions_ro_out_"
     )
-    q.awaitTermination()
     from pyspark.sql import Window
-
-    rows = spark.table(name)
     _ooo_total(rows.withColumnRenamed("dead", "ooo"), "stream_transitions_reorder")
     # max seq per user via AGG + join-back, not a full-partition window
     # (the r9 OOM-class sweep: the sink table is pair-scaled)
-    # Self-join over the memory view: every scan of the MemoryPlan
-    # yields the SAME attribute ids (no newInstance), so the agg side
-    # must be re-projected onto fresh attributes (toDF) before the
-    # join or Catalyst rejects the plan as conflicting references.
     max_seq = (
         rows.groupBy("user_id")
         .agg(F.max("seq").alias("mseq"))
@@ -2026,19 +1987,9 @@ def stream_source_psi(
     stream = binned.groupBy("source").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
-    name = "wrf_source_psi"
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    snaps = _run_append_to_parquet(spark, stream, ckpt_dir, "wrf_source_psi_out_")
     from pyspark.sql import Window
 
-    snaps = spark.table(name)
     latest = Window.partitionBy("source", "bin").orderBy(F.col("n_docs").desc())
     per = (
         snaps.withColumn("__rk", F.row_number().over(latest))
@@ -2133,19 +2084,9 @@ def stream_embedding_drift(
     stream = qvecs.groupBy("label").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
-    name = "wrf_embedding_drift"
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.awaitTermination()
+    snaps = _run_append_to_parquet(spark, stream, ckpt_dir, "wrf_embedding_drift_out_")
     from pyspark.sql import Window
 
-    snaps = spark.table(name)
     latest = Window.partitionBy("label", "dim").orderBy(F.col("n_vectors").desc())
     # labels×64 — tiny; LogicalRDD pin for the same MemoryPlan
     # self-join reason as the PSI rollup
