@@ -26,6 +26,9 @@ from .wallet_model import wallet_transactions
 from .windows_plans import WALLET_COIN_BALANCES_ORACLE
 
 SPLIT_AT = "2024-01-15"
+# the LPA warm-start uses a LATE split (last ~10% of the 30-day
+# stream): the nightly-refresh delta its dirty-frontier design is for
+LPA_SPLIT_AT = "2024-01-28"
 
 
 def wallet_coin_balances_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,4 +272,145 @@ def wallet_rolling_distinct_incremental(
 
 from .risk_features import (  # noqa: E402
     WALLET_ROLLING_DISTINCT_ORACLE as WALLET_ROLLING_DISTINCT_INCR_ORACLE,
+)
+
+
+def wallet_label_propagation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental label propagation — the warm-start that completes
+    the incremental graph tier (VERDICT r10 #8): LPA re-run ONLY inside
+    the new edges' 3-hop neighborhood, stitched against the prior run's
+    stored per-round labels, held to the FULL-recompute oracle (same
+    SQL as ``wallet_label_propagation``).
+
+    Why exactness holds: synchronous LPA's round-r label at node n
+    depends only on n's r-hop neighborhood (round-0 labels are node
+    ids). With dist(n) = hops from n to the nearest NEW-edge endpoint,
+    the full-graph round-r label can differ from the prior (old-graph)
+    run's only when dist(n) ≤ r−1 — new edges cannot influence a node
+    before the propagation front reaches it. So the refresh recomputes
+    round r for the dirty set D_{r-1} = {dist ≤ r−1} (grown by one
+    edge-hop per round), resolving neighbor labels through
+    recomputed ∪ (prior round-(r−1) labels for nodes outside D_{r-2})
+    — every lookup is provably still-valid prior state or freshly
+    recomputed. Final labels = recomputed round-R for D_{R-1}, prior
+    round-R elsewhere. New nodes are dist-0, so they never need a
+    prior row. Tie-breaks are the same (count DESC, label ASC)
+    expressions, so equality is structural, not approximate.
+
+    100 TB shape: per-round cost is |edges incident to the dirty set|
+    (semi-join pushes the frontier filter into the edge scan), not
+    |E_old| — a nightly batch whose new edges touch a small
+    neighborhood re-propagates only that neighborhood. The prior
+    per-round label tables are the stored state a deployment
+    maintains (here rebuilt from the pre-split graph inside the query,
+    like every member of the incremental tier, so the driver's own
+    gate proves incremental ≡ full). One edge aggregate serves all
+    three edge sets: per-(a,b) MIN(ts) classifies an undirected edge
+    as old (first seen before the split) or genuinely new — a
+    re-observed old edge never dirties the frontier. The split is the
+    LATE one (``LPA_SPLIT_AT``, the last ~10% of the stream): the
+    nightly-refresh shape this variant exists for, unlike the
+    mid-stream ``SPLIT_AT`` the state-merge members use to stress
+    their stitch arithmetic."""
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+    from .risk_features import LPA_ROUNDS, _lpa_rounds
+
+    wt = wallet_transactions(spark, sf_dir)
+    split = F.lit(LPA_SPLIT_AT).cast("timestamp")
+    sender = (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+
+    legs = wt.filter(sender).select(
+        F.col("wallet_address").cast("bigint").alias("u"),
+        F.col("interacted_with").cast("bigint").alias("v"),
+        "ts",
+    )
+    pairs = persist_tracked(
+        legs.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"), "ts"
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+
+    # ONE persisted symmetric table carrying first_seen serves both
+    # graphs: the old graph is a cheap filter over it, not a second
+    # |2E| materialization.
+    sym_all = persist_tracked(
+        pairs.select(
+            F.col("a").alias("s"), F.col("b").alias("d"), "first_seen"
+        ).unionByName(
+            pairs.select(
+                F.col("b").alias("s"), F.col("a").alias("d"), "first_seen"
+            )
+        )
+    )
+    sym_old = sym_all.filter(F.col("first_seen") < split).select("s", "d")
+    sym_full = sym_all.select("s", "d")
+
+    # prior state: the old graph's per-round label tables
+    prior = _lpa_rounds(sym_old, LPA_ROUNDS)
+
+    # genuinely new structure only: re-observed old edges don't dirty
+    new_edges = pairs.filter(F.col("first_seen") >= split).select("a", "b")
+    dirty = persist_tracked(
+        new_edges.select(F.col("a").alias("node"))
+        .unionByName(new_edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+    pick = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    recomputed = None
+    prev_dirty = None
+    for r in range(1, LPA_ROUNDS + 1):
+        # persisted: consumed by the counts AND by the next frontier
+        # expansion (neighbors of the dirty set ARE this join's d side)
+        edges_r = persist_tracked(
+            sym_full.join(dirty.withColumnRenamed("node", "s"), "s", "left_semi")
+        )
+        if r == 1:
+            # round-0 label of any node is the node id — no lookup table
+            counts = edges_r.groupBy(
+                "s", F.col("d").alias("lbl")
+            ).agg(F.count(F.lit(1)).alias("c"))
+        else:
+            lookup = recomputed.unionByName(
+                prior[r - 2].join(prev_dirty, "node", "left_anti")
+            )
+            counts = (
+                edges_r.join(lookup, edges_r["d"] == lookup["node"])
+                .groupBy("s", "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+        recomputed = persist_tracked(
+            counts.withColumn("__rk", F.row_number().over(pick))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("s").alias("node"), "lbl")
+        )
+        prev_dirty = dirty
+        if r < LPA_ROUNDS:
+            dirty = persist_tracked(
+                dirty.unionByName(
+                    edges_r.select(F.col("d").alias("node"))
+                ).distinct()
+            )
+
+    final = recomputed.unionByName(
+        prior[LPA_ROUNDS - 1].join(prev_dirty, "node", "left_anti")
+    )
+    sizes = final.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return final.join(sizes, "lbl").select(
+        F.col("node").cast("string").alias("wallet_address"),
+        F.col("lbl").cast("bigint").alias("community"),
+        "community_size",
+    )
+
+
+# incremental must equal the full LPA partition → same oracle
+from .risk_features import (  # noqa: E402
+    WALLET_LABEL_PROPAGATION_ORACLE as WALLET_LPA_INCR_ORACLE,
 )

@@ -752,3 +752,11 @@ register(
     sqls.window_running_balance_eth_sql,
     sqls.WINDOW_RUNNING_BALANCE_ETH_SQL_ORACLE,
 )
+# incremental LPA: warm-start from the prior run's per-round labels —
+# recompute only the new edges' 3-hop neighborhood, stitch against
+# stored state; held to the FULL-recompute oracle (J15 discipline)
+register(
+    "wallet_label_propagation_incremental",
+    inc.wallet_label_propagation_incremental,
+    inc.WALLET_LPA_INCR_ORACLE,
+)

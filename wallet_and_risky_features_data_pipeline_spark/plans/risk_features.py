@@ -1365,11 +1365,23 @@ def _lpa_graph(spark: SparkSession, sf_dir: str):
             und.select(F.col("b").alias("s"), F.col("a").alias("d"))
         )
     )
+    return und, sym, _lpa_rounds(sym)[-1]
+
+
+def _lpa_rounds(sym: DataFrame, rounds: int = LPA_ROUNDS) -> list[DataFrame]:
+    """Run ``rounds`` synchronous LPA rounds over the symmetric edge
+    set ``sym`` and return the label table AFTER EACH round (the last
+    entry is the final partition). Exposing every round is what makes
+    the warm-start incremental variant possible: a node at graph
+    distance d from any new edge keeps its prior round-r label for all
+    r ≤ d, so the incremental refresh stitches recomputed dirty-set
+    labels against these stored per-round tables."""
     labels = sym.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     pick = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
-    for _ in range(LPA_ROUNDS):
+    out: list[DataFrame] = []
+    for _ in range(rounds):
         counts = (
             sym.join(labels, sym["d"] == labels["node"])
             .groupBy("s", "lbl")
@@ -1380,7 +1392,8 @@ def _lpa_graph(spark: SparkSession, sf_dir: str):
             .filter(F.col("__rk") == 1)
             .select(F.col("s").alias("node"), "lbl")
         )
-    return und, sym, labels
+        out.append(labels)
+    return out
 
 
 def wallet_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
