@@ -760,3 +760,9 @@ register(
     inc.wallet_label_propagation_incremental,
     inc.WALLET_LPA_INCR_ORACLE,
 )
+register("window_lead_auc_sql", sqls.window_lead_auc_sql, wp.WINDOW_LEAD_AUC_ORACLE)
+register(
+    "window_partition_totals_sql",
+    sqls.window_partition_totals_sql,
+    wp.WINDOW_PARTITION_TOTALS_ORACLE,
+)

@@ -354,3 +354,76 @@ def window_running_balance_eth_sql(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 WINDOW_RUNNING_BALANCE_ETH_SQL_ORACLE = WINDOW_RUNNING_BALANCE_ETH_ORACLE
+
+
+def window_lead_auc_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL twin of plans.windows_plans.window_lead_auc (W9/W10 — LEAD
+    time-to-next-event + running time-weighted AUC): the exact-decimal
+    emission discipline in SQL text — the AUC integral exceeds 2⁵³ in
+    scaled units, so it leaves the query as a DECIMAL(38,9) STRING,
+    never a double."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        f"""
+        WITH {WALLET_TX_SQL_CTE.strip()},
+        balanced AS (
+            SELECT /*+ REPARTITION(wallet_address) */ *,
+                SUM(signed_value) OVER (
+                    PARTITION BY wallet_address
+                    ORDER BY {_WT_ORDER}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wallet_balance
+            FROM wallet_tx
+        ),
+        with_lead AS (
+            SELECT *,
+                COALESCE(LEAD(unix_micros(ts)) OVER (
+                    PARTITION BY wallet_address
+                    ORDER BY {_WT_ORDER}) - unix_micros(ts), 0) AS dt_us
+            FROM balanced
+        )
+        SELECT
+            event_id,
+            wallet_address,
+            address_role,
+            CAST(wallet_balance AS DOUBLE) AS wallet_balance,
+            dt_us,
+            CAST(CAST(SUM(CAST(wallet_balance AS DECIMAL(20,9))
+                          * CAST(dt_us AS DECIMAL(16,0))) OVER (
+                PARTITION BY wallet_address
+                ORDER BY {_WT_ORDER}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,9))
+                AS STRING) AS auc_us
+        FROM with_lead
+        """
+    )
+
+
+def window_partition_totals_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL twin of plans.windows_plans.window_partition_totals (W5/W6
+    lifetime totals / min-max-ever per (wallet, contract))."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        f"""
+        WITH {WALLET_TX_SQL_CTE.strip()},
+        balanced AS (
+            SELECT /*+ REPARTITION(wallet_address) */ *,
+                SUM(signed_value) OVER (
+                    PARTITION BY wallet_address, contract_address
+                    ORDER BY {_WT_ORDER}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+            FROM wallet_tx
+        )
+        SELECT
+            wallet_address,
+            contract_address,
+            CAST(SUM(signed_value) AS DOUBLE) AS partition_total,
+            COUNT(*) AS partition_events,
+            unix_micros(MIN(ts)) AS first_ts_us,
+            unix_micros(MAX(ts)) AS last_ts_us,
+            CAST(MAX(balance) AS DOUBLE) AS max_balance_ever,
+            CAST(MIN(CASE WHEN balance > 0 THEN balance END) AS DOUBLE)
+                AS min_pos_balance_ever
+        FROM balanced
+        GROUP BY 1, 2
+        """
+    )
