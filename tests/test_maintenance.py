@@ -1099,7 +1099,8 @@ def test_vacuum_fence_stale_break_and_writer_retry(spark, tmp_path):
     assert os.path.basename(W.resolve_store(store)) == base
 
 
-def test_three_way_chaos_merge_vacuum_erase(spark, tmp_path):
+@_pytest_cas.mark.parametrize("chaos_backend", ["local", "condput"])
+def test_three_way_chaos_merge_vacuum_erase(spark, tmp_path, monkeypatch, chaos_backend):
     """VERDICT r10 #7: merge_upsert × vacuum_generations ×
     erase_from_store interleaved ACROSS PROCESSES with crash injection
     between commit phases — the 100 TB deploy story runs maintenance
@@ -1123,6 +1124,11 @@ def test_three_way_chaos_merge_vacuum_erase(spark, tmp_path):
     import time
 
     from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    # both CAS adapters drive the same protocol: the link(2) default
+    # and the S3/DynamoDB-shaped conditional-put KV. get_cas_backend
+    # reads the env per call, and the children inherit os.environ.
+    monkeypatch.setenv("SPARK_GRAFT_CAS_BACKEND", chaos_backend)
 
     store = str(tmp_path / "chaos3_store")
     logs = {"merge": str(tmp_path / "merge.log"), "erase": str(tmp_path / "erase.log")}

@@ -260,6 +260,32 @@ def test_spearman_windows_partitioned_by_band(spark):
             assert "band_v#" in s, f"value rank window not banded: {s}"
 
 
+def test_sql_twins_plan_like_the_dataframe_plans(spark):
+    """The SQL-text twins must not merely match values — their HINTS
+    must land the same physical disciplines as the DataFrame plans:
+    wallet_features_sql's REPARTITION(wallet_address) is by_wallet's
+    SQL spelling (one wallet exchange serves every window family and
+    the rollup — no sort-merge joins anywhere in a join-free plan),
+    and asof_price_sql's BROADCAST(x) keeps the exploded quote dim on
+    the build side (equi join on (type, day) — never a shuffled join
+    keyed on the fact table, never a cartesian)."""
+    import re
+
+    plan = _physical(QUERIES["wallet_features_sql"](spark, SF_MEDIUM))
+    assert re.search(r"hashpartitioning\(wallet_address#\d+", plan)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+    plan = _physical(QUERIES["asof_price_sql"](spark, SF_MEDIUM))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the ONLY shuffled join allowed is the final event-scaled
+    # re-attach (events LEFT JOIN best ON event_id — both sides fact-
+    # sized, exactly the DataFrame asof_join's shape); the quote dim
+    # itself must resolve through the broadcast above
+    shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffled <= 1, f"{shuffled} shuffled joins (expected <=1, re-attach only)"
+
+
 def test_ngram_freq_topk_no_global_sort(spark):
     """Top-K must plan as TakeOrderedAndProject (per-partition heaps),
     never a full global Sort of the counted ngrams."""

@@ -766,3 +766,8 @@ register(
     sqls.window_partition_totals_sql,
     wp.WINDOW_PARTITION_TOTALS_ORACLE,
 )
+# SQL-dialect parity for the multi-grain and matrix surfaces: GROUP BY
+# ROLLUP + grouping_id(), and the native PIVOT clause with an explicit
+# value list — same oracles as the DataFrame plans
+register("rollup_multi_grain_sql", sqls.rollup_multi_grain_sql, rel.ROLLUP_MULTI_GRAIN_ORACLE)
+register("pivot_event_matrix_sql", sqls.pivot_event_matrix_sql, rel.PIVOT_EVENT_MATRIX_ORACLE)

@@ -427,3 +427,47 @@ def window_partition_totals_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+def rollup_multi_grain_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL twin of plans.relational.rollup_multi_grain — GROUP BY
+    ROLLUP + grouping_id() in SQL text (the multi-grain aggregation a
+    reference user writes directly)."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        """
+        SELECT COALESCE(month, 'ALL') AS month,
+               COALESCE(event_type, 'ALL') AS event_type,
+               CAST(grouping_id(month, event_type) AS INT) AS grain,
+               COUNT(*) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS total_value
+        FROM (
+            SELECT date_format(ts, 'yyyy-MM') AS month, event_type,
+                   CAST(value AS DECIMAL(18,4)) AS v
+            FROM events
+        )
+        GROUP BY ROLLUP(month, event_type)
+        """
+    )
+
+
+def pivot_event_matrix_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL twin of plans.relational.pivot_event_matrix — the native SQL
+    PIVOT clause with an explicit value list (no distinct-discovery
+    scan), same two-layer hash-agg physical shape as the DataFrame
+    pivot API."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        """
+        SELECT user_id,
+               CAST(COALESCE(click, 0) AS BIGINT) AS n_click,
+               CAST(COALESCE(error, 0) AS BIGINT) AS n_error,
+               CAST(COALESCE(purchase, 0) AS BIGINT) AS n_purchase,
+               CAST(COALESCE(signup, 0) AS BIGINT) AS n_signup,
+               CAST(COALESCE(view, 0) AS BIGINT) AS n_view
+        FROM (SELECT user_id, event_type FROM events)
+        PIVOT (COUNT(*) FOR event_type IN (
+            'click' AS click, 'error' AS error, 'purchase' AS purchase,
+            'signup' AS signup, 'view' AS view))
+        """
+    )
