@@ -50,6 +50,25 @@ CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Diagnostic subset: SPARK_GRAFT_BENCH_ONLY = comma-separated query
+    # names, or a path to a BENCH_DETAIL_r*.json whose `isolated` keys
+    # define the set — lets a round run the EXACT prior-round query set
+    # to separate real regressions from registry-growth side effects
+    # (JVM pressure, catalog size) and host drift. Unknown names fail
+    # loudly rather than silently shrinking the set.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        if os.path.exists(only):
+            with open(only) as f:
+                names = set(json.load(f)["isolated"])
+        else:
+            names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names unknown queries: {sorted(unknown)}")
+        for n in list(QUERIES):
+            if n not in names:
+                del QUERIES[n]
     spark = get_spark("wrf-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
