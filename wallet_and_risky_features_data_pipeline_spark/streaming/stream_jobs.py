@@ -151,6 +151,39 @@ def _run_append_to_parquet(spark, stream, ckpt_dir: str, prefix: str, query_out=
     return spark.read.schema(stream.schema).parquet(out_dir)
 
 
+def _run_foreach_to_parquet(
+    spark, stream, ckpt_dir: str, prefix: str, mode: str, query_out=None
+):
+    """complete/update-mode streams cannot use a file sink directly —
+    but the memory sink COLLECTS every emission to the driver, and for
+    a key-scaled result grain that is the same driver-residency class
+    `_run_append_to_parquet` closes for append mode: the
+    session-scaled complete table blew spark.driver.maxResultSize
+    (1 GiB) at the r11 100× structure probe. foreachBatch hands each
+    trigger's table to a DISTRIBUTED parquet write instead:
+    ``complete`` overwrites per trigger (the last trigger's full table
+    is the final result under availableNow), ``update`` appends the
+    changed rows (callers recover latest-per-key with the same rollup
+    they ran over the memory sink's accumulated rows)."""
+    out_dir = tempfile.mkdtemp(prefix=prefix)
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def _sink(batch_df, _batch_id):
+        batch_df.write.mode(write_mode).parquet(out_dir)
+
+    q = (
+        stream.writeStream.outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(_sink)
+        .start()
+    )
+    if query_out is not None:
+        query_out.append(q)
+    q.awaitTermination()
+    return spark.read.schema(stream.schema).parquet(out_dir)
+
+
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
@@ -459,7 +492,11 @@ def stateful_user_totals(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import StructType
 
-    spark = _stream_session(spark)
+    # 16 state partitions: per-key state is O(1) but the KEYSPACE is
+    # |users| and every key pays a Python-side invocation per batch —
+    # state-task parallelism is the lever (the reorder job's r11
+    # finding); SPARK_GRAFT_STREAM_SHUFFLE still overrides.
+    spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = tempfile.mkdtemp(prefix="wrf_state_ckpt_")
 
@@ -485,22 +522,19 @@ def stateful_user_totals(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
-    name = "wrf_stateful_user_totals"
-    q = (
-        stream.writeStream.outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
+    # foreachBatch → parquet, not a memory sink: update-mode emission
+    # is |users|-scaled per batch, the driver-residency class (see
+    # _run_foreach_to_parquet)
+    queries: list = []
+    out = _run_foreach_to_parquet(
+        spark, stream, ckpt_dir, "wrf_stateful_user_totals_out_", "update",
+        query_out=queries,
     )
-    q.awaitTermination()
     if metrics_out is not None:
-        metrics_out.extend(state_store_metrics(q))
+        metrics_out.extend(state_store_metrics(queries[0]))
 
     # latest state per key (single-file source → one batch, but stay
     # correct under multi-batch replays)
-    out = spark.table(name)
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -528,12 +562,15 @@ def session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap to the previous event is under 30 minutes, per user.
 
     Mode note: session-window aggregation rejects update mode (state
-    merges would retract rows), so the harness uses a complete-mode
-    memory sink under an ``availableNow`` trigger — every final merged
-    session is emitted, including unclosed tails (same rationale as
-    ``windowed_event_counts``). A production job uses append mode and
-    accepts watermark-delayed finality (a session only closes once the
-    watermark passes its end).
+    merges would retract rows), so the harness runs complete mode
+    under an ``availableNow`` trigger — every final merged session is
+    emitted, including unclosed tails (append mode would withhold any
+    session the final watermark hasn't passed). The sink is
+    foreachBatch → parquet, NOT a memory sink: the complete table is
+    SESSION-scaled, and collecting it to the driver blew
+    spark.driver.maxResultSize at the r11 100× structure probe
+    (1054 MiB > 1 GiB) — the probe-caught failure
+    ``_run_foreach_to_parquet`` exists to close.
 
     Boundary semantics (mirrored in the oracle): ``session_window``
     merges only OVERLAPPING windows, so a gap of exactly the timeout
@@ -558,18 +595,11 @@ def session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).alias("session_value"),
         )
     )
-    name = "wrf_session_window_totals"
-    q = (
-        stream.writeStream.outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .format("memory")
-        .queryName(name)
-        .start()
+    rows = _run_foreach_to_parquet(
+        spark, stream, ckpt_dir, "wrf_session_window_totals_out_", "complete"
     )
-    q.awaitTermination()
 
-    return spark.table(name).select(
+    return rows.select(
         "user_id",
         F.unix_micros(F.col("win.start")).alias("session_start_us"),
         F.unix_micros(F.col("win.end")).alias("session_end_us"),
