@@ -103,3 +103,20 @@ def test_coverage_md_ids_map_to_gate_or_tests():
     assert not bad_rows, f"§2 IDs with no in-gate query and no test: {bad_rows}"
     # sanity: the parser actually saw the §2 inventory
     assert len(seen_ids) >= 35, f"only parsed {len(seen_ids)} ID rows"
+
+    # The totals header must match the live registry (VERDICT r11 #4:
+    # the "(r7): 124 registered" header rotted for four rounds).
+    m = re.search(
+        r"\*\*Current totals:\*\* (\d+) registered queries — (\d+) with full"
+        r" DuckDB value\s*\noracles",
+        text,
+    )
+    assert m, "COVERAGE.md totals header missing or reformatted"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"COVERAGE.md header says {m.group(1)} queries, registry has "
+        f"{len(QUERIES)} — update the header"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"COVERAGE.md header says {m.group(2)} oracled, registry has "
+        f"{len(ORACLES)} — update the header"
+    )
