@@ -157,3 +157,83 @@ def test_rolling_distinct_incremental_equals_full(spark, split_at, monkeypatch):
     }
     full = {tuple(r) for r in wallet_rolling_distinct_7d(spark, sf).collect()}
     assert incremental == full
+
+
+def _fresh_warm(spark, tmp_path, monkeypatch):
+    import wallet_and_risky_features_data_pipeline_spark.plans.incremental_plans as inc
+
+    monkeypatch.setenv("SPARK_GRAFT_WARM_STATE_DIR", str(tmp_path))
+    inc.reset_lpa_warm_memo(spark)
+    return inc
+
+
+def test_lpa_warm_state_committed_and_read_back(spark, tmp_path, monkeypatch):
+    """The warm variant's prior state must live in the generation store
+    (commit_generation, fingerprint tag) and be REUSED on the next
+    refresh — the deployed stored-prior-state pattern (VERDICT r11 #1):
+    one committed generation after two cold-memo runs, result equal to
+    the full recompute."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_label_propagation,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        generation_tag,
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    warm = {
+        tuple(r) for r in inc.wallet_label_propagation_warm(spark, SF_SMALL).collect()
+    }
+    full = {tuple(r) for r in wallet_label_propagation(spark, SF_SMALL).collect()}
+    assert warm == full
+
+    store = inc._lpa_state_store(SF_SMALL)
+    assert list_generations(store) == ["gen-000001"]
+    assert generation_tag(store) == inc._lpa_state_fingerprint(SF_SMALL)
+
+    # second run with a cold memo: read-back only, NO second build
+    inc.reset_lpa_warm_memo(spark)
+    again = {
+        tuple(r) for r in inc.wallet_label_propagation_warm(spark, SF_SMALL).collect()
+    }
+    assert again == full
+    assert list_generations(store) == ["gen-000001"]
+
+
+def test_lpa_warm_state_fingerprint_invalidates(spark, tmp_path, monkeypatch):
+    """A fingerprint change (input files / split / rounds / format
+    version) must force a REBUILD, never a stale read: bump the state
+    format version and expect a second committed generation whose tag
+    matches the new fingerprint."""
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        generation_tag,
+        list_generations,
+    )
+
+    inc.wallet_label_propagation_warm(spark, SF_SMALL).collect()
+    store = inc._lpa_state_store(SF_SMALL)
+    assert list_generations(store) == ["gen-000001"]
+
+    monkeypatch.setattr(inc, "_LPA_STATE_VERSION", "v1-test-bump")
+    inc.reset_lpa_warm_memo(spark)
+    inc.wallet_label_propagation_warm(spark, SF_SMALL).collect()
+    assert list_generations(store) == ["gen-000001", "gen-000002"]
+    assert generation_tag(store) == inc._lpa_state_fingerprint(SF_SMALL)
+
+
+def test_modularity_incremental_equals_full(spark, tmp_path, monkeypatch):
+    """Incremental modularity (warm labels + fresh |E|-linear
+    evaluation joins) ≡ the full recompute, row for row."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_community_modularity,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    incr = {
+        tuple(r)
+        for r in inc.wallet_community_modularity_incremental(spark, SF_SMALL).collect()
+    }
+    full = {tuple(r) for r in wallet_community_modularity(spark, SF_SMALL).collect()}
+    assert incr == full

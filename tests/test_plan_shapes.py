@@ -434,6 +434,7 @@ def test_no_batch_query_plans_a_cartesian_product(spark):
         "dq_referential_integrity",    # per-edge one-row count scalars (r9)
         "session_association_rules",   # one-row n_sessions scalar (r9)
         "corpus_source_psi",           # one-row corpus-total ng scalar (r10)
+        "wallet_community_modularity_incremental",  # one-row m scalar (r12, as full)
     }
     offenders = {}
     for name, fn in QUERIES.items():

@@ -12,6 +12,10 @@ incremental(b1) + b2 ≡ full(b1 ∪ b2).
 
 from __future__ import annotations
 
+import os
+import threading
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -275,6 +279,123 @@ from .risk_features import (  # noqa: E402
 )
 
 
+def _lpa_edge_tables(spark: SparkSession, sf_dir: str):
+    """Shared edge machinery for the incremental/warm LPA family:
+    returns ``(pairs, sym_all)`` — the per-(a,b) MIN(ts) undirected
+    edge table (its first_seen classifies an edge as old/new against
+    ``LPA_SPLIT_AT``; a re-observed old edge never dirties the
+    frontier) and its persisted symmetric closure carrying first_seen,
+    so the old graph is a cheap filter, not a second |2E|
+    materialization."""
+    from ..caching import persist_tracked
+
+    wt = wallet_transactions(spark, sf_dir)
+    sender = (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    legs = wt.filter(sender).select(
+        F.col("wallet_address").cast("bigint").alias("u"),
+        F.col("interacted_with").cast("bigint").alias("v"),
+        "ts",
+    )
+    pairs = persist_tracked(
+        legs.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"), "ts"
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    sym_all = persist_tracked(
+        pairs.select(
+            F.col("a").alias("s"), F.col("b").alias("d"), "first_seen"
+        ).unionByName(
+            pairs.select(
+                F.col("b").alias("s"), F.col("a").alias("d"), "first_seen"
+            )
+        )
+    )
+    return pairs, sym_all
+
+
+def _lpa_dirty_refresh(
+    sym_full: DataFrame,
+    new_edges: DataFrame,
+    prior: list[DataFrame],
+    rounds: int,
+) -> DataFrame:
+    """The dirty-frontier LPA refresh shared by the in-query
+    incremental variant and the stored-state warm variant: recompute
+    round r only for the dirty set (new-edge endpoints grown one
+    edge-hop per round), resolving neighbor labels through
+    recomputed ∪ still-valid ``prior`` rounds, and stitch the final
+    round against the prior partition. ``prior[r-1]`` is the OLD
+    graph's round-r label table. Returns the full graph's (node, lbl)
+    assignment after ``rounds`` synchronous rounds — provably equal to
+    the full recompute (see ``wallet_label_propagation_incremental``'s
+    exactness argument)."""
+    from pyspark.sql import Window
+
+    from ..caching import persist_tracked
+
+    dirty = persist_tracked(
+        new_edges.select(F.col("a").alias("node"))
+        .unionByName(new_edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    pick = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    recomputed = None
+    prev_dirty = None
+    for r in range(1, rounds + 1):
+        # persisted: consumed by the counts AND by the next frontier
+        # expansion (neighbors of the dirty set ARE this join's d side)
+        edges_r = persist_tracked(
+            sym_full.join(dirty.withColumnRenamed("node", "s"), "s", "left_semi")
+        )
+        if r == 1:
+            # round-0 label of any node is the node id — no lookup table
+            counts = edges_r.groupBy(
+                "s", F.col("d").alias("lbl")
+            ).agg(F.count(F.lit(1)).alias("c"))
+        else:
+            lookup = recomputed.unionByName(
+                prior[r - 2].join(prev_dirty, "node", "left_anti")
+            )
+            counts = (
+                edges_r.join(lookup, edges_r["d"] == lookup["node"])
+                .groupBy("s", "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+        recomputed = persist_tracked(
+            counts.withColumn("__rk", F.row_number().over(pick))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("s").alias("node"), "lbl")
+        )
+        prev_dirty = dirty
+        if r < rounds:
+            dirty = persist_tracked(
+                dirty.unionByName(
+                    edges_r.select(F.col("d").alias("node"))
+                ).distinct()
+            )
+
+    return recomputed.unionByName(
+        prior[rounds - 1].join(prev_dirty, "node", "left_anti")
+    )
+
+
+def _lpa_sized_partition(final: DataFrame) -> DataFrame:
+    """(node, lbl) → the LPA query contract: wallet_address, community,
+    community_size — sizes via agg + join, never a full-partition
+    window (a giant community would buffer whole in one task)."""
+    sizes = final.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return final.join(sizes, "lbl").select(
+        F.col("node").cast("string").alias("wallet_address"),
+        F.col("lbl").cast("bigint").alias("community"),
+        "community_size",
+    )
+
+
 def wallet_label_propagation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental label propagation — the warm-start that completes
     the incremental graph tier (VERDICT r10 #8): LPA re-run ONLY inside
@@ -312,105 +433,255 @@ def wallet_label_propagation_incremental(spark: SparkSession, sf_dir: str) -> Da
     nightly-refresh shape this variant exists for, unlike the
     mid-stream ``SPLIT_AT`` the state-merge members use to stress
     their stitch arithmetic."""
-    from pyspark.sql import Window
-
-    from ..caching import persist_tracked
     from .risk_features import LPA_ROUNDS, _lpa_rounds
 
-    wt = wallet_transactions(spark, sf_dir)
     split = F.lit(LPA_SPLIT_AT).cast("timestamp")
-    sender = (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
-
-    legs = wt.filter(sender).select(
-        F.col("wallet_address").cast("bigint").alias("u"),
-        F.col("interacted_with").cast("bigint").alias("v"),
-        "ts",
-    )
-    pairs = persist_tracked(
-        legs.select(
-            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"), "ts"
-        )
-        .filter(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.min("ts").alias("first_seen"))
-    )
-
-    # ONE persisted symmetric table carrying first_seen serves both
-    # graphs: the old graph is a cheap filter over it, not a second
-    # |2E| materialization.
-    sym_all = persist_tracked(
-        pairs.select(
-            F.col("a").alias("s"), F.col("b").alias("d"), "first_seen"
-        ).unionByName(
-            pairs.select(
-                F.col("b").alias("s"), F.col("a").alias("d"), "first_seen"
-            )
-        )
-    )
+    pairs, sym_all = _lpa_edge_tables(spark, sf_dir)
     sym_old = sym_all.filter(F.col("first_seen") < split).select("s", "d")
     sym_full = sym_all.select("s", "d")
 
-    # prior state: the old graph's per-round label tables
+    # prior state: the old graph's per-round label tables (rebuilt
+    # in-query so the driver's gate proves incremental ≡ full from one
+    # entry point; the deployed read-back path is the _warm variant)
     prior = _lpa_rounds(sym_old, LPA_ROUNDS)
 
     # genuinely new structure only: re-observed old edges don't dirty
     new_edges = pairs.filter(F.col("first_seen") >= split).select("a", "b")
-    dirty = persist_tracked(
-        new_edges.select(F.col("a").alias("node"))
-        .unionByName(new_edges.select(F.col("b").alias("node")))
-        .distinct()
-    )
-
-    pick = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
-    recomputed = None
-    prev_dirty = None
-    for r in range(1, LPA_ROUNDS + 1):
-        # persisted: consumed by the counts AND by the next frontier
-        # expansion (neighbors of the dirty set ARE this join's d side)
-        edges_r = persist_tracked(
-            sym_full.join(dirty.withColumnRenamed("node", "s"), "s", "left_semi")
-        )
-        if r == 1:
-            # round-0 label of any node is the node id — no lookup table
-            counts = edges_r.groupBy(
-                "s", F.col("d").alias("lbl")
-            ).agg(F.count(F.lit(1)).alias("c"))
-        else:
-            lookup = recomputed.unionByName(
-                prior[r - 2].join(prev_dirty, "node", "left_anti")
-            )
-            counts = (
-                edges_r.join(lookup, edges_r["d"] == lookup["node"])
-                .groupBy("s", "lbl")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-        recomputed = persist_tracked(
-            counts.withColumn("__rk", F.row_number().over(pick))
-            .filter(F.col("__rk") == 1)
-            .select(F.col("s").alias("node"), "lbl")
-        )
-        prev_dirty = dirty
-        if r < LPA_ROUNDS:
-            dirty = persist_tracked(
-                dirty.unionByName(
-                    edges_r.select(F.col("d").alias("node"))
-                ).distinct()
-            )
-
-    final = recomputed.unionByName(
-        prior[LPA_ROUNDS - 1].join(prev_dirty, "node", "left_anti")
-    )
-    sizes = final.groupBy("lbl").agg(
-        F.count(F.lit(1)).cast("bigint").alias("community_size")
-    )
-    return final.join(sizes, "lbl").select(
-        F.col("node").cast("string").alias("wallet_address"),
-        F.col("lbl").cast("bigint").alias("community"),
-        "community_size",
-    )
+    final = _lpa_dirty_refresh(sym_full, new_edges, prior, LPA_ROUNDS)
+    return _lpa_sized_partition(final)
 
 
 # incremental must equal the full LPA partition → same oracle
 from .risk_features import (  # noqa: E402
     WALLET_LABEL_PROPAGATION_ORACLE as WALLET_LPA_INCR_ORACLE,
+)
+
+
+# ---------------------------------------------------------------------------
+# Stored-state warm tier (VERDICT r11 #1): the deployed incremental
+# pattern. Every other incremental-tier member rebuilds its prior
+# state inside the query so the driver's gate proves incremental ≡
+# full from one entry point — the right harness shape, but it never
+# exercises the read-back path the reference actually runs
+# (features_pipeline.py:108-126 reads prior Iceberg state;
+# ethereum_wallet_features.sql:481-541 seeds running sums from it).
+# The warm variants persist the prior run's per-round LPA label
+# tables into the generation store (commit_generation, tagged with an
+# input fingerprint so stale state can never be read) and run ONLY
+# the dirty-frontier refresh against the stored generation.
+
+_LPA_STATE_VERSION = "v1"
+# per-(session, sf_dir) memo for the warm refresh — the warm LPA
+# partition and the incremental modularity share one refresh, like a
+# deployed nightly. WeakKey so dead sessions don't pin plans.
+_LPA_WARM_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_LPA_WARM_LOCK = threading.Lock()
+
+
+def reset_lpa_warm_memo(spark: SparkSession) -> None:
+    """Drop the session's memoized warm-LPA refresh (bench isolation:
+    each timed run must pay the real store read + dirty rounds, not a
+    memo noop). The STORED generation is untouched — that persistence
+    is the point of the warm tier."""
+    with _LPA_WARM_LOCK:
+        _LPA_WARM_MEMO.pop(spark, None)
+
+
+def _lpa_state_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of everything the stored LPA state depends
+    on: the events source files (path/size/mtime_ns — metadata-only,
+    no data pass), the split, the round count, and a state-format
+    version. A mismatched tag forces a rebuild; matching tags make the
+    read-back provably consistent with this input."""
+    import hashlib
+
+    from .risk_features import LPA_ROUNDS
+
+    src = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.sha256()
+    h.update(f"{_LPA_STATE_VERSION}|{LPA_SPLIT_AT}|{LPA_ROUNDS}|".encode())
+    if os.path.isdir(src):
+        names = sorted(
+            os.path.join(dp, fn)
+            for dp, _, fns in os.walk(src)
+            for fn in fns
+            if not fn.startswith(("_", "."))
+        )
+    else:
+        names = [src]
+    for n in names:
+        st = os.stat(n)
+        h.update(
+            f"{os.path.relpath(n, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode()
+        )
+    return h.hexdigest()
+
+
+def _lpa_state_store(sf_dir: str) -> str:
+    """Per-input store location for the warm LPA state. Overridable via
+    SPARK_GRAFT_WARM_STATE_DIR (tests point it at a tmp dir); keyed by
+    the absolute input path so sf0.01 and sf0.1 never collide."""
+    import hashlib
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_WARM_STATE_DIR") or os.path.join(
+        tempfile.gettempdir(), "wrf_warm_state"
+    )
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, f"lpa_rounds-{key}")
+
+
+def _ensure_lpa_state(spark: SparkSession, sf_dir: str, sym_old: DataFrame) -> str:
+    """Idempotent state build: commit the OLD graph's per-round label
+    tables as ONE generation (columns round/node/lbl) tagged with the
+    input fingerprint, unless a generation with that exact tag is
+    already live. Amortized: the nightly deployment pays this once per
+    prior snapshot; every refresh after it is read-only. A racing
+    builder losing the commit CAS is fine — the winner committed the
+    same fingerprint, so the loser just reads."""
+    from ..sources.writers import (
+        ConcurrentCommitError,
+        commit_generation,
+        generation_tag,
+        store_committed,
+    )
+    from .risk_features import LPA_ROUNDS, _lpa_rounds
+
+    store = _lpa_state_store(sf_dir)
+    fp = _lpa_state_fingerprint(sf_dir)
+    if store_committed(store) and generation_tag(store) == fp:
+        return store
+    rounds = _lpa_rounds(sym_old, LPA_ROUNDS)
+    state = None
+    for i, tbl in enumerate(rounds, start=1):
+        part = tbl.select(
+            F.lit(i).cast("int").alias("round"), "node", "lbl"
+        )
+        state = part if state is None else state.unionByName(part)
+    try:
+        commit_generation(state, store, tag=fp)
+    except ConcurrentCommitError:
+        # rival writer won the flip; accept its state iff it matches
+        if not (store_committed(store) and generation_tag(store) == fp):
+            raise
+    return store
+
+
+def _lpa_warm_final(spark: SparkSession, sf_dir: str):
+    """(pairs, sym_full, final-labels) with the prior per-round labels
+    read back from the generation store — the warm-start read path.
+    Memoized per (session, sf_dir) like ``wallet_transactions``: the
+    warm LPA partition and the incremental modularity evaluation share
+    one refresh, exactly as a deployed nightly would."""
+    from ..caching import persist_tracked
+    from ..sources.writers import read_store
+    from .risk_features import LPA_ROUNDS
+
+    with _LPA_WARM_LOCK:
+        per_session = _LPA_WARM_MEMO.setdefault(spark, {})
+        hit = per_session.get(sf_dir)
+        if hit is not None:
+            return hit
+
+    split = F.lit(LPA_SPLIT_AT).cast("timestamp")
+    pairs, sym_all = _lpa_edge_tables(spark, sf_dir)
+    sym_old = sym_all.filter(F.col("first_seen") < split).select("s", "d")
+    sym_full = sym_all.select("s", "d")
+
+    store = _ensure_lpa_state(spark, sf_dir, sym_old)
+    stored = read_store(spark, store)
+    prior = [
+        stored.filter(F.col("round") == r).select("node", "lbl")
+        for r in range(1, LPA_ROUNDS + 1)
+    ]
+
+    new_edges = pairs.filter(F.col("first_seen") >= split).select("a", "b")
+    final = persist_tracked(
+        _lpa_dirty_refresh(sym_full, new_edges, prior, LPA_ROUNDS)
+    )
+    out = (pairs, sym_full, final)
+    with _LPA_WARM_LOCK:
+        _LPA_WARM_MEMO.setdefault(spark, {})[sf_dir] = out
+    return out
+
+
+def wallet_label_propagation_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start LPA — ``wallet_label_propagation_incremental`` with
+    the prior state READ BACK from the generation store instead of
+    rebuilt in the query's own lineage: the reference's deployed
+    stored-prior-state pattern (features_pipeline.py:108-126,
+    ethereum_wallet_features.sql:481-541) demonstrated end-to-end.
+    The state build (``_ensure_lpa_state``) is idempotent and
+    fingerprint-fenced: it runs once per input snapshot and is a plain
+    ``commit_generation`` — time travel, vacuum, and the CAS commit
+    protocol all apply to the state table for free. The query's own
+    cost is the dirty-frontier refresh ONLY: per-round |edges incident
+    to the dirty set| instead of the in-query variant's full prior
+    rebuild. Held to the same FULL-recompute oracle."""
+    _, _, final = _lpa_warm_final(spark, sf_dir)
+    return _lpa_sized_partition(final)
+
+
+WALLET_LPA_WARM_ORACLE = WALLET_LPA_INCR_ORACLE
+
+
+def wallet_community_modularity_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental modularity (VERDICT r11 #2): Newman's per-community
+    Q over the WARM incremental LPA partition — only the two
+    |E|-linear evaluation joins (intra-community edge counts, degree
+    sums) recompute from scratch; the labels come from the shared
+    warm refresh (stored prior rounds + dirty-frontier rounds). Same
+    exact-integer numerics as ``wallet_community_modularity`` (e_c,
+    d_c, m exact BIGINTs; two correctly-rounded double divisions in
+    identical order in both engines; no global float SUM emitted) and
+    the same oracle — incremental labels are provably equal to the
+    full recompute, so the evaluation must be too."""
+    pairs, sym_full, labels = _lpa_warm_final(spark, sf_dir)
+    und = pairs.select("a", "b")
+    m = und.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    la = labels.select(F.col("node").alias("a"), F.col("lbl").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("lbl").alias("cb"))
+    e_in = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    deg = sym_full.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    d_c = (
+        labels.join(deg, labels["node"] == deg["s"])
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("dg").cast("bigint").alias("d_tot"),
+        )
+    )
+    b = F.col("d_tot").cast("double") / (
+        F.lit(2).cast("bigint") * F.col("m")
+    ).cast("double")
+    return (
+        d_c.join(e_in, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0).cast("bigint")).alias("e_in"),
+            "d_tot",
+            F.round(
+                F.coalesce("e_in", F.lit(0).cast("bigint")).cast("double")
+                / F.col("m").cast("double")
+                - b * b,
+                6,
+            ).alias("q_contribution"),
+        )
+    )
+
+
+from .risk_features import (  # noqa: E402
+    WALLET_COMMUNITY_MODULARITY_ORACLE as WALLET_MODULARITY_INCR_ORACLE,
 )

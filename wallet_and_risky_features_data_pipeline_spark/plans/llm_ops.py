@@ -1008,9 +1008,12 @@ def reset_session_memos(spark: SparkSession) -> None:
     instead of a noop write of the memoized result."""
     from .wallet_model import reset_wallet_memo
 
+    from .incremental_plans import reset_lpa_warm_memo
+
     with _ASSIGN_LOCK:
         _ASSIGN_MEMO.pop(spark, None)
     reset_wallet_memo(spark)
+    reset_lpa_warm_memo(spark)
 
 
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -771,3 +771,18 @@ register(
 # value list — same oracles as the DataFrame plans
 register("rollup_multi_grain_sql", sqls.rollup_multi_grain_sql, rel.ROLLUP_MULTI_GRAIN_ORACLE)
 register("pivot_event_matrix_sql", sqls.pivot_event_matrix_sql, rel.PIVOT_EVENT_MATRIX_ORACLE)
+# stored-state warm tier (VERDICT r11 #1/#2): prior per-round LPA
+# labels persisted via commit_generation (fingerprint-tagged) and READ
+# BACK from the generation store — the reference's deployed
+# prior-state pattern; only the dirty-frontier refresh runs in-query.
+# Both held to the FULL-recompute oracles.
+register(
+    "wallet_label_propagation_warm",
+    inc.wallet_label_propagation_warm,
+    inc.WALLET_LPA_WARM_ORACLE,
+)
+register(
+    "wallet_community_modularity_incremental",
+    inc.wallet_community_modularity_incremental,
+    inc.WALLET_MODULARITY_INCR_ORACLE,
+)
