@@ -1324,3 +1324,319 @@ print("DONE", role)
     assert not os.path.exists(os.path.join(W.resolve_store(store), "bucket=solo"))
     # bystanders untouched
     assert {final[k] for k in range(200, 220)} == {-3}
+
+
+@_pytest_cas.mark.parametrize("backend_kind", ["local", "condput"])
+def test_release_if_exact_value_contract(tmp_path, backend_kind):
+    """The conditional release primitive (ADVICE r11): deletes a claim
+    only while its stored value still equals the exact raw value a
+    prior read returned — wrong value, missing claim, and double
+    release all refuse."""
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "ri_store")
+    os.makedirs(store)
+    cas = W.LocalLinkCas() if backend_kind == "local" else W.CondPutCas()
+    assert cas.claim(store, "gen-000001", "gen-000002")
+    raw = cas.read_claim_raw(store, "gen-000001")
+    assert cas.claim_name(raw) == "gen-000002"
+
+    assert cas.release_if(store, "gen-000001", "not-the-value") is False
+    assert cas.read_claim(store, "gen-000001") == "gen-000002"
+
+    assert cas.release_if(store, "gen-000001", raw) is True
+    assert cas.read_claim(store, "gen-000001") is None
+    # second release of the same raw: the claim is gone, never re-deleted
+    assert cas.release_if(store, "gen-000001", raw) is False
+
+
+@_pytest_cas.mark.parametrize("backend_kind", ["local", "condput"])
+def test_stale_fence_break_race_keeps_rival_claim(tmp_path, backend_kind):
+    """The exact interleaving ADVICE r11 flagged: A reads a stale
+    fence; before A deletes it, rival B breaks the fence and wins a
+    fresh claim. A's delayed conditional release must refuse — B's
+    LIVE claim survives, so no two writers ever hold one base."""
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "race_store")
+    os.makedirs(store)
+    cas = W.LocalLinkCas() if backend_kind == "local" else W.CondPutCas()
+    base = "gen-000003"
+    stale = f"{W._VFENCE_PREFIX}0.000-0-dead"
+    assert cas.claim(store, base, stale)
+
+    # A snapshots the stale fence…
+    a_raw = cas.read_claim_raw(store, base)
+    assert cas.claim_name(a_raw) == stale
+    # …but B gets there first: breaks it and claims a fresh advance
+    assert cas.release_if(store, base, a_raw) is True
+    assert cas.claim(store, base, "gen-000004")
+    rival_raw = cas.read_claim_raw(store, base)
+
+    # A's delayed delete refuses; B's claim is untouched
+    assert cas.release_if(store, base, a_raw) is False
+    assert cas.read_claim_raw(store, base) == rival_raw
+    assert cas.claim_name(rival_raw) == "gen-000004"
+
+
+def test_condput_release_if_discriminates_same_name_claims(tmp_path):
+    """Two writers advancing one base intend the SAME next generation
+    name — only the per-claim token discriminates them. A stale
+    holder's conditional release carrying the dead claim's raw value
+    must not delete a successor claim for the identical name."""
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "tok_store")
+    os.makedirs(store)
+    cas = W.CondPutCas()
+    base = "gen-000001"
+    assert cas.claim(store, base, "gen-000002")
+    dead_raw = cas.read_claim_raw(store, base)
+
+    # the dead claim is rolled back; a successor claims the SAME name
+    assert cas.release_if(store, base, dead_raw) is True
+    assert cas.claim(store, base, "gen-000002")
+    successor_raw = cas.read_claim_raw(store, base)
+    assert successor_raw != dead_raw
+    assert cas.claim_name(successor_raw) == cas.claim_name(dead_raw)
+
+    # a straggler holding the dead raw cannot kill the successor
+    assert cas.release_if(store, base, dead_raw) is False
+    assert cas.read_claim_raw(store, base) == successor_raw
+
+
+def test_vacuum_stage_grace_uses_deepest_write_heartbeat(tmp_path):
+    """A long-running write's staging tree: the TOP dir's mtime goes
+    stale as soon as its entry set stabilizes, but freshly-landing
+    task files deep inside are the liveness heartbeat — the sweep must
+    NOT reclaim such a tree (ADVICE r11), while a tree whose deepest
+    write is also past the grace IS reclaimed."""
+    import time
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "stage_store")
+    os.makedirs(store)
+    live_stage = os.path.join(store, f"{W._STAGE_PREFIX}000007-123-abc")
+    deep = os.path.join(live_stage, "_temporary", "0", "task_0")
+    os.makedirs(deep)
+    with open(os.path.join(deep, "part-00000.parquet"), "w") as f:
+        f.write("x")  # the fresh heartbeat
+    old = time.time() - 7200
+    # backdate everything EXCEPT the deep task file
+    os.utime(live_stage, (old, old))
+    os.utime(os.path.join(live_stage, "_temporary"), (old, old))
+    os.utime(os.path.join(live_stage, "_temporary", "0"), (old, old))
+
+    dead_stage = os.path.join(store, f"{W._STAGE_PREFIX}000008-456-def")
+    os.makedirs(os.path.join(dead_stage, "_temporary"))
+    for p in (dead_stage, os.path.join(dead_stage, "_temporary")):
+        os.utime(p, (old, old))
+
+    removed = W.vacuum_generations(store, stage_grace_sec=3600.0)
+    assert os.path.isdir(live_stage), "in-flight staging tree was reclaimed"
+    assert not os.path.isdir(dead_stage)
+    assert os.path.basename(dead_stage) in removed
+
+
+def test_erase_from_store_inference_hostile_partitions(spark, tmp_path):
+    """The ADVICE r11 erase-matching hazards, end to end: partition
+    values that Spark's partition type inference NORMALIZES — a
+    zero-padded numeric-looking string ('00123' reads back as int 123)
+    — plus null vs the literal string 'None'. A fully-erased partition
+    of each kind must be dropped (never relinked → resurrected), and
+    the untouched look-alike partition must keep its rows."""
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "hostile_erase")
+    schema = "k long, val long, bucket string"
+    rows = [
+        (1, 10, "00123"),   # fully erased — dir 'bucket=00123'
+        (2, 20, "123"),     # untouched look-alike — dir 'bucket=123'
+        (3, 30, None),      # fully erased null partition
+        (4, 40, "None"),    # untouched literal-string partition
+        (5, 50, "keep"),
+    ]
+    W.merge_upsert(
+        spark,
+        spark.createDataFrame(rows, schema),
+        store,
+        key=["k"],
+        partition_cols=["bucket"],
+    )
+    doomed = spark.createDataFrame([(1,), (3,)], "k long")
+    assert W.erase_from_store(spark, doomed, store, "k", partition_cols=("bucket",)) == 2
+
+    live = W.read_store(spark, store)
+    got = {(r.k, r.bucket) for r in live.collect()}
+    assert got == {(2, "123"), (4, "None"), (5, "keep")}
+    gen2 = W.resolve_store(store)
+    assert not os.path.exists(os.path.join(gen2, "bucket=00123")), (
+        "zero-padded partition relinked — erased rows resurrected"
+    )
+    assert not os.path.exists(
+        os.path.join(gen2, "bucket=__HIVE_DEFAULT_PARTITION__")
+    ), "null partition relinked — erased rows resurrected"
+    assert os.path.exists(os.path.join(gen2, "bucket=123"))
+    assert os.path.exists(os.path.join(gen2, "bucket=None"))
+
+
+def test_serving_chaos_sync_vs_merge_vacuum_erase(spark, tmp_path):
+    """VERDICT r11 #7 — the serving path joins the chaos loop: a
+    serving reader (read_store → foreach_partition_upsert /
+    export_pages, sources/serving.py) races merge_upsert churn,
+    erase_from_store, and a keep=2 vacuum sweeper for ≥100 completed
+    sync iterations. A reader mid-scan on an expiring generation is
+    the DOCUMENTED retry case (like Iceberg readers racing
+    expire_snapshots); everything else must hold:
+
+    - snapshot consistency: every completed sync exports ONE committed
+      generation — the merger stamps all of keys 0-7 with the same
+      batch value per commit, so a torn read would surface as mixed
+      stamps in one sync's store;
+    - erasure: a sync STARTED after an erase committed never exports
+      the erased subjects;
+    - liveness: merger, eraser, sweeper, and reader all finish."""
+    import random
+    import threading
+    import time
+
+    from wallet_and_risky_features_data_pipeline_spark.sources import serving as S
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    store = str(tmp_path / "serve_chaos_store")
+    schema = "k long, val long, bucket string"
+    seed = [(k, 0, str(k % 2)) for k in range(8)] + [
+        (k, -1, str(k % 2)) for k in range(100, 120)
+    ]
+    W.merge_upsert(
+        spark,
+        spark.createDataFrame(seed, schema),
+        store,
+        key=["k"],
+        partition_cols=["bucket"],
+    )
+
+    stop = threading.Event()
+    failures: list[str] = []
+    rng = random.Random(0xC0FFEE)
+
+    def _expired_scan(e: Exception) -> bool:
+        msg = str(e)
+        return (
+            "FileNotFoundException" in msg
+            or "PATH_NOT_FOUND" in msg
+            or "does not exist" in msg
+            or "FileNotFoundError" in msg
+        )
+
+    def merger():
+        i = 1
+        try:
+            while not stop.is_set():
+                batch = spark.createDataFrame(
+                    [(k, i, str(k % 2)) for k in range(8)], schema
+                )
+                while True:
+                    try:
+                        W.merge_upsert(
+                            spark, batch, store, key=["k"], partition_cols=["bucket"]
+                        )
+                        break
+                    except W.ConcurrentCommitError:
+                        time.sleep(rng.uniform(0.01, 0.05))
+                    except Exception as e:  # noqa: BLE001
+                        if not _expired_scan(e):
+                            raise
+                        time.sleep(rng.uniform(0.01, 0.05))
+                i += 1
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"merger: {e}")
+
+    erased_log: list[tuple[float, frozenset]] = []
+
+    def eraser():
+        try:
+            for c in range(5):
+                keys = list(range(100 + 4 * c, 100 + 4 * (c + 1)))
+                kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+                while True:
+                    try:
+                        W.erase_from_store(
+                            spark, kdf, store, "k", partition_cols=("bucket",)
+                        )
+                        break
+                    except W.ConcurrentCommitError:
+                        time.sleep(rng.uniform(0.01, 0.05))
+                    except Exception as e:  # noqa: BLE001
+                        if not _expired_scan(e):
+                            raise
+                        time.sleep(rng.uniform(0.01, 0.05))
+                erased_log.append((time.time(), frozenset(keys)))
+                time.sleep(0.2)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"eraser: {e}")
+
+    def sweeper():
+        try:
+            while not stop.is_set():
+                try:
+                    W.vacuum_generations(store, keep=2)
+                except FileNotFoundError:
+                    pass  # rival removed a listed dir first — tolerated
+                live = W.resolve_store(store)
+                if not os.path.isdir(live):
+                    failures.append(f"torn pointer: {live}")
+                time.sleep(0.01)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"sweeper: {e}")
+
+    threads = [
+        threading.Thread(target=f, daemon=True) for f in (merger, eraser, sweeper)
+    ]
+    for t in threads:
+        t.start()
+
+    completed = 0
+    retries = 0
+    while completed < 100:
+        started = time.time()
+        try:
+            feats = W.read_store(spark, store)
+            if completed % 2 == 0:
+                uri = f"file://{tmp_path}/sink-{completed}"
+                S.foreach_partition_upsert(
+                    feats, "k", lambda uri=uri: S.DictStoreClient(uri)
+                )
+                docs = S.DictStoreClient.read_store(uri)
+                synced = {int(k): d["val"] for k, d in docs.items()}
+            else:
+                synced = {}
+                for page in S.export_pages(feats, "k", None, page_size=5):
+                    for d in page:
+                        synced[d["k"]] = d["val"]
+        except Exception as e:  # noqa: BLE001
+            if _expired_scan(e):
+                retries += 1  # the documented reader-retry case
+                continue
+            raise
+        # snapshot consistency: one generation = one uniform stamp
+        stamps = {int(v) for k, v in synced.items() if k < 8}
+        assert len(stamps) == 1, f"torn serving sync mixed stamps: {stamps}"
+        # erasure: syncs started after a committed erase never resurrect
+        for t_commit, keys in list(erased_log):
+            if t_commit < started:
+                leaked = keys & set(synced)
+                assert not leaked, f"erased subjects served: {sorted(leaked)}"
+        completed += 1
+
+    stop.set()
+    for t in threads:
+        t.join(timeout=180)
+    assert failures == [], failures[:5]
+    # the erase thread finished all its chunks
+    assert len(erased_log) == 5
+    # final state: all subjects gone, keys 0-7 carry one final stamp
+    final = {r.k: r.val for r in W.read_store(spark, store).collect()}
+    assert set(final) == set(range(8))
+    assert len({final[k] for k in range(8)}) == 1

@@ -903,3 +903,23 @@ def test_stream_value_freq_mad_multibatch_and_fence(spark, tmp_path):
     assert value_freq_merge_batch(spark, store, df, 1) is False
     after = {tuple(r) for r in read_store(spark, store).collect()}
     assert before == after
+
+
+def test_stream_temp_dirs_tracked_and_reaped():
+    """Every stream sink/checkpoint dir registers with the atexit
+    reaper (ADVICE r11: unbounded /tmp growth in a long session), and
+    the reaper removes them."""
+    import os
+
+    from wallet_and_risky_features_data_pipeline_spark.streaming import stream_jobs as sj
+
+    saved = sj._TEMP_DIRS[:]
+    sj._TEMP_DIRS.clear()  # other tests' dirs must survive this reap
+    try:
+        d = sj._tracked_mkdtemp("wrf_test_reap_")
+        assert os.path.isdir(d) and sj._TEMP_DIRS == [d]
+        sj._reap_temp_dirs()
+        assert not os.path.exists(d)
+        assert not sj._TEMP_DIRS
+    finally:
+        sj._TEMP_DIRS.extend(saved)

@@ -48,6 +48,7 @@ from __future__ import annotations
 import os
 import shutil
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -254,7 +255,34 @@ class CasBackend:
     def read_claim(self, path: str, base: str | None) -> str | None:
         raise NotImplementedError
 
+    def read_claim_raw(self, path: str, base: str | None) -> str | None:
+        """The claim's RAW stored value — what ``release_if`` compares
+        against. Backends whose stored value carries more than the
+        generation name (CondPutCas appends a per-claim token) override
+        this; ``claim_name`` recovers the bare name from it."""
+        return self.read_claim(path, base)
+
+    def claim_name(self, raw: str | None) -> str | None:
+        """Bare generation name inside a raw claim value."""
+        return raw
+
     def release(self, path: str, base: str | None) -> None:
+        raise NotImplementedError
+
+    def release_if(self, path: str, base: str | None, expected_raw: str) -> bool:
+        """Conditionally release: delete the base's claim ONLY if its
+        stored value still equals ``expected_raw`` (a prior
+        ``read_claim_raw`` result) EXACTLY, atomically. The recovery
+        primitive ADVICE r11 named: every break-a-stale-fence /
+        roll-back-a-dangling-intent path is a read-then-delete, and an
+        unconditional delete in that window can destroy a rival's LIVE
+        claim taken after the read (two winners on one base → lost
+        update, or a sweep deleting a claim-winning writer's
+        generation). The compare is on the raw value, token included —
+        a rival's replacement claim intending the SAME generation name
+        still differs by token and survives. Maps onto DynamoDB DELETE
+        + ConditionExpression / S3 conditional ops. Returns True iff
+        this call removed the claim."""
         raise NotImplementedError
 
     def bases(self, path: str) -> list[str]:
@@ -293,17 +321,48 @@ class LocalLinkCas(CasBackend):
         except FileNotFoundError:
             return None
 
+    @contextmanager
+    def _delete_lock(self, path, base):
+        """flock sidecar serializing every marker DELETE (claims need
+        no lock: link(2) only succeeds while the marker is absent, and
+        no delete can interleave while a deleter holds this lock — so
+        a verify-then-unlink under it is atomic against claim/delete)."""
+        import fcntl
+
+        with open(_marker(path, base) + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            yield
+
     def release(self, path, base):
         try:
-            os.unlink(_marker(path, base))
+            with self._delete_lock(path, base):
+                try:
+                    os.unlink(_marker(path, base))
+                except FileNotFoundError:
+                    pass
         except FileNotFoundError:
-            pass
+            pass  # store dir itself is gone — nothing to release
+
+    def release_if(self, path, base, expected):
+        try:
+            with self._delete_lock(path, base):
+                try:
+                    with open(_marker(path, base)) as f:
+                        cur = f.read().strip()
+                except FileNotFoundError:
+                    return False
+                if cur != expected:
+                    return False
+                os.unlink(_marker(path, base))
+                return True
+        except FileNotFoundError:
+            return False
 
     def bases(self, path):
         return [
             e[len(_MARKER_PREFIX) :]
             for e in os.listdir(path)
-            if e.startswith(_MARKER_PREFIX)
+            if e.startswith(_MARKER_PREFIX) and not e.endswith(".lock")
         ]
 
 
@@ -333,6 +392,16 @@ class ConditionalKv:
         raise NotImplementedError
 
     def delete(self, key: str) -> None:
+        raise NotImplementedError
+
+    def delete_if(self, key: str, expected: str) -> bool:
+        """Conditional delete: remove ``key`` only if its stored value
+        still equals ``expected`` exactly (DynamoDB DELETE +
+        ConditionExpression; S3 conditional DELETE via If-Match). The
+        primitive ``CasBackend.release_if`` rides on — an exact-value
+        condition, so a rival's replacement claim (same generation
+        name, different token) can never be deleted by a stale
+        reader. Returns True iff this call removed the key."""
         raise NotImplementedError
 
     def keys(self) -> list[str]:
@@ -369,15 +438,40 @@ class FileConditionalKv(ConditionalKv):
         except FileNotFoundError:
             return None
 
+    @contextmanager
+    def _delete_lock(self, key):
+        """flock sidecar serializing deletes of ``key`` (put_if_absent
+        needs no lock: O_EXCL only succeeds while the key is absent,
+        and no delete can interleave while a deleter holds this)."""
+        import fcntl
+
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, key) + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            yield
+
     def delete(self, key):
-        try:
+        with self._delete_lock(key):
+            try:
+                os.unlink(os.path.join(self.root, key))
+            except FileNotFoundError:
+                pass
+
+    def delete_if(self, key, expected):
+        with self._delete_lock(key):
+            try:
+                with open(os.path.join(self.root, key)) as f:
+                    cur = f.read().strip()
+            except FileNotFoundError:
+                return False
+            if cur != expected:
+                return False
             os.unlink(os.path.join(self.root, key))
-        except FileNotFoundError:
-            pass
+            return True
 
     def keys(self):
         try:
-            return os.listdir(self.root)
+            return [k for k in os.listdir(self.root) if not k.endswith(".lock")]
         except FileNotFoundError:
             return []
 
@@ -431,6 +525,13 @@ class FaultInjectingKv(ConditionalKv):
         self._inner.delete(key)
         if self._rng.random() < self._p_lost_ack:
             raise TransientKvError(f"lost ack for delete {key} (applied)")
+
+    def delete_if(self, key, expected):
+        self._latency()
+        ok = self._inner.delete_if(key, expected)
+        if self._rng.random() < self._p_lost_ack:
+            raise TransientKvError(f"lost ack for delete_if {key} (applied={ok})")
+        return ok
 
     def keys(self):
         return self._inner.keys()
@@ -493,15 +594,21 @@ class CondPutCas(CasBackend):
         )
 
     def read_claim(self, path, base):
+        v = self.read_claim_raw(path, base)
+        return self.claim_name(v)
+
+    def read_claim_raw(self, path, base):
         for _ in range(self._MAX_RETRIES):
             try:
-                v = self._kv(path).get(self._key(base))
+                return self._kv(path).get(self._key(base))
             except TransientKvError:
                 continue
-            return v.split(" ", 1)[0] if v else v
         raise TransientKvError(
             f"read_claim on {self._key(base)}: KV still failing after retries"
         )
+
+    def claim_name(self, raw):
+        return raw.split(" ", 1)[0] if raw else raw
 
     def release(self, path, base):
         for _ in range(self._MAX_RETRIES):
@@ -514,6 +621,32 @@ class CondPutCas(CasBackend):
                 continue
         raise TransientKvError(
             f"release of {self._key(base)}: KV still failing after retries"
+        )
+
+    def release_if(self, path, base, expected_raw):
+        """Exact-raw conditional delete (token included): a rival's
+        replacement claim intending the SAME generation name carries a
+        different token and survives — the two-writers-same-gen-number
+        case the token exists for. A lost delete ack retries; the
+        retry seeing the key gone or changed returns False (the
+        expected claim no longer exists either way, and nothing else
+        was ever deleted)."""
+        kv = self._kv(path)
+        key = self._key(base)
+        for _ in range(self._MAX_RETRIES):
+            try:
+                return kv.delete_if(key, expected_raw)
+            except TransientKvError:
+                # the conditional delete may have landed — re-read and
+                # decide from the store's state
+                try:
+                    cur = kv.get(key)
+                except TransientKvError:
+                    continue
+                if cur != expected_raw:
+                    return False
+        raise TransientKvError(
+            f"release_if of {key}: KV still failing after retries"
         )
 
     def bases(self, path):
@@ -687,7 +820,8 @@ def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> 
     such pending intents back instead."""
     cas = get_cas_backend()
     if not cas.claim(path, expected_base, gen_name):
-        intended = cas.read_claim(path, expected_base) or ""
+        intended_raw = cas.read_claim_raw(path, expected_base)
+        intended = cas.claim_name(intended_raw) or ""
         if intended.startswith(_VFENCE_PREFIX):
             # a vacuum sweep holds this base's advance slot: never roll
             # it forward (its target is no directory) and never release
@@ -697,8 +831,12 @@ def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> 
             # real hazard is symmetric fence theft (two "winners").
             # Only a STALE fence (crashed vacuum, TTL elapsed) may be
             # broken, restoring liveness; the retry then claims anew.
+            # Conditional (ADVICE r11): a rival may have broken this
+            # fence and won a fresh claim between our read and this
+            # delete — release only while the slot still holds the
+            # exact stale fence we read, never a rival's live claim.
             if _vacuum_fence_stale(intended):
-                cas.release(path, expected_base)
+                cas.release_if(path, expected_base, intended_raw)
             raise ConcurrentCommitError(
                 f"store {path}: a vacuum sweep holds the advance slot of "
                 f"{expected_base or 'the empty store'}; retry the commit"
@@ -711,8 +849,9 @@ def _flip_latest(path: str, gen_name: str, expected_base: str | None = None) -> 
             else:
                 # dangling intent: its target was vacuumed but the
                 # claim survived (vacuum crashed mid-sweep) — roll it
-                # back so the next retry can win this base
-                cas.release(path, expected_base)
+                # back so the next retry can win this base. Conditional:
+                # never delete a claim re-taken since our read.
+                cas.release_if(path, expected_base, intended_raw)
         raise ConcurrentCommitError(
             f"store {path}: another writer already advanced "
             f"{expected_base or 'the empty store'}; re-run on the new snapshot"
@@ -1014,6 +1153,27 @@ def evolve_partitioning(
     return gen_name
 
 
+def _tree_max_mtime(root: str) -> float:
+    """Newest mtime anywhere under ``root`` (or of root itself). The
+    staging-liveness probe (ADVICE r11): a long partitionBy write
+    creates the TOP-LEVEL entry set early (``_temporary``) and may not
+    touch it again until job commit, so the top dir's own mtime reads
+    stale while task files are still landing deep in the tree —
+    keying reclamation on it could rmtree an in-flight write longer
+    than the grace window. The deepest-write mtime is the writer's
+    heartbeat. Raises OSError if root vanished (rival sweep)."""
+    newest = os.stat(root).st_mtime
+    for dirpath, dirnames, filenames in os.walk(root):
+        for n in dirnames + filenames:
+            try:
+                m = os.stat(os.path.join(dirpath, n)).st_mtime
+            except OSError:
+                continue  # a task file vanished mid-walk (commit/abort)
+            if m > newest:
+                newest = m
+    return newest
+
+
 def vacuum_generations(
     path: str, keep: int = 1, stage_grace_sec: float = 3600.0
 ) -> list[str]:
@@ -1050,7 +1210,13 @@ def vacuum_generations(
     - Staging dirs get an mtime grace window because staging happens
       BEFORE the fence-visible protocol starts: a live writer's
       in-flight Spark output is indistinguishable from a crash
-      leftover for its first ``stage_grace_sec`` seconds.
+      leftover for its first ``stage_grace_sec`` seconds. The age is
+      measured from the NEWEST mtime anywhere in the staging tree —
+      every task file a live writer lands is a heartbeat — so
+      ``stage_grace_sec`` must exceed the longest expected gap
+      between writes within one stage (not the stage's total
+      duration), and a reclaimed writer merely retries
+      (``ConcurrentCommitError``), never loses committed data.
     """
     removed: list[str] = []
     if not os.path.isdir(path):
@@ -1078,7 +1244,7 @@ def vacuum_generations(
     for d in os.listdir(path):
         if d.startswith(_STAGE_PREFIX):
             try:
-                age = _time.time() - os.path.getmtime(os.path.join(path, d))
+                age = _time.time() - _tree_max_mtime(os.path.join(path, d))
             except OSError:
                 continue  # vanished mid-listing (a rival sweep)
             if age >= stage_grace_sec:
@@ -1088,10 +1254,14 @@ def vacuum_generations(
     fenced = False
     token = None
     if uncommitted:
-        intent = cas.read_claim(path, live)
+        intent_raw = cas.read_claim_raw(path, live)
+        intent = cas.claim_name(intent_raw)
         if intent and intent.startswith(_VFENCE_PREFIX) and _vacuum_fence_stale(intent):
-            cas.release(path, live)  # crashed sweep: break its fence
-            intent = None
+            # crashed sweep: break its fence — conditionally (ADVICE
+            # r11), so a rival that broke it first and claimed anew
+            # keeps its live claim; we then skip this sweep.
+            if cas.release_if(path, live, intent_raw):
+                intent = None
         if intent is None:
             token = _make_vacuum_fence()
             if cas.claim(path, live, token):
@@ -1111,18 +1281,29 @@ def vacuum_generations(
             cas.release(path, g)
             removed.append(g)
     finally:
-        if token is not None and cas.read_claim(path, live) == token:
+        if token is not None:
             # release only the fence this sweep itself placed — never a
-            # claim a rival took after breaking a stale fence of ours
-            cas.release(path, live)
+            # claim a rival took after breaking a stale fence of ours.
+            # Fence tokens are globally unique (time+pid+uuid), so a
+            # name match identifies OUR fence; the exact-raw
+            # compare-and-delete is atomic in the backend (ADVICE r11:
+            # the old read-then-delete had the same window it guarded
+            # against).
+            own_raw = cas.read_claim_raw(path, live)
+            if cas.claim_name(own_raw) == token:
+                cas.release_if(path, live, own_raw)
     # Drop the inert genesis marker once a pointer exists — the
     # empty-store base can never be advanced from again.
     if live is not None:
-        genesis_intent = cas.read_claim(path, None) or ""
-        if not genesis_intent.startswith(_VFENCE_PREFIX) or _vacuum_fence_stale(
-            genesis_intent
+        genesis_raw = cas.read_claim_raw(path, None)
+        genesis_intent = cas.claim_name(genesis_raw)
+        if genesis_intent is not None and (
+            not genesis_intent.startswith(_VFENCE_PREFIX)
+            or _vacuum_fence_stale(genesis_intent)
         ):
-            cas.release(path, None)
+            # conditional for the same reason as every recovery delete:
+            # only drop the exact inert intent we just read
+            cas.release_if(path, None, genesis_raw)
     return removed
 
 
@@ -1333,15 +1514,48 @@ def erase_from_store(
         .select(*partition_cols)
         .distinct()
     )
+    # Dir-name matching set (ADVICE r11): read the SAME partitions with
+    # partition type inference OFF, so values come back as the exact
+    # strings encoded in the hive dir names — an int-inferred '00123'
+    # would otherwise stringify to '123' and miss its dir (a fully-
+    # erased partition relinked = erased rows resurrected), and a
+    # decimal '1.10' to '1.1'. NULL maps to a sentinel no literal
+    # string value can decode to, so a partition VALUE 'None' can
+    # never be confused with the null partition.
     # driver-scale: partition fan-out is bounded (≤256 buckets)
-    doomed_vals = {
-        tuple(str(r[c]) for c in partition_cols) for r in doomed_parts.collect()
-    }
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        raw_parts = (
+            spark.read.parquet(cur_gen)
+            .join(keys.hint("broadcast"), on=key_col, how="left_semi")
+            .select(*partition_cols)
+            .distinct()
+        )
+        doomed_vals = {
+            tuple(
+                _NULL_PARTITION_SENTINEL if r[c] is None else str(r[c])
+                for c in partition_cols
+            )
+            for r in raw_parts.collect()
+        }
+    finally:
+        spark.conf.set(infer_key, prev_infer)
     if not doomed_vals:
         return 0
-    touched = target.join(
-        doomed_parts.hint("broadcast"), on=list(partition_cols), how="left_semi"
-    )
+    # NULL-SAFE partition match: an equi-semi-join would never match
+    # the null partition (NULL = NULL is unknown), silently exempting
+    # null-keyed partitions from erasure — found by the
+    # inference-hostile test, same hazard family as ADVICE r11's
+    # name-matching items.
+    t = target.alias("__t")
+    dp = doomed_parts.alias("__dp")
+    cond = None
+    for c in partition_cols:
+        e = F.col(f"__t.{c}").eqNullSafe(F.col(f"__dp.{c}"))
+        cond = e if cond is None else cond & e
+    touched = t.join(dp.hint("broadcast"), on=cond, how="left_semi")
     n_erased = touched.join(keys.hint("broadcast"), on=key_col, how="left_semi").count()
     kept = touched.join(keys.hint("broadcast"), on=key_col, how="left_anti")
     # Touched partitions absent from the staged output (fully erased)
@@ -1359,11 +1573,16 @@ def erase_from_store(
     return n_erased
 
 
+# decoded stand-in for the null partition — contains NUL, which no
+# hive-escaped dir segment can decode to from a real string value
+_NULL_PARTITION_SENTINEL = "\x00__hive_default_partition__"
+
+
 def _partition_dirs(gen_dir: str, partition_cols: list[str]) -> dict[str, tuple]:
     """Map each relative leaf partition dir of ``gen_dir`` to its
     decoded value tuple (hive ``col=value`` segments, %-unescaped,
-    ``__HIVE_DEFAULT_PARTITION__`` → the string ``"None"`` to match
-    ``str(None)`` on the DataFrame side)."""
+    ``__HIVE_DEFAULT_PARTITION__`` → ``_NULL_PARTITION_SENTINEL`` so
+    null never collides with a literal string value ``'None'``)."""
     from urllib.parse import unquote
 
     out: dict[str, tuple] = {}
@@ -1380,7 +1599,11 @@ def _partition_dirs(gen_dir: str, partition_cols: list[str]) -> dict[str, tuple]
             if "=" not in seg:
                 break
             c, v = seg.split("=", 1)
-            kv[c] = "None" if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            kv[c] = (
+                _NULL_PARTITION_SENTINEL
+                if v == "__HIVE_DEFAULT_PARTITION__"
+                else unquote(v)
+            )
         else:
             if list(kv) == partition_cols:
                 out[rel] = tuple(kv[c] for c in partition_cols)

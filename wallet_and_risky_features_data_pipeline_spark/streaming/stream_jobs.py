@@ -98,6 +98,32 @@ _OOO_NONE = -(2**62)
 # process (driver-side diagnostic; read after the job returns).
 LAST_OOO_VIOLATIONS: dict[str, int] = {}
 
+# Every sink/checkpoint dir any stream job creates, reaped in one
+# atexit hook (ADVICE r11: a long-lived session re-invoking the ~30
+# jobs — the bench loop — grew /tmp without bound). Reaped at EXIT,
+# not per-call: the returned read-back DataFrames are lazy over these
+# dirs for the rest of the session.
+_TEMP_DIRS: list[str] = []
+
+
+def _reap_temp_dirs() -> None:
+    import shutil
+
+    while _TEMP_DIRS:
+        shutil.rmtree(_TEMP_DIRS.pop(), ignore_errors=True)
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    """``tempfile.mkdtemp`` + registration with the process-exit
+    reaper — the tracked-tempdir mirror of ``caching.persist_tracked``."""
+    import atexit
+
+    if not _TEMP_DIRS:
+        atexit.register(_reap_temp_dirs)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_DIRS.append(d)
+    return d
+
 
 def _ooo_count(batch, last_us: int, last_eid: int) -> int:
     """Rows of a (sorted) micro-batch at or behind the (ts, event_id)
@@ -136,7 +162,7 @@ def _run_append_to_parquet(spark, stream, ckpt_dir: str, prefix: str, query_out=
     parquet scan mints fresh attribute ids per read, so the
     MemoryPlan self-join hazard (conflicting attributes) cannot reach
     rollups over the returned frame."""
-    out_dir = tempfile.mkdtemp(prefix=prefix)
+    out_dir = _tracked_mkdtemp(prefix=prefix)
     q = (
         stream.writeStream.outputMode("append")
         .trigger(availableNow=True)
@@ -165,7 +191,7 @@ def _run_foreach_to_parquet(
     is the final result under availableNow), ``update`` appends the
     changed rows (callers recover latest-per-key with the same rollup
     they ran over the memory sink's accumulated rows)."""
-    out_dir = tempfile.mkdtemp(prefix=prefix)
+    out_dir = _tracked_mkdtemp(prefix=prefix)
     write_mode = "overwrite" if mode == "complete" else "append"
 
     def _sink(batch_df, _batch_id):
@@ -295,7 +321,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_stream_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_stream_ckpt_")
 
     # Stateful operators create one state-store instance per shuffle
     # partition, pinned by the checkpoint for the query's lifetime —
@@ -434,8 +460,8 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_merge_ckpt_")
-    store = tempfile.mkdtemp(prefix="wrf_merge_store_") + "/user_state"
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_merge_ckpt_")
+    store = _tracked_mkdtemp(prefix="wrf_merge_store_") + "/user_state"
 
     def upsert_batch(batch: DataFrame, _epoch: int) -> None:
         monotone_user_upsert(spark, batch, store)
@@ -498,7 +524,7 @@ def stateful_user_totals(
     # finding); SPARK_GRAFT_STREAM_SHUFFLE still overrides.
     spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_state_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_state_ckpt_")
 
     out_schema = StructType.fromDDL("user_id long, n_events long, total_cents long")
     state_schema = StructType.fromDDL("n long, cents long")
@@ -580,7 +606,7 @@ def session_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_session_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_session_ckpt_")
 
     stream = (
         events_stream(spark, sf_dir, static.schema)
@@ -658,7 +684,7 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_ssjoin_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_ssjoin_ckpt_")
 
     def side(event_type: str, prefix: str):
         return (
@@ -724,7 +750,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_enrich_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_enrich_ckpt_")
 
     dim = (
         static.transform(normalize_event_ts)
@@ -841,7 +867,7 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_alert_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_alert_ckpt_")
 
     out_schema = StructType.fromDDL(
         "user_id long, event_id long, ts_us long, total_cents long, level long"
@@ -942,10 +968,10 @@ def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    land = tempfile.mkdtemp(prefix="wrf_vocab_land_")
+    land = _tracked_mkdtemp(prefix="wrf_vocab_land_")
     static.repartition(4).write.mode("overwrite").parquet(land)
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_vocab_ckpt_")
-    store = tempfile.mkdtemp(prefix="wrf_vocab_store_") + "/token_freqs"
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_vocab_ckpt_")
+    store = _tracked_mkdtemp(prefix="wrf_vocab_store_") + "/token_freqs"
 
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         vocab_merge_batch(spark, store, batch, epoch)
@@ -1018,7 +1044,7 @@ def stream_funnel_alerts(
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_funnel_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_funnel_ckpt_")
 
     out_schema = StructType.fromDDL("user_id long, completed_ts_us long")
     state_schema = StructType.fromDDL("stage long, last_ts_us long")
@@ -1093,7 +1119,7 @@ def stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_ohlc_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_ohlc_ckpt_")
 
     ordv = F.struct(
         F.expr(
@@ -1155,7 +1181,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe) so arrival order can never move a sum."""
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_dedup_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_dedup_ckpt_")
 
     redelivered = events_stream(spark, sf_dir, static.schema).unionByName(
         events_stream(spark, sf_dir, static.schema)
@@ -1218,7 +1244,7 @@ def stream_dedup_counts_from_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee is a pinned test, not an assumption (ADVICE r8)."""
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_dedupx_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_dedupx_ckpt_")
     stream = (
         events_stream(spark, sf_dir, static.schema, max_files_per_trigger=1)
         .transform(normalize_event_ts)
@@ -1299,7 +1325,7 @@ def stream_rolling_zscore(
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_zscore_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_zscore_ckpt_")
 
     out_schema = StructType.fromDDL(
         "user_id long, event_id long, ts timestamp, cents long, "
@@ -1470,7 +1496,7 @@ def stream_event_transitions(
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_transitions_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_transitions_ckpt_")
 
     out_schema = StructType.fromDDL(
         "user_id long, from_type string, to_type string, ooo long"
@@ -1590,7 +1616,7 @@ def stream_cusum_monitor(
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_cusum_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_cusum_ckpt_")
 
     out_schema = StructType.fromDDL(
         "user_id long, event_id long, ts timestamp, s_c long, ooo long"
@@ -1711,7 +1737,7 @@ def stream_activity_entropy(
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_entropy_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_entropy_ckpt_")
 
     out_schema = StructType.fromDDL(
         "user_id long, n_events long, n_active_hours long,"
@@ -1819,7 +1845,7 @@ def stream_transitions_reorder(
     # serialization. SPARK_GRAFT_STREAM_SHUFFLE still overrides.
     spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_transitions_ro_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_transitions_ro_ckpt_")
 
     out_schema = StructType.fromDDL(
         "user_id long, from_type string, to_type string,"
@@ -1977,9 +2003,9 @@ def stream_source_psi(
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # land as 4 files so maxFilesPerTrigger=1 exercises REAL
     # multi-batch state carry (the vocab job's staging recipe)
-    land = tempfile.mkdtemp(prefix="wrf_psi_land_")
+    land = _tracked_mkdtemp(prefix="wrf_psi_land_")
     static.repartition(4).write.mode("overwrite").parquet(land)
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_psi_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_psi_ckpt_")
 
     out_schema = StructType.fromDDL("source string, n_docs long, bin int, ca long")
     state_schema = StructType.fromDDL("counts array<long>")
@@ -2059,9 +2085,9 @@ def stream_embedding_drift(
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    land = tempfile.mkdtemp(prefix="wrf_embdrift_land_")
+    land = _tracked_mkdtemp(prefix="wrf_embdrift_land_")
     static.repartition(4).write.mode("overwrite").parquet(land)
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_embdrift_ckpt_")
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_embdrift_ckpt_")
 
     out_schema = StructType.fromDDL("label int, n_vectors long, dim int, s long")
     state_schema = StructType.fromDDL("n long, sums array<long>")
@@ -2213,10 +2239,10 @@ def stream_value_freq_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = _stream_session(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    land = tempfile.mkdtemp(prefix="wrf_vfreq_land_")
+    land = _tracked_mkdtemp(prefix="wrf_vfreq_land_")
     static.repartition(4).write.mode("overwrite").parquet(land)
-    ckpt_dir = tempfile.mkdtemp(prefix="wrf_vfreq_ckpt_")
-    store = tempfile.mkdtemp(prefix="wrf_vfreq_store_") + "/value_freqs"
+    ckpt_dir = _tracked_mkdtemp(prefix="wrf_vfreq_ckpt_")
+    store = _tracked_mkdtemp(prefix="wrf_vfreq_store_") + "/value_freqs"
 
     def merge_batch(batch: DataFrame, epoch: int) -> None:
         value_freq_merge_batch(spark, store, batch, epoch)
