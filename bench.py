@@ -290,6 +290,32 @@ def main() -> None:
         con.execute("DROP TABLE IF EXISTS _duck_bench")
         con.close()
 
+    # Overhead-adjusted per-query tier (VERDICT r11 #6): most queries
+    # read >2x DuckDB individually ONLY because Spark's fixed job
+    # round-trip (scheduler + noop sink + Py4J) dominates sub-second
+    # queries at this sf. Measure that floor empirically (min-of-3
+    # empty-plan noop jobs) and emit, for every query whose DuckDB
+    # time is >= 0.5 s (below that the adjusted ratio is still
+    # overhead noise), ratio = (spark - floor) / duckdb. The
+    # duckdb_over2x list is the ACTIONABLE residue: a real per-query
+    # regression can no longer hide inside the overhead floor.
+    spark_overhead_floor = None
+    if duckdb_times:
+        floor_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(1).write.format("noop").mode("overwrite").save()
+            floor_runs.append(time.perf_counter() - t0)
+        spark_overhead_floor = round(min(floor_runs), 4)
+    duckdb_ratio_adjusted = {
+        k: round(max(isolated[k] - spark_overhead_floor, 0.0) / duckdb_times[k], 3)
+        for k in sorted(set(duckdb_times) & set(isolated))
+        if duckdb_times[k] >= 0.5
+    }
+    duckdb_over2x = sorted(
+        k for k, r in duckdb_ratio_adjusted.items() if r > 2.0
+    )
+
     duck_shared = sorted(set(duckdb_times) & set(isolated))
     duckdb_total = round(sum(duckdb_times[k] for k in duck_shared), 4) or None
     spark_total_on_duckdb_set = (
@@ -376,6 +402,9 @@ def main() -> None:
         "duckdb_total": duckdb_total,
         "spark_total_on_duckdb_set": spark_total_on_duckdb_set,
         "spark_vs_duckdb": spark_vs_duckdb,
+        "spark_overhead_floor": spark_overhead_floor,
+        "duckdb_ratio_adjusted": duckdb_ratio_adjusted,
+        "duckdb_over2x": duckdb_over2x,
         "isolated_policy": {
             "top_n_min_of_2": len(retried),
             "retry_targeting": "measured_isolated_time",

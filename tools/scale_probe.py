@@ -40,8 +40,16 @@ COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 #   sets, vocab-bounded aggregates) measured ~flat under MODE=replica
 #   BECAUSE replication cannot grow them; this mode is the real scale
 #   axis for the graph/vocab families.
+# MODE=local-delta (VERDICT r11 #3): structure mode's disjoint
+#   isomorphic copies, but every copy k>0 has its post-LPA_SPLIT_AT
+#   events shifted BACK before the split — the old graph grows
+#   COPIES×, while the nightly delta (new edges) stays 1× and its
+#   whole 3-hop neighborhood is confined to copy 0's subgraph. The
+#   random sf0.1 graph cannot exhibit the locality win that justifies
+#   incremental LPA (dirty≈full, PLANS.md r11); this mode CAN.
 MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "replica")
-DST = f"/tmp/wrf_{'struct' if MODE == 'structure' else 'scale'}{COPIES}"
+_DST_TAG = {"structure": "struct", "local-delta": "localdelta"}.get(MODE, "scale")
+DST = f"/tmp/wrf_{_DST_TAG}{COPIES}"
 STRIDE = 10_000_000
 
 # table → columns shifted per copy. Star-schema shifts are CONSISTENT
@@ -59,6 +67,40 @@ ID_COLS = {
 }
 
 
+def _shift_tail_before_split(df):
+    """local-delta events transform: move every post-LPA_SPLIT_AT row
+    27 days back (01-28..30 → 01-01..03). Handles both testdata ts
+    encodings (TIMESTAMP and bigint-nanos — the verify-skill gotcha)."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.incremental_plans import (
+        LPA_SPLIT_AT,
+    )
+
+    shift_days = 27
+    if dict(df.dtypes).get("ts") == "bigint":
+        import datetime as _dt
+
+        split_ns = int(
+            _dt.datetime.fromisoformat(LPA_SPLIT_AT)
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+            * 1_000_000_000
+        )
+        shift_ns = shift_days * 86_400 * 1_000_000_000
+        return df.withColumn(
+            "ts",
+            F.when(F.col("ts") >= F.lit(split_ns), F.col("ts") - F.lit(shift_ns))
+            .otherwise(F.col("ts")),
+        )
+    split = F.lit(LPA_SPLIT_AT).cast("timestamp")
+    return df.withColumn(
+        "ts",
+        F.when(
+            F.col("ts") >= split,
+            F.col("ts") - F.expr(f"INTERVAL {shift_days} DAYS"),
+        ).otherwise(F.col("ts")),
+    )
+
+
 def build_replica(spark, tables: set[str]) -> None:
     # A replica left by a crashed build (no _SUCCESS) or built from a
     # different SRC must be rebuilt, not silently reused — the ratios
@@ -67,7 +109,7 @@ def build_replica(spark, tables: set[str]) -> None:
     # older recipe must rebuild, or ratios silently compare different
     # data shapes (v2: structure mode also shifts the events VALUE
     # domain).
-    stamp = f"{SRC}:v2"
+    stamp = f"{SRC}:v2" if MODE != "local-delta" else f"{SRC}:v3:local-delta"
     marker = f"{DST}/.built_from"
     if os.path.exists(DST):
         stale = not (os.path.exists(marker) and open(marker).read() == stamp) or any(
@@ -94,7 +136,7 @@ def build_replica(spark, tables: set[str]) -> None:
             df = src
             for c in idcs:
                 df = df.withColumn(c, F.col(c) + F.lit(k * STRIDE))
-            if MODE == "structure" and k > 0:
+            if MODE in ("structure", "local-delta") and k > 0:
                 if t == "events":
                     # salt BOTH graph endpoints: user_id and the JSON
                     # counterparty — copy k is a disjoint isomorphic
@@ -119,6 +161,12 @@ def build_replica(spark, tables: set[str]) -> None:
                             F.lit("}"),
                         ),
                     )
+                    if MODE == "local-delta":
+                        # copies carry NO post-split events: shift the
+                        # tail back 27 days (01-28..30 → 01-01..03),
+                        # growing the OLD graph while the nightly delta
+                        # stays copy-0-local
+                        df = _shift_tail_before_split(df)
                 elif t == "documents":
                     # per-copy token suffix → the vocabulary (distinct
                     # words) grows COPIES×; n_chars kept consistent
@@ -268,6 +316,71 @@ def streaming_state_probe(spark) -> None:
         )
 
 
+def local_delta_probe(spark) -> None:
+    """VERDICT r11 #3 — the locality evidence the random testdata
+    cannot give: at COPIES× graph scale with a copy-0-confined delta,
+    time (a) the full LPA recompute, (b) the warm state BUILD
+    (amortized once per prior snapshot in deployment), and (c) the
+    warm dirty-frontier refresh — and hold warm ≡ full at the scaled
+    data. The deployed claim is (c) ≪ (a) under local deltas."""
+    import wallet_and_risky_features_data_pipeline_spark.plans.incremental_plans as inc
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        reset_session_memos,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_label_propagation,
+    )
+
+    for label, d in (("sf0.1", SRC), (f"{COPIES}x", DST)):
+        # full recompute
+        reset_session_memos(spark)
+        start = time.perf_counter()
+        with cache_scope():
+            wallet_label_propagation(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        t_full = time.perf_counter() - start
+
+        # state build: force a rebuild by clearing this input's store
+        reset_session_memos(spark)
+        shutil.rmtree(inc._lpa_state_store(d), ignore_errors=True)
+        start = time.perf_counter()
+        with cache_scope():
+            inc.wallet_label_propagation_warm(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        t_build_plus = time.perf_counter() - start
+
+        # warm refresh only (state committed above)
+        reset_session_memos(spark)
+        start = time.perf_counter()
+        with cache_scope():
+            inc.wallet_label_propagation_warm(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        t_warm = time.perf_counter() - start
+        print(
+            f"local_delta {label:6s} full={t_full:7.2f} s  "
+            f"build+refresh={t_build_plus:7.2f} s  warm_refresh={t_warm:7.2f} s  "
+            f"warm/full={t_warm / t_full:5.2f}",
+            flush=True,
+        )
+        if COPIES <= 10:
+            reset_session_memos(spark)
+            with cache_scope():
+                warm = {
+                    tuple(r)
+                    for r in inc.wallet_label_propagation_warm(spark, d).collect()
+                }
+                full = {
+                    tuple(r) for r in wallet_label_propagation(spark, d).collect()
+                }
+            assert warm == full, (
+                f"{label}: warm ≢ full ({len(warm ^ full)} rows differ)"
+            )
+            print(f"local_delta {label:6s} warm ≡ full ({len(full)} rows)", flush=True)
+
+
 STRUCTURE_DEFAULTS = [
     # the graph/vocab families whose replica-mode "flat" readings were
     # replication artifacts (VERDICT r9 #1) — structure mode grows
@@ -303,6 +416,16 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         build_replica(spark, {"documents", "embeddings", "events"})
         erase_probe(spark)
+        return
+    if names == ["local-delta"]:
+        assert MODE == "local-delta", (
+            "run with SPARK_GRAFT_SCALE_MODE=local-delta so the replica "
+            "recipe confines the delta to copy 0"
+        )
+        spark = get_spark("wrf-scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        build_replica(spark, {"documents", "embeddings", "events"})
+        local_delta_probe(spark)
         return
     if names == ["streaming-state"]:
         spark = get_spark("wrf-scale-probe")

@@ -142,9 +142,13 @@ _WT_ORDER = "ts, priority, transaction_index, role_rank, event_id"
 # by the DataFrame plans. The REPARTITION hint is by_wallet's SQL
 # spelling: one wallet exchange serves every window family (a hash
 # partitioning on a subset of the partition keys satisfies the
-# clustering requirement).
-_CONTRACT_STATE_SQL = f"""
-ordered AS (
+# clustering requirement). Parameterized over the source CTE and a
+# name prefix so the incremental twin can run the identical chain
+# over the pre-split batch (its prior snapshot) without duplicating
+# the SQL.
+def _contract_state_ctes(src: str = "wallet_tx", prefix: str = "") -> str:
+    return f"""
+{prefix}ordered AS (
     SELECT /*+ REPARTITION(wallet_address) */ *,
         ROW_NUMBER() OVER (
             PARTITION BY wallet_address, contract_address
@@ -152,17 +156,17 @@ ordered AS (
         DENSE_RANK() OVER (
             PARTITION BY wallet_address, event_id
             ORDER BY priority) AS hash_rank
-    FROM wallet_tx
+    FROM {src}
 ),
-balanced AS (
+{prefix}balanced AS (
     SELECT *,
         SUM(signed_value) OVER (
             PARTITION BY wallet_address, contract_address
             ORDER BY {_WT_ORDER}
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
-    FROM ordered
+    FROM {prefix}ordered
 ),
-contract_state AS (
+{prefix}contract_state AS (
     SELECT
         wallet_address,
         contract_address,
@@ -177,10 +181,13 @@ contract_state AS (
         MAX(ts) AS last_ts,
         MAX(balance) AS max_balance,
         MIN(CASE WHEN balance > 0 THEN balance END) AS min_pos_balance
-    FROM balanced
+    FROM {prefix}balanced
     GROUP BY 1, 2
 )
 """
+
+
+_CONTRACT_STATE_SQL = _contract_state_ctes()
 
 
 def wallet_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,6 +243,121 @@ def wallet_coin_balances_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WALLET_COIN_BALANCES_SQL_ORACLE = WALLET_COIN_BALANCES_ORACLE
+
+
+def wallet_coin_balances_incremental_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text twin of the INCREMENTAL stitch (VERDICT r11 #8): the
+    reference's own incremental halves are SQL text
+    (ethereum_wallet_features.sql:333+ computes the delta batch with
+    the running balance SEEDED from the stored prior state, :549-612
+    merges lifetime stats, and the untouched prior rows carry over by
+    anti-join) — this renders that exact shape in Spark-SQL dialect:
+
+    - prior snapshot = the identical contract-state CTE chain over the
+      pre-``SPLIT_AT`` batch (``_contract_state_ctes('old_tx','p_')``);
+    - the new batch's running balance seeds from the prior final
+      balance INSIDE the window sum (a post-hoc shift would be wrong
+      for min-of-positives — streaming/incremental.py's invariant);
+    - additive stats stitch with COALESCE(prior, 0), extrema with
+      LEAST/GREATEST, and untouched prior keys carry over via NOT
+      EXISTS (U5).
+
+    Held to the FULL-recompute oracle (WALLET_COIN_BALANCES_ORACLE):
+    incremental(b1)+b2 ≡ full(b1 ∪ b2), proven through the driver's
+    own gate in a second dialect."""
+    from .incremental_plans import SPLIT_AT
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        f"""
+        WITH {WALLET_TX_SQL_CTE.strip()},
+        old_tx AS (SELECT * FROM wallet_tx WHERE ts < TIMESTAMP '{SPLIT_AT}'),
+        new_tx AS (SELECT * FROM wallet_tx WHERE ts >= TIMESTAMP '{SPLIT_AT}'),
+        {_contract_state_ctes("old_tx", "p_").strip()},
+        n_ordered AS (
+            SELECT /*+ REPARTITION(wallet_address) */ *,
+                ROW_NUMBER() OVER (
+                    PARTITION BY wallet_address, contract_address
+                    ORDER BY {_WT_ORDER}) AS row_num,
+                DENSE_RANK() OVER (
+                    PARTITION BY wallet_address, event_id
+                    ORDER BY priority) AS hash_rank
+            FROM new_tx
+        ),
+        n_balanced AS (
+            SELECT o.*,
+                CAST(COALESCE(p.final_balance, 0) AS DECIMAL(38,9))
+                    + SUM(o.signed_value) OVER (
+                        PARTITION BY o.wallet_address, o.contract_address
+                        ORDER BY o.ts, o.priority, o.transaction_index,
+                                 o.role_rank, o.event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS balance
+            FROM n_ordered o
+            LEFT JOIN p_contract_state p
+              ON p.wallet_address = o.wallet_address
+             AND p.contract_address = o.contract_address
+        ),
+        seg AS (
+            SELECT
+                wallet_address,
+                contract_address,
+                max_by(balance, row_num) AS final_balance,
+                SUM(CASE WHEN address_role = 'receiver' THEN current_value
+                         ELSE CAST(0 AS DECIMAL(38,9)) END) AS incoming_value,
+                SUM(CASE WHEN address_role = 'sender' THEN current_value
+                         ELSE CAST(0 AS DECIMAL(38,9)) END) AS outgoing_value,
+                COUNT(CASE WHEN hash_rank = 1 THEN 1 END) AS contract_tx,
+                MIN(ts) AS first_ts,
+                MAX(ts) AS last_ts
+            FROM n_balanced
+            GROUP BY 1, 2
+        ),
+        stitched AS (
+            SELECT
+                s.wallet_address,
+                s.contract_address,
+                s.final_balance,
+                CAST(COALESCE(p.incoming_value, 0) AS DECIMAL(38,9))
+                    + s.incoming_value AS incoming_value,
+                CAST(COALESCE(p.outgoing_value, 0) AS DECIMAL(38,9))
+                    + s.outgoing_value AS outgoing_value,
+                COALESCE(p.contract_tx, 0) + s.contract_tx AS contract_tx,
+                LEAST(COALESCE(p.first_ts, s.first_ts), s.first_ts) AS first_ts,
+                GREATEST(COALESCE(p.last_ts, s.last_ts), s.last_ts) AS last_ts
+            FROM seg s
+            LEFT JOIN p_contract_state p
+              ON p.wallet_address = s.wallet_address
+             AND p.contract_address = s.contract_address
+        ),
+        merged AS (
+            SELECT * FROM stitched
+            UNION ALL
+            SELECT
+                p.wallet_address, p.contract_address, p.final_balance,
+                p.incoming_value, p.outgoing_value, p.contract_tx,
+                p.first_ts, p.last_ts
+            FROM p_contract_state p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM seg s
+                WHERE s.wallet_address = p.wallet_address
+                  AND s.contract_address = p.contract_address)
+        )
+        SELECT
+            wallet_address,
+            contract_address,
+            CAST(final_balance AS DOUBLE) AS final_balance,
+            CAST(incoming_value AS DOUBLE) AS incoming_value,
+            CAST(outgoing_value AS DOUBLE) AS outgoing_value,
+            contract_tx,
+            unix_micros(first_ts) AS first_ts_us,
+            unix_micros(last_ts) AS last_ts_us
+        FROM merged
+        """
+    )
+
+
+WALLET_COIN_BALANCES_INCR_SQL_ORACLE = WALLET_COIN_BALANCES_ORACLE
 
 
 # Day-bucketed as-of join in SQL: quotes explode over their reachable
