@@ -285,6 +285,15 @@ def test_sql_twins_plan_like_the_dataframe_plans(spark):
     shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
     assert shuffled <= 1, f"{shuffled} shuffled joins (expected <=1, re-attach only)"
 
+    # the incremental stitch twin: the NOT EXISTS carry-over must plan
+    # as an anti-JOIN (U5's shape — never a per-row subquery), and the
+    # prior-seed/stitch/carry-over joins must never degrade to a
+    # cartesian; join *strategy* (broadcast vs shuffle) is left to
+    # AQE/stats since the prior snapshot is only small at test SF
+    plan = _physical(QUERIES["wallet_coin_balances_incremental_sql"](spark, SF_MEDIUM))
+    assert "LeftAnti" in plan, "NOT EXISTS carry-over did not plan as an anti-join"
+    assert "CartesianProduct" not in plan
+
 
 def test_ngram_freq_topk_no_global_sort(spark):
     """Top-K must plan as TakeOrderedAndProject (per-partition heaps),

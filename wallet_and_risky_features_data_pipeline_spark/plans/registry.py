@@ -786,3 +786,13 @@ register(
     inc.wallet_community_modularity_incremental,
     inc.WALLET_MODULARITY_INCR_ORACLE,
 )
+# SQL-text twin of the incremental stitch (VERDICT r11 #8): the
+# prior-state seed inside the window sum, COALESCE-additive stats,
+# LEAST/GREATEST extrema, NOT EXISTS carry-over — the reference's own
+# incremental halves are SQL text (ethereum_wallet_features.sql:333+);
+# held to the same FULL-recompute oracle as the DataFrame version.
+register(
+    "wallet_coin_balances_incremental_sql",
+    sqls.wallet_coin_balances_incremental_sql,
+    sqls.WALLET_COIN_BALANCES_INCR_SQL_ORACLE,
+)
