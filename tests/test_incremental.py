@@ -237,3 +237,107 @@ def test_modularity_incremental_equals_full(spark, tmp_path, monkeypatch):
     }
     full = {tuple(r) for r in wallet_community_modularity(spark, SF_SMALL).collect()}
     assert incr == full
+
+
+def test_coin_balances_warm_reads_stored_state(spark, tmp_path, monkeypatch):
+    """The flagship warm stitch: the pre-split contract-state snapshot
+    commits ONCE as a fingerprint-tagged generation and the next run
+    is read-back only; the result equals the full recompute across the
+    real persist/read-back boundary (parquet decimals + micros
+    timestamps must round-trip exactly)."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.windows_plans import (
+        wallet_coin_balances,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        generation_tag,
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    warm = {tuple(r) for r in inc.wallet_coin_balances_warm(spark, SF_SMALL).collect()}
+    full = {tuple(r) for r in wallet_coin_balances(spark, SF_SMALL).collect()}
+    assert warm == full
+
+    store = inc._state_store(SF_SMALL, "contract_state")
+    assert list_generations(store) == ["gen-000001"]
+    assert generation_tag(store) == inc._state_fingerprint(
+        SF_SMALL, inc._CONTRACT_STATE_VERSION, inc.SPLIT_AT
+    )
+
+    again = {tuple(r) for r in inc.wallet_coin_balances_warm(spark, SF_SMALL).collect()}
+    assert again == full
+    assert list_generations(store) == ["gen-000001"]  # no second build
+
+
+def test_auc_warm_reads_stored_state(spark, tmp_path, monkeypatch):
+    """W11's bridge term lands against STORED state: warm ≡ full to
+    the last decimal digit, one committed generation, read-back only
+    on the second run."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_auc_rollup,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    warm = {tuple(r) for r in inc.wallet_auc_warm(spark, SF_SMALL).collect()}
+    full = {tuple(r) for r in wallet_auc_rollup(spark, SF_SMALL).collect()}
+    assert warm == full
+
+    store = inc._state_store(SF_SMALL, "auc_state")
+    assert list_generations(store) == ["gen-000001"]
+    inc.wallet_auc_warm(spark, SF_SMALL).collect()
+    assert list_generations(store) == ["gen-000001"]
+
+
+def test_contract_state_warm_fingerprint_invalidates(spark, tmp_path, monkeypatch):
+    """A format-version bump must force a rebuild of the stored
+    contract-state snapshot, never a stale read."""
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    inc.wallet_coin_balances_warm(spark, SF_SMALL).collect()
+    store = inc._state_store(SF_SMALL, "contract_state")
+    assert list_generations(store) == ["gen-000001"]
+
+    monkeypatch.setattr(inc, "_CONTRACT_STATE_VERSION", "v1-test-bump")
+    inc.wallet_coin_balances_warm(spark, SF_SMALL).collect()
+    assert list_generations(store) == ["gen-000001", "gen-000002"]
+
+
+def test_lpa_warm_dirty_branch_equals_full(spark, tmp_path, monkeypatch):
+    """Force the dirty-frontier branch of the adaptive warm switch
+    (threshold -> always-dirty) and hold it to the full recompute —
+    the stored-prior-rounds + frontier-refresh path must be exact even
+    when the heuristic would have chosen the restart branch."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_label_propagation,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    monkeypatch.setattr(inc, "_LPA_DIRTY_MAX_FRACTION", 1.0)
+    warm = {
+        tuple(r) for r in inc.wallet_label_propagation_warm(spark, SF_SMALL).collect()
+    }
+    full = {tuple(r) for r in wallet_label_propagation(spark, SF_SMALL).collect()}
+    assert warm == full
+
+
+def test_lpa_warm_restart_branch_equals_full(spark, tmp_path, monkeypatch):
+    """Force the restart branch (threshold -> never-dirty): rounds
+    re-run from the STORED symmetric closure, never the events
+    history; result equal to the full recompute."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_label_propagation,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    monkeypatch.setattr(inc, "_LPA_DIRTY_MAX_FRACTION", 0.0)
+    warm = {
+        tuple(r) for r in inc.wallet_label_propagation_warm(spark, SF_SMALL).collect()
+    }
+    full = {tuple(r) for r in wallet_label_propagation(spark, SF_SMALL).collect()}
+    assert warm == full

@@ -485,3 +485,53 @@ def test_split_stratified_no_full_partition_window(spark):
     plan = _physical(QUERIES["corpus_split_stratified"](spark, SF_MEDIUM))
     assert "Window" not in plan, "row-scaled stratum buffering is back"
     assert "BroadcastHashJoin" in plan
+
+
+def test_warm_tier_delta_scans_push_ts_predicate(spark):
+    """The warm (stored-prior-state) tier's defining property: NO
+    events scan in a warm query's plan may read pre-split history —
+    every one must carry the ts >= split pushdown. Guards the
+    CacheManager trap: the memoized full leg table's persist() gets
+    substituted into any plan-equal fragment, silently turning the
+    delta scan into a full cached explosion (the r12 local-delta probe
+    read warm/full >= 1 at 100x because of exactly that)."""
+    import os
+    import tempfile
+
+    from wallet_and_risky_features_data_pipeline_spark.plans import (
+        incremental_plans as inc,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions,
+    )
+
+    old = os.environ.get("SPARK_GRAFT_WARM_STATE_DIR")
+    os.environ["SPARK_GRAFT_WARM_STATE_DIR"] = tempfile.mkdtemp()
+    try:
+        # populate the session memo FIRST so the cache-substitution
+        # hazard is live during the check
+        wallet_transactions(spark, SF_MEDIUM).count()
+        inc.reset_lpa_warm_memo(spark)
+        for fn in (
+            inc.wallet_coin_balances_warm,
+            inc.wallet_auc_warm,
+            inc.wallet_label_propagation_warm,
+        ):
+            plan = _physical(fn(spark, SF_MEDIUM))
+            ev_scans = [
+                l
+                for l in plan.splitlines()
+                if "Scan parquet" in l and "events" in l
+            ]
+            assert ev_scans, f"{fn.__name__}: no events scan found"
+            bad = [l for l in ev_scans if "GreaterThanOrEqual(ts" not in l]
+            assert not bad, (
+                f"{fn.__name__}: {len(bad)}/{len(ev_scans)} events scans "
+                f"read pre-split history (no ts pushdown)"
+            )
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_WARM_STATE_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_WARM_STATE_DIR"] = old
+        inc.reset_lpa_warm_memo(spark)

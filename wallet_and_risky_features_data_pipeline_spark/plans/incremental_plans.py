@@ -26,7 +26,7 @@ from ..streaming.incremental import (
 )
 from .risk_features import WALLET_AUC_ROLLUP_ORACLE
 from .wallet_features import contract_state_from
-from .wallet_model import wallet_transactions
+from .wallet_model import wallet_transactions, wallet_transactions_delta
 from .windows_plans import WALLET_COIN_BALANCES_ORACLE
 
 SPLIT_AT = "2024-01-15"
@@ -338,47 +338,69 @@ def _lpa_dirty_refresh(
     exactness argument)."""
     from pyspark.sql import Window
 
-    from ..caching import persist_tracked
-
-    dirty = persist_tracked(
+    # Lineage is cut with ``localCheckpoint`` per round (the iterative
+    # discipline of operators/dedup.py:238 and the k-core prune):
+    # unlike ``_lpa_rounds``' single linear chain, every round here
+    # references the previous round's frames SEVERAL times (dirty in
+    # edges_r and the anti-joins, edges_r in needed and the growth,
+    # recomputed in the lookup), so an uncut tree grows EXPONENTIALLY —
+    # measured at 100×: the round-3 plan string held 22k
+    # InMemoryTableScans / 44k exchanges, and codegen+task
+    # serialization of that tree, not data, was 90% of the refresh's
+    # wall time (31 s for a 1.5k-row round).
+    dirty = (
         new_edges.select(F.col("a").alias("node"))
         .unionByName(new_edges.select(F.col("b").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     pick = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
     recomputed = None
     prev_dirty = None
     for r in range(1, rounds + 1):
-        # persisted: consumed by the counts AND by the next frontier
+        # checkpointed: consumed by the counts AND by the next frontier
         # expansion (neighbors of the dirty set ARE this join's d side)
-        edges_r = persist_tracked(
-            sym_full.join(dirty.withColumnRenamed("node", "s"), "s", "left_semi")
-        )
+        edges_r = sym_full.join(
+            dirty.withColumnRenamed("node", "s"), "s", "left_semi"
+        ).localCheckpoint(eager=True)
         if r == 1:
             # round-0 label of any node is the node id — no lookup table
             counts = edges_r.groupBy(
                 "s", F.col("d").alias("lbl")
             ).agg(F.count(F.lit(1)).alias("c"))
         else:
-            lookup = recomputed.unionByName(
-                prior[r - 2].join(prev_dirty, "node", "left_anti")
+            # Only labels of nodes actually REFERENCED as a neighbor of
+            # the dirty set are ever consumed — semi-join the |V|-scale
+            # prior round down to that (dirty-neighborhood-sized) set
+            # BEFORE the label join. The prior table is then a pruned
+            # scan feeding a small build side, not a full-|V| shuffle
+            # per round (the r12 local-delta probe read warm/full 1.28
+            # at 100× BECAUSE of that shuffle; the refresh's work must
+            # track the delta's neighborhood, not the graph).
+            needed = edges_r.select(F.col("d").alias("node")).distinct()
+            still_valid = (
+                prior[r - 2]
+                .join(needed, "node", "left_semi")
+                .join(prev_dirty, "node", "left_anti")
             )
+            lookup = recomputed.unionByName(still_valid)
             counts = (
                 edges_r.join(lookup, edges_r["d"] == lookup["node"])
                 .groupBy("s", "lbl")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-        recomputed = persist_tracked(
+        recomputed = (
             counts.withColumn("__rk", F.row_number().over(pick))
             .filter(F.col("__rk") == 1)
             .select(F.col("s").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
         )
         prev_dirty = dirty
         if r < rounds:
-            dirty = persist_tracked(
-                dirty.unionByName(
-                    edges_r.select(F.col("d").alias("node"))
-                ).distinct()
+            dirty = (
+                dirty.unionByName(edges_r.select(F.col("d").alias("node")))
+                .distinct()
+                .localCheckpoint(eager=True)
             )
 
     return recomputed.unionByName(
@@ -476,7 +498,12 @@ from .risk_features import (  # noqa: E402
 
 # v2: the state generation carries the old edge set (round 0) beside
 # the label rounds — fingerprint-fenced, so v1 states rebuild
-_LPA_STATE_VERSION = "v2"
+_LPA_STATE_VERSION = "v4"
+# Dirty-frontier refresh only below this |new|/|old| edge ratio; above
+# it the warm path restarts the rounds from the stored closure (see
+# the adaptive switch in _lpa_warm_final). 5% ≈ where a 3-hop grown
+# frontier on a well-mixed graph stops being a strict subset of it.
+_LPA_DIRTY_MAX_FRACTION = 0.05
 # per-(session, sf_dir) memo for the warm refresh — the warm LPA
 # partition and the incremental modularity share one refresh, like a
 # deployed nightly. WeakKey so dead sessions don't pin plans.
@@ -495,19 +522,17 @@ def reset_lpa_warm_memo(spark: SparkSession) -> None:
         _LPA_WARM_MEMO.pop(spark, None)
 
 
-def _lpa_state_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of everything the stored LPA state depends
+def _state_fingerprint(sf_dir: str, *params: object) -> str:
+    """Content fingerprint of everything a stored warm state depends
     on: the events source files (path/size/mtime_ns — metadata-only,
-    no data pass), the split, the round count, and a state-format
-    version. A mismatched tag forces a rebuild; matching tags make the
-    read-back provably consistent with this input."""
+    no data pass) plus caller-supplied recipe params (split, rounds,
+    format version). A mismatched tag forces a rebuild; matching tags
+    make the read-back provably consistent with this input."""
     import hashlib
-
-    from .risk_features import LPA_ROUNDS
 
     src = os.path.join(sf_dir, "events.parquet")
     h = hashlib.sha256()
-    h.update(f"{_LPA_STATE_VERSION}|{LPA_SPLIT_AT}|{LPA_ROUNDS}|".encode())
+    h.update(("|".join(str(p) for p in params) + "|").encode())
     if os.path.isdir(src):
         names = sorted(
             os.path.join(dp, fn)
@@ -525,10 +550,17 @@ def _lpa_state_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()
 
 
-def _lpa_state_store(sf_dir: str) -> str:
-    """Per-input store location for the warm LPA state. Overridable via
-    SPARK_GRAFT_WARM_STATE_DIR (tests point it at a tmp dir); keyed by
-    the absolute input path so sf0.01 and sf0.1 never collide."""
+def _lpa_state_fingerprint(sf_dir: str) -> str:
+    from .risk_features import LPA_ROUNDS
+
+    return _state_fingerprint(sf_dir, _LPA_STATE_VERSION, LPA_SPLIT_AT, LPA_ROUNDS)
+
+
+def _state_store(sf_dir: str, name: str) -> str:
+    """Per-(input, state-name) store location for a warm state table.
+    Overridable via SPARK_GRAFT_WARM_STATE_DIR (tests point it at a
+    tmp dir); keyed by the absolute input path so sf0.01 and sf0.1
+    never collide."""
     import hashlib
     import tempfile
 
@@ -536,7 +568,36 @@ def _lpa_state_store(sf_dir: str) -> str:
         tempfile.gettempdir(), "wrf_warm_state"
     )
     key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(root, f"lpa_rounds-{key}")
+    return os.path.join(root, f"{name}-{key}")
+
+
+def _lpa_state_store(sf_dir: str) -> str:
+    return _state_store(sf_dir, "lpa_rounds")
+
+
+def _ensure_warm_state(spark: SparkSession, sf_dir: str, name: str, fp: str, build):
+    """Idempotent fingerprint-fenced state build shared by the warm
+    tier: commit ``build()`` as ONE generation tagged ``fp`` unless a
+    generation with that exact tag is already live. A racing builder
+    losing the commit CAS is fine — the winner committed the same
+    fingerprint, so the loser just reads. Returns the store path."""
+    from ..sources.writers import (
+        ConcurrentCommitError,
+        commit_generation,
+        generation_tag,
+        store_committed,
+    )
+
+    store = _state_store(sf_dir, name)
+    if store_committed(store) and generation_tag(store) == fp:
+        return store
+    try:
+        commit_generation(build(), store, tag=fp)
+    except ConcurrentCommitError:
+        # rival writer won the flip; accept its state iff it matches
+        if not (store_committed(store) and generation_tag(store) == fp):
+            raise
+    return store
 
 
 def _ensure_lpa_state(spark: SparkSession, sf_dir: str) -> str:
@@ -552,40 +613,51 @@ def _ensure_lpa_state(spark: SparkSession, sf_dir: str) -> str:
     it is read-only. A racing builder losing the commit CAS is fine —
     the winner committed the same fingerprint, so the loser just
     reads."""
-    from ..sources.writers import (
-        ConcurrentCommitError,
-        commit_generation,
-        generation_tag,
-        store_committed,
-    )
     from .risk_features import LPA_ROUNDS, _lpa_rounds
 
-    store = _lpa_state_store(sf_dir)
-    fp = _lpa_state_fingerprint(sf_dir)
-    if store_committed(store) and generation_tag(store) == fp:
-        return store
+    def build():
+        split = F.lit(LPA_SPLIT_AT).cast("timestamp")
+        pairs, sym_all = _lpa_edge_tables(spark, sf_dir)
+        old_edges = pairs.filter(F.col("first_seen") < split).select("a", "b")
+        sym_old = sym_all.filter(F.col("first_seen") < split).select("s", "d")
 
-    split = F.lit(LPA_SPLIT_AT).cast("timestamp")
-    pairs, sym_all = _lpa_edge_tables(spark, sf_dir)
-    old_edges = pairs.filter(F.col("first_seen") < split).select("a", "b")
-    sym_old = sym_all.filter(F.col("first_seen") < split).select("s", "d")
-
-    state = old_edges.select(
-        F.lit(0).cast("int").alias("round"),
-        F.col("a").alias("node"),
-        F.col("b").alias("lbl"),
-    )
-    for i, tbl in enumerate(_lpa_rounds(sym_old, LPA_ROUNDS), start=1):
-        state = state.unionByName(
+        # round -1 = the SYMMETRIC closure (v3): the refresh's per-round
+        # incident-edge probe streams a pruned scan of these files
+        # through a broadcast semi join — rebuilding/caching the 2|E|
+        # closure per refresh was an |E|-scale cost the warm tier
+        # exists to avoid (the r12 local-delta probe read warm/full
+        # 1.3 at 100x with the rebuild in place).
+        #
+        # Layout (v4): each round-frame repartitions INDEPENDENTLY
+        # before the union, so every round spans n pure-round files —
+        # round-pruned reads stay n-way parallel. The previous global
+        # repartition("round") hashed each round into ONE file, so
+        # every prior-round access became a single-task |V|-row scan
+        # (measured: the whole refresh serialized behind it at 100×).
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        frames = [
+            sym_old.select(
+                F.lit(-1).cast("int").alias("round"),
+                F.col("s").alias("node"),
+                F.col("d").alias("lbl"),
+            ),
+            old_edges.select(
+                F.lit(0).cast("int").alias("round"),
+                F.col("a").alias("node"),
+                F.col("b").alias("lbl"),
+            ),
+        ] + [
             tbl.select(F.lit(i).cast("int").alias("round"), "node", "lbl")
-        )
-    try:
-        commit_generation(state.repartition("round"), store, tag=fp)
-    except ConcurrentCommitError:
-        # rival writer won the flip; accept its state iff it matches
-        if not (store_committed(store) and generation_tag(store) == fp):
-            raise
-    return store
+            for i, tbl in enumerate(_lpa_rounds(sym_old, LPA_ROUNDS), start=1)
+        ]
+        state = frames[0].repartition(n)
+        for f in frames[1:]:
+            state = state.unionByName(f.repartition(n))
+        return state
+
+    return _ensure_warm_state(
+        spark, sf_dir, "lpa_rounds", _lpa_state_fingerprint(sf_dir), build
+    )
 
 
 def _lpa_warm_final(spark: SparkSession, sf_dir: str):
@@ -616,36 +688,74 @@ def _lpa_warm_final(spark: SparkSession, sf_dir: str):
 
     store = _ensure_lpa_state(spark, sf_dir)
     stored = read_store(spark, store)
-    old_edges = persist_tracked(
-        stored.filter(F.col("round") == 0).select(
-            F.col("node").alias("a"), F.col("lbl").alias("b")
-        )
+    # LAZY pruned scans of the stored generation — the refresh must
+    # never cache an |E|- or |V|-scale frame of its own: every
+    # big-side access below streams the round-pruned parquet files
+    # through a broadcast hash (the delta side is the build side),
+    # so the warm path's only |E|-scale cost is scan IO
+    old_edges = stored.filter(F.col("round") == 0).select(
+        F.col("node").alias("a"), F.col("lbl").alias("b")
+    )
+    sym_old = stored.filter(F.col("round") == -1).select(
+        F.col("node").alias("s"), F.col("lbl").alias("d")
     )
     prior = [
         stored.filter(F.col("round") == r).select("node", "lbl")
         for r in range(1, LPA_ROUNDS + 1)
     ]
 
-    # delta-only source scan: ts ≥ split pushes down past the role
-    # explosion to the events scan
-    split = F.lit(LPA_SPLIT_AT).cast("timestamp")
-    wt = wallet_transactions(spark, sf_dir)
-    delta_pairs = (
-        _lpa_legs(wt.filter(F.col("ts") >= split)).select("a", "b").distinct()
+    # delta-only source scan: ts ≥ split on the LAZY builder so the
+    # predicate reaches the events scan (the memoized table's persist()
+    # would materialize the FULL explosion first — wallet_model.
+    # wallet_transactions_delta documents the trap)
+    delta_pairs = persist_tracked(
+        _lpa_legs(wallet_transactions_delta(spark, sf_dir, LPA_SPLIT_AT))
+        .select("a", "b")
+        .distinct()
     )
+    # new = delta − stored, as a broadcast semi → anti pair: the
+    # stored |E_old| side only ever STREAMS (left of a semi join whose
+    # build side is the delta); a direct delta-anti-stored join would
+    # hash-shuffle the full stored edge set (anti joins build on the
+    # right). seen_old ≤ |delta|, so both joins keep delta-scale
+    # build sides; at a scale where the nightly delta itself outgrows
+    # broadcast, AQE falls back to the shuffle — the right trade then.
+    seen_old = old_edges.join(delta_pairs, ["a", "b"], "left_semi")
     new_edges = persist_tracked(
-        delta_pairs.join(old_edges, ["a", "b"], "left_anti")
+        delta_pairs.join(seen_old, ["a", "b"], "left_anti")
     )
 
     und = old_edges.unionByName(new_edges)  # disjoint by construction
-    sym_full = persist_tracked(
-        und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
-            und.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    sym_full = sym_old.unionByName(
+        new_edges.select(
+            F.col("a").alias("s"), F.col("b").alias("d")
+        ).unionByName(
+            new_edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
         )
     )
-    final = persist_tracked(
-        _lpa_dirty_refresh(sym_full, new_edges, prior, LPA_ROUNDS)
-    )
+    # Adaptive maintenance switch (the IVM cost rule): the dirty-
+    # frontier refresh wins only when the delta's grown neighborhood
+    # stays small — on a delta that dirties most of the graph its
+    # per-round semi/anti machinery costs a MULTIPLE of plain rounds
+    # (measured 5× at sf0.1's random 10% delta). Above the threshold,
+    # restart the rounds from the STORED symmetric closure instead —
+    # still warm (no pre-split events re-scan, no explosion, no edge
+    # groupBy; the store already paid those), just not frontier-
+    # pruned. Both branches are held to the same FULL-recompute
+    # oracle; the probe's local-delta mode exercises the frontier
+    # branch, the bench-SF random delta the restart branch.
+    n_new = new_edges.count()
+    n_old = old_edges.count()
+    if n_new > _LPA_DIRTY_MAX_FRACTION * max(n_old, 1):
+        from ..caching import persist_tracked as _pt
+        from .risk_features import _lpa_rounds
+
+        sym_full = _pt(sym_full)  # consumed by every round + modularity
+        final = persist_tracked(_lpa_rounds(sym_full, LPA_ROUNDS)[-1])
+    else:
+        final = persist_tracked(
+            _lpa_dirty_refresh(sym_full, new_edges, prior, LPA_ROUNDS)
+        )
     out = (und, sym_full, final)
     with _LPA_WARM_LOCK:
         _LPA_WARM_MEMO.setdefault(spark, {})[sf_dir] = out
@@ -729,3 +839,101 @@ def wallet_community_modularity_incremental(
 from .risk_features import (  # noqa: E402
     WALLET_COMMUNITY_MODULARITY_ORACLE as WALLET_MODULARITY_INCR_ORACLE,
 )
+
+
+_CONTRACT_STATE_VERSION = "v1"
+_AUC_STATE_VERSION = "v1"
+
+
+def _ensure_contract_state(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the pre-``SPLIT_AT`` per-(wallet, contract) snapshot —
+    the exact table the reference keeps in Iceberg and seeds the next
+    run's running balance from (ethereum_wallet_features.sql:481-541) —
+    as one fingerprint-tagged generation. Amortized: built once per
+    prior snapshot, read-only afterwards."""
+
+    def build():
+        split = F.lit(SPLIT_AT).cast("timestamp")
+        wt = wallet_transactions(spark, sf_dir)
+        return contract_state_from(wt.filter(F.col("ts") < split))
+
+    return _ensure_warm_state(
+        spark,
+        sf_dir,
+        "contract_state",
+        _state_fingerprint(sf_dir, _CONTRACT_STATE_VERSION, SPLIT_AT),
+        build,
+    )
+
+
+def wallet_coin_balances_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship incremental stitch with the prior snapshot READ
+    BACK from the generation store (the r12 warm tier, extended from
+    LPA to the reference's actual feature table): prior =
+    ``read_store`` of the committed contract-state generation; the
+    query's own work is the delta scan (``ts >= SPLIT_AT`` reaches the
+    parquet scan — on a date-partitioned 100 TB events table only the
+    delta's files are read) plus the |delta|+|state| stitch of
+    ``incremental_contract_state``. Pre-split history is NEVER
+    re-scanned — the cost the in-query ``wallet_coin_balances_
+    incremental`` still pays for harness reasons. Held to the same
+    FULL-recompute oracle."""
+    from ..sources.writers import read_store
+
+    prior = read_store(spark, _ensure_contract_state(spark, sf_dir))
+    merged = incremental_contract_state(
+        prior, wallet_transactions_delta(spark, sf_dir, SPLIT_AT)
+    )
+    return merged.select(
+        "wallet_address",
+        "contract_address",
+        F.col("final_balance").cast("double").alias("final_balance"),
+        F.col("incoming_value").cast("double").alias("incoming_value"),
+        F.col("outgoing_value").cast("double").alias("outgoing_value"),
+        "contract_tx",
+        F.unix_micros("first_ts").alias("first_ts_us"),
+        F.unix_micros("last_ts").alias("last_ts_us"),
+    )
+
+
+WALLET_COIN_BALANCES_WARM_ORACLE = WALLET_COIN_BALANCES_ORACLE
+
+
+def _ensure_auc_state(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the pre-``SPLIT_AT`` per-wallet AUC snapshot (the
+    time-integral stitch state of
+    ethereum_wallet_features_with_auc.sql:627-637) as one
+    fingerprint-tagged generation."""
+
+    def build():
+        split = F.lit(SPLIT_AT).cast("timestamp")
+        wt = wallet_transactions(spark, sf_dir)
+        return wallet_auc_state(wt.filter(F.col("ts") < split))
+
+    return _ensure_warm_state(
+        spark,
+        sf_dir,
+        "auc_state",
+        _state_fingerprint(sf_dir, _AUC_STATE_VERSION, SPLIT_AT),
+        build,
+    )
+
+
+def wallet_auc_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11's boundary stitch with the prior AUC snapshot READ BACK
+    from the generation store: the bridge term
+    ``prior_balance × (first_ts − prior_last_ts)`` lands against
+    STORED state, the delta scan never touches pre-split files, and
+    the exact-decimal result is held to the FULL-recompute oracle —
+    incremental(stored(b1)) + b2 ≡ full(b1 ∪ b2) across a real
+    persist/read-back boundary (parquet decimals and micros
+    timestamps round-trip exactly; the test would catch any loss)."""
+    from ..sources.writers import read_store
+
+    prior = read_store(spark, _ensure_auc_state(spark, sf_dir))
+    return incremental_auc_rollup(
+        prior, wallet_transactions_delta(spark, sf_dir, SPLIT_AT)
+    )
+
+
+WALLET_AUC_WARM_ORACLE = WALLET_AUC_ROLLUP_ORACLE

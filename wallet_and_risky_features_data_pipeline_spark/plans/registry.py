@@ -786,6 +786,17 @@ register(
     inc.wallet_community_modularity_incremental,
     inc.WALLET_MODULARITY_INCR_ORACLE,
 )
+# warm tier extended to the reference's actual feature tables: the
+# pre-split contract-state / AUC snapshots persist as fingerprint-
+# tagged generations and are READ BACK (ethereum_wallet_features.sql
+# :481-541 seeds running balances from stored Iceberg state) — the
+# query pays only the delta scan + stitch, never a pre-split re-scan.
+register(
+    "wallet_coin_balances_warm",
+    inc.wallet_coin_balances_warm,
+    inc.WALLET_COIN_BALANCES_WARM_ORACLE,
+)
+register("wallet_auc_warm", inc.wallet_auc_warm, inc.WALLET_AUC_WARM_ORACLE)
 # SQL-text twin of the incremental stitch (VERDICT r11 #8): the
 # prior-state seed inside the window sum, COALESCE-additive stats,
 # LEAST/GREATEST extrema, NOT EXISTS carry-over — the reference's own

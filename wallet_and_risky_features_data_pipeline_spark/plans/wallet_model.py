@@ -113,10 +113,40 @@ def reset_wallet_memo(spark: SparkSession) -> None:
         df.unpersist()
 
 
+def wallet_transactions_delta(
+    spark: SparkSession, sf_dir: str, since: str
+) -> DataFrame:
+    """Delta-only leg table for the warm (stored-prior-state) tier:
+    ``ts >= since`` applied to a LAZY, UNPERSISTED build so the
+    predicate reaches the parquet scan. The memoized
+    ``wallet_transactions`` deliberately cannot serve this — its
+    ``persist()`` puts an InMemoryRelation between the filter and the
+    scan, so a "delta" read through the memo materializes (and caches)
+    the FULL role explosion first: exactly the pre-split cost the warm
+    tier exists to avoid (the r12 local-delta probe read warm/full
+    ≥ 1 at 100× BECAUSE of this). On a date-partitioned events table
+    the pushed predicate prunes to the delta's files; on unpartitioned
+    parquet it still prunes row groups by ts stats, and only delta
+    rows pay the explosion."""
+    return _wallet_transactions_build(spark, sf_dir, (), since=since)
+
+
 def _wallet_transactions_build(
-    spark: SparkSession, sf_dir: str, blacklist: tuple[str, ...]
+    spark: SparkSession,
+    sf_dir: str,
+    blacklist: tuple[str, ...],
+    since: str | None = None,
 ) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
+    if since is not None:
+        # Filter BELOW the projections, directly on the scan: besides
+        # pushing to parquet, this keeps the delta plan's shape
+        # distinct from the memoized full build, so Spark's
+        # CacheManager can never substitute the cached FULL explosion
+        # for it (plan-fragment equality is the substitution rule —
+        # a filter placed on TOP of an identical build fragment gets
+        # the cache swapped in underneath and reads everything).
+        ev = ev.filter(F.col("ts") >= F.lit(since).cast("timestamp"))
     base = ev.select(
         "event_id",
         "ts",
