@@ -341,3 +341,25 @@ def test_lpa_warm_restart_branch_equals_full(spark, tmp_path, monkeypatch):
     }
     full = {tuple(r) for r in wallet_label_propagation(spark, SF_SMALL).collect()}
     assert warm == full
+
+
+def test_components_warm_reads_stored_assignment(spark, tmp_path, monkeypatch):
+    """CC warm: the prior ASSIGNMENT (|V| state for an |E| graph)
+    commits once; the merge runs over stored-star ∪ delta edges only
+    and equals the full recompute."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_components,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    warm = {tuple(r) for r in inc.wallet_components_warm(spark, SF_SMALL).collect()}
+    full = {tuple(r) for r in wallet_components(spark, SF_SMALL).collect()}
+    assert warm == full
+
+    store = inc._state_store(SF_SMALL, "cc_assignment")
+    assert list_generations(store) == ["gen-000001"]
+    inc.wallet_components_warm(spark, SF_SMALL).collect()
+    assert list_generations(store) == ["gen-000001"]  # read-back only

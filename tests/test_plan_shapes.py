@@ -515,6 +515,7 @@ def test_warm_tier_delta_scans_push_ts_predicate(spark):
         for fn in (
             inc.wallet_coin_balances_warm,
             inc.wallet_auc_warm,
+            inc.wallet_components_warm,
             inc.wallet_label_propagation_warm,
         ):
             plan = _physical(fn(spark, SF_MEDIUM))

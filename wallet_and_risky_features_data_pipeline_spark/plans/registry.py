@@ -797,6 +797,11 @@ register(
     inc.WALLET_COIN_BALANCES_WARM_ORACLE,
 )
 register("wallet_auc_warm", inc.wallet_auc_warm, inc.WALLET_AUC_WARM_ORACLE)
+register(
+    "wallet_components_warm",
+    inc.wallet_components_warm,
+    inc.WALLET_COMPONENTS_WARM_ORACLE,
+)
 # SQL-text twin of the incremental stitch (VERDICT r11 #8): the
 # prior-state seed inside the window sum, COALESCE-additive stats,
 # LEAST/GREATEST extrema, NOT EXISTS carry-over — the reference's own
