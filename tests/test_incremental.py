@@ -363,3 +363,48 @@ def test_components_warm_reads_stored_assignment(spark, tmp_path, monkeypatch):
     assert list_generations(store) == ["gen-000001"]
     inc.wallet_components_warm(spark, SF_SMALL).collect()
     assert list_generations(store) == ["gen-000001"]  # read-back only
+
+
+def test_flow_motifs_warm_reads_stored_state(spark, tmp_path, monkeypatch):
+    """Motifs warm: stored pair grain + additive daily fences; the
+    refresh scans only the trailing band; result equals the full
+    recompute; read-back only on the second run."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_flow_motifs,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    warm = {tuple(r) for r in inc.wallet_flow_motifs_warm(spark, SF_SMALL).collect()}
+    full = {tuple(r) for r in wallet_flow_motifs(spark, SF_SMALL).collect()}
+    assert warm == full
+
+    store = inc._state_store(SF_SMALL, "flow_state")
+    assert list_generations(store) == ["gen-000001"]
+    inc.wallet_flow_motifs_warm(spark, SF_SMALL).collect()
+    assert list_generations(store) == ["gen-000001"]
+
+
+def test_rolling_distinct_warm_reads_stored_anchors(spark, tmp_path, monkeypatch):
+    """Rolling-distinct warm: pre-split anchors are final in the
+    store; the refresh re-distincts only the trailing 7 days."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_rolling_distinct_7d,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    warm = {
+        tuple(r) for r in inc.wallet_rolling_distinct_warm(spark, SF_SMALL).collect()
+    }
+    full = {tuple(r) for r in wallet_rolling_distinct_7d(spark, SF_SMALL).collect()}
+    assert warm == full
+
+    store = inc._state_store(SF_SMALL, "roll7_anchors")
+    assert list_generations(store) == ["gen-000001"]
+    inc.wallet_rolling_distinct_warm(spark, SF_SMALL).collect()
+    assert list_generations(store) == ["gen-000001"]

@@ -1522,9 +1522,14 @@ def test_serving_chaos_sync_vs_merge_vacuum_erase(spark, tmp_path):
     rng = random.Random(0xC0FFEE)
 
     def _expired_scan(e: Exception) -> bool:
+        # Spark 4 wraps the vanished-input FileNotFoundException in the
+        # FAILED_READ_FILE error class — the first chaos catch missed
+        # it and an eraser leg flaked; keep this matcher aligned with
+        # writers._scan_expired_error.
         msg = str(e)
         return (
-            "FileNotFoundException" in msg
+            "FAILED_READ_FILE" in msg
+            or "FileNotFoundException" in msg
             or "PATH_NOT_FOUND" in msg
             or "does not exist" in msg
             or "FileNotFoundError" in msg

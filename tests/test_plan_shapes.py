@@ -516,6 +516,8 @@ def test_warm_tier_delta_scans_push_ts_predicate(spark):
             inc.wallet_coin_balances_warm,
             inc.wallet_auc_warm,
             inc.wallet_components_warm,
+            inc.wallet_flow_motifs_warm,
+            inc.wallet_rolling_distinct_warm,
             inc.wallet_label_propagation_warm,
         ):
             plan = _physical(fn(spark, SF_MEDIUM))

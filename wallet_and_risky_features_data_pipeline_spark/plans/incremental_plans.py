@@ -1037,3 +1037,273 @@ def wallet_components_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .risk_features import (  # noqa: E402
     WALLET_COMPONENTS_ORACLE as WALLET_COMPONENTS_WARM_ORACLE,
 )
+
+
+_FLOW_STATE_VERSION = "v1"
+_ROLL7_STATE_VERSION = "v1"
+
+
+def _ensure_flow_state(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the flow-motif prior state as ONE generation holding
+    three logical parts (a ``part`` column keeps them atomically
+    consistent, like the LPA rounds): the (mid, a, c) PAIR GRAIN of all
+    pre-split paths (n/n_fast are additive across disjoint path sets),
+    and the per-(wallet, day) IN/OUT occupancy counts — the additive
+    daily metadata a deployment maintains with the table, so the warm
+    refresh reads the same fences the full recompute computes."""
+    from .risk_features import _flow_legs_and_fences, _flow_pair_grain, _flow_paths
+
+    def build():
+        legs, in_busy, out_busy = _flow_legs_and_fences(spark, sf_dir)
+        split_us = F.unix_micros(F.lit(SPLIT_AT).cast("timestamp"))
+        old = legs.filter(F.col("us") < split_us)
+        old_in = old.groupBy(F.col("dst").alias("ib_b"), F.col("day").alias("ib_day")).agg(
+            F.count(F.lit(1)).alias("n_in")
+        )
+        old_out = old.groupBy(F.col("src").alias("ob_b"), F.col("day").alias("ob_day")).agg(
+            F.count(F.lit(1)).alias("n_out")
+        )
+        pair = _flow_pair_grain(_flow_paths(old, old, old_in, old_out))
+        return (
+            pair.select(
+                F.lit("pair").alias("part"),
+                F.col("mid").alias("k1"),
+                F.col("a").alias("k2"),
+                F.col("c").alias("k3"),
+                F.col("n").cast("bigint").alias("n"),
+                F.col("n_fast").cast("bigint").alias("n_fast"),
+            )
+            .unionByName(
+                old_in.select(
+                    F.lit("in").alias("part"),
+                    F.col("ib_b").alias("k1"),
+                    F.date_format("ib_day", "yyyy-MM-dd").alias("k2"),
+                    F.lit(None).cast("string").alias("k3"),
+                    F.col("n_in").cast("bigint").alias("n"),
+                    F.lit(0).cast("bigint").alias("n_fast"),
+                )
+            )
+            .unionByName(
+                old_out.select(
+                    F.lit("out").alias("part"),
+                    F.col("ob_b").alias("k1"),
+                    F.date_format("ob_day", "yyyy-MM-dd").alias("k2"),
+                    F.lit(None).cast("string").alias("k3"),
+                    F.col("n_out").cast("bigint").alias("n"),
+                    F.lit(0).cast("bigint").alias("n_fast"),
+                )
+            )
+        )
+
+    return _ensure_warm_state(
+        spark,
+        sf_dir,
+        "flow_state",
+        _state_fingerprint(sf_dir, _FLOW_STATE_VERSION, SPLIT_AT),
+        build,
+    )
+
+
+def wallet_flow_motifs_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow motifs with the prior pair grain AND the occupancy fences
+    READ BACK from the generation store: the refresh scans only the
+    trailing 24 h + delta legs (``ts >= SPLIT_AT − window`` pushes to
+    the events scan), pairs (tail ∪ new) in-hops against NEW out-hops,
+    merges the additive pair grain with the stored one, and evaluates
+    fences as stored-daily ∪ delta-daily summed per (wallet, day) —
+    additivity makes the merged fence EQUAL the full recompute's (days
+    are disjoint across the split here, and the groupBy-sum handles a
+    straddling day in general). Held to the FULL-recompute oracle."""
+    import datetime as _dt
+
+    from ..sources.writers import read_store
+    from .risk_features import (
+        FLOW_WINDOW_US,
+        _flow_pair_grain,
+        _flow_paths,
+        _flow_rollup,
+    )
+
+    stored = read_store(spark, _ensure_flow_state(spark, sf_dir))
+    prior_pair = stored.filter(F.col("part") == "pair").select(
+        F.col("k1").alias("mid"), F.col("k2").alias("a"), F.col("k3").alias("c"),
+        "n", "n_fast",
+    )
+    stored_in = stored.filter(F.col("part") == "in").select(
+        F.col("k1").alias("ib_b"), F.col("k2").cast("date").alias("ib_day"),
+        F.col("n").alias("n_in"),
+    )
+    stored_out = stored.filter(F.col("part") == "out").select(
+        F.col("k1").alias("ob_b"), F.col("k2").cast("date").alias("ob_day"),
+        F.col("n").alias("n_out"),
+    )
+
+    # bounded-tail delta scan: window before the split, pushed down
+    tail_days = int(FLOW_WINDOW_US // 86_400_000_000) + 1
+    since = (
+        _dt.date.fromisoformat(SPLIT_AT) - _dt.timedelta(days=tail_days)
+    ).isoformat()
+    wt = wallet_transactions_delta(spark, sf_dir, since)
+    legs = wt.filter(
+        (F.col("address_role") == "sender")
+        & F.col("interacted_with").isNotNull()
+        & (F.col("current_value") > 0)
+    ).select(
+        "event_id",
+        F.col("wallet_address").alias("src"),
+        F.col("interacted_with").alias("dst"),
+        F.unix_micros("ts").alias("us"),
+        F.to_date("ts").alias("day"),
+    )
+    split_us = F.unix_micros(F.lit(SPLIT_AT).cast("timestamp"))
+    new = legs.filter(F.col("us") >= split_us)
+    tail = legs.filter(F.col("us") >= split_us - F.lit(FLOW_WINDOW_US))
+
+    delta_in = new.groupBy(F.col("dst").alias("ib_b"), F.col("day").alias("ib_day")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    delta_out = new.groupBy(F.col("src").alias("ob_b"), F.col("day").alias("ob_day")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    in_busy = (
+        stored_in.unionByName(delta_in)
+        .groupBy("ib_b", "ib_day")
+        .agg(F.sum("n_in").alias("n_in"))
+    )
+    out_busy = (
+        stored_out.unionByName(delta_out)
+        .groupBy("ob_b", "ob_day")
+        .agg(F.sum("n_out").alias("n_out"))
+    )
+    delta = _flow_pair_grain(_flow_paths(tail, new, in_busy, out_busy))
+    merged = (
+        prior_pair.unionByName(delta)
+        .groupBy("mid", "a", "c")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("n_fast").cast("bigint").alias("n_fast"),
+        )
+    )
+    return _flow_rollup(merged)
+
+
+from .risk_features import (  # noqa: E402
+    WALLET_FLOW_MOTIFS_ORACLE as WALLET_FLOW_MOTIFS_WARM_ORACLE,
+)
+
+
+def _ensure_roll7_state(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the pre-split-day anchors of the 7-day rolling distinct
+    (final forever: an anchor's window ends AT the anchor) as one
+    fingerprint-tagged generation."""
+
+    def build():
+        from .risk_features import wallet_rolling_distinct_7d  # noqa: F401
+
+        wt = wallet_transactions(spark, sf_dir)
+        split_day = F.lit(SPLIT_AT).cast("date")
+        dg = (
+            wt.filter(
+                (F.col("address_role") == "sender")
+                & F.col("interacted_with").isNotNull()
+                & (F.col("ts") < F.lit(SPLIT_AT).cast("timestamp"))
+            )
+            .select(
+                "wallet_address",
+                F.col("interacted_with").alias("counterparty"),
+                F.to_date("ts").alias("day"),
+            )
+            .distinct()
+        )
+        active = dg.select("wallet_address", "day").distinct()
+        pairs = (
+            dg.withColumn(
+                "win_day",
+                F.explode(
+                    F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+                ),
+            )
+            .select("wallet_address", "counterparty", "win_day")
+            .distinct()
+        )
+        return (
+            pairs.join(
+                active.withColumnRenamed("day", "win_day"),
+                ["wallet_address", "win_day"],
+            )
+            .filter(F.col("win_day") < split_day)
+            .groupBy(
+                "wallet_address",
+                F.date_format("win_day", "yyyy-MM-dd").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_7d"))
+        )
+
+    return _ensure_warm_state(
+        spark,
+        sf_dir,
+        "roll7_anchors",
+        _state_fingerprint(sf_dir, _ROLL7_STATE_VERSION, SPLIT_AT),
+        build,
+    )
+
+
+def wallet_rolling_distinct_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct with the final pre-split anchors READ
+    BACK from the generation store: the refresh scans only the
+    trailing 7 days (``ts >= split − 6d`` pushes to the events scan),
+    re-distincts that slice at the day grain, and unions the stored
+    anchors — anchors ≥ split draw exclusively on the trailing window
+    (the 7-day band), anchors < split are final in the store. Held to
+    the FULL-recompute oracle."""
+    import datetime as _dt
+
+    from ..sources.writers import read_store
+
+    prior = read_store(spark, _ensure_roll7_state(spark, sf_dir))
+    split_day = F.lit(SPLIT_AT).cast("date")
+    since = (
+        _dt.date.fromisoformat(SPLIT_AT) - _dt.timedelta(days=6)
+    ).isoformat()
+    dg = (
+        wallet_transactions_delta(spark, sf_dir, since)
+        .filter(
+            (F.col("address_role") == "sender")
+            & F.col("interacted_with").isNotNull()
+        )
+        .select(
+            "wallet_address",
+            F.col("interacted_with").alias("counterparty"),
+            F.to_date("ts").alias("day"),
+        )
+        .distinct()
+    )
+    active = dg.select("wallet_address", "day").distinct()
+    pairs = (
+        dg.withColumn(
+            "win_day",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ),
+        )
+        .select("wallet_address", "counterparty", "win_day")
+        .distinct()
+    )
+    refreshed = (
+        pairs.join(
+            active.withColumnRenamed("day", "win_day"),
+            ["wallet_address", "win_day"],
+        )
+        .filter(F.col("win_day") >= split_day)
+        .groupBy(
+            "wallet_address",
+            F.date_format("win_day", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_7d"))
+    )
+    return prior.unionByName(refreshed)
+
+
+from .risk_features import (  # noqa: E402
+    WALLET_ROLLING_DISTINCT_ORACLE as WALLET_ROLLING_DISTINCT_WARM_ORACLE,
+)

@@ -802,6 +802,19 @@ register(
     inc.wallet_components_warm,
     inc.WALLET_COMPONENTS_WARM_ORACLE,
 )
+# band-limited-rescan members of the warm tier: stored pair grain +
+# additive daily fences (motifs), stored final pre-split anchors
+# (rolling distinct) — the refresh scans only the trailing band
+register(
+    "wallet_flow_motifs_warm",
+    inc.wallet_flow_motifs_warm,
+    inc.WALLET_FLOW_MOTIFS_WARM_ORACLE,
+)
+register(
+    "wallet_rolling_distinct_warm",
+    inc.wallet_rolling_distinct_warm,
+    inc.WALLET_ROLLING_DISTINCT_WARM_ORACLE,
+)
 # SQL-text twin of the incremental stitch (VERDICT r11 #8): the
 # prior-state seed inside the window sum, COALESCE-additive stats,
 # LEAST/GREATEST extrema, NOT EXISTS carry-over — the reference's own

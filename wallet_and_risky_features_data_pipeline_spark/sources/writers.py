@@ -1475,6 +1475,25 @@ def _commit_partition_rewrite(
     return n
 
 
+def _scan_expired_error(e: Exception) -> bool:
+    """True when a Spark scan failure's message matches the
+    missing-input-file signatures a concurrent vacuum leaves behind
+    (Spark 4's FAILED_READ_FILE error class wraps the JVM
+    FileNotFoundException; older paths surface PATH_NOT_FOUND or the
+    raw message)."""
+    msg = str(e)
+    return any(
+        s in msg
+        for s in (
+            "FAILED_READ_FILE",
+            "FileNotFoundException",
+            "PATH_NOT_FOUND",
+            "FileNotFoundError",
+            "does not exist",
+        )
+    )
+
+
 def erase_from_store(
     spark: SparkSession,
     keys: DataFrame,
@@ -1499,7 +1518,36 @@ def erase_from_store(
     the prior generations (and crash leftovers) that still hold the
     subject's rows — the documented two-step the module docstring and
     the reference's Iceberg DELETE+expire flow share. Returns the
-    number of rows erased from the live snapshot."""
+    number of rows erased from the live snapshot.
+
+    If a concurrent vacuum expires the SOURCE generation mid-rewrite
+    (two writer commits advance the store past ``keep`` while the
+    erase scans it), the raw Spark missing-file failure is converted
+    to the documented retryable ``ConcurrentCommitError`` — the erase
+    is idempotent (anti-join by key), so callers re-run it against
+    the new latest exactly like a lost commit race."""
+    before = resolve_store(path)
+    try:
+        return _erase_from_store_once(spark, keys, path, key_col, partition_cols)
+    except ConcurrentCommitError:
+        raise
+    except Exception as e:  # noqa: BLE001 — converting one known class
+        if _scan_expired_error(e) and resolve_store(path) != before:
+            raise ConcurrentCommitError(
+                f"source generation {os.path.basename(before)} expired "
+                "during erase (concurrent vacuum) — retry against the "
+                "new latest"
+            ) from e
+        raise
+
+
+def _erase_from_store_once(
+    spark: SparkSession,
+    keys: DataFrame,
+    path: str,
+    key_col: str,
+    partition_cols: Sequence[str],
+) -> int:
     keys = keys.select(key_col).distinct().localCheckpoint(eager=True)
     if keys.isEmpty():
         return 0
