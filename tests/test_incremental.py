@@ -408,3 +408,26 @@ def test_rolling_distinct_warm_reads_stored_anchors(spark, tmp_path, monkeypatch
     assert list_generations(store) == ["gen-000001"]
     inc.wallet_rolling_distinct_warm(spark, SF_SMALL).collect()
     assert list_generations(store) == ["gen-000001"]
+
+
+def test_minhash_warm_reads_stored_signatures(spark, tmp_path, monkeypatch):
+    """LLM-family warm: corpus minhash signatures commit once as a
+    generation (arrays round-trip parquet exactly); the refresh
+    signs only the new batch and equals the in-query incremental."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        dedup_minhash_incremental,
+        dedup_minhash_warm,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    warm = {tuple(r) for r in dedup_minhash_warm(spark, SF_SMALL).collect()}
+    in_query = {tuple(r) for r in dedup_minhash_incremental(spark, SF_SMALL).collect()}
+    assert warm == in_query
+
+    store = inc._state_store(SF_SMALL, "minhash_sigs")
+    assert list_generations(store) == ["gen-000001"]
+    dedup_minhash_warm(spark, SF_SMALL).collect()
+    assert list_generations(store) == ["gen-000001"]  # read-back only

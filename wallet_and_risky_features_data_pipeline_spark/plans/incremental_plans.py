@@ -522,15 +522,16 @@ def reset_lpa_warm_memo(spark: SparkSession) -> None:
         _LPA_WARM_MEMO.pop(spark, None)
 
 
-def _state_fingerprint(sf_dir: str, *params: object) -> str:
+def _state_fingerprint(sf_dir: str, *params: object, table: str = "events") -> str:
     """Content fingerprint of everything a stored warm state depends
-    on: the events source files (path/size/mtime_ns — metadata-only,
-    no data pass) plus caller-supplied recipe params (split, rounds,
-    format version). A mismatched tag forces a rebuild; matching tags
-    make the read-back provably consistent with this input."""
+    on: the source ``table``'s files (path/size/mtime_ns —
+    metadata-only, no data pass) plus caller-supplied recipe params
+    (split, rounds, format version). A mismatched tag forces a
+    rebuild; matching tags make the read-back provably consistent
+    with this input."""
     import hashlib
 
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.sha256()
     h.update(("|".join(str(p) for p in params) + "|").encode())
     if os.path.isdir(src):

@@ -952,6 +952,48 @@ WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
 """
 
 
+# Warm variant: the corpus SIGNATURES persist as a fingerprint-tagged
+# generation (arrays of bigint round-trip parquet exactly) and are
+# READ BACK — the deployed nightly-ingestion shape: the shingle ->
+# md5 -> min chain (the pipeline's expensive half) runs ONLY for the
+# new batch; the stored corpus contributes columns, never recompute.
+# The doc_id%2 split is the harness's stand-in for an ingestion
+# boundary (documents carry no event time); same restricted-full
+# oracle as the in-query incremental.
+def _ensure_minhash_state(spark: SparkSession, sf_dir: str) -> str:
+    from .incremental_plans import _ensure_warm_state, _state_fingerprint
+
+    def build():
+        docs = fan_out(read_table(spark, sf_dir, "documents"))
+        return minhash_signature(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+        )
+
+    return _ensure_warm_state(
+        spark,
+        sf_dir,
+        "minhash_sigs",
+        _state_fingerprint(sf_dir, "v1", "doc_id%2", table="documents"),
+        build,
+    )
+
+
+def dedup_minhash_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus near-dup with the stored signature index
+    read back from the generation store (see the comment block above
+    ``_ensure_minhash_state``)."""
+    from ..operators.dedup import incremental_lsh_pairs
+    from ..sources.writers import read_store
+
+    stored = read_store(spark, _ensure_minhash_state(spark, sf_dir))
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    new = minhash_signature(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
+    return incremental_lsh_pairs(stored, new, "doc_id")
+
+
+DEDUP_MINHASH_WARM_ORACLE = DEDUP_MINHASH_INCREMENTAL_ORACLE
+
+
 # --------------------------------------------------------------------------
 # Near-dup CLUSTER formation: connected components over the LSH pairs,
 # canonical id = min doc id in the component. This is the step that

@@ -815,6 +815,14 @@ register(
     inc.wallet_rolling_distinct_warm,
     inc.WALLET_ROLLING_DISTINCT_WARM_ORACLE,
 )
+# warm tier reaches the LLM-pipeline family: corpus minhash signatures
+# stored + read back; the shingle->md5->min chain runs only for the
+# new batch (the deployed nightly corpus-ingestion shape)
+register(
+    "dedup_minhash_warm",
+    llm.dedup_minhash_warm,
+    llm.DEDUP_MINHASH_WARM_ORACLE,
+)
 # SQL-text twin of the incremental stitch (VERDICT r11 #8): the
 # prior-state seed inside the window sum, COALESCE-additive stats,
 # LEAST/GREATEST extrema, NOT EXISTS carry-over — the reference's own
