@@ -190,7 +190,12 @@ def test_lpa_warm_state_committed_and_read_back(spark, tmp_path, monkeypatch):
 
     store = inc._lpa_state_store(SF_SMALL)
     assert list_generations(store) == ["gen-000001"]
-    assert generation_tag(store) == inc._lpa_state_fingerprint(SF_SMALL)
+    # tag line 1 = the fingerprint fence; line 2 = build metadata (the
+    # stored edge count the adaptive switch reads instead of scanning)
+    assert inc._warm_tag_fp(generation_tag(store)) == inc._lpa_state_fingerprint(
+        SF_SMALL
+    )
+    assert inc.warm_state_meta(store)["n_old"] > 0
 
     # second run with a cold memo: read-back only, NO second build
     inc.reset_lpa_warm_memo(spark)
@@ -220,7 +225,9 @@ def test_lpa_warm_state_fingerprint_invalidates(spark, tmp_path, monkeypatch):
     inc.reset_lpa_warm_memo(spark)
     inc.wallet_label_propagation_warm(spark, SF_SMALL).collect()
     assert list_generations(store) == ["gen-000001", "gen-000002"]
-    assert generation_tag(store) == inc._lpa_state_fingerprint(SF_SMALL)
+    assert inc._warm_tag_fp(generation_tag(store)) == inc._lpa_state_fingerprint(
+        SF_SMALL
+    )
 
 
 def test_modularity_incremental_equals_full(spark, tmp_path, monkeypatch):

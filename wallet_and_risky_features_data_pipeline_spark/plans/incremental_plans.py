@@ -336,8 +336,6 @@ def _lpa_dirty_refresh(
     assignment after ``rounds`` synchronous rounds — provably equal to
     the full recompute (see ``wallet_label_propagation_incremental``'s
     exactness argument)."""
-    from pyspark.sql import Window
-
     # Lineage is cut with ``localCheckpoint`` per round (the iterative
     # discipline of operators/dedup.py:238 and the k-core prune):
     # unlike ``_lpa_rounds``' single linear chain, every round here
@@ -354,7 +352,9 @@ def _lpa_dirty_refresh(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    pick = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    # mode(lbl, deterministic=true) = most frequent label, ties to the
+    # LOWEST — the LPA pick as ONE hash aggregate (same rewrite as
+    # ``_lpa_rounds``; the oracle's QUALIFY row_number pick).
     recomputed = None
     prev_dirty = None
     for r in range(1, rounds + 1):
@@ -365,9 +365,9 @@ def _lpa_dirty_refresh(
         ).localCheckpoint(eager=True)
         if r == 1:
             # round-0 label of any node is the node id — no lookup table
-            counts = edges_r.groupBy(
-                "s", F.col("d").alias("lbl")
-            ).agg(F.count(F.lit(1)).alias("c"))
+            picked = edges_r.groupBy("s").agg(
+                F.mode("d", True).alias("lbl")
+            )
         else:
             # Only labels of nodes actually REFERENCED as a neighbor of
             # the dirty set are ever consumed — semi-join the |V|-scale
@@ -384,17 +384,14 @@ def _lpa_dirty_refresh(
                 .join(prev_dirty, "node", "left_anti")
             )
             lookup = recomputed.unionByName(still_valid)
-            counts = (
+            picked = (
                 edges_r.join(lookup, edges_r["d"] == lookup["node"])
-                .groupBy("s", "lbl")
-                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("s")
+                .agg(F.mode("lbl", True).alias("lbl"))
             )
-        recomputed = (
-            counts.withColumn("__rk", F.row_number().over(pick))
-            .filter(F.col("__rk") == 1)
-            .select(F.col("s").alias("node"), "lbl")
-            .localCheckpoint(eager=True)
-        )
+        recomputed = picked.select(
+            F.col("s").alias("node"), "lbl"
+        ).localCheckpoint(eager=True)
         prev_dirty = dirty
         if r < rounds:
             dirty = (
@@ -498,7 +495,9 @@ from .risk_features import (  # noqa: E402
 
 # v2: the state generation carries the old edge set (round 0) beside
 # the label rounds — fingerprint-fenced, so v1 states rebuild
-_LPA_STATE_VERSION = "v4"
+# (v5: the stored edge COUNT rides in the tag metadata so the warm
+# refresh's adaptive switch never scans the store just to count it)
+_LPA_STATE_VERSION = "v5"
 # Dirty-frontier refresh only below this |new|/|old| edge ratio; above
 # it the warm path restarts the rounds from the stored closure (see
 # the adaptive switch in _lpa_warm_final). 5% ≈ where a 3-hop grown
@@ -576,12 +575,39 @@ def _lpa_state_store(sf_dir: str) -> str:
     return _state_store(sf_dir, "lpa_rounds")
 
 
+def _warm_tag_fp(tag: str | None) -> str | None:
+    """Fingerprint line of a warm-state tag (the tag's first line —
+    the optional second line is the build's JSON metadata)."""
+    return None if tag is None else tag.split("\n", 1)[0]
+
+
+def warm_state_meta(store: str) -> dict:
+    """Build-time metadata recorded with a warm state's commit tag
+    (second tag line, JSON) — scalars the refresh would otherwise pay
+    a table scan to recover (e.g. the stored edge count the adaptive
+    LPA switch compares the delta against). Commits atomically WITH
+    the snapshot, so it can never describe a different generation."""
+    import json
+
+    from ..sources.writers import generation_tag
+
+    tag = generation_tag(store)
+    if tag is None or "\n" not in tag:
+        return {}
+    return json.loads(tag.split("\n", 1)[1])
+
+
 def _ensure_warm_state(spark: SparkSession, sf_dir: str, name: str, fp: str, build):
     """Idempotent fingerprint-fenced state build shared by the warm
     tier: commit ``build()`` as ONE generation tagged ``fp`` unless a
-    generation with that exact tag is already live. A racing builder
-    losing the commit CAS is fine — the winner committed the same
-    fingerprint, so the loser just reads. Returns the store path."""
+    generation with that exact fingerprint is already live. ``build``
+    may return either a DataFrame or ``(DataFrame, meta_dict)`` — the
+    metadata rides as the tag's second line (see ``warm_state_meta``).
+    A racing builder losing the commit CAS is fine — the winner
+    committed the same fingerprint, so the loser just reads. Returns
+    the store path."""
+    import json
+
     from ..sources.writers import (
         ConcurrentCommitError,
         commit_generation,
@@ -590,13 +616,18 @@ def _ensure_warm_state(spark: SparkSession, sf_dir: str, name: str, fp: str, bui
     )
 
     store = _state_store(sf_dir, name)
-    if store_committed(store) and generation_tag(store) == fp:
+    if store_committed(store) and _warm_tag_fp(generation_tag(store)) == fp:
         return store
+    built = build()
+    df, meta = built if isinstance(built, tuple) else (built, None)
+    tag = fp if not meta else fp + "\n" + json.dumps(meta, sort_keys=True)
     try:
-        commit_generation(build(), store, tag=fp)
+        commit_generation(df, store, tag=tag)
     except ConcurrentCommitError:
         # rival writer won the flip; accept its state iff it matches
-        if not (store_committed(store) and generation_tag(store) == fp):
+        if not (
+            store_committed(store) and _warm_tag_fp(generation_tag(store)) == fp
+        ):
             raise
     return store
 
@@ -621,6 +652,10 @@ def _ensure_lpa_state(spark: SparkSession, sf_dir: str) -> str:
         pairs, sym_all = _lpa_edge_tables(spark, sf_dir)
         old_edges = pairs.filter(F.col("first_seen") < split).select("a", "b")
         sym_old = sym_all.filter(F.col("first_seen") < split).select("s", "d")
+        # |E_old| rides in the tag metadata: the refresh's adaptive
+        # frontier-vs-restart switch needs it every run, and a stored
+        # scalar beats a per-refresh |E|-scan count job
+        n_old = old_edges.count()
 
         # round -1 = the SYMMETRIC closure (v3): the refresh's per-round
         # incident-edge probe streams a pruned scan of these files
@@ -654,7 +689,7 @@ def _ensure_lpa_state(spark: SparkSession, sf_dir: str) -> str:
         state = frames[0].repartition(n)
         for f in frames[1:]:
             state = state.unionByName(f.repartition(n))
-        return state
+        return state, {"n_old": n_old}
 
     return _ensure_warm_state(
         spark, sf_dir, "lpa_rounds", _lpa_state_fingerprint(sf_dir), build
@@ -705,11 +740,6 @@ def _lpa_warm_final(spark: SparkSession, sf_dir: str):
     sym_old = stored.filter(F.col("round") == -1).select(
         F.col("node").alias("s"), F.col("lbl").alias("d")
     )
-    prior = [
-        stored.filter(F.col("round") == r).select("node", "lbl")
-        for r in range(1, LPA_ROUNDS + 1)
-    ]
-
     # delta-only source scan: ts ≥ split on the LAZY builder so the
     # predicate reaches the events scan (the memoized table's persist()
     # would materialize the FULL explosion first — wallet_model.
@@ -726,6 +756,8 @@ def _lpa_warm_final(spark: SparkSession, sf_dir: str):
     # right). seen_old ≤ |delta|, so both joins keep delta-scale
     # build sides; at a scale where the nightly delta itself outgrows
     # broadcast, AQE falls back to the shuffle — the right trade then.
+    # LAZY: nothing below forces the classification on its own job —
+    # it materializes inside whichever frame consumes it first.
     seen_old = old_edges.join(delta_pairs, ["a", "b"], "left_semi")
     new_edges = persist_tracked(
         delta_pairs.join(seen_old, ["a", "b"], "left_anti")
@@ -750,15 +782,33 @@ def _lpa_warm_final(spark: SparkSession, sf_dir: str):
     # pruned. Both branches are held to the same FULL-recompute
     # oracle; the probe's local-delta mode exercises the frontier
     # branch, the bench-SF random delta the restart branch.
-    n_new = new_edges.count()
-    n_old = old_edges.count()
-    if n_new > _LPA_DIRTY_MAX_FRACTION * max(n_old, 1):
+    #
+    # Decision inputs cost ~nothing: |E_old| is read from the state
+    # tag's metadata (committed with the snapshot — never a scan) and
+    # the delta PAIR count stands in for the exact new-edge count.
+    # n_delta only OVERcounts (re-observed old edges), so the frontier
+    # branch is entered only when even the overcount is small — the
+    # branch's own validity condition (n_new ≤ n_delta ≤ threshold);
+    # an overcount past the threshold just takes the restart branch,
+    # which is correct for any delta.
+    n_old = int(warm_state_meta(store).get("n_old", 0))
+    n_delta = delta_pairs.count()
+    if n_delta > _LPA_DIRTY_MAX_FRACTION * max(n_old, 1):
         from ..caching import persist_tracked as _pt
         from .risk_features import _lpa_rounds
 
         sym_full = _pt(sym_full)  # consumed by every round + modularity
-        final = persist_tracked(_lpa_rounds(sym_full, LPA_ROUNDS)[-1])
+        final = persist_tracked(
+            _lpa_rounds(sym_full, LPA_ROUNDS, persist_rounds=False)[-1]
+        )
     else:
+        # the stored per-round label tables are only consumed by the
+        # frontier stitch — constructed here so the restart branch
+        # never pays their plan-build cost
+        prior = [
+            stored.filter(F.col("round") == r).select("node", "lbl")
+            for r in range(1, LPA_ROUNDS + 1)
+        ]
         final = persist_tracked(
             _lpa_dirty_refresh(sym_full, new_edges, prior, LPA_ROUNDS)
         )
@@ -1040,8 +1090,9 @@ from .risk_features import (  # noqa: E402
 )
 
 
-_FLOW_STATE_VERSION = "v1"
+_FLOW_STATE_VERSION = "v2"
 _ROLL7_STATE_VERSION = "v1"
+_ROLL7_WINDOW_DAYS = 7
 
 
 def _ensure_flow_state(spark: SparkSession, sf_dir: str) -> str:
@@ -1051,8 +1102,23 @@ def _ensure_flow_state(spark: SparkSession, sf_dir: str) -> str:
     pre-split paths (n/n_fast are additive across disjoint path sets),
     and the per-(wallet, day) IN/OUT occupancy counts — the additive
     daily metadata a deployment maintains with the table, so the warm
-    refresh reads the same fences the full recompute computes."""
+    refresh reads the same fences the full recompute computes.
+
+    Day-boundary assumption (ADVICE r12): the stored PAIR grain is
+    built with OLD-ONLY occupancy fences, which equals the full
+    recompute's fences only because ``SPLIT_AT`` is a pure date — no
+    (wallet, day) fence count straddles the split, so a stored pair's
+    fence verdict can never change when delta legs arrive. A mid-day
+    split would poison stored pairs via partial fence counts; assert
+    the invariant here so a future split change fails loudly instead
+    of silently breaking exactness (the fuse never binds at test
+    scale, so the oracle would not catch it)."""
+    import datetime as _dt
+
     from .risk_features import _flow_legs_and_fences, _flow_pair_grain, _flow_paths
+
+    # raises ValueError on any non-midnight split (e.g. "...T12:00")
+    _dt.date.fromisoformat(SPLIT_AT)
 
     def build():
         legs, in_busy, out_busy = _flow_legs_and_fences(spark, sf_dir)
@@ -1096,11 +1162,19 @@ def _ensure_flow_state(spark: SparkSession, sf_dir: str) -> str:
             )
         )
 
+    from .risk_features import FLOW_MAX_DAILY_LEGS, FLOW_WINDOW_US
+
+    # recipe params in the fence (ADVICE r12): the stored pair grain
+    # depends on the pairing window and the occupancy fuse — changing
+    # either constant must invalidate stored state automatically, not
+    # wait for someone to remember a version bump
     return _ensure_warm_state(
         spark,
         sf_dir,
         "flow_state",
-        _state_fingerprint(sf_dir, _FLOW_STATE_VERSION, SPLIT_AT),
+        _state_fingerprint(
+            sf_dir, _FLOW_STATE_VERSION, SPLIT_AT, FLOW_WINDOW_US, FLOW_MAX_DAILY_LEGS
+        ),
         build,
     )
 
@@ -1125,25 +1199,36 @@ def wallet_flow_motifs_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _flow_rollup,
     )
 
-    stored = read_store(spark, _ensure_flow_state(spark, sf_dir))
-    prior_pair = stored.filter(F.col("part") == "pair").select(
-        F.col("k1").alias("mid"), F.col("k2").alias("a"), F.col("k3").alias("c"),
-        "n", "n_fast",
-    )
-    stored_in = stored.filter(F.col("part") == "in").select(
-        F.col("k1").alias("ib_b"), F.col("k2").cast("date").alias("ib_day"),
-        F.col("n").alias("n_in"),
-    )
-    stored_out = stored.filter(F.col("part") == "out").select(
-        F.col("k1").alias("ob_b"), F.col("k2").cast("date").alias("ob_day"),
-        F.col("n").alias("n_out"),
-    )
-
     # bounded-tail delta scan: window before the split, pushed down
     tail_days = int(FLOW_WINDOW_US // 86_400_000_000) + 1
     since = (
         _dt.date.fromisoformat(SPLIT_AT) - _dt.timedelta(days=tail_days)
     ).isoformat()
+
+    stored = read_store(spark, _ensure_flow_state(spark, sf_dir))
+    prior_pair = stored.filter(F.col("part") == "pair").select(
+        F.col("k1").alias("mid"), F.col("k2").alias("a"), F.col("k3").alias("c"),
+        "n", "n_fast",
+    )
+    # Band-limited fence reads: the refresh pairs only legs with
+    # day ≥ since (tail in-hops, new out-hops), so fence rows for any
+    # earlier day can never be joined — the ≥ since predicate pushes
+    # into the state scan and the merge groupBy shrinks from all of
+    # history to the trailing band. Counts for the kept days are
+    # unchanged (the stored part is already per-day), so the merged
+    # fence still EQUALS the full recompute's on every joined day.
+    stored_in = stored.filter(
+        (F.col("part") == "in") & (F.col("k2") >= F.lit(since))
+    ).select(
+        F.col("k1").alias("ib_b"), F.col("k2").cast("date").alias("ib_day"),
+        F.col("n").alias("n_in"),
+    )
+    stored_out = stored.filter(
+        (F.col("part") == "out") & (F.col("k2") >= F.lit(since))
+    ).select(
+        F.col("k1").alias("ob_b"), F.col("k2").cast("date").alias("ob_day"),
+        F.col("n").alias("n_out"),
+    )
     wt = wallet_transactions_delta(spark, sf_dir, since)
     legs = wt.filter(
         (F.col("address_role") == "sender")
@@ -1177,15 +1262,14 @@ def wallet_flow_motifs_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_out").alias("n_out"))
     )
     delta = _flow_pair_grain(_flow_paths(tail, new, in_busy, out_busy))
-    merged = (
-        prior_pair.unionByName(delta)
-        .groupBy("mid", "a", "c")
-        .agg(
-            F.sum("n").cast("bigint").alias("n"),
-            F.sum("n_fast").cast("bigint").alias("n_fast"),
-        )
-    )
-    return _flow_rollup(merged)
+    # No intermediate (mid, a, c) re-merge: the rollup is algebraic
+    # over the pair grain — SUM(n)/SUM(n_fast) add across the stored
+    # and delta grains directly, and COUNT(DISTINCT a/c) is identical
+    # on the union and on the merged grain — so feeding the UNION
+    # straight to the shared rollup skips a full-|pairs| shuffle. (A
+    # deployment folding the delta back INTO the stored grain would
+    # run the groupBy-sum merge at write time, off the query path.)
+    return _flow_rollup(prior_pair.unionByName(delta))
 
 
 from .risk_features import (  # noqa: E402
@@ -1240,11 +1324,15 @@ def _ensure_roll7_state(spark: SparkSession, sf_dir: str) -> str:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_7d"))
         )
 
+    # window length in the fence (ADVICE r12): a changed rolling
+    # window must invalidate stored anchors automatically
     return _ensure_warm_state(
         spark,
         sf_dir,
         "roll7_anchors",
-        _state_fingerprint(sf_dir, _ROLL7_STATE_VERSION, SPLIT_AT),
+        _state_fingerprint(
+            sf_dir, _ROLL7_STATE_VERSION, SPLIT_AT, _ROLL7_WINDOW_DAYS
+        ),
         build,
     )
 
@@ -1264,7 +1352,8 @@ def wallet_rolling_distinct_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = read_store(spark, _ensure_roll7_state(spark, sf_dir))
     split_day = F.lit(SPLIT_AT).cast("date")
     since = (
-        _dt.date.fromisoformat(SPLIT_AT) - _dt.timedelta(days=6)
+        _dt.date.fromisoformat(SPLIT_AT)
+        - _dt.timedelta(days=_ROLL7_WINDOW_DAYS - 1)
     ).isoformat()
     dg = (
         wallet_transactions_delta(spark, sf_dir, since)
@@ -1284,7 +1373,10 @@ def wallet_rolling_distinct_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
         dg.withColumn(
             "win_day",
             F.explode(
-                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+                F.expr(
+                    f"sequence(day, date_add(day, {_ROLL7_WINDOW_DAYS - 1}),"
+                    " interval 1 day)"
+                )
             ),
         )
         .select("wallet_address", "counterparty", "win_day")

@@ -1365,33 +1365,58 @@ def _lpa_graph(spark: SparkSession, sf_dir: str):
             und.select(F.col("b").alias("s"), F.col("a").alias("d"))
         )
     )
-    return und, sym, _lpa_rounds(sym)[-1]
+    # only the FINAL round is consumed (twice: sizes agg + join), so
+    # the chain runs unpersisted end-to-end and just the result caches
+    return und, sym, persist_tracked(_lpa_rounds(sym, persist_rounds=False)[-1])
 
 
-def _lpa_rounds(sym: DataFrame, rounds: int = LPA_ROUNDS) -> list[DataFrame]:
+def _lpa_rounds(
+    sym: DataFrame, rounds: int = LPA_ROUNDS, persist_rounds: bool = True
+) -> list[DataFrame]:
     """Run ``rounds`` synchronous LPA rounds over the symmetric edge
     set ``sym`` and return the label table AFTER EACH round (the last
     entry is the final partition). Exposing every round is what makes
     the warm-start incremental variant possible: a node at graph
     distance d from any new edge keeps its prior round-r label for all
     r ≤ d, so the incremental refresh stitches recomputed dirty-set
-    labels against these stored per-round tables."""
-    labels = sym.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    pick = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("lbl").asc())
-    out: list[DataFrame] = []
-    for _ in range(rounds):
-        counts = (
-            sym.join(labels, sym["d"] == labels["node"])
-            .groupBy("s", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
+    labels against these stored per-round tables.
+
+    ``persist_rounds=False`` is for callers that consume ONLY the last
+    entry (the full partition query, the warm restart branch): each
+    round feeds exactly the next one there, so the chain is linear and
+    the per-round caches are pure materialization barriers — skipping
+    them lets one job pipeline all rounds. Callers that read several
+    rounds (the state build, the dirty-frontier stitch) keep the
+    default."""
+    # Round 1 directly: every node's round-0 label IS its id, so the
+    # neighbor-label join against labels0 is the identity on d —
+    # mode(d) gives round 1 without building labels0 at all (one
+    # distinct and one join less; sym carries every node as an s).
+    labels = (
+        sym.groupBy("s")
+        .agg(
+            # mode(lbl, deterministic=true) IS the LPA pick — the most
+            # frequent neighbor label, ties broken to the LOWEST label
+            # — in a single hash aggregate: one exchange per round
+            # instead of the groupBy(s, lbl) + row_number window pair
+            # (two exchanges), identical semantics to the oracle's
+            # QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, lbl ASC) = 1.
+            F.mode("d", True).alias("lbl")
         )
-        labels = persist_tracked(
-            counts.withColumn("__rk", F.row_number().over(pick))
-            .filter(F.col("__rk") == 1)
+        .select(F.col("s").alias("node"), "lbl")
+    )
+    if persist_rounds:
+        labels = persist_tracked(labels)
+    out: list[DataFrame] = [labels]
+    for _ in range(rounds - 1):
+        labels = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.mode("lbl", True).alias("lbl"))
             .select(F.col("s").alias("node"), "lbl")
         )
+        if persist_rounds:
+            labels = persist_tracked(labels)
         out.append(labels)
     return out
 
