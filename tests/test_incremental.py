@@ -438,3 +438,39 @@ def test_minhash_warm_reads_stored_signatures(spark, tmp_path, monkeypatch):
     assert list_generations(store) == ["gen-000001"]
     dedup_minhash_warm(spark, SF_SMALL).collect()
     assert list_generations(store) == ["gen-000001"]  # read-back only
+
+
+def test_pagerank_warm_state_committed_and_read_back(spark, tmp_path, monkeypatch):
+    """Warm PageRank (VERDICT r12 #2): the stored edge set commits as
+    ONE fingerprint-tagged generation, is REUSED on the next refresh
+    (no second build), and the warm result equals the full recompute
+    row for row — including the global-n-sensitive integer base term,
+    which is why the rounds re-run over the merged edge set instead of
+    resuming stored ranks."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_pagerank,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        generation_tag,
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    warm = {
+        tuple(r) for r in inc.wallet_pagerank_warm(spark, SF_SMALL).collect()
+    }
+    full = {tuple(r) for r in wallet_pagerank(spark, SF_SMALL).collect()}
+    assert warm == full
+
+    store = inc._state_store(SF_SMALL, "pagerank_graph")
+    assert list_generations(store) == ["gen-000001"]
+    assert inc._warm_tag_fp(generation_tag(store)) == inc._state_fingerprint(
+        SF_SMALL, inc._PR_STATE_VERSION, inc.LPA_SPLIT_AT
+    )
+
+    # second run: read-back only, NO second build
+    again = {
+        tuple(r) for r in inc.wallet_pagerank_warm(spark, SF_SMALL).collect()
+    }
+    assert again == full
+    assert list_generations(store) == ["gen-000001"]

@@ -444,6 +444,7 @@ def test_no_batch_query_plans_a_cartesian_product(spark):
         "session_association_rules",   # one-row n_sessions scalar (r9)
         "corpus_source_psi",           # one-row corpus-total ng scalar (r10)
         "wallet_community_modularity_incremental",  # one-row m scalar (r12, as full)
+        "wallet_pagerank_warm",        # one-row node-count scalar (r13, as full)
     }
     offenders = {}
     for name, fn in QUERIES.items():
@@ -487,7 +488,7 @@ def test_split_stratified_no_full_partition_window(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_warm_tier_delta_scans_push_ts_predicate(spark):
+def test_warm_tier_delta_scans_push_ts_predicate(spark, tmp_path, monkeypatch):
     """The warm (stored-prior-state) tier's defining property: NO
     events scan in a warm query's plan may read pre-split history —
     every one must carry the ts >= split pushdown. Guards the
@@ -495,9 +496,6 @@ def test_warm_tier_delta_scans_push_ts_predicate(spark):
     substituted into any plan-equal fragment, silently turning the
     delta scan into a full cached explosion (the r12 local-delta probe
     read warm/full >= 1 at 100x because of exactly that)."""
-    import os
-    import tempfile
-
     from wallet_and_risky_features_data_pipeline_spark.plans import (
         incremental_plans as inc,
     )
@@ -505,13 +503,14 @@ def test_warm_tier_delta_scans_push_ts_predicate(spark):
         wallet_transactions,
     )
 
-    old = os.environ.get("SPARK_GRAFT_WARM_STATE_DIR")
-    os.environ["SPARK_GRAFT_WARM_STATE_DIR"] = tempfile.mkdtemp()
+    # monkeypatch + tmp_path (ADVICE r12): env var and state dir are
+    # cleaned up even when an assertion below fails
+    monkeypatch.setenv("SPARK_GRAFT_WARM_STATE_DIR", str(tmp_path))
+    # populate the session memo FIRST so the cache-substitution
+    # hazard is live during the check
+    wallet_transactions(spark, SF_MEDIUM).count()
+    inc.reset_lpa_warm_memo(spark)
     try:
-        # populate the session memo FIRST so the cache-substitution
-        # hazard is live during the check
-        wallet_transactions(spark, SF_MEDIUM).count()
-        inc.reset_lpa_warm_memo(spark)
         for fn in (
             inc.wallet_coin_balances_warm,
             inc.wallet_auc_warm,
@@ -519,6 +518,7 @@ def test_warm_tier_delta_scans_push_ts_predicate(spark):
             inc.wallet_flow_motifs_warm,
             inc.wallet_rolling_distinct_warm,
             inc.wallet_label_propagation_warm,
+            inc.wallet_pagerank_warm,
         ):
             plan = _physical(fn(spark, SF_MEDIUM))
             ev_scans = [
@@ -533,8 +533,51 @@ def test_warm_tier_delta_scans_push_ts_predicate(spark):
                 f"read pre-split history (no ts pushdown)"
             )
     finally:
-        if old is None:
-            os.environ.pop("SPARK_GRAFT_WARM_STATE_DIR", None)
-        else:
-            os.environ["SPARK_GRAFT_WARM_STATE_DIR"] = old
         inc.reset_lpa_warm_memo(spark)
+
+
+def test_delta_scan_prunes_date_partitions(spark, tmp_path):
+    """On a date-partitioned events store (write_partitioned's layout),
+    the warm tier's delta builder must mirror its ts bound onto the
+    partition column so the scan prunes whole partition DIRECTORIES —
+    row-group stats alone cannot shrink the file listing, and at 100 TB
+    the listing IS the cost (VERDICT r12 #3)."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions_delta,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+        read_table,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        write_partitioned,
+    )
+
+    import pyspark.sql.functions as F
+
+    from .conftest import SF_SMALL
+
+    ev = read_table(spark, SF_SMALL, "events").withColumn(
+        "date_partition", F.date_format("ts", "yyyy-MM-dd")
+    )
+    store = str(tmp_path / "events.parquet")
+    write_partitioned(ev, store, mode="overwrite")
+
+    since = "2024-01-28"
+    delta = wallet_transactions_delta(spark, str(tmp_path), since)
+    plan = _physical(delta)
+    scan = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert scan, "no parquet scan in the delta plan"
+    # partition pruning is visible as a PartitionFilters entry naming
+    # the partition column with the since bound
+    assert "PartitionFilters" in plan and "date_partition" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], "date_partition bound did not reach PartitionFilters"
+    # and the pruned delta still carries the row-level ts pushdown
+    assert "GreaterThanOrEqual(ts" in plan
+    # semantics: partition bound must not drop any delta rows
+    full = read_table(spark, SF_SMALL, "events").filter(
+        F.col("ts") >= F.lit(since).cast("timestamp")
+    )
+    got = delta.select("event_id").distinct().count()
+    want = full.select("event_id").distinct().count()
+    assert got == want

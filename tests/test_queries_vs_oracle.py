@@ -120,3 +120,27 @@ def test_coverage_md_ids_map_to_gate_or_tests():
         f"COVERAGE.md header says {m.group(2)} oracled, registry has "
         f"{len(ORACLES)} — update the header"
     )
+
+
+def test_plans_md_close_out_pinned():
+    """PLANS.md's close-out registry counts must match the live
+    registry (VERDICT r12 #4: the r12 close was recorded three ways —
+    202/198, 207/203, 208/204 — and only the final addendum was right).
+    Every occurrence of the canonical bold pattern is checked, so a
+    stale copy in an older section fails too (older sections either
+    use different prose or carry an explicit 'superseded' stamp and
+    not the pattern)."""
+    import re
+
+    with open("/root/repo/PLANS.md") as f:
+        text = f.read()
+    hits = re.findall(
+        r"\*\*Registry at close:\*\* (\d+) queries / (\d+) value-oracled",
+        text,
+    )
+    assert hits, "PLANS.md close-out line missing or reformatted"
+    for q, o in hits:
+        assert (int(q), int(o)) == (len(QUERIES), len(ORACLES)), (
+            f"PLANS.md close-out says {q}/{o}, registry has "
+            f"{len(QUERIES)}/{len(ORACLES)} — update the close-out line"
+        )

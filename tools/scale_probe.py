@@ -359,10 +359,51 @@ def local_delta_probe(spark) -> None:
                 "overwrite"
             ).save()
         t_warm = time.perf_counter() - start
+
+        # date-partitioned-store column (VERDICT r12 #3): materialize
+        # the SAME events table hive-partitioned by date (the engine's
+        # write_partitioned layout), rebuild the warm state for that
+        # input once, and time the refresh reading from it — the
+        # deployed shape where the ts >= split predicate prunes whole
+        # partition DIRECTORIES (wallet_transactions_delta mirrors the
+        # bound onto date_partition), not just row groups.
+        from wallet_and_risky_features_data_pipeline_spark.sources.readers import (
+            read_table,
+        )
+        from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+            write_partitioned,
+        )
+
+        # /tmp copy — the source testdata dir is read-only
+        dpart = f"/tmp/wrf_datepart_{os.path.basename(d.rstrip('/'))}"
+        if not os.path.exists(os.path.join(dpart, "events.parquet", "_SUCCESS")):
+            ev = read_table(spark, d, "events").withColumn(
+                "date_partition", F.date_format("ts", "yyyy-MM-dd")
+            )
+            write_partitioned(
+                ev, os.path.join(dpart, "events.parquet"), mode="overwrite"
+            )
+            # partitioned writes emit no _SUCCESS at the root with
+            # dynamic overwrite on some layouts — stamp completion
+            open(os.path.join(dpart, "events.parquet", "_SUCCESS"), "a").close()
+        reset_session_memos(spark)
+        shutil.rmtree(inc._lpa_state_store(dpart), ignore_errors=True)
+        with cache_scope():  # state build for the partitioned input
+            inc.wallet_label_propagation_warm(spark, dpart).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        reset_session_memos(spark)
+        start = time.perf_counter()
+        with cache_scope():
+            inc.wallet_label_propagation_warm(spark, dpart).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        t_warm_dp = time.perf_counter() - start
         print(
             f"local_delta {label:6s} full={t_full:7.2f} s  "
             f"build+refresh={t_build_plus:7.2f} s  warm_refresh={t_warm:7.2f} s  "
-            f"warm/full={t_warm / t_full:5.2f}",
+            f"warm/full={t_warm / t_full:5.2f}  "
+            f"warm_refresh_datepart={t_warm_dp:7.2f} s ({t_warm_dp / t_full:4.2f})",
             flush=True,
         )
         if COPIES <= 10:

@@ -833,3 +833,23 @@ register(
     sqls.wallet_coin_balances_incremental_sql,
     sqls.WALLET_COIN_BALANCES_INCR_SQL_ORACLE,
 )
+# warm-start PageRank (VERDICT r12 #2): the graph-build phase (event
+# scan + explosion + |legs|->|E| distinct + degrees) reads back from a
+# stored generation; only the ts >= split delta is classified in and
+# the fixed integer rounds re-run (the global-n base term makes any
+# exact frontier impossible for the fixed-round formulation) — held to
+# the full recompute's value oracle
+register(
+    "wallet_pagerank_warm",
+    inc.wallet_pagerank_warm,
+    inc.WALLET_PAGERANK_WARM_ORACLE,
+)
+# warm SQL twin (VERDICT r12 #7): the stored-state READ path in SQL
+# text — prior snapshot registered as a view over the committed
+# generation, delta slice + seeded stitch in dialect — so dialect
+# parity covers the deployed read path, not just in-query stitches
+register(
+    "wallet_coin_balances_warm_sql",
+    sqls.wallet_coin_balances_warm_sql,
+    sqls.WALLET_COIN_BALANCES_WARM_SQL_ORACLE,
+)

@@ -469,42 +469,84 @@ def wallet_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("interacted_with").alias("dst"),
         ).distinct()
     )
-    # nodes/deg appear in every iteration's lineage (3× each) — persist
-    # so the union-distinct and degree agg run once, not per round
+    return _pagerank_from_edges(edges)
+
+
+def _pagerank_from_edges(edges: DataFrame) -> DataFrame:
+    """nodes / degrees / fixed rounds from a PERSISTED distinct edge
+    set — the whole PageRank pipeline below the edge source, shared by
+    the full query and the warm variant so the two differ ONLY in how
+    the edge set is produced (full: event scan + explosion + distinct;
+    warm: stored generation + classified delta)."""
+    # nodes appear in every iteration's lineage — persist so the
+    # union-distinct runs once, not per round
     nodes = persist_tracked(
         edges.select(F.col("src").alias("w"))
         .union(edges.select(F.col("dst").alias("w")))
         .distinct()
     )
     n = nodes.agg(F.count(F.lit(1)).alias("n"))
-    deg = persist_tracked(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    return _pagerank_rounds(edges.join(deg, "src"), nodes, n)
+
+
+def _pagerank_rounds(
+    edges_deg: DataFrame, nodes: DataFrame, n: DataFrame
+) -> DataFrame:
+    """The fixed integer PageRank rounds, shared by the full query and
+    the warm (stored-graph) variant. ``edges_deg`` is the edge set with
+    each row's source out-degree attached — built by the caller (the
+    full query joins a fresh degree agg; the warm variant merges the
+    stored degrees with the delta's additively). Three structural
+    savings over the naive per-round plan: ``edges_deg`` persists here
+    and is reused by every round instead of a per-round ``join(deg)``;
+    round 1 skips the ranks join entirely — every node's round-0 rank
+    is the SAME scalar (SCALE DIV n), so the first incoming sum needs
+    only the edge set and the one-row ``n`` frame; and the per-round
+    "all nodes LEFT JOIN incoming" is a UNION instead — a node with no
+    in-edges holds the constant ``base`` rank in EVERY round (its
+    incoming sum is always empty), so that constant frame is built
+    once and each round only post-processes its own aggregate."""
+    edges_deg = persist_tracked(edges_deg)
     base = F.expr(f"(15 * (CAST({PR_SCALE} AS BIGINT) DIV n)) DIV 100")
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "w", "n", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("r")
-    )
-    for _ in range(PR_ITERS):
-        inc = (
-            edges.join(
-                ranks.select(F.col("w").alias("src"), "r"), "src"
-            )
-            .join(deg, "src")
-            .select(F.col("dst").alias("w"), F.expr("r DIV out_deg").alias("c"))
-            .groupBy("w")
-            .agg(F.sum("c").alias("inc"))
+    # nodes with no incoming edge: rank = base, every round. Every
+    # OTHER node appears in every round's incoming aggregate (each of
+    # its in-neighbors always has a rank), so ranks = agg ∪ this frame
+    # partitions the node set exactly.
+    no_in = persist_tracked(
+        nodes.join(
+            edges_deg.select(F.col("dst").alias("w")), "w", "left_anti"
         )
-        ranks = (
-            nodes.crossJoin(F.broadcast(n))
-            .join(inc, "w", "left")
+        .crossJoin(F.broadcast(n))
+        .select("w", "n", base.alias("r"))
+    )
+
+    def next_ranks(inc: DataFrame) -> DataFrame:
+        return (
+            inc.crossJoin(F.broadcast(n))
             .select(
                 "w",
                 "n",
-                (
-                    base
-                    + F.expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100")
-                ).alias("r"),
+                (base + F.expr("(85 * inc) DIV 100")).alias("r"),
             )
+            .unionByName(no_in)
+        )
+
+    ranks = next_ranks(
+        edges_deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("dst").alias("w"),
+            F.expr(f"(CAST({PR_SCALE} AS BIGINT) DIV n) DIV out_deg").alias("c"),
+        )
+        .groupBy("w")
+        .agg(F.sum("c").alias("inc"))
+    )
+    for _ in range(PR_ITERS - 1):
+        ranks = next_ranks(
+            edges_deg.join(ranks.select(F.col("w").alias("src"), "r"), "src")
+            .select(F.col("dst").alias("w"), F.expr("r DIV out_deg").alias("c"))
+            .groupBy("w")
+            .agg(F.sum("c").alias("inc"))
         )
     return ranks.select(
         F.col("w").alias("wallet_address"),

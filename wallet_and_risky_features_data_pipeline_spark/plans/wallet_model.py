@@ -147,6 +147,16 @@ def _wallet_transactions_build(
         # a filter placed on TOP of an identical build fragment gets
         # the cache swapped in underneath and reads everything).
         ev = ev.filter(F.col("ts") >= F.lit(since).cast("timestamp"))
+        if "date_partition" in ev.columns:
+            # Date-partitioned events store (write_partitioned's
+            # layout): mirror the ts bound onto the PARTITION column so
+            # the scan prunes whole partition directories at planning
+            # time — the ts row-group stats alone cannot prune the file
+            # LISTING. This is the deployed 100 TB refresh shape: the
+            # delta reads only the delta's files. ISO yyyy-MM-dd
+            # strings compare correctly lexically; a leg at ts >= since
+            # always lives in a partition >= since's date.
+            ev = ev.filter(F.col("date_partition") >= F.lit(since[:10]))
     base = ev.select(
         "event_id",
         "ts",

@@ -949,7 +949,11 @@ def _adopt_flat_store(path: str) -> None:
 
 
 def commit_generation(
-    df: DataFrame, path: str, tag: str | None = None, clear_fence: bool = False
+    df: DataFrame,
+    path: str,
+    tag: str | None = None,
+    clear_fence: bool = False,
+    partition_by: Sequence[str] | None = None,
 ) -> str:
     """Commit a FULL snapshot of ``df`` as the store's next generation
     — the whole-table cousin of ``merge_upsert`` for callers that
@@ -980,7 +984,16 @@ def commit_generation(
     numbering — and drops the fence so replayed epochs apply again
     (ADVICE r8: without it, 'incoming epoch <= recorded' would
     silently skip every epoch up to the stale inherited tag).
-    ``clear_fence`` and an explicit ``tag`` are mutually exclusive."""
+    ``clear_fence`` and an explicit ``tag`` are mutually exclusive.
+
+    ``partition_by`` (optional) hive-partitions the snapshot's files by
+    the named columns — for stores whose readers always filter on a
+    low-cardinality discriminator (the warm-state tables' ``part`` /
+    ``round`` columns), the filter then prunes FILES at planning time
+    instead of re-scanning every row group per logical part. Purely a
+    physical layout choice: the generation protocol (staging, rename,
+    pointer CAS, vacuum, time travel) is unchanged, and ``read_store``
+    reads partitioned and flat generations alike."""
     import uuid
 
     os.makedirs(path, exist_ok=True)
@@ -1006,7 +1019,10 @@ def commit_generation(
     staged = os.path.join(
         path, f"{_STAGE_PREFIX}{n:06d}-{os.getpid()}-{uuid.uuid4().hex[:6]}"
     )
-    df.write.mode("overwrite").parquet(staged)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
     if tag is not None:
         with open(os.path.join(staged, _TAG), "w") as f:
             f.write(tag)
@@ -1480,7 +1496,9 @@ def _scan_expired_error(e: Exception) -> bool:
     missing-input-file signatures a concurrent vacuum leaves behind
     (Spark 4's FAILED_READ_FILE error class wraps the JVM
     FileNotFoundException; older paths surface PATH_NOT_FOUND or the
-    raw message)."""
+    raw message; UNABLE_TO_INFER_SCHEMA is the ANALYSIS-time face of
+    the same race — the generation dir still resolves but its parquet
+    files are already gone, so schema inference finds nothing)."""
     msg = str(e)
     return any(
         s in msg
@@ -1490,6 +1508,11 @@ def _scan_expired_error(e: Exception) -> bool:
             "PATH_NOT_FOUND",
             "FileNotFoundError",
             "does not exist",
+            "UNABLE_TO_INFER_SCHEMA",
+            # a raw python FileNotFoundError (e.g. the _TAG file read
+            # racing a vacuum) stringifies to the errno message only —
+            # the class name never appears in str(e)
+            "No such file or directory",
         )
     )
 
