@@ -237,14 +237,20 @@ def connected_components(
 
     Lineage is cut with ``localCheckpoint`` per round — without it the
     plan doubles every iteration and Catalyst analysis dominates. The
-    convergence probe aggregates a single boolean, not the label table
-    (no driver-side data). Nodes with no edges keep their own id.
+    checkpoints are LAZY (eager=False): each round's convergence probe
+    is the action that materializes that round's checkpoint, so a round
+    costs one job instead of a blocking checkpoint job plus a probe job
+    (a self-loop fold that also removed the per-round label re-join was
+    tried and measured NO faster — the extra union/distinct offset the
+    saved broadcast join — so the simpler shape stays). The probe
+    aggregates a single boolean, not the label table (no driver-side
+    data). Nodes with no edges keep their own id.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     # Round 1's propagation folded into initialization: label =
     # min(node, neighbors) is one aggregation over the edge list — no
     # join against a label table and no convergence probe (it always
@@ -256,7 +262,7 @@ def connected_components(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("__mn")).alias("label"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     converged = False
     for it in range(max_iter):
@@ -283,7 +289,7 @@ def connected_components(
             moved = moved | F.coalesce(F.col("__ll") < F.col("label"), F.lit(False))
         new_labels = cur.select(
             "node", best.alias("label"), moved.alias("__changed")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = new_labels.agg(F.max(F.coalesce("__changed", F.lit(False)))).first()[0]
         labels = new_labels.drop("__changed")
         if not changed:

@@ -1024,7 +1024,9 @@ def wallet_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
         und.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
-    alive = sym.localCheckpoint(eager=True)
+    # lazy checkpoints: the count that follows each one is the action
+    # that materializes it — one job per round, same lineage cut
+    alive = sym.localCheckpoint(eager=False)
     nodes = persist_tracked(alive.select("s").distinct())
     n_edges = alive.count()
     global LAST_KCORE_ROUNDS
@@ -1038,7 +1040,7 @@ def wallet_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned = alive.join(keep, "s", "left_semi").join(
             keep.select(F.col("s").alias("d")), "d", "left_semi"
         )
-        alive = pruned.select("s", "d").localCheckpoint(eager=True)
+        alive = pruned.select("s", "d").localCheckpoint(eager=False)
         n_now = alive.count()
         if n_now == n_edges:
             LAST_KCORE_ROUNDS = _round + 1
