@@ -291,10 +291,15 @@ def main() -> None:
                     continue
                 took, err = time_duck_once(ORACLES[name])
                 if err is not None:
-                    duckdb_skipped[name] = err
-                    duck_runs.pop(name, None)
+                    # A transient failure on a LATER pass must not
+                    # discard passes that already succeeded (ADVICE
+                    # r13): keep the successful runs and take their
+                    # median; only mark skipped when NO pass succeeded.
+                    if not duck_runs.get(name):
+                        duckdb_skipped[name] = err
                     continue
                 duck_runs.setdefault(name, []).append(round(took, 4))
+        duck_runs = {k: v for k, v in duck_runs.items() if v}
         duckdb_times = {
             k: round(statistics.median(v), 4) for k, v in duck_runs.items()
         }

@@ -130,9 +130,11 @@ def test_plans_md_close_out_pinned():
     stale copy in an older section fails too (older sections either
     use different prose or carry an explicit 'superseded' stamp and
     not the pattern)."""
+    import os
     import re
 
-    with open("/root/repo/PLANS.md") as f:
+    plans_md = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans_md) as f:
         text = f.read()
     hits = re.findall(
         r"\*\*Registry at close:\*\* (\d+) queries / (\d+) value-oracled",

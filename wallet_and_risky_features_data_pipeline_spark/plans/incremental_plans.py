@@ -594,7 +594,13 @@ def warm_state_meta(store: str) -> dict:
     tag = generation_tag(store)
     if tag is None or "\n" not in tag:
         return {}
-    return json.loads(tag.split("\n", 1)[1])
+    try:
+        return json.loads(tag.split("\n", 1)[1])
+    except ValueError:
+        # A malformed/foreign second tag line degrades to the safe
+        # restart branch (caller treats missing metadata as n_old=0)
+        # instead of crashing the warm refresh (ADVICE r13).
+        return {}
 
 
 def _ensure_warm_state(

@@ -495,9 +495,12 @@ def _pagerank_rounds(
 ) -> DataFrame:
     """The fixed integer PageRank rounds, shared by the full query and
     the warm (stored-graph) variant. ``edges_deg`` is the edge set with
-    each row's source out-degree attached — built by the caller (the
-    full query joins a fresh degree agg; the warm variant merges the
-    stored degrees with the delta's additively). Three structural
+    each row's source out-degree attached — built by the caller. Both
+    callers derive degrees from their own unified edge set (the full
+    query from the fresh scan, the warm variant from stored∪delta via
+    ``_pagerank_from_edges``); only the edge-set SOURCE differs —
+    degree-merge designs were tried and abandoned as slower (the merge
+    join cost more than the degree re-agg). Three structural
     savings over the naive per-round plan: ``edges_deg`` persists here
     and is reused by every round instead of a per-round ``join(deg)``;
     round 1 skips the ranks join entirely — every node's round-0 rank
