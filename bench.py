@@ -196,6 +196,80 @@ def main() -> None:
     for name in retried:
         run_isolated(name, runs=1)
 
+    # Paired warm/full tier (VERDICT r13 #1): the warm tier's success
+    # criterion is warm < full, but the sequential isolated numbers on
+    # a drifting box cannot carry that claim — three rounds of
+    # quiet-window A/Bs showed warm winning while the driver's record
+    # tied or lost, because the two sides of the comparison ran
+    # minutes apart under different load. This tier runs each
+    # (full, warm) pair INTERLEAVED inside this one process: ≥5
+    # passes, alternating which member goes first (cancels any
+    # first-runner page-cache/JIT advantage), per-pass ratio
+    # warm/full, MEDIAN ratio as the verdict. The warm state stores
+    # are already committed by the tiers above, so warm runs time the
+    # refresh — the deployed nightly cost — exactly as intended.
+    PAIRED_WARM = {
+        "wallet_label_propagation": "wallet_label_propagation_warm",
+        "wallet_flow_motifs": "wallet_flow_motifs_warm",
+        "wallet_pagerank": "wallet_pagerank_warm",
+        "wallet_components": "wallet_components_warm",
+        "wallet_coin_balances": "wallet_coin_balances_warm",
+        "wallet_auc_rollup": "wallet_auc_warm",
+        "wallet_rolling_distinct_7d": "wallet_rolling_distinct_warm",
+        "dedup_minhash_lsh": "dedup_minhash_warm",
+    }
+    paired_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRED_PASSES", "5"))
+    paired: dict[str, dict] = {}
+
+    def _timed_once(name: str) -> float | None:
+        reset_session_memos(spark)
+        t0 = time.perf_counter()
+        try:
+            with cache_scope():
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            isolated_errors.setdefault(
+                name, traceback.format_exc(limit=3).splitlines()[-1]
+            )
+            return None
+        return time.perf_counter() - t0
+
+    if paired_passes > 0:
+        import statistics as _stats
+
+        for full_name, warm_name in PAIRED_WARM.items():
+            if full_name not in QUERIES or warm_name not in QUERIES:
+                continue
+            full_runs: list[float] = []
+            warm_runs: list[float] = []
+            ratios: list[float] = []
+            for p in range(paired_passes):
+                order_pair = (
+                    (full_name, warm_name) if p % 2 == 0 else (warm_name, full_name)
+                )
+                pass_t: dict[str, float] = {}
+                for nm in order_pair:
+                    t = _timed_once(nm)
+                    if t is None:
+                        break
+                    pass_t[nm] = t
+                if len(pass_t) < 2:
+                    continue
+                full_runs.append(round(pass_t[full_name], 4))
+                warm_runs.append(round(pass_t[warm_name], 4))
+                ratios.append(round(pass_t[warm_name] / pass_t[full_name], 4))
+            if ratios:
+                paired[full_name] = {
+                    "warm": warm_name,
+                    "full_runs": full_runs,
+                    "warm_runs": warm_runs,
+                    "ratios": ratios,
+                    "median_ratio": round(_stats.median(ratios), 4),
+                    "warm_beats_full": _stats.median(ratios) < 1.0,
+                }
+    paired_warm_n = len(paired)
+    paired_warm_wins = sum(1 for v in paired.values() if v["warm_beats_full"])
+
     # Round-over-round mechanics: diff this run's isolated tier against
     # the PREVIOUS bench_detail.json (the last bench run on this repo)
     # so per-query regressions are a computed map, not judge-side
@@ -428,6 +502,14 @@ def main() -> None:
         "spark_overhead_floor": spark_overhead_floor,
         "duckdb_ratio_adjusted": duckdb_ratio_adjusted,
         "duckdb_over2x": duckdb_over2x,
+        # paired interleaved warm/full tier (VERDICT r13 #1): the
+        # controlled warm-vs-full comparison ON the record — per-pass
+        # raws + median ratio per pair, alternating run order
+        "paired_warm": {k: paired[k] for k in sorted(paired)},
+        "paired_warm_passes": paired_passes,
+        "paired_warm_policy": "median_of_interleaved_pass_ratios",
+        "paired_warm_n": paired_warm_n,
+        "paired_warm_wins": paired_warm_wins,
         "isolated_policy": {
             "top_n_min_of_2": len(retried),
             "retry_targeting": "measured_isolated_time",
@@ -473,6 +555,13 @@ def main() -> None:
     # order).
     compact = {
         "queries": {k: round(v, 2) for k, v in sorted(timings.items())},
+        # per-pair median warm/full ratio from the interleaved paired
+        # tier — the controlled comparison, compact enough for the tail
+        "paired_warm_ratios": {
+            k: paired[k]["median_ratio"] for k in sorted(paired)
+        },
+        "paired_warm_n": paired_warm_n,
+        "paired_warm_wins": paired_warm_wins,
         "errors": detail["errors"],
         "sf": sf,
         "concurrency": CONCURRENCY,
@@ -519,6 +608,8 @@ def main() -> None:
         "duckdb_total": duckdb_total,
         "spark_total_on_duckdb_set": spark_total_on_duckdb_set,
         "spark_vs_duckdb": spark_vs_duckdb,
+        "paired_warm_n": paired_warm_n,
+        "paired_warm_wins": paired_warm_wins,
         "isolated_total": isolated_total,
         "value": isolated_total,
     }
