@@ -294,6 +294,16 @@ def test_sql_twins_plan_like_the_dataframe_plans(spark):
     assert "LeftAnti" in plan, "NOT EXISTS carry-over did not plan as an anti-join"
     assert "CartesianProduct" not in plan
 
+    # window_partition_totals_sql must plan EXACTLY ONE exchange, like
+    # its DataFrame twin: the (wallet, contract) repartition serves
+    # both the window and the final aggregate (VERDICT r13 #4 — the
+    # wallet-only hint satisfied the window but forced a second
+    # exchange for the GROUP BY, a 3.2× wall gap on the r13 record;
+    # this assertion makes that regression structurally impossible)
+    plan = _physical(QUERIES["window_partition_totals_sql"](spark, SF_MEDIUM))
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges == 1, f"{n_exchanges} exchanges (expected 1)"
+
 
 def test_ngram_freq_topk_no_global_sort(spark):
     """Top-K must plan as TakeOrderedAndProject (per-partition heaps),

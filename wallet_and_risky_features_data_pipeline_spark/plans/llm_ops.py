@@ -1748,6 +1748,59 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_features(attach_payload(docs, "doc_id", "text"))
 
 
+# REAL-codec member of the multimodal family (VERDICT r13 #7): the
+# payload is a genuine RIFF/WAVE container (stdlib ``wave`` writer)
+# and the decode stage parses it back with the stdlib ``wave`` READER
+# — an actual container codec through the injectable decoder seam,
+# not the deterministic stub. The header fields in the output
+# (channels / bit depth / rate / frame count) can only come from a
+# real parse; the PCM stats must equal the oracle's byte math because
+# u8 mono WAV data IS the sample bytes. duration_us = nb * 125
+# exactly (1e6 / 8000 Hz), all-integer — exact cross-engine.
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_wav_payload, decode_wav_meta
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return decode_wav_meta(attach_wav_payload(docs, "doc_id", "text"))
+
+
+MULTIMODAL_WAV_DECODE_ORACLE = """
+WITH p AS (
+    SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+    FROM documents
+),
+s AS (
+    SELECT doc_id, i,
+           CAST(('0x' || substr(hx, i * 2 + 1, 2)) AS BIGINT) AS v
+    FROM p, UNNEST(generate_series(0, nb - 1, 1)) AS u(i)
+    WHERE nb > 0
+),
+flagged AS (
+    SELECT doc_id, v,
+           CASE WHEN (v >= 128) <> LAG(v >= 128) OVER
+                (PARTITION BY doc_id ORDER BY i)
+                THEN 1 ELSE 0 END AS crossed
+    FROM s
+),
+agg AS (
+    SELECT doc_id, SUM(v) AS sum_amp, SUM(v * v) AS sum_sq,
+           SUM(crossed) AS mid_crossings
+    FROM flagged GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(p.nb + 44 AS INTEGER) AS container_bytes,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8 AS INTEGER) AS bits_per_sample,
+       CAST(8000 AS INTEGER) AS framerate,
+       CAST(p.nb AS INTEGER) AS n_frames,
+       CAST(p.nb * 125 AS BIGINT) AS duration_us,
+       CAST(COALESCE(a.sum_amp, 0) AS BIGINT) AS sum_amp,
+       CAST(COALESCE(a.sum_sq, 0) AS BIGINT) AS sum_sq,
+       CAST(COALESCE(a.mid_crossings, 0) AS INTEGER) AS mid_crossings
+FROM p LEFT JOIN agg a USING (doc_id)
+"""
+
+
 MULTIMODAL_AUDIO_ORACLE = """
 WITH p AS (
     SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb

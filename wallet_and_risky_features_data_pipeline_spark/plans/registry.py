@@ -853,3 +853,12 @@ register(
     sqls.wallet_coin_balances_warm_sql,
     sqls.WALLET_COIN_BALANCES_WARM_SQL_ORACLE,
 )
+# REAL-codec multimodal member (VERDICT r13 #7): genuine RIFF/WAVE
+# container payloads parsed back through the stdlib wave module via
+# the injectable decoder seam — header fields prove a real parse,
+# PCM stats hash-match the byte-math oracle exactly
+register(
+    "multimodal_wav_decode",
+    llm.multimodal_wav_decode,
+    llm.MULTIMODAL_WAV_DECODE_ORACLE,
+)

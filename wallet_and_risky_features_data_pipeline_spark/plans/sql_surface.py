@@ -528,7 +528,14 @@ def window_partition_totals_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH {WALLET_TX_SQL_CTE.strip()},
         balanced AS (
-            SELECT /*+ REPARTITION(wallet_address) */ *,
+            -- hint on BOTH keys: this plan's window partitions by
+            -- (wallet, contract) and the final GROUP BY is the same
+            -- pair, so one (w, c) exchange serves both — the
+            -- wallet-only hint the other twins share satisfied the
+            -- window (hash(w) clusters (w, c)) but forced a SECOND
+            -- exchange for the aggregate (VERDICT r13 #4: 3.2× the
+            -- DataFrame twin on the r13 record)
+            SELECT /*+ REPARTITION(wallet_address, contract_address) */ *,
                 SUM(signed_value) OVER (
                     PARTITION BY wallet_address, contract_address
                     ORDER BY {_WT_ORDER}

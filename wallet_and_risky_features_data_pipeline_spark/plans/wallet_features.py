@@ -102,7 +102,15 @@ def contract_state_from(wt: DataFrame) -> DataFrame:
 def wallet_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step 7: the per-wallet feature row (A1 rollup,
     queries/ethereum_wallet_features.sql:278-325)."""
-    cs = contract_state(spark, sf_dir)
+    return wallet_features_from(contract_state(spark, sf_dir))
+
+
+def wallet_features_from(cs: DataFrame) -> DataFrame:
+    """The A1 rollup over an arbitrary contract-state frame — lets a
+    single-consumer caller (the DQ constraint gate) feed a LAZY,
+    unpersisted leg build so the whole pipeline streams scan → explode
+    → window → agg in one pass instead of materializing the memoized
+    leg table it will read exactly once."""
     return (
         cs.groupBy("wallet_address")
         .agg(
