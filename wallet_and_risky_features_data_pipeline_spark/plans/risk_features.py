@@ -405,7 +405,12 @@ def wallet_taint_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = nxt.join(reached, "wallet_address", "left_anti").select(
             "wallet_address", F.lit(h).cast("bigint").alias("hop")
         )
-        new = persist_tracked(new)
+        if h < TAINT_MAX_HOPS:
+            # reused twice (next round's anti-join seed + frontier);
+            # the FINAL round's frontier is consumed exactly once by
+            # the closing union — caching it is pure materialization
+            # overhead (VERDICT r13 #8)
+            new = persist_tracked(new)
         reached = reached.unionByName(new)
         frontier = new.select("wallet_address")
     return reached.withColumnRenamed("hop", "taint_hops")
@@ -2364,7 +2369,7 @@ def wallet_peel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth = legs.select(F.col("event_id").alias("e_id")).withColumn(
         "d", F.lit(1).cast("bigint")
     )
-    for _ in range(PEEL_MAX_DEPTH - 1):
+    for i in range(PEEL_MAX_DEPTH - 1):
         ext = (
             P.join(
                 depth.select(
@@ -2375,14 +2380,18 @@ def wallet_peel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("e_id")
             .agg((F.max("fd") + F.lit(1)).alias("d2"))
         )
-        depth = persist_tracked(
-            depth.join(ext, "e_id", "left").select(
-                "e_id",
-                F.greatest(
-                    F.col("d"), F.coalesce(F.col("d2"), F.lit(0))
-                ).alias("d"),
-            )
+        depth = depth.join(ext, "e_id", "left").select(
+            "e_id",
+            F.greatest(
+                F.col("d"), F.coalesce(F.col("d2"), F.lit(0))
+            ).alias("d"),
         )
+        if i < PEEL_MAX_DEPTH - 2:
+            # intermediate depths feed BOTH next-round frames (ext's
+            # probe and the left join); the last round's depth is
+            # consumed once by the final rollup join — no cache
+            # (VERDICT r13 #8)
+            depth = persist_tracked(depth)
     return (
         legs.select(F.col("event_id").alias("e_id"), "src")
         .join(depth, "e_id")
