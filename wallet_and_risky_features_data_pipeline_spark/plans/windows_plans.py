@@ -35,6 +35,7 @@ from .wallet_model import (
     WALLET_TX_ORACLE_CTE,
     by_wallet,
     wallet_transactions,
+    wallet_transactions_lazy,
 )
 
 _KEY = ("wallet_address", "contract_address")
@@ -43,7 +44,7 @@ _KEY = ("wallet_address", "contract_address")
 # --------------------------------------------------------------------------
 # W1 + W2 — deterministic ordering and canonical-leg dedup rank
 def window_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = by_wallet(wallet_transactions(spark, sf_dir))
+    wt = by_wallet(wallet_transactions_lazy(spark, sf_dir))
     df = deterministic_order(wt, _KEY, ORDER_COLS, out="row_num_by_contract")
     df = deterministic_order(df, ("wallet_address",), ORDER_COLS, out="row_num_by_wallet")
     df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")
@@ -184,7 +185,7 @@ def window_running_balance_eth(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_quotes=True,
     ).select("event_id", "price")
 
-    wt = by_wallet(wallet_transactions(spark, sf_dir).join(priced, "event_id"))
+    wt = by_wallet(wallet_transactions_lazy(spark, sf_dir).join(priced, "event_id"))
     price_eff = F.coalesce(
         F.col("price"),
         F.when(F.col("contract_address") == _NATIVE_CONTRACT, F.lit(1))
@@ -286,7 +287,7 @@ FROM signed
 # clusters on the same (wallet, contract) key the window sorted by, so
 # no additional exchange is needed after the window stage.
 def window_partition_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = by_wallet(wallet_transactions(spark, sf_dir))
+    wt = by_wallet(wallet_transactions_lazy(spark, sf_dir))
     df = running_sum(wt, F.col("signed_value"), _KEY, ORDER_COLS, out="balance")
     return df.groupBy(*_KEY).agg(
         F.sum("signed_value").cast("double").alias("partition_total"),
@@ -327,7 +328,7 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 # W9 + W10 — LEAD time-to-next-event and running time-weighted AUC
 def window_lead_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = by_wallet(wallet_transactions(spark, sf_dir))
+    wt = by_wallet(wallet_transactions_lazy(spark, sf_dir))
     df = running_sum(wt, F.col("signed_value"), ("wallet_address",), ORDER_COLS, out="wallet_balance")
     df = lead_delta(
         df,
@@ -527,7 +528,7 @@ GROUP BY 1, 2
 # oracle as window_running_balance (per (wallet, contract), chunked by
 # day bucket of the event time).
 def window_running_balance_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = by_wallet(wallet_transactions(spark, sf_dir))
+    wt = by_wallet(wallet_transactions_lazy(spark, sf_dir))
     df = salted_running_sum(
         wt,
         F.col("signed_value"),
