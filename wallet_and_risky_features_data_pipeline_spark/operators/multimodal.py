@@ -181,6 +181,102 @@ def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+PPM_WIDTH = 16  # fixed row width for synthesized RGB payloads
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialize a REAL binary-PPM payload column: the document's
+    utf-8 bytes as RGB pixel data (zero-padded to whole 16-px rows,
+    minimum one row) inside a genuine P6 container
+    (``encode_ppm_rgb``)."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("pix"),
+    )
+    row_bytes = 3 * PPM_WIDTH
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["pix"]:
+                raw = bytes(p)
+                padded = max(
+                    row_bytes,
+                    ((len(raw) + row_bytes - 1) // row_bytes) * row_bytes,
+                )
+                payloads.append(
+                    encode_ppm_rgb(raw + b"\x00" * (padded - len(raw)), PPM_WIDTH)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].reset_index(drop=True),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return src.mapInPandas(
+        encode,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+PPM_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def decode_ppm_meta(df: DataFrame) -> DataFrame:
+    """Decode stage through the REAL PPM codec: parse the P6 header
+    (dimensions can only come from an actual parse — the payload-length
+    validation inside ``ppm_decoder`` would reject invented ones) and
+    the RGB planes, emitting per-channel amplitude sums. All-integer,
+    exact cross-engine."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in PPM_DECODE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                w, h, nf = ppm_decoder(raw)
+                arr = np.frombuffer(ppm_pixels(raw), np.uint8).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["container_bytes"].append(len(raw))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["sum_r"].append(int(arr[0::3].sum()))
+                out["sum_g"].append(int(arr[1::3].sum()))
+                out["sum_b"].append(int(arr[2::3].sum()))
+            yield pd.DataFrame(
+                {
+                    f.name: pd.Series(
+                        out[f.name],
+                        dtype="int32"
+                        if isinstance(f.dataType, T.IntegerType)
+                        else "int64",
+                    )
+                    for f in PPM_DECODE_SCHEMA.fields
+                }
+            )
+
+    return df.mapInPandas(decode, PPM_DECODE_SCHEMA)
+
+
 WAV_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -239,6 +335,66 @@ def decode_wav_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, WAV_DECODE_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# REAL image codec: binary PPM (P6) — a genuine netpbm container with
+# a parsed header (magic, whitespace/comment-tolerant dimensions,
+# maxval) and raw RGB pixel data. Pure-python parser, so the IMAGE
+# path of the decoder seam carries a real format in-sandbox exactly
+# like the WAV path does for audio.
+
+
+def encode_ppm_rgb(pixels: bytes, width: int) -> bytes:
+    """Wrap raw RGB bytes (len divisible by 3*width) in a REAL binary
+    PPM (P6) container. Deterministic byte-for-byte."""
+    if width <= 0 or len(pixels) % (3 * width):
+        raise ValueError(f"{len(pixels)} bytes is not RGB rows of width {width}")
+    height = len(pixels) // (3 * width)
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def ppm_decoder(payload: bytes) -> tuple[int, int, int]:
+    """REAL image codec for the ``decoder`` seam
+    (``decode_image_meta``): parse the P6 header — magic, then three
+    whitespace-separated ints with ``#`` comments allowed, per the
+    netpbm spec — validate the pixel payload length, and return
+    (width, height, n_frames=1). Raises on anything that is not a
+    well-formed P6, where the stub would have invented dimensions
+    from raw bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    pos += 1  # single whitespace byte after maxval, per spec
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    if len(payload) - pos != 3 * width * height:
+        raise ValueError(
+            f"pixel payload {len(payload) - pos} B != 3*{width}*{height}"
+        )
+    return width, height, 1
+
+
+def ppm_pixels(payload: bytes) -> bytes:
+    """The raw RGB bytes of a P6 payload (header skipped via the same
+    parse as ``ppm_decoder``)."""
+    w, h, _ = ppm_decoder(payload)
+    return payload[len(payload) - 3 * w * h :]
 
 
 def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

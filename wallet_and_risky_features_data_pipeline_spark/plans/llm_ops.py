@@ -1801,6 +1801,57 @@ FROM p LEFT JOIN agg a USING (doc_id)
 """
 
 
+# The IMAGE sibling of the real-codec pair: genuine binary-PPM (P6)
+# containers — netpbm header parsed by a real whitespace/comment-
+# tolerant parser that validates dimensions against the pixel payload
+# length, so the emitted width/height can only come from an actual
+# container parse. Channel sums are all-integer over the RGB planes;
+# zero padding (whole 16-px rows, min one row) contributes nothing,
+# so the oracle computes them straight from the text bytes at
+# i % 3 positions. container_bytes = 11 + digits(height) + 48·height.
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payload, decode_ppm_meta
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    return decode_ppm_meta(attach_ppm_payload(docs, "doc_id", "text"))
+
+
+MULTIMODAL_PPM_DECODE_ORACLE = """
+WITH p AS (
+    SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, nb,
+           GREATEST(CAST(1 AS BIGINT), CAST(ceil(nb / 48.0) AS BIGINT)) AS height
+    FROM p
+),
+s AS (
+    SELECT doc_id, i,
+           CAST(('0x' || substr(hx, i * 2 + 1, 2)) AS BIGINT) AS v
+    FROM p, UNNEST(generate_series(0, nb - 1, 1)) AS u(i)
+    WHERE nb > 0
+),
+ch AS (
+    SELECT doc_id,
+           SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS sum_r,
+           SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS sum_g,
+           SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS sum_b
+    FROM s GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(11 + length(CAST(d.height AS VARCHAR)) + 48 * d.height AS INTEGER)
+           AS container_bytes,
+       CAST(16 AS INTEGER) AS width,
+       CAST(d.height AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_frames,
+       CAST(COALESCE(c.sum_r, 0) AS BIGINT) AS sum_r,
+       CAST(COALESCE(c.sum_g, 0) AS BIGINT) AS sum_g,
+       CAST(COALESCE(c.sum_b, 0) AS BIGINT) AS sum_b
+FROM dims d LEFT JOIN ch c USING (doc_id)
+"""
+
+
 MULTIMODAL_AUDIO_ORACLE = """
 WITH p AS (
     SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb

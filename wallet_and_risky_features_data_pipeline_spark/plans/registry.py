@@ -862,3 +862,11 @@ register(
     llm.multimodal_wav_decode,
     llm.MULTIMODAL_WAV_DECODE_ORACLE,
 )
+# IMAGE sibling of the real-codec pair: binary PPM (P6) containers
+# parsed by a real netpbm header parser through the image-decoder
+# seam; dimensions are validated against the pixel payload length
+register(
+    "multimodal_ppm_decode",
+    llm.multimodal_ppm_decode,
+    llm.MULTIMODAL_PPM_DECODE_ORACLE,
+)
