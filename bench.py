@@ -46,6 +46,19 @@ from wallet_and_risky_features_data_pipeline_spark.session import get_spark
 # the 32 cores busy — measured 54s vs 265s for the same suite at 4.
 CONCURRENCY = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "8"))
 
+# (full, warm) registry pairs for the paired interleaved tier —
+# module-level so tests can pin that every name stays registered
+PAIRED_WARM = {
+    "wallet_label_propagation": "wallet_label_propagation_warm",
+    "wallet_flow_motifs": "wallet_flow_motifs_warm",
+    "wallet_pagerank": "wallet_pagerank_warm",
+    "wallet_components": "wallet_components_warm",
+    "wallet_coin_balances": "wallet_coin_balances_warm",
+    "wallet_auc_rollup": "wallet_auc_warm",
+    "wallet_rolling_distinct_7d": "wallet_rolling_distinct_warm",
+    "dedup_minhash_lsh": "dedup_minhash_warm",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -208,16 +221,6 @@ def main() -> None:
     # warm/full, MEDIAN ratio as the verdict. The warm state stores
     # are already committed by the tiers above, so warm runs time the
     # refresh — the deployed nightly cost — exactly as intended.
-    PAIRED_WARM = {
-        "wallet_label_propagation": "wallet_label_propagation_warm",
-        "wallet_flow_motifs": "wallet_flow_motifs_warm",
-        "wallet_pagerank": "wallet_pagerank_warm",
-        "wallet_components": "wallet_components_warm",
-        "wallet_coin_balances": "wallet_coin_balances_warm",
-        "wallet_auc_rollup": "wallet_auc_warm",
-        "wallet_rolling_distinct_7d": "wallet_rolling_distinct_warm",
-        "dedup_minhash_lsh": "dedup_minhash_warm",
-    }
     paired_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRED_PASSES", "5"))
     paired: dict[str, dict] = {}
 

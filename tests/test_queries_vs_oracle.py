@@ -146,3 +146,21 @@ def test_plans_md_close_out_pinned():
             f"PLANS.md close-out says {q}/{o}, registry has "
             f"{len(QUERIES)}/{len(ORACLES)} — update the close-out line"
         )
+
+
+def test_bench_paired_warm_pairs_are_registered():
+    """bench.py's paired interleaved warm/full tier (VERDICT r13 #1)
+    names its pairs statically — a registry rename must fail HERE, not
+    silently shrink the paired tier on the next driver record."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    for full, warm in bench.PAIRED_WARM.items():
+        assert full in QUERIES, f"paired tier names unregistered full query {full}"
+        assert warm in QUERIES, f"paired tier names unregistered warm query {warm}"
+    assert len(bench.PAIRED_WARM) >= 8
