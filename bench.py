@@ -408,6 +408,22 @@ def main() -> None:
     duckdb_over2x = sorted(
         k for k, r in duckdb_ratio_adjusted.items() if r > 2.0
     )
+    # Anchor-asymmetry annotation: warm/incremental/salted variants are
+    # registered against FULL-RECOMPUTE oracles (that is the
+    # correctness point — maintenance ≡ recompute), so their per-query
+    # DuckDB ratio compares a refresh/alternate plan's wall against an
+    # engine doing DIFFERENT (full) work and is not a like-for-like
+    # overhead signal. They stay in the ratio maps for transparency;
+    # this set lets a reader discount them mechanically. The paired
+    # interleaved tier above is the controlled comparison for the warm
+    # family.
+    oracle_is_full_recompute = sorted(
+        k
+        for k in duckdb_ratio_adjusted
+        if k.endswith(("_warm", "_incremental", "_salted"))
+        or "_warm_" in k
+        or "_incremental_" in k
+    )
 
     duck_shared = sorted(set(duckdb_times) & set(isolated))
     duckdb_total = round(sum(duckdb_times[k] for k in duck_shared), 4) or None
@@ -505,6 +521,7 @@ def main() -> None:
         "spark_overhead_floor": spark_overhead_floor,
         "duckdb_ratio_adjusted": duckdb_ratio_adjusted,
         "duckdb_over2x": duckdb_over2x,
+        "oracle_is_full_recompute": oracle_is_full_recompute,
         # paired interleaved warm/full tier (VERDICT r13 #1): the
         # controlled warm-vs-full comparison ON the record — per-pass
         # raws + median ratio per pair, alternating run order
