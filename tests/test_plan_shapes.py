@@ -591,3 +591,44 @@ def test_delta_scan_prunes_date_partitions(spark, tmp_path):
     got = delta.select("event_id").distinct().count()
     want = full.select("event_id").distinct().count()
     assert got == want
+
+
+def test_single_consumer_plans_stream_without_memo_cache(spark):
+    """The lazy leg-build discipline (VERDICT r13 #5): a plan that
+    consumes the role-exploded legs exactly once must NOT read through
+    the memo's InMemoryRelation when the session memo is cold — the
+    cache write + read-back costs ~2× the build it fronts. And the
+    OPPORTUNISTIC readers (flagship chain) must flip to the shared
+    memo frame once a nightly session has warmed it, without building
+    it themselves."""
+    from wallet_and_risky_features_data_pipeline_spark.plans import wallet_model as wm
+    from wallet_and_risky_features_data_pipeline_spark.plans.llm_ops import (
+        reset_session_memos,
+    )
+
+    reset_session_memos(spark)
+    for name in (
+        "window_ordering",
+        "window_partition_totals",
+        "window_lead_auc",
+        "window_running_balance_salted",
+        "dq_feature_constraints",
+        "wallet_features",
+        "wallet_coin_balances",
+    ):
+        plan = _physical(QUERIES[name](spark, SF_MEDIUM))
+        assert "InMemoryTableScan" not in plan, (
+            f"{name} reads a cold-session cache — the lazy build regressed"
+        )
+    # merely PLANNING the queries above must not have built the memo
+    with wm._WT_LOCK:
+        assert SF_MEDIUM not in wm._WT_MEMO.get(spark, {})
+
+    # warm the memo the way a nightly (runner.run_features) does...
+    wm.wallet_transactions(spark, SF_MEDIUM)
+    # ...and the opportunistic chain now shares it
+    plan = _physical(QUERIES["wallet_features"](spark, SF_MEDIUM))
+    assert "InMemoryTableScan" in plan, (
+        "flagship did not share the warmed nightly leg table"
+    )
+    reset_session_memos(spark)

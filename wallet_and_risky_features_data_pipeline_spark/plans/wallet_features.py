@@ -38,6 +38,7 @@ from .wallet_model import (
     WALLET_TX_ORACLE_CTE,
     by_wallet,
     wallet_transactions,
+    wallet_transactions_shared_or_lazy,
 )
 
 _KEY = ("wallet_address", "contract_address")
@@ -73,8 +74,13 @@ def contract_state_aggs() -> list:
 def contract_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steps 1-6: one row per (wallet, contract) with final balance and
     lifetime stats — the reference's ``last_coin_balances`` shape
-    (queries/ethereum_wallet_coin_balances.sql)."""
-    return contract_state_from(wallet_transactions(spark, sf_dir))
+    (queries/ethereum_wallet_coin_balances.sql).
+
+    Legs come through the OPPORTUNISTIC memo read: the chain consumes
+    them exactly once, so a standalone run streams the lazy build
+    (no cache write it would read once), while a nightly session that
+    warmed the shared leg table (runner) still shares it."""
+    return contract_state_from(wallet_transactions_shared_or_lazy(spark, sf_dir))
 
 
 def contract_state_from(wt: DataFrame) -> DataFrame:
