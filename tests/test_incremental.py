@@ -268,6 +268,40 @@ def test_lpa_incremental_cold_store_builds_in_query_and_equals_full(
     assert list_generations(store) == ["gen-000001"]
 
 
+def test_cc_incremental_cold_store_builds_in_query_and_equals_full(
+    spark, tmp_path, monkeypatch
+):
+    """Same contract as the LPA variant: on a COLD store,
+    ``wallet_components_incremental`` must build the prior component
+    assignment in-query (one fingerprint-fenced generation) and equal
+    the full recompute; a second call reads back without a rebuild."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_components,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    store = inc._state_store(SF_SMALL, "cc_assignment")
+    assert list_generations(store) == []
+
+    incr = {
+        tuple(r)
+        for r in inc.wallet_components_incremental(spark, SF_SMALL).collect()
+    }
+    full = {tuple(r) for r in wallet_components(spark, SF_SMALL).collect()}
+    assert incr == full
+    assert list_generations(store) == ["gen-000001"]
+
+    again = {
+        tuple(r)
+        for r in inc.wallet_components_incremental(spark, SF_SMALL).collect()
+    }
+    assert again == full
+    assert list_generations(store) == ["gen-000001"]
+
+
 def test_modularity_incremental_equals_full(spark, tmp_path, monkeypatch):
     """Incremental modularity (warm labels + fresh |E|-linear
     evaluation joins) ≡ the full recompute, row for row."""
