@@ -302,6 +302,52 @@ def test_cc_incremental_cold_store_builds_in_query_and_equals_full(
     assert list_generations(store) == ["gen-000001"]
 
 
+def test_auc_incremental_cold_store_builds_and_equals(spark, tmp_path, monkeypatch):
+    """AUC stitch variant of the cold-store proof: in-query prior
+    build on a cold store, equality to the full rollup, read-back
+    (single generation) on the second call."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_auc_rollup,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    store = inc._state_store(SF_SMALL, "auc_state")
+    assert list_generations(store) == []
+    incr = {tuple(r) for r in inc.wallet_auc_incremental(spark, SF_SMALL).collect()}
+    full = {tuple(r) for r in wallet_auc_rollup(spark, SF_SMALL).collect()}
+    assert incr == full
+    assert list_generations(store) == ["gen-000001"]
+    again = {tuple(r) for r in inc.wallet_auc_incremental(spark, SF_SMALL).collect()}
+    assert again == full
+    assert list_generations(store) == ["gen-000001"]
+
+
+def test_roll7_incremental_cold_store_builds_and_equals(
+    spark, tmp_path, monkeypatch
+):
+    """Rolling-distinct variant of the cold-store proof."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_rolling_distinct_7d,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources.writers import (
+        list_generations,
+    )
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    store = inc._state_store(SF_SMALL, "roll7_anchors")
+    assert list_generations(store) == []
+    incr = {
+        tuple(r)
+        for r in inc.wallet_rolling_distinct_incremental(spark, SF_SMALL).collect()
+    }
+    full = {tuple(r) for r in wallet_rolling_distinct_7d(spark, SF_SMALL).collect()}
+    assert incr == full
+    assert list_generations(store) == ["gen-000001"]
+
+
 def test_modularity_incremental_equals_full(spark, tmp_path, monkeypatch):
     """Incremental modularity (warm labels + fresh |E|-linear
     evaluation joins) ≡ the full recompute, row for row."""

@@ -63,10 +63,20 @@ def wallet_auc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge term (reference
     ethereum_wallet_features_with_auc.sql:627-637), and check the
     result against the FULL-recompute oracle — the driver's gate itself
-    proves incremental ≡ full."""
+    proves incremental ≡ full.
+
+    The prior snapshot reads from the SAME fingerprint-fenced
+    generation the warm tier commits (``_ensure_auc_state`` — the lpa
+    state-sharing shape, VERDICT r13 #3): a COLD store still builds it
+    in-query from the pre-split slice through this one entry point
+    (pinned by ``test_auc_incremental_cold_store_builds_and_equals``);
+    the delta stays the shared full-history leg table filtered
+    in-query, distinct from ``_warm``'s delta-only pushdown scan."""
+    from ..sources.writers import read_store
+
     wt = wallet_transactions(spark, sf_dir)
     split = F.lit(SPLIT_AT).cast("timestamp")
-    prior = wallet_auc_state(wt.filter(F.col("ts") < split))
+    prior = read_store(spark, _ensure_auc_state(spark, sf_dir))
     return incremental_auc_rollup(prior, wt.filter(F.col("ts") >= split))
 
 
@@ -255,13 +265,16 @@ def wallet_rolling_distinct_incremental(
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct_7d"))
         )
 
-    # prior state: anchors strictly before the split day, computed from
-    # old days only (complete: such an anchor's window never reaches
-    # the split). Active-day anchoring is safe on the old subset — an
-    # anchor < split_day is active iff an OLD row falls on it.
-    prior = rolled(
-        dg.filter(F.col("day") < split_day), lambda w: w < split_day
-    )
+    # prior state: anchors strictly before the split day (final
+    # forever — their windows never reach the split), read from the
+    # SAME fingerprint-fenced generation the warm tier commits
+    # (``_ensure_roll7_state``; the lpa state-sharing shape, VERDICT
+    # r13 #3). A COLD store builds them in-query from old days only
+    # through this one entry point (pinned by
+    # ``test_roll7_incremental_cold_store_builds_and_equals``).
+    from ..sources.writers import read_store
+
+    prior = read_store(spark, _ensure_roll7_state(spark, sf_dir))
     # refresh: anchors ≥ split day draw only on the trailing window —
     # day ≥ split_day − 6 (complete by the 7-day band); anchor-activity
     # for these anchors also lives in the same slice (an active anchor
