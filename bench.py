@@ -223,6 +223,10 @@ def main() -> None:
     # refresh — the deployed nightly cost — exactly as intended.
     paired_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRED_PASSES", "5"))
     paired: dict[str, dict] = {}
+    # Paired-tier failures land in their own map (ADVICE r14): a query
+    # that succeeded in the isolated tier but hiccups during a paired
+    # pass must not masquerade as an isolated-tier error.
+    paired_errors: dict[str, str] = {}
 
     def _timed_once(name: str) -> float | None:
         reset_session_memos(spark)
@@ -231,7 +235,7 @@ def main() -> None:
             with cache_scope():
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
-            isolated_errors.setdefault(
+            paired_errors.setdefault(
                 name, traceback.format_exc(limit=3).splitlines()[-1]
             )
             return None
@@ -362,21 +366,30 @@ def main() -> None:
         import statistics
 
         duck_pass_n = int(os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_PASSES", "3"))
+        duck_errs: dict[str, str] = {}
         for _ in range(max(1, duck_pass_n)):
             for name in sorted(set(ORACLES) & set(isolated)):
-                if name in duckdb_skipped:
+                # Timeouts are the deliberately-exhaustive oracle forms
+                # (recursive-CTE closures, quadratic baselines) — paying
+                # the full timeout once per pass would add minutes for a
+                # known outcome, so those stay skipped after the first
+                # hit. Every OTHER failure retries on later passes: a
+                # one-off transient error on pass 1 must not permanently
+                # drop the query from the baseline (ADVICE r14 — the
+                # prior guard froze first-pass failures forever).
+                if duck_errs.get(name, "").startswith("timeout>"):
                     continue
                 took, err = time_duck_once(ORACLES[name])
                 if err is not None:
-                    # A transient failure on a LATER pass must not
-                    # discard passes that already succeeded (ADVICE
-                    # r13): keep the successful runs and take their
-                    # median; only mark skipped when NO pass succeeded.
-                    if not duck_runs.get(name):
-                        duckdb_skipped[name] = err
+                    duck_errs[name] = err
                     continue
                 duck_runs.setdefault(name, []).append(round(took, 4))
         duck_runs = {k: v for k, v in duck_runs.items() if v}
+        # skipped = no pass succeeded at all; successful-but-flaky names
+        # keep their median over the passes that did succeed
+        duckdb_skipped = {
+            name: err for name, err in duck_errs.items() if not duck_runs.get(name)
+        }
         duckdb_times = {
             k: round(statistics.median(v), 4) for k, v in duck_runs.items()
         }
@@ -530,6 +543,7 @@ def main() -> None:
         "paired_warm_policy": "median_of_interleaved_pass_ratios",
         "paired_warm_n": paired_warm_n,
         "paired_warm_wins": paired_warm_wins,
+        "paired_errors": paired_errors,
         "isolated_policy": {
             "top_n_min_of_2": len(retried),
             "retry_targeting": "measured_isolated_time",

@@ -202,24 +202,35 @@ def test_lsh_single_band_join(spark):
 
 
 def test_ngram_jaccard_no_pair_table_rejoin(spark):
-    """r9 inversion of this test's original assertion: df-cap and doc
-    sizes must be AGGs + same-key joins BEFORE the self-join — never
-    full-partition window counts, because WindowExec buffers a whole
-    partition per task and a stopword-grade hot shingle IS a
-    row-scaled partition (the weighted-median 100× OOM class,
-    PLANS.md §probe-caught OOM). ``sz`` still rides through the
-    self-join, so the aggregated pair table itself is never re-joined:
-    everything downstream of the pair aggregation must be join-free."""
+    """r15 shape (posting-list intersections): df-cap stays an AGG +
+    same-key join BEFORE any pairing — never a full-partition window
+    count, because WindowExec buffers a whole partition per task and
+    a stopword-grade hot shingle IS a row-scaled partition (the
+    weighted-median 100× OOM class, PLANS.md §probe-caught OOM). The
+    quadratic pair expansion must be MAP-SIDE from the ≤max_df
+    posting arrays (a Generate feeding the pair aggregate directly —
+    no join or exchange between the posting collect and the pair
+    agg), and everything downstream of the pair aggregation may touch
+    the AGGREGATED table only through broadcast-side joins: no
+    re-shuffle (Exchange) of the pair table and no sort-merge join
+    above it."""
     plan = _physical(QUERIES["dedup_ngram_jaccard"](spark, SF_MEDIUM))
     assert "Window" not in plan, "row-scaled partition buffering is back"
-    # the pair aggregation is the query's LAST exchange-producing agg:
-    # nothing after it may join (textual check — the final plan
-    # segment above the first HashAggregate on (a, b) keys)
-    head = plan.split("HashAggregate", 1)[0]
+    assert "CartesianProduct" not in plan
+    # pair generation is map-side: the pair-expanding Generate sits
+    # immediately on the posting collect_list aggregate
+    gen_to_posting = plan.split("Generate explode(flatten", 1)[1].split(
+        "ObjectHashAggregate", 1
+    )[0]
     assert not any(
-        j in head
-        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-    ), "aggregated pair table must not be re-joined"
+        tok in gen_to_posting
+        for tok in ("Join", "Exchange", "Window", "Generate")
+    ), "pair expansion must feed straight off the posting aggregate"
+    # the derivation above the pair agg adds NO exchange: the size
+    # joins broadcast the tiny diagonal, the pair side only streams
+    head = plan.split("HashAggregate", 1)[0]
+    assert "Exchange" not in head, "aggregated pair table must not re-shuffle"
+    assert "SortMergeJoin" not in head and "ShuffledHashJoin" not in head
 
 
 def test_token_budget_window_partitioned_by_band(spark):

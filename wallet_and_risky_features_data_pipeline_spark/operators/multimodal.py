@@ -380,7 +380,12 @@ def ppm_decoder(payload: bytes) -> tuple[int, int, int]:
             raise ValueError("malformed PPM header")
         fields.append(int(payload[start:pos]))
     width, height, maxval = fields
-    pos += 1  # single whitespace byte after maxval, per spec
+    # Single whitespace byte after maxval, per spec — verified, not
+    # assumed (ADVICE r14: a stray non-whitespace separator byte must
+    # fail loudly like every other malformation, not be skipped).
+    if not payload[pos : pos + 1].isspace():
+        raise ValueError("malformed PPM header: maxval not followed by whitespace")
+    pos += 1
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
     if len(payload) - pos != 3 * width * height:

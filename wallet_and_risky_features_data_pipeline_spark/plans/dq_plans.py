@@ -13,16 +13,18 @@ from .wallet_features import WALLET_FEATURES_ORACLE
 
 
 def dq_feature_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Lazy leg build, not the memoized/persisted table: this gate
-    # consumes the features exactly ONCE and collapses them to 4 check
-    # rows, so the memo's InMemoryRelation materialization is pure
-    # overhead here (~1 s at sf0.1 — VERDICT r13 #5); the lazy build
-    # streams scan → explode → window → aggs in one pass and Catalyst
-    # prunes the feature aggregates the checks never read.
+    # Opportunistic legs (ADVICE r14): this gate consumes the features
+    # exactly ONCE and collapses them to 4 check rows, so when the
+    # session is cold it streams the lazy scan → explode → window →
+    # aggs in one pass (the memo's InMemoryRelation materialization is
+    # pure overhead for a single consumer, ~1 s at sf0.1 — VERDICT r13
+    # #5); but in a warmed nightly session — the runner has already
+    # materialized the leg memo — it reads the cached table instead of
+    # rebuilding the explosion.
     from .wallet_features import contract_state_from, wallet_features_from
-    from .wallet_model import wallet_transactions_lazy
+    from .wallet_model import wallet_transactions_shared_or_lazy
 
-    legs = wallet_transactions_lazy(spark, sf_dir)
+    legs = wallet_transactions_shared_or_lazy(spark, sf_dir)
     return feature_constraints(wallet_features_from(contract_state_from(legs)))
 
 

@@ -646,7 +646,18 @@ def _ensure_warm_state(
     instead of re-scanning the whole generation per logical part.
     A racing builder losing the commit CAS is fine — the winner
     committed the same fingerprint, so the loser just reads. Returns
-    the store path."""
+    the store path.
+
+    Recipe fence (ADVICE r14): the fingerprint callers pass covers the
+    INPUT (source files + version/params), but an edit to the build
+    closure's logic without a version bump would otherwise silently
+    serve stale-FORMAT state to both tiers. The closure's own source
+    text is hashed into the effective tag here, so any change to the
+    build recipe forces a rebuild mechanically — the _STATE_VERSION
+    constants remain for deliberate cross-file recipe changes (a helper
+    the closure calls changing shape)."""
+    import hashlib
+    import inspect
     import json
 
     from ..sources.writers import (
@@ -655,6 +666,13 @@ def _ensure_warm_state(
         generation_tag,
         store_committed,
     )
+
+    try:
+        recipe = inspect.getsource(build)
+    except (OSError, TypeError):  # source unavailable (REPL-defined)
+        recipe = ""
+    if recipe:
+        fp = f"{fp}-{hashlib.sha256(recipe.encode()).hexdigest()[:12]}"
 
     store = _state_store(sf_dir, name)
     if store_committed(store) and _warm_tag_fp(generation_tag(store)) == fp:
