@@ -504,58 +504,54 @@ def semantic_dedup(
     semantic duplicate group". Returns one row per input vector:
     ``(id, cell_id, keep)`` with keep ∈ {0, 1}.
 
-    Scale shape: cell assignment is a broadcast-centroid ``max_by``
-    (``similarity.ivf_assign`` — no shuffle beyond the per-vector
-    combine), and the duplicate scan is an equi self-join on
-    ``cell_id`` — never an all-pairs product. Cell population is the
-    quadratic knob: production sizes ``|centroids| ∝ corpus`` (SemDeDup
-    uses k in the tens of thousands) so cells stay ~constant-sized,
-    exactly like ``max_bucket`` bounds the LSH join. Cosines use
-    integer quantization (``QUANT_VEC``/``QUANT_DOT``) so the keep/drop
-    boundary is bit-identical cross-engine."""
+    Scale shape: cell assignment is ``similarity.ivf_assign`` (Arrow
+    numpy argmax against the broadcast centroid codebook — no shuffle
+    beyond the per-vector projection), and the duplicate scan runs
+    per cell via ``applyInPandas`` — never an all-pairs product: one
+    shuffle on ``cell_id``, then an exact int64 Gram matmul inside
+    each ≤cell-sized group. Cell population is the quadratic knob:
+    production sizes ``|centroids| ∝ corpus`` (SemDeDup uses k in the
+    tens of thousands) so cells stay ~constant-sized, exactly like
+    ``max_bucket`` bounds the LSH join — and the in-cell Gram matrix
+    stays a constant-size numpy block per task. Cosines use integer
+    quantization (``QUANT_VEC`` applied JVM-side, so the quantization
+    recipe is pinned before Python sees a value; int64 dots ≤
+    dims·1e12 ≪ 2⁵³ so the float64 conversion is lossless) — the
+    keep/drop boundary is bit-identical cross-engine, and the r15
+    vectorization replaced the per-pair interpreted ``zip_with`` dot
+    (the remaining ~0.5 s of the 4.2 s r14 query) with the same
+    arithmetic in one matmul."""
+    import numpy as np
+    import pandas as pd
+
     from .similarity import ivf_assign
 
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    # Pre-quantize each vector and its norm ONCE per row: the naive
-    # per-pair cosine evaluates three interpreted-lambda dot products
-    # per candidate pair; hoisting the quantized array and its self-dot
-    # to the row level leaves exactly one zip_with per pair.
     prepped = assigned.select(
         "c_id", "cell_id", F.expr(QUANT_VEC.format(v="c_vec")).alias("qv")
-    ).withColumn("qn2", F.expr(QUANT_DOT.format(a="qv", b="qv")))
-    left = prepped.select(
-        F.col("c_id").alias("a_id"),
-        F.col("qv").alias("a_qv"),
-        F.col("qn2").alias("a_qn2"),
-        "cell_id",
     )
-    right = prepped.select(
-        F.col("c_id").alias("b_id"),
-        F.col("qv").alias("b_qv"),
-        F.col("qn2").alias("b_qn2"),
-        "cell_id",
-    )
-    cosine = F.expr(QUANT_DOT.format(a="a_qv", b="b_qv")).cast("double") / (
-        F.sqrt(F.col("a_qn2").cast("double")) * F.sqrt(F.col("b_qn2").cast("double"))
-    )
-    drops = (
-        left.join(right, "cell_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine >= F.lit(tau))
-        .select(F.col("b_id").alias("drop_id"))
-        .distinct()
-    )
-    return (
-        assigned.select(F.col("c_id").alias(id_col), "cell_id")
-        .join(drops, F.col(id_col) == F.col("drop_id"), "left")
-        .select(
-            id_col,
-            "cell_id",
-            F.when(F.col("drop_id").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("keep"),
+
+    def _cell_keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("c_id")
+        m = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        dots = (m @ m.T).astype(np.float64)
+        n2 = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (n2[:, None] * n2[None, :])
+        # drop j iff any earlier (smaller-id) i in the cell has
+        # cosine >= tau — NaN (zero-norm) compares False, keeping the
+        # row, same as the SQL threshold filter
+        drop = np.triu(cos >= tau, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: pdf["c_id"].values,
+                "cell_id": pdf["cell_id"].values,
+                "keep": (~drop).astype("int32"),
+            }
         )
+
+    return prepped.groupBy("cell_id").applyInPandas(
+        _cell_keep, f"{id_col} bigint, cell_id bigint, keep int"
     )
 
 

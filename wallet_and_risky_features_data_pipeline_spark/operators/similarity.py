@@ -308,26 +308,65 @@ def ivf_assign(
 
     Returns (id, vec, norm2, cell_id) — the inverted index, ready to be
     written partitioned/clustered by ``cell_id`` so probes prune cells.
-    """
-    c = centroids.select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).alias("cell_vec"),
-        _dot(vec_col, vec_col).alias("cell_norm2"),
+
+    r15 assignment criterion + execution: the cell ARGMAX ranks by the
+    integer-quantized cosine (``dedup.QUANT_VEC`` at 1e-6 — quantized
+    JVM-side, so the cross-engine recipe is pinned before Python ever
+    sees a value) and executes as ONE Arrow-batched numpy int64 matmul
+    per batch against the broadcast centroid matrix. The previous
+    broadcast-cross-join form evaluated |corpus|×|cells| interpreted
+    DECIMAL dot lambdas — 3.6 s of dedup_semantic's 4.2 s at sf0.1 —
+    where the matmul is exact int64 (dots ≤ dims·1e12 ≪ 2⁵³, so the
+    float64 conversion is lossless) and the cosine division is the
+    same correctly-rounded IEEE sequence the DuckDB oracle computes.
+    Ties and NaN agree by construction: centroid columns are sorted by
+    cell_id and ``np.argmax`` takes the first maximum (= smallest
+    cell_id), matching ``ORDER BY icos DESC, cell_id``; a zero-norm
+    vector yields all-NaN cosines, which rank first in BOTH engines
+    (NaN > any double in Spark/DuckDB ordering), landing it in the
+    smallest cell. Everything downstream (probe ranking, pair
+    cosines, norm2) keeps the exact-decimal recipe — only the cell
+    choice moved to the integer recipe, and the three value oracles'
+    ``assigned`` CTEs mirror it.
+
+    The centroid table is collected to the driver here — bounded by
+    design (hundreds–thousands of rows even at billion-vector scale;
+    same class as the guarded ``pandas_topk`` collect), and it is the
+    standard way to hand a codebook to a vectorized UDF."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import QUANT_VEC
+
+    cent_rows = (
+        centroids.select(
+            F.col(id_col).alias("cell_id"),
+            F.expr(QUANT_VEC.format(v=vec_col)).alias("qc"),
+        )
+        .orderBy("cell_id")
+        .collect()
     )
+    cell_ids = np.array([r["cell_id"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["qc"] for r in cent_rows], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+
+    @pandas_udf("bigint")
+    def _argmax_cell(qv: pd.Series) -> pd.Series:
+        m = np.array(qv.tolist(), dtype=np.int64)
+        dots = (m @ cmat.T).astype(np.float64)
+        vnorm = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (vnorm[:, None] * cnorm[None, :])
+        return pd.Series(cell_ids[np.argmax(cos, axis=1)])
+
     v = vectors.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         _dot(vec_col, vec_col).alias("c_norm2"),
+        F.expr(QUANT_VEC.format(v=vec_col)).alias("__qv"),
     )
-    cos = _dot("c_vec", "cell_vec") / (F.sqrt("c_norm2") * F.sqrt("cell_norm2"))
-    pairs = v.crossJoin(F.broadcast(c))
-    return pairs.groupBy("c_id").agg(
-        F.first("c_vec").alias("c_vec"),
-        F.first("c_norm2").alias("c_norm2"),
-        F.max_by(
-            "cell_id", F.struct(cos.alias("cos"), (-F.col("cell_id")).alias("nid"))
-        ).alias("cell_id"),
-    )
+    return v.withColumn("cell_id", _argmax_cell("__qv")).drop("__qv")
 
 
 def _probe_cells(

@@ -260,6 +260,21 @@ _DOT_SQL = (
     " (acc, v) -> acc + v), 6) AS DOUBLE)"
 )
 
+# Integer-quantization mirror (operators/dedup.py QUANT_VEC/QUANT_DOT —
+# ONE recipe, 1e-6 scale) and the integer-quantized cosine used by the
+# IVF cell-assignment criterion (see similarity.ivf_assign r15 note).
+_QVEC_SQL = "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+_IDOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(list_zip(" + _QVEC_SQL.format(v="{a}") + ", " + _QVEC_SQL.format(v="{b}")
+    + "), x -> x[1] * x[2])), (acc, v) -> acc + v)"
+)
+_ICOS_SQL = (
+    "CAST(" + _IDOT_SQL.format(a="{a}", b="{b}") + " AS DOUBLE)"
+    " / (sqrt(CAST(" + _IDOT_SQL.format(a="{a}", b="{a}") + " AS DOUBLE))"
+    " * sqrt(CAST(" + _IDOT_SQL.format(a="{b}", b="{b}") + " AS DOUBLE)))"
+)
+
 SIMILARITY_TOPK_ORACLE = f"""
 WITH normed AS (
     SELECT vec_id, embedding,
@@ -338,8 +353,7 @@ assigned AS (
         SELECT v.*, c.cell_id,
                ROW_NUMBER() OVER (
                    PARTITION BY v.vec_id
-                   ORDER BY {_DOT_SQL.format(a="v.embedding", b="c.cell_vec")}
-                            / (sqrt(v.norm2) * sqrt(c.cell_norm2)) DESC,
+                   ORDER BY {_ICOS_SQL.format(a="v.embedding", b="c.cell_vec")} DESC,
                             c.cell_id
                ) AS rn
         FROM normed v, cents c
@@ -431,8 +445,7 @@ assigned AS (
         SELECT v.*, c.cell_id,
                ROW_NUMBER() OVER (
                    PARTITION BY v.vec_id
-                   ORDER BY {_DOT_SQL.format(a="v.embedding", b="c.cell_vec")}
-                            / (sqrt(v.norm2) * sqrt(c.cell_norm2)) DESC,
+                   ORDER BY {_ICOS_SQL.format(a="v.embedding", b="c.cell_vec")} DESC,
                             c.cell_id
                ) AS rn
         FROM quant v, cents c
@@ -946,12 +959,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, tau=0.3)
 
 
-_QVEC_SQL = "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
-_IDOT_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
-    " list_transform(list_zip(" + _QVEC_SQL.format(v="{a}") + ", " + _QVEC_SQL.format(v="{b}")
-    + "), x -> x[1] * x[2])), (acc, v) -> acc + v)"
-)
 
 DEDUP_EMBEDDING_COSINE_ORACLE = f"""
 WITH bucketed AS (
@@ -2053,8 +2060,7 @@ assigned AS (
         SELECT v.*, c.cell_id,
                ROW_NUMBER() OVER (
                    PARTITION BY v.vec_id
-                   ORDER BY {_DOT_SQL.format(a="v.embedding", b="c.cell_vec")}
-                            / (sqrt(v.norm2) * sqrt(c.cell_norm2)) DESC,
+                   ORDER BY {_ICOS_SQL.format(a="v.embedding", b="c.cell_vec")} DESC,
                             c.cell_id
                ) AS rn
         FROM normed v, cents c
