@@ -59,6 +59,17 @@ PAIRED_WARM = {
     "dedup_minhash_lsh": "dedup_minhash_warm",
 }
 
+# Scaled-delta pairs (VERDICT r14 #2): the registry warm faces above
+# refresh harness-sized deltas (50% doc batch, mid-stream event split)
+# chosen to stress the stitch arithmetic — at sf0.1 those deltas make
+# the refresh cost read as parity with the full recompute. These warm
+# faces refresh the REALISTIC ~1% local delta, so the record carries
+# the stored-state win at the delta size a deployed nightly sees.
+PAIRED_WARM_SCALED = {
+    "wallet_coin_balances": "wallet_coin_balances_warm_scaled",
+    "dedup_minhash_lsh": "dedup_minhash_warm_scaled",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -241,10 +252,12 @@ def main() -> None:
             return None
         return time.perf_counter() - t0
 
-    if paired_passes > 0:
+    paired_scaled: dict[str, dict] = {}
+
+    def _run_pair_tier(pair_map: dict[str, str], out: dict[str, dict]) -> None:
         import statistics as _stats
 
-        for full_name, warm_name in PAIRED_WARM.items():
+        for full_name, warm_name in pair_map.items():
             if full_name not in QUERIES or warm_name not in QUERIES:
                 continue
             full_runs: list[float] = []
@@ -266,7 +279,7 @@ def main() -> None:
                 warm_runs.append(round(pass_t[warm_name], 4))
                 ratios.append(round(pass_t[warm_name] / pass_t[full_name], 4))
             if ratios:
-                paired[full_name] = {
+                out[full_name] = {
                     "warm": warm_name,
                     "full_runs": full_runs,
                     "warm_runs": warm_runs,
@@ -274,6 +287,10 @@ def main() -> None:
                     "median_ratio": round(_stats.median(ratios), 4),
                     "warm_beats_full": _stats.median(ratios) < 1.0,
                 }
+
+    if paired_passes > 0:
+        _run_pair_tier(PAIRED_WARM, paired)
+        _run_pair_tier(PAIRED_WARM_SCALED, paired_scaled)
     paired_warm_n = len(paired)
     paired_warm_wins = sum(1 for v in paired.values() if v["warm_beats_full"])
 
@@ -539,6 +556,7 @@ def main() -> None:
         # controlled warm-vs-full comparison ON the record — per-pass
         # raws + median ratio per pair, alternating run order
         "paired_warm": {k: paired[k] for k in sorted(paired)},
+        "paired_warm_scaled": {k: paired_scaled[k] for k in sorted(paired_scaled)},
         "paired_warm_passes": paired_passes,
         "paired_warm_policy": "median_of_interleaved_pass_ratios",
         "paired_warm_n": paired_warm_n,
@@ -593,6 +611,9 @@ def main() -> None:
         # tier — the controlled comparison, compact enough for the tail
         "paired_warm_ratios": {
             k: paired[k]["median_ratio"] for k in sorted(paired)
+        },
+        "paired_warm_scaled_ratios": {
+            k: paired_scaled[k]["median_ratio"] for k in sorted(paired_scaled)
         },
         "paired_warm_n": paired_warm_n,
         "paired_warm_wins": paired_warm_wins,

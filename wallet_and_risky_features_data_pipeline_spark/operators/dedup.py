@@ -640,9 +640,47 @@ def incremental_lsh_pairs(
     all_signed = stored_signed.withColumn("__new", F.lit(False)).unionByName(
         new_signed.withColumn("__new", F.lit(True))
     )
-    exploded = persist_tracked(
-        _banded_exploded(all_signed, id_col, n_hashes, band_size, extra_cols=("__new",))
+    exploded = _banded_exploded(
+        all_signed, id_col, n_hashes, band_size, extra_cols=("__new",)
     )
+    return _incremental_pairs_from_exploded(exploded, id_col, n_hashes, max_bucket)
+
+
+def incremental_lsh_pairs_pre_exploded(
+    stored_exploded: DataFrame,
+    new_signed: DataFrame,
+    id_col: str,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """``incremental_lsh_pairs`` with the corpus side already in the
+    STORED index form ``(id, minhash_sig, band, bucket)`` — what the
+    generation store should persist: the corpus's band keys (an md5
+    per band over the signature) are paid once at ingest, so a warm
+    refresh derives band keys only for the NEW batch instead of
+    re-hashing the whole stored corpus's signatures per run. Semantics
+    identical to exploding stored signatures in-query (the band
+    derivation is deterministic)."""
+    new_ex = _banded_exploded(
+        new_signed.withColumn("__new", F.lit(True)),
+        id_col,
+        n_hashes,
+        band_size,
+        extra_cols=("__new",),
+    )
+    exploded = stored_exploded.select(
+        id_col, "minhash_sig", F.lit(False).alias("__new"), "band", "bucket"
+    ).unionByName(new_ex.select(id_col, "minhash_sig", "__new", "band", "bucket"))
+    return _incremental_pairs_from_exploded(exploded, id_col, n_hashes, max_bucket)
+
+
+def _incremental_pairs_from_exploded(
+    exploded: DataFrame, id_col: str, n_hashes: int, max_bucket: int
+) -> DataFrame:
+    """Shared tail of the incremental LSH family: megabucket guard over
+    the union, then new-vs-all pairing on the composite band key."""
+    exploded = persist_tracked(exploded)
     sizes = exploded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     capped = exploded.join(
         F.broadcast(sizes.filter(F.col("n") <= max_bucket)), ["band", "bucket"]

@@ -1001,46 +1001,80 @@ WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
 """
 
 
-# Warm variant: the corpus SIGNATURES persist as a fingerprint-tagged
-# generation (arrays of bigint round-trip parquet exactly) and are
-# READ BACK — the deployed nightly-ingestion shape: the shingle ->
-# md5 -> min chain (the pipeline's expensive half) runs ONLY for the
-# new batch; the stored corpus contributes columns, never recompute.
-# The doc_id%2 split is the harness's stand-in for an ingestion
-# boundary (documents carry no event time); same restricted-full
-# oracle as the in-query incremental.
-def _ensure_minhash_state(spark: SparkSession, sf_dir: str) -> str:
+# Warm variant: the corpus's BANDED signature index persists as a
+# fingerprint-tagged generation (doc_id, minhash_sig array<bigint>,
+# band, bucket — all round-trip parquet exactly) and is READ BACK —
+# the deployed nightly-ingestion shape: the shingle → md5 → min chain
+# AND the per-band bucket digests (the pipeline's expensive half) run
+# ONLY for the new batch; the stored corpus contributes columns,
+# never recompute (r15: the store previously held raw signatures, so
+# every refresh still re-hashed the full corpus's band keys).
+# The doc_id%``mod`` split is the harness's stand-in for an ingestion
+# boundary (documents carry no event time): mod=2 (the registry warm
+# face) refreshes a 50% batch; mod=100 is the SCALED local-delta
+# face (1% batch — the realistic nightly), paired against the full
+# recompute in bench.py's paired_warm_scaled tier (VERDICT r14 #2).
+# Same restricted-full oracle family as the in-query incremental.
+def _ensure_minhash_state(spark: SparkSession, sf_dir: str, mod: int = 2) -> str:
+    from ..operators.dedup import BAND_SIZE, N_HASHES, _banded_exploded
     from .incremental_plans import _ensure_warm_state, _state_fingerprint
 
     def build():
         docs = fan_out(read_table(spark, sf_dir, "documents"))
-        return minhash_signature(
-            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+        stored = docs.filter(F.col("doc_id") % mod != 1)
+        return _banded_exploded(
+            minhash_signature(stored, "doc_id", "text"),
+            "doc_id",
+            N_HASHES,
+            BAND_SIZE,
         )
 
     return _ensure_warm_state(
         spark,
         sf_dir,
-        "minhash_sigs",
-        _state_fingerprint(sf_dir, "v1", "doc_id%2", table="documents"),
+        "minhash_bands" if mod == 2 else f"minhash_bands_m{mod}",
+        _state_fingerprint(sf_dir, "v2", f"doc_id%{mod}", table="documents"),
         build,
     )
 
 
-def dedup_minhash_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental corpus near-dup with the stored signature index
-    read back from the generation store (see the comment block above
-    ``_ensure_minhash_state``)."""
-    from ..operators.dedup import incremental_lsh_pairs
+def _minhash_warm(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    from ..operators.dedup import incremental_lsh_pairs_pre_exploded
     from ..sources.writers import read_store
 
-    stored = read_store(spark, _ensure_minhash_state(spark, sf_dir))
+    stored = read_store(spark, _ensure_minhash_state(spark, sf_dir, mod))
     docs = fan_out(read_table(spark, sf_dir, "documents"))
-    new = minhash_signature(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
-    return incremental_lsh_pairs(stored, new, "doc_id")
+    new = minhash_signature(
+        docs.filter(F.col("doc_id") % mod == 1), "doc_id", "text"
+    )
+    return incremental_lsh_pairs_pre_exploded(stored, new, "doc_id")
+
+
+def dedup_minhash_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus near-dup with the stored banded signature
+    index read back from the generation store (see the comment block
+    above ``_ensure_minhash_state``)."""
+    return _minhash_warm(spark, sf_dir, mod=2)
+
+
+def dedup_minhash_warm_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warm refresh at the REALISTIC delta: a 1% new batch against
+    a 99% stored index — the 100×-local-delta face of the minhash
+    warm tier, so the stored-state win is measured on the record at
+    the delta size a deployed nightly actually sees (the mod=2 face's
+    50% batch makes signature build dominate BOTH sides at sf0.1,
+    reading as parity). Same full-recompute-restricted oracle shape."""
+    return _minhash_warm(spark, sf_dir, mod=100)
 
 
 DEDUP_MINHASH_WARM_ORACLE = DEDUP_MINHASH_INCREMENTAL_ORACLE
+
+DEDUP_MINHASH_WARM_SCALED_ORACLE = f"""
+WITH full_pairs AS ({_minhash_oracle()})
+SELECT doc_a, doc_b, est_jaccard
+FROM full_pairs
+WHERE doc_a % 100 = 1 OR doc_b % 100 = 1
+"""
 
 
 # --------------------------------------------------------------------------

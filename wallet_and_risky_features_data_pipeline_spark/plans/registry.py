@@ -870,3 +870,17 @@ register(
     llm.multimodal_ppm_decode,
     llm.MULTIMODAL_PPM_DECODE_ORACLE,
 )
+# SCALED warm faces (VERDICT r14 #2): the two warm-parity holdouts
+# re-paired at the realistic ~1% local delta — bench.py's
+# paired_warm_scaled tier interleaves each against its full face so
+# the stored-state win at nightly delta size is on the record.
+register(
+    "dedup_minhash_warm_scaled",
+    llm.dedup_minhash_warm_scaled,
+    llm.DEDUP_MINHASH_WARM_SCALED_ORACLE,
+)
+register(
+    "wallet_coin_balances_warm_scaled",
+    inc.wallet_coin_balances_warm_scaled,
+    inc.WALLET_COIN_BALANCES_WARM_SCALED_ORACLE,
+)
