@@ -190,10 +190,14 @@ def test_lpa_warm_state_committed_and_read_back(spark, tmp_path, monkeypatch):
 
     store = inc._lpa_state_store(SF_SMALL)
     assert list_generations(store) == ["gen-000001"]
-    # tag line 1 = the fingerprint fence; line 2 = build metadata (the
-    # stored edge count the adaptive switch reads instead of scanning)
-    assert inc._warm_tag_fp(generation_tag(store)) == inc._lpa_state_fingerprint(
-        SF_SMALL
+    # tag line 1 = the fingerprint fence (input fingerprint + the
+    # build-closure recipe hash _ensure_warm_state appends, ADVICE
+    # r14); line 2 = build metadata (the stored edge count the
+    # adaptive switch reads instead of scanning)
+    tag_fp = inc._warm_tag_fp(generation_tag(store))
+    assert tag_fp.startswith(inc._lpa_state_fingerprint(SF_SMALL))
+    assert len(tag_fp) > len(inc._lpa_state_fingerprint(SF_SMALL)), (
+        "recipe-hash suffix missing from the state tag"
     )
     assert inc.warm_state_meta(store)["n_old"] > 0
 
@@ -225,8 +229,8 @@ def test_lpa_warm_state_fingerprint_invalidates(spark, tmp_path, monkeypatch):
     inc.reset_lpa_warm_memo(spark)
     inc.wallet_label_propagation_warm(spark, SF_SMALL).collect()
     assert list_generations(store) == ["gen-000001", "gen-000002"]
-    assert inc._warm_tag_fp(generation_tag(store)) == inc._lpa_state_fingerprint(
-        SF_SMALL
+    assert inc._warm_tag_fp(generation_tag(store)).startswith(
+        inc._lpa_state_fingerprint(SF_SMALL)
     )
 
 
@@ -385,8 +389,8 @@ def test_coin_balances_warm_reads_stored_state(spark, tmp_path, monkeypatch):
 
     store = inc._state_store(SF_SMALL, "contract_state")
     assert list_generations(store) == ["gen-000001"]
-    assert generation_tag(store) == inc._state_fingerprint(
-        SF_SMALL, inc._CONTRACT_STATE_VERSION, inc.SPLIT_AT
+    assert generation_tag(store).startswith(
+        inc._state_fingerprint(SF_SMALL, inc._CONTRACT_STATE_VERSION, inc.SPLIT_AT)
     )
 
     again = {tuple(r) for r in inc.wallet_coin_balances_warm(spark, SF_SMALL).collect()}
@@ -552,7 +556,7 @@ def test_minhash_warm_reads_stored_signatures(spark, tmp_path, monkeypatch):
     in_query = {tuple(r) for r in dedup_minhash_incremental(spark, SF_SMALL).collect()}
     assert warm == in_query
 
-    store = inc._state_store(SF_SMALL, "minhash_sigs")
+    store = inc._state_store(SF_SMALL, "minhash_bands")
     assert list_generations(store) == ["gen-000001"]
     dedup_minhash_warm(spark, SF_SMALL).collect()
     assert list_generations(store) == ["gen-000001"]  # read-back only
@@ -582,8 +586,8 @@ def test_pagerank_warm_state_committed_and_read_back(spark, tmp_path, monkeypatc
 
     store = inc._state_store(SF_SMALL, "pagerank_graph")
     assert list_generations(store) == ["gen-000001"]
-    assert inc._warm_tag_fp(generation_tag(store)) == inc._state_fingerprint(
-        SF_SMALL, inc._PR_STATE_VERSION, inc.LPA_SPLIT_AT
+    assert inc._warm_tag_fp(generation_tag(store)).startswith(
+        inc._state_fingerprint(SF_SMALL, inc._PR_STATE_VERSION, inc.LPA_SPLIT_AT)
     )
 
     # second run: read-back only, NO second build
