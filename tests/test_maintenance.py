@@ -1689,9 +1689,16 @@ def test_warm_state_chaos_refresh_vs_rebuild_vacuum(spark, tmp_path, monkeypatch
     )
     assert first == expected
     store = inc._state_store(SF_SMALL, "contract_state")
-    fp = inc._state_fingerprint(
+    input_fp = inc._state_fingerprint(
         SF_SMALL, inc._CONTRACT_STATE_VERSION, inc.SPLIT_AT
     )
+    # The production commit path (_ensure_warm_state) suffixes the
+    # input fingerprint with the build closure's recipe hash; rival
+    # rebuilds must commit the SAME effective tag the crashed nightly
+    # would re-commit, so read it from the generation the first
+    # refresh just committed.
+    fp = inc._warm_tag_fp(W.generation_tag(store))
+    assert fp is not None and fp.startswith(input_fp)
 
     split = F.lit(inc.SPLIT_AT).cast("timestamp")
     state_df = contract_state_from(

@@ -342,23 +342,24 @@ def test_ngram_lm_score_head_resolves_via_broadcast(spark):
 
 
 def test_semantic_dedup_no_cartesian_broadcast_assignment(spark):
-    """dedup_semantic's scale contract: the n×k centroid sweep runs as
-    a BROADCAST nested-loop (the ⌊√n⌋ centroid side is driver-bounded
-    and shipped to every task — the intended plan for an
-    every-vector-scores-every-centroid sweep), while the potentially
-    quadratic duplicate scan must be a hash/merge EQUI join on cell_id,
-    never an un-keyed product over the full corpus."""
+    """dedup_semantic's scale contract (r15 vectorized form): the n×k
+    centroid sweep runs as ONE Arrow-batched numpy matmul per batch
+    against the driver-collected codebook (the ⌊√n⌋ centroid side is
+    bounded by design — the vectorized-UDF rendering of the old
+    broadcast nested-loop), while the potentially quadratic duplicate
+    scan must stay KEYED on cell_id (one hash exchange feeding the
+    per-cell applyInPandas Gram block), never an un-keyed product or
+    join over the full corpus."""
     plan = _physical(QUERIES["dedup_semantic"](spark, SF_MEDIUM))
     # un-keyed full-corpus product = the cell bounding silently broke
     assert "CartesianProduct" not in plan
-    # centroid sweep: broadcast, small side only
-    assert "BroadcastExchange" in plan
-    # duplicate scan: keyed on cell_id
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or plan.count("BroadcastHashJoin") > 0
-    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    # centroid sweep: Arrow-vectorized argmax, not a row-at-a-time UDF
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # duplicate scan: per-cell pandas groups fed by a cell_id exchange
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(cell_id" in plan
 
 
 def test_line_dedup_doomed_set_broadcasts(spark):
