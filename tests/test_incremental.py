@@ -420,6 +420,51 @@ def test_auc_warm_reads_stored_state(spark, tmp_path, monkeypatch):
     assert list_generations(store) == ["gen-000001"]
 
 
+def test_warm_state_cas_loser_adopts_winner_after_flip(spark, tmp_path, monkeypatch):
+    """_ensure_warm_state CAS-loser path: commit_generation renames the
+    generation dir BEFORE flipping _LATEST, so a loser can observe
+    ConcurrentCommitError in the instant the winner's snapshot exists
+    but is not yet pointed-to. The loser must wait for the flip and
+    adopt the winner's identical-fingerprint state — not fail the warm
+    query (the bench's concurrent warm pool hit exactly this window in
+    r15: two queries ensuring one store, 2 spurious errors on record)."""
+    import threading
+
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        wallet_auc_rollup,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.sources import writers as W
+
+    inc = _fresh_warm(spark, tmp_path, monkeypatch)
+    real_commit = W.commit_generation
+    winner: dict = {}
+
+    def losing_commit(df, store, tag=None, clear_fence=False, partition_by=None):
+        # The rival "wins" 300 ms from now on its own thread; this
+        # writer loses NOW — the rename-raced, flip-not-yet-landed
+        # instant the poll must survive.
+        t = threading.Timer(
+            0.3, lambda: real_commit(df, store, tag=tag, partition_by=partition_by)
+        )
+        t.start()
+        winner["t"] = t
+        raise W.ConcurrentCommitError("injected: rival renamed first")
+
+    monkeypatch.setattr(W, "commit_generation", losing_commit)
+    store = inc._ensure_auc_state(spark, SF_SMALL)
+    winner["t"].join()
+    monkeypatch.setattr(W, "commit_generation", real_commit)
+
+    assert W.list_generations(store) == ["gen-000001"]
+    assert inc._warm_tag_fp(W.generation_tag(store)).startswith(
+        inc._state_fingerprint(SF_SMALL, inc._AUC_STATE_VERSION, inc.SPLIT_AT)
+    )
+    warm = {tuple(r) for r in inc.wallet_auc_warm(spark, SF_SMALL).collect()}
+    full = {tuple(r) for r in wallet_auc_rollup(spark, SF_SMALL).collect()}
+    assert warm == full
+    assert W.list_generations(store) == ["gen-000001"]
+
+
 def test_contract_state_warm_fingerprint_invalidates(spark, tmp_path, monkeypatch):
     """A format-version bump must force a rebuild of the stored
     contract-state snapshot, never a stale read."""

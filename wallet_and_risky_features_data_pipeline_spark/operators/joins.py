@@ -135,6 +135,23 @@ def asof_join(
     by the key's full quote history. ``broadcast_quotes`` marks the
     exploded quote side broadcastable (right for price dims, whose size
     is tokens × days at any corpus scale).
+
+    With ``bucket_days`` + ``broadcast_quotes`` together, the plan is
+    the CANDIDATE-ARRAY form: the exploded quote dim is collapsed to
+    one row per ``(key, day)`` carrying the ≤span-sized candidate list,
+    the event side takes a single broadcast equi join on
+    ``(key, day)`` — one output row per event, no fan-out — and the
+    best quote is an in-row argmin over the array (band filter +
+    lexicographic ``array_min`` on the (distance, -quote_ts) ordering
+    prefix). That removes the per-event aggregation and the join-back
+    entirely: zero event-keyed exchanges, so the event side is never
+    shuffled at all. Same broadcast bytes as the exploded form (the
+    same rows, grouped), identical results (ties cannot arise when
+    quotes are unique per ``(key, quote_ts)``; beyond the pinned
+    (distance, later-quote) ordering the payload struct breaks any
+    residual tie deterministically, where ``min_by`` picked
+    arbitrarily). ``event_id`` need not be unique on this path — rows
+    are priced in place.
     """
     tol = F.expr(tolerance_expr)
     e_ts, q_ts = F.col(event_ts), F.col(quote_ts)
@@ -144,6 +161,65 @@ def asof_join(
         band = q_ts.between(e_ts - tol, e_ts + tol)
     else:
         raise ValueError(f"unknown direction {direction!r}")
+
+    if bucket_days is not None and broadcast_quotes:
+        lo = 0 if direction == "backward" else -bucket_days
+        quote_cols = [c for c in quotes.columns if c not in key]
+        if direction == "backward":
+            # Backward bands make the argmin ORDER-FREE per row: every
+            # in-band quote is <= the event ts, so min distance ==
+            # latest quote, and the (distance, -quote_ts, payload)
+            # ordering collapses to (-quote_ts, payload) — a property
+            # of the BAND, independent of the event's timestamp. Sort
+            # the candidate array ONCE at dim build (per (key, day),
+            # dim-sized work) and the per-event pick is band-filter +
+            # first element: no per-row ordering-struct allocation, no
+            # array_min comparisons — the fact-side cost that made the
+            # first candidate-array cut slower than the join it
+            # replaced on the leg-grain eth query (r15 A/B).
+            entry = F.struct(
+                (-F.unix_micros(q_ts)).alias("nt"),
+                F.struct(*quote_cols).alias("q"),
+            )
+            agg = F.sort_array(F.collect_list(entry)).alias("__cands")
+        else:
+            agg = F.collect_list(F.struct(*quote_cols)).alias("__cands")
+        cand = (
+            quotes.withColumn("__off", F.explode(F.sequence(F.lit(lo), F.lit(bucket_days))))
+            .withColumn("__ev_day", F.date_add(F.to_date(q_ts), F.col("__off")))
+            .groupBy(*key, "__ev_day")
+            .agg(agg)
+        )
+        joined = (
+            events.withColumn("__ev_day", F.to_date(e_ts))
+            .join(F.broadcast(cand), on=[*key, "__ev_day"], how="left")
+        )
+        if direction == "backward":
+            # F.get (not element_at): NULL on empty/NULL arrays under
+            # ANSI mode too — element_at(arr, 1) throws on empties
+            # when spark.sql.ansi.enabled is on.
+            best = F.get(
+                F.filter(
+                    F.col("__cands"),
+                    lambda e: e["q"][quote_ts].between(e_ts - tol, e_ts),
+                ),
+                0,
+            )["q"]
+        else:
+            in_band = lambda q: q[quote_ts].between(e_ts - tol, e_ts + tol)  # noqa: E731
+            best = F.array_min(
+                F.transform(
+                    F.filter(F.col("__cands"), in_band),
+                    lambda q: F.struct(
+                        F.abs(F.unix_micros(e_ts) - F.unix_micros(q[quote_ts])).alias("d"),
+                        (-F.unix_micros(q[quote_ts])).alias("nt"),
+                        q.alias("q"),
+                    ),
+                )
+            )["q"]
+        return joined.select(
+            *events.columns, *[best[c].alias(c) for c in quote_cols]
+        )
 
     if bucket_days is None:
         joined = events.join(quotes, on=list(key), how="inner").where(band)
@@ -157,8 +233,6 @@ def asof_join(
             .withColumn("__ev_day", F.date_add(F.to_date(q_ts), F.col("__off")))
             .drop("__off")
         )
-        if broadcast_quotes:
-            exploded = F.broadcast(exploded)
         joined = (
             events.withColumn("__ev_day", F.to_date(e_ts))
             .join(exploded, on=[*key, "__ev_day"], how="inner")

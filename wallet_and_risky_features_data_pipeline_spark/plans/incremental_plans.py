@@ -685,11 +685,23 @@ def _ensure_warm_state(
     try:
         commit_generation(df, store, tag=tag, partition_by=partition_by)
     except ConcurrentCommitError:
-        # rival writer won the flip; accept its state iff it matches
-        if not (
-            store_committed(store) and _warm_tag_fp(generation_tag(store)) == fp
-        ):
-            raise
+        # Rival writer won; accept its state iff it matches. The
+        # rival's generation-dir rename lands BEFORE its pointer flip,
+        # so a loser can observe the store in the instant the winner's
+        # snapshot exists but _LATEST does not yet — poll briefly for
+        # the flip (a sub-millisecond file CAS away) instead of
+        # failing the warm query on that window (the bench's
+        # concurrent warm pool hit exactly this: two queries ensuring
+        # one store). A rival that committed a DIFFERENT fingerprint,
+        # or crashed between rename and flip, still raises after the
+        # bounded wait.
+        import time
+
+        for _ in range(100):
+            if store_committed(store) and _warm_tag_fp(generation_tag(store)) == fp:
+                return store
+            time.sleep(0.05)
+        raise
     return store
 
 

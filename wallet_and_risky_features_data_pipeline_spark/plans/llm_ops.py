@@ -2184,6 +2184,14 @@ def merge_token_stats(prior: DataFrame, batch: DataFrame) -> DataFrame:
 def _vocab_from_freqs(freqs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
+    # freqs has TWO consumers (the corpus-total denominator and the
+    # top-V pick) and Spark plans them as two full copies of the
+    # scan→tokenize→agg pipeline (no exchange reuse across the
+    # crossJoin branches — corpus_vocab_incremental ran its two-leg
+    # tokenization 4× for this reason). Persisting the ≤|vocab|-row
+    # aggregate makes the heavy tokenize pass run once; cache_scope
+    # releases it when the query's sink finishes.
+    freqs = persist_tracked(freqs)
     totals = freqs.agg(F.sum("freq").alias("total_tokens"))
     top = freqs.orderBy(F.col("freq").desc(), "token").limit(VOCAB_TOP_V)
     order = Window.orderBy(F.col("freq").desc(), F.col("token"))
@@ -3635,10 +3643,19 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    pair_cnt = bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pair")
+    # Both count tables have MULTIPLE consumers (pair_cnt: the M total
+    # + the hot filter; uni_cnt: the N total + the two vocab-keyed
+    # joins) and Spark plans each consumer as its own copy of the
+    # scan→tokenize→agg pipeline — unpersisted, this query tokenized
+    # the corpus 5×. Persisting the two SMALL aggregates (vocab- and
+    # surviving-bigram-sized) caps it at 2 tokenize passes (unigrams +
+    # bigrams); cache_scope releases both at the sink.
+    pair_cnt = persist_tracked(
+        bigrams.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pair")
+        )
     )
-    uni_cnt = (
+    uni_cnt = persist_tracked(
         tk.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))

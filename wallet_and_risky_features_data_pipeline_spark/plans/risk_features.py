@@ -25,6 +25,7 @@ from .wallet_model import (
     WALLET_TX_ORACLE_CTE,
     by_wallet,
     wallet_transactions,
+    wallet_transactions_shared_or_lazy,
 )
 
 VALUE_CAP = 13_000_000.0  # rugpull_features.sql:75
@@ -2474,8 +2475,14 @@ def wallet_rolling_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     days keeps the output join-defined (no data-dependent calendar
     constant) and the row count ≤ |wallet-active-days|.
     """
-    wt = wallet_transactions(spark, sf_dir)
-    dg = (
+    # Legs feed exactly ONE consumer (the day-grain distinct), so a
+    # cold run streams the lazy build instead of materializing the
+    # full-width leg memo; what IS consumed twice (active anchors +
+    # the window explode) is the much smaller day-grain table — that
+    # is the piece worth persisting (r15: 4.6 s → the leg-memo write
+    # was the cold run's largest single cost).
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
+    dg = persist_tracked(
         wt.filter(
             (F.col("address_role") == "sender")
             & F.col("interacted_with").isNotNull()

@@ -360,36 +360,39 @@ def wallet_coin_balances_incremental_sql(spark: SparkSession, sf_dir: str) -> Da
 WALLET_COIN_BALANCES_INCR_SQL_ORACLE = WALLET_COIN_BALANCES_ORACLE
 
 
-# Day-bucketed as-of join in SQL: quotes explode over their reachable
-# 7-day span (LATERAL VIEW explode(sequence(...))), the join is an
-# EQUI join on (event_type, day) with the exploded dim broadcast, and
-# best-quote selection is a min_by hash aggregate over the
-# deterministic (distance ASC, later-quote-wins) ordering struct —
-# the exact operators.joins.asof_join(bucket_days=7) shape, no window
-# rank, fan-out bounded by the day span at any history length.
-_ASOF_BEST_SQL = """
-exploded AS (
-    SELECT event_type, price_day, price,
-           date_add(to_date(price_day), off) AS ev_day
+# Day-bucketed as-of join in SQL, candidate-array form (the exact
+# operators.joins.asof_join(bucket_days=7, broadcast_quotes=True)
+# shape): quotes explode over their reachable 7-day span (LATERAL VIEW
+# explode(sequence(...))) and collapse to ONE row per (key, day)
+# carrying the ≤8-candidate array, PRE-SORTED by the backward-band
+# argmin order — in a backward band every in-band quote is <= the
+# event ts, so min distance == latest quote and the ordering
+# (-quote_ts, payload) is event-independent; the fact side takes a
+# single broadcast equi join on (key, day) — one output row per fact,
+# no fan-out — and best-quote selection is band-filter + FIRST
+# element (no per-row ordering structs, no array_min comparisons).
+# No fact-keyed aggregation, no join-back: the fact side is never
+# shuffled.
+_ASOF_CAND_SQL = """
+cand AS (
+    SELECT event_type, date_add(to_date(price_day), off) AS ev_day,
+           sort_array(collect_list(named_struct(
+               'nt', -unix_micros(price_day),
+               'q', named_struct('price_day', price_day, 'price', price)))) AS cands
     FROM daily_quotes
     LATERAL VIEW explode(sequence(0, 7)) t AS off
-),
-joined AS (
-    SELECT /*+ BROADCAST(x) */ e.event_id, e.ts, x.price_day, x.price
-    FROM events e
-    JOIN exploded x
-      ON x.event_type = e.event_type AND x.ev_day = to_date(e.ts)
-    WHERE x.price_day BETWEEN e.ts - INTERVAL 7 DAYS AND e.ts
-),
-best AS (
-    SELECT event_id,
-           min_by(named_struct('price_day', price_day, 'price', price),
-                  named_struct('d', abs(unix_micros(ts) - unix_micros(price_day)),
-                               'nt', -unix_micros(price_day))) AS b
-    FROM joined
-    GROUP BY event_id
+    GROUP BY event_type, date_add(to_date(price_day), off)
 )
 """
+
+
+def _asof_best_sql(ts: str) -> str:
+    """In-row best-quote pick over the pre-sorted candidate array:
+    exact 7-day backward band, then first element (the argmin by
+    construction — see _ASOF_CAND_SQL). ``get`` (0-based) stays NULL
+    on empty/NULL arrays under ANSI mode, where element_at throws."""
+    return f"""get(filter(c.cands,
+               cnd -> cnd.q.price_day BETWEEN {ts} - INTERVAL 7 DAYS AND {ts}), 0).q"""
 
 
 def asof_price_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,12 +407,18 @@ def asof_price_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
             GROUP BY 1, 2
         ),
-        {_ASOF_BEST_SQL.strip()}
-        SELECT e.event_id,
-               COALESCE(b.b.price, 0.0D) AS asof_price,
-               unix_micros(b.b.price_day) AS price_day_us
-        FROM events e
-        LEFT JOIN best b ON e.event_id = b.event_id
+        {_ASOF_CAND_SQL.strip()},
+        priced AS (
+            SELECT /*+ BROADCAST(c) */ e.event_id,
+                   {_asof_best_sql("e.ts")} AS b
+            FROM events e
+            LEFT JOIN cand c
+              ON c.event_type = e.event_type AND c.ev_day = to_date(e.ts)
+        )
+        SELECT event_id,
+               COALESCE(b.price, 0.0D) AS asof_price,
+               unix_micros(b.price_day) AS price_day_us
+        FROM priced
         """
     )
 
@@ -434,14 +443,20 @@ def window_running_balance_eth_sql(spark: SparkSession, sf_dir: str) -> DataFram
             WHERE event_type IN ('click', 'error', 'view')
             GROUP BY 1, 2
         ),
-        {_ASOF_BEST_SQL.strip()},
-        priced AS (
-            SELECT /*+ REPARTITION(wallet_address) */ w.*, b.b.price AS price,
-                   COALESCE(b.b.price,
-                            CAST(CASE WHEN w.contract_address = 'purchase'
-                                      THEN 1 ELSE 0 END AS DECIMAL(12,4))) AS price_eff
+        {_ASOF_CAND_SQL.strip()},
+        attached AS (
+            SELECT /*+ BROADCAST(c) */ w.*,
+                   {_asof_best_sql("w.ts")}.price AS price
             FROM wallet_tx w
-            LEFT JOIN best b ON w.event_id = b.event_id
+            LEFT JOIN cand c
+              ON c.event_type = w.contract_address AND c.ev_day = to_date(w.ts)
+        ),
+        priced AS (
+            SELECT /*+ REPARTITION(wallet_address) */ *,
+                   COALESCE(price,
+                            CAST(CASE WHEN contract_address = 'purchase'
+                                      THEN 1 ELSE 0 END AS DECIMAL(12,4))) AS price_eff
+            FROM attached
         ),
         signed AS (
             SELECT *,

@@ -157,25 +157,27 @@ FROM wallet_tx
 # absent.
 #
 # Scale shape: price feed is tokens × days at any corpus scale → the
-# day-bucketed as-of join broadcasts it; the price attach to legs is an
-# equi join on the unique event_id; windows reuse the single by_wallet
-# exchange.
+# day-bucketed as-of join collapses it to per-(contract, day) candidate
+# arrays and broadcasts those; the price attaches DIRECTLY to each leg
+# row on (contract_address, day) with an in-row argmin (each leg
+# carries its event's ts and contract, so the per-leg best quote is by
+# construction the per-event best quote — no event_id join, and the
+# leg table is never shuffled before the single by_wallet exchange).
 _PRICED_CONTRACTS = ("click", "error", "view")
 _NATIVE_CONTRACT = "purchase"  # the reference's literal-'ETH' analog
 
 
 def window_running_balance_eth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     prices = (
         read_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(*_PRICED_CONTRACTS))
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("price_day"))
         .agg(F.max(F.col("value").cast("decimal(12,4)")).alias("price"))
     )
-    priced = asof_join(
-        ev,
-        prices,
-        key=["event_type"],
+    priced_legs = asof_join(
+        wallet_transactions_lazy(spark, sf_dir),
+        prices.withColumnRenamed("event_type", "contract_address"),
+        key=["contract_address"],
         event_id=["event_id"],
         event_ts="ts",
         quote_ts="price_day",
@@ -183,9 +185,9 @@ def window_running_balance_eth(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="backward",
         bucket_days=7,
         broadcast_quotes=True,
-    ).select("event_id", "price")
+    ).drop("price_day")
 
-    wt = by_wallet(wallet_transactions_lazy(spark, sf_dir).join(priced, "event_id"))
+    wt = by_wallet(priced_legs)
     price_eff = F.coalesce(
         F.col("price"),
         F.when(F.col("contract_address") == _NATIVE_CONTRACT, F.lit(1))
