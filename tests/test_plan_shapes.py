@@ -202,35 +202,33 @@ def test_lsh_single_band_join(spark):
 
 
 def test_ngram_jaccard_no_pair_table_rejoin(spark):
-    """r15 shape (posting-list intersections): df-cap stays an AGG +
-    same-key join BEFORE any pairing — never a full-partition window
-    count, because WindowExec buffers a whole partition per task and
-    a stopword-grade hot shingle IS a row-scaled partition (the
-    weighted-median 100× OOM class, PLANS.md §probe-caught OOM). The
-    quadratic pair expansion must be MAP-SIDE from the ≤max_df
-    posting arrays (a Generate feeding the pair aggregate directly —
-    no join or exchange between the posting collect and the pair
-    agg), and everything downstream of the pair aggregation may touch
-    the AGGREGATED table only through broadcast-side joins: no
-    re-shuffle (Exchange) of the pair table and no sort-merge join
-    above it."""
+    """r15 №2 shape (sized self-join pairs): df-cap stays an AGG +
+    ANTI join against the hot-shingle list BEFORE any pairing — never
+    a full-partition window count, because WindowExec buffers a whole
+    partition per task and a stopword-grade hot shingle IS a
+    row-scaled partition (the weighted-median 100× OOM class, PLANS.md
+    §probe-caught OOM) — and the plan is COLLECT-FREE: per-doc sizes
+    ride the stream into the pair join, so every aggregation state is
+    O(1) (the earlier posting-array form collected ≤max_df ids per
+    shingle AND evaluated its pair-expanding nested lambdas
+    interpreted — the codegen self-join replaced it 25% faster).
+    Everything above the pair aggregation must be in-row arithmetic:
+    no re-shuffle (Exchange) of the pair table, no join of any kind
+    above it (the r14 shape persisted a |pairs|-sized table just to
+    re-join per-doc sizes onto it)."""
     plan = _physical(QUERIES["dedup_ngram_jaccard"](spark, SF_MEDIUM))
     assert "Window" not in plan, "row-scaled partition buffering is back"
     assert "CartesianProduct" not in plan
-    # pair generation is map-side: the pair-expanding Generate sits
-    # immediately on the posting collect_list aggregate
-    gen_to_posting = plan.split("Generate explode(flatten", 1)[1].split(
-        "ObjectHashAggregate", 1
-    )[0]
-    assert not any(
-        tok in gen_to_posting
-        for tok in ("Join", "Exchange", "Window", "Generate")
-    ), "pair expansion must feed straight off the posting aggregate"
-    # the derivation above the pair agg adds NO exchange: the size
-    # joins broadcast the tiny diagonal, the pair side only streams
+    assert "collect_list" not in plan, "row-scaled agg buffers are back"
+    # the df-cap is an anti join against the bounded hot list, applied
+    # below the pair join
+    assert "LeftAnti" in plan
+    # the measure is computed in-row above the pair aggregate: nothing
+    # between the final pair HashAggregate and the output but
+    # Filter/Project — no exchange, no join of the aggregated pairs
     head = plan.split("HashAggregate", 1)[0]
     assert "Exchange" not in head, "aggregated pair table must not re-shuffle"
-    assert "SortMergeJoin" not in head and "ShuffledHashJoin" not in head
+    assert "Join" not in head, "pair table must not be re-joined"
 
 
 def test_token_budget_window_partitioned_by_band(spark):

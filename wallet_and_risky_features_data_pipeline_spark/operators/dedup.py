@@ -337,17 +337,24 @@ def simhash16(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def ngram_intersections(
+# Doc-count bound under which the n-gram pair family FORCES its dim
+# broadcasts (per-doc sizes ≈ 16 B/row → ≤ 320 MB built relation at
+# the bound; the hot-shingle list is smaller still by the df-cap
+# algebra: |hot| ≤ |shingle rows| / max_df). Below the bound the
+# forced hint removes three AQE stage barriers whose re-planning
+# dominated the sf0.1 run (measured 3.25 s → 2.21 s); above it the
+# hint would be an OOM bet (a broadcast relation caps at 8 GB / 512M
+# rows), so callers fall back to AQE's runtime choice — the correct
+# degradation at corpus scale.
+NGRAM_BROADCAST_MAX_DOCS = 20_000_000
+
+
+def ngram_capped_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int = 100,
-    persist: bool = True,
+    persist: bool = True, broadcast_dims: bool = False,
 ) -> DataFrame:
-    """The shared core of the n-gram pair family (VERDICT r14 #1:
-    jaccard and containment built byte-identical chains separately):
-    one persisted aggregate ``(a, b, inter)`` over the df-capped
-    shingle universe, where off-diagonal rows (a < b) carry the
-    intersection count of docs a and b and DIAGONAL rows (a = b)
-    carry doc a's kept-shingle count — both measures derive from this
-    single table with a filter + two joins.
+    """The shared base of the n-gram pair family: the df-capped
+    ``(doc, shingle)`` stream both measures pair over.
 
     ``max_df`` drops shingles whose document frequency exceeds it
     BEFORE any pairing — the boilerplate guard: a shingle shared by
@@ -357,68 +364,84 @@ def ngram_intersections(
     measure itself — the standard df-cap semantics (same role as
     ``max_bucket`` on the MinHash path).
 
-    Shape (r15 rewrite, ~35% faster than the index self-join): the
-    df-cap count is one hash agg whose output joins the shingle
-    stream map-side when small (AQE picks broadcast; at corpus scale
-    it falls back to the shuffle hash join — both sides bounded);
-    surviving postings collect into a per-shingle sorted doc array —
-    agg state ≤ ``max_df`` ids BY CONSTRUCTION (the cap filter runs
-    before the collect), so no row-scaled buffer exists anywhere,
-    unlike a window formulation (the weighted-median 100× OOM class).
-    Pairs are then generated MAP-SIDE from each ≤``max_df`` array
-    (including the self-pair, which lands on the diagonal as the
-    size) — the quadratic step never touches the shuffle: only the
-    aggregated (a, b) rows exchange. Persisted because sizes and
-    pairs both read it; ``persist=False`` is for callers that memoize
-    the table with their own (scope-surviving) persist."""
+    The cap is applied as an ANTI join against the HOT list (shingles
+    with df > max_df) rather than an inner join against the full df
+    table: the hot list is bounded by |shingle rows| / max_df at any
+    corpus size — orders of magnitude smaller than the full distinct-
+    shingle table, so the build side stays broadcastable far longer
+    (so even unhinted it degrades to a hash join, never an OOM).
+    ``broadcast_dims`` FORCES the hot-list broadcast when the caller
+    has proven the corpus small (``NGRAM_BROADCAST_MAX_DOCS``) —
+    skipping the AQE stage-barrier re-planning that dominated the
+    sf0.1 run; leave False at unknown scale. Persisted because the df
+    count, the per-doc sizes and both self-join sides all read this
+    stream; ``persist=False`` is for callers that memoize it with
+    their own (scope-surviving) persist."""
     shingled = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
     )
-    df_counts = shingled.groupBy("shingle").agg(F.count("*").alias("__df"))
-    posting = (
-        shingled.join(df_counts, "shingle")
-        .filter(F.col("__df") <= max_df)
-        .groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+    hot = (
+        shingled.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
     )
-    pairs = posting.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) ->"
-                " transform(slice(ds, i + 1, size(ds)), y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    agg = pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("inter"))
-    return persist_tracked(agg) if persist else agg
+    if broadcast_dims:
+        hot = F.broadcast(hot)
+    capped = shingled.join(hot, "shingle", "left_anti")
+    return persist_tracked(capped) if persist else capped
 
 
-def _sized_pairs(inter: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, inter, sz_a, sz_b): off-diagonal pair rows joined
-    against the diagonal size rows (AQE broadcasts the size side while
-    it fits; plain hash joins otherwise)."""
-    sizes = inter.filter(F.col("a") == F.col("b")).select(
-        F.col("a").alias("doc"), F.col("inter").alias("sz")
+def ngram_sized_pairs(capped: DataFrame, broadcast_dims: bool = False) -> DataFrame:
+    """(doc_a, doc_b, inter, sz_a, sz_b) over a df-capped shingle
+    stream — the shared pair core both measures project from.
+
+    Shape (r15 №2 rewrite, 25% under the posting-array form it
+    replaces): per-doc kept-shingle sizes ride the stream INTO the
+    pair join (one tiny ≤|docs| hash agg, attached map-side — AQE
+    broadcasts while it fits, hash join beyond), so the pair
+    aggregate's grain (doc_a, doc_b, sz_a, sz_b) already carries both
+    sizes and the measures are pure in-row arithmetic — no persisted
+    pair table, no diagonal rows, no join-back above the aggregate
+    (the r14 shape persisted the |pairs|-sized intersection table
+    just to re-join per-doc sizes onto it; |pairs| ≫ |docs|, so that
+    cache write was the dominant cost of a cold run). Pair generation
+    is a plain equi self-join on the shingle — whole-stage codegen,
+    where the posting-array explode evaluated its nested lambdas
+    interpreted — with per-key fan-out bounded by ``max_df`` by
+    construction (no skew, join output ≤ max_df · |shingle rows|),
+    and the pair aggregate combines map-side before its exchange.
+    No row-scaled buffer exists anywhere: the collect-free plan keeps
+    every agg state O(1) (a window formulation would buffer whole hot
+    partitions — the weighted-median 100× OOM class).
+    ``broadcast_dims`` as in ``ngram_capped_shingles``: force the
+    size-dim broadcast only at proven-small corpus sizes."""
+    sizes = capped.groupBy("doc").agg(F.count("*").alias("__sz"))
+    if broadcast_dims:
+        sizes = F.broadcast(sizes)
+    aug = capped.join(sizes, "doc")
+    left = aug.select(
+        "shingle", F.col("doc").alias("doc_a"), F.col("__sz").alias("sz_a")
+    )
+    right = aug.select(
+        "shingle", F.col("doc").alias("doc_b"), F.col("__sz").alias("sz_b")
     )
     return (
-        inter.filter(F.col("a") < F.col("b"))
-        .join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a")), "a")
-        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b")), "b")
-        .select(
-            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
-            "inter", "sz_a", "sz_b",
-        )
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
     )
 
 
-def jaccard_pairs_from_intersections(
-    inter: DataFrame, threshold: float = 0.5
+def jaccard_pairs_from_capped(
+    capped: DataFrame, threshold: float = 0.5, broadcast_dims: bool = False
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold over a prebuilt
-    ``ngram_intersections`` table (so a session that already paid for
-    it — e.g. for the containment query — reuses it)."""
-    sized = _sized_pairs(inter)
+    ``ngram_capped_shingles`` stream (so a session that already paid
+    for it — e.g. for the containment query — reuses it)."""
+    sized = ngram_sized_pairs(capped, broadcast_dims)
     return (
         sized.withColumn(
             "jaccard",
@@ -430,8 +453,8 @@ def jaccard_pairs_from_intersections(
     )
 
 
-def containment_pairs_from_intersections(
-    inter: DataFrame, threshold: float = 0.8
+def containment_pairs_from_capped(
+    capped: DataFrame, threshold: float = 0.8, broadcast_dims: bool = False
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs ≥ threshold — the near-dup
     measure Jaccard structurally misses: a short document quoted
@@ -440,7 +463,7 @@ def containment_pairs_from_intersections(
     curation companion to Jaccard (Broder's containment coefficient):
     catches quote-inclusion, prefix-truncated re-crawls, and
     boilerplate-wrapped reposts."""
-    sized = _sized_pairs(inter)
+    sized = ngram_sized_pairs(capped, broadcast_dims)
     return (
         sized.withColumn(
             "containment",
@@ -457,10 +480,10 @@ def ngram_jaccard_pairs(
     max_df: int = 100,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs ≥ threshold via the shared
-    df-capped intersection core (``ngram_intersections`` for the
-    scale notes)."""
-    return jaccard_pairs_from_intersections(
-        ngram_intersections(df, id_col, text_col, n, max_df), threshold
+    df-capped pair core (``ngram_capped_shingles`` /
+    ``ngram_sized_pairs`` for the scale notes)."""
+    return jaccard_pairs_from_capped(
+        ngram_capped_shingles(df, id_col, text_col, n, max_df), threshold
     )
 
 
@@ -468,12 +491,11 @@ def ngram_containment_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
     max_df: int = 100,
 ) -> DataFrame:
-    """Containment pairs ≥ threshold via the shared df-capped
-    intersection core — same candidate-pair bound and map-side pair
-    generation as ``ngram_jaccard_pairs`` (see
-    ``ngram_intersections``)."""
-    return containment_pairs_from_intersections(
-        ngram_intersections(df, id_col, text_col, n, max_df), threshold
+    """Containment pairs ≥ threshold via the shared df-capped pair
+    core — same candidate-pair bound and in-row measure as
+    ``ngram_jaccard_pairs`` (see ``ngram_sized_pairs``)."""
+    return containment_pairs_from_capped(
+        ngram_capped_shingles(df, id_col, text_col, n, max_df), threshold
     )
 
 

@@ -58,21 +58,40 @@ _ASSIGN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = 
 
 # Per-session memo for the df-capped trigram INTERSECTION table
 # SHARED by dedup_ngram_jaccard and dedup_containment (VERDICT r14
-# #1): within one query the table already persists (its diagonal
-# feeds the size joins, its off-diagonal the pair measure), so
-# memoizing it costs nothing extra cold — the memo just keeps that
-# materialization alive for the sibling query in a warmed session
-# instead of letting cache_scope release it at query end.
+# #1): within one query the df-capped shingle stream already persists
+# (the df count, the per-doc sizes and both pair-join sides all read
+# it), so memoizing it costs nothing extra cold — the memo just keeps
+# that materialization alive for the sibling query in a warmed
+# session instead of letting cache_scope release it at query end.
+# The memo grain is the CAPPED STREAM, not the aggregated pair table
+# (r15 №2): the pair table is |pairs|-sized and persisting it was the
+# dominant cost of a cold run, while the stream is what both measures
+# actually share.
 _NGRAM_LOCK = threading.Lock()
 _NGRAM_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 
 
-def _ngram_intersections_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (a, b, inter) intersection table at the registry's
+def _ngram_dims_broadcastable(sf_dir: str) -> bool:
+    """Scale-adaptive dim-broadcast decision from parquet FOOTER
+    metadata (no Spark job): force the size/hot-list broadcasts only
+    when the corpus is provably under ``NGRAM_BROADCAST_MAX_DOCS``
+    docs (bounded built-relation size); beyond that AQE decides at
+    runtime — the 100 TB degradation path."""
+    from ..operators.dedup import NGRAM_BROADCAST_MAX_DOCS
+    from ..sources.readers import table_row_count
+
+    try:
+        return table_row_count(sf_dir, "documents") <= NGRAM_BROADCAST_MAX_DOCS
+    except Exception:
+        return False
+
+
+def _ngram_capped_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped (doc, shingle) stream at the registry's
     parameters (n=3, max_df=100), computed once per (session, table)."""
-    from ..operators.dedup import ngram_intersections
+    from ..operators.dedup import ngram_capped_shingles
     from .wallet_model import _memo_storage_level
 
     with _NGRAM_LOCK:
@@ -84,8 +103,9 @@ def _ngram_intersections_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
             # survive the building query's cache_scope so the sibling
             # consumer reads it (persist_tracked would release it at
             # that query's end); reset_session_memos unpersists it.
-            idx = ngram_intersections(
-                docs, "doc_id", "text", n=3, max_df=100, persist=False
+            idx = ngram_capped_shingles(
+                docs, "doc_id", "text", n=3, max_df=100, persist=False,
+                broadcast_dims=_ngram_dims_broadcastable(sf_dir),
             ).persist(_memo_storage_level())
             per_session[sf_dir] = idx
         return idx
@@ -203,10 +223,12 @@ DEDUP_SIMHASH_ORACLE = _simhash_oracle()
 # --------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (inverted-index self-join)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import jaccard_pairs_from_intersections
+    from ..operators.dedup import jaccard_pairs_from_capped
 
-    return jaccard_pairs_from_intersections(
-        _ngram_intersections_shared(spark, sf_dir), threshold=0.5
+    return jaccard_pairs_from_capped(
+        _ngram_capped_shared(spark, sf_dir),
+        threshold=0.5,
+        broadcast_dims=_ngram_dims_broadcastable(sf_dir),
     )
 
 
@@ -3182,10 +3204,12 @@ FROM documents
 # max_df-capped inverted-index scale shape as dedup_ngram_jaccard;
 # threshold 0.8 = "most of the smaller document is inside the pair".
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import containment_pairs_from_intersections
+    from ..operators.dedup import containment_pairs_from_capped
 
-    return containment_pairs_from_intersections(
-        _ngram_intersections_shared(spark, sf_dir), threshold=0.8
+    return containment_pairs_from_capped(
+        _ngram_capped_shared(spark, sf_dir),
+        threshold=0.8,
+        broadcast_dims=_ngram_dims_broadcastable(sf_dir),
     )
 
 
