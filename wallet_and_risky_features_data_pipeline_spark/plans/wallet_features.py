@@ -99,9 +99,17 @@ def contract_state_from(wt: DataFrame) -> DataFrame:
     genuinely ORDER-dependent windows remain (running balance +
     canonical-leg dedup rank), sharing the single wallet exchange."""
     wt = by_wallet(wt)
+    # Window order matters to the PLAN, not the results: row_num and
+    # the running balance share one window spec ((wallet, contract) ×
+    # ORDER_COLS), so keeping them ADJACENT lets Catalyst fuse them
+    # into a single Window node over a single sort; the dedup rank
+    # partitions differently ((wallet, event_id) by priority) and
+    # goes last — interleaving it between the two same-spec windows
+    # forced a third sort of the full leg table (r15 plan diff:
+    # 3 Sort + 3 Window → 2 Sort + 2 Window, one exchange as before).
     df = deterministic_order(wt, _KEY, ORDER_COLS, out="row_num")
-    df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")
     df = running_sum(df, F.col("signed_value"), _KEY, ORDER_COLS, out="balance")
+    df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")
     return df.groupBy("wallet_address", "contract_address").agg(*contract_state_aggs())
 
 
