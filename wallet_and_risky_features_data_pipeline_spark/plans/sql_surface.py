@@ -148,23 +148,33 @@ _WT_ORDER = "ts, priority, transaction_index, role_rank, event_id"
 # the SQL.
 def _contract_state_ctes(src: str = "wallet_tx", prefix: str = "") -> str:
     return f"""
-{prefix}ordered AS (
-    SELECT /*+ REPARTITION(wallet_address) */ *,
+{prefix}by_wallet AS (
+    -- repartition BELOW the windows (the DataFrame twin's by_wallet):
+    -- hashpartitioning(wallet_address) satisfies every window's
+    -- clustering requirement here ((wallet, contract) and
+    -- (wallet, event_id) both prefix on it), so the windows add only
+    -- sorts — hinting inside the window SELECT instead puts the
+    -- exchange ABOVE them and each window re-exchanges on its own key
+    SELECT /*+ REPARTITION(wallet_address) */ * FROM {src}
+),
+{prefix}balanced AS (
+    -- row_num and balance share one window spec and sit in ONE
+    -- select, so Catalyst fuses them into a single Window node over a
+    -- single sort; the differently-partitioned dense_rank gets its
+    -- own node (plans.wallet_features r15: splitting these across two
+    -- chained CTEs forced a third full sort of the leg table)
+    SELECT *,
         ROW_NUMBER() OVER (
             PARTITION BY wallet_address, contract_address
             ORDER BY {_WT_ORDER}) AS row_num,
-        DENSE_RANK() OVER (
-            PARTITION BY wallet_address, event_id
-            ORDER BY priority) AS hash_rank
-    FROM {src}
-),
-{prefix}balanced AS (
-    SELECT *,
         SUM(signed_value) OVER (
             PARTITION BY wallet_address, contract_address
             ORDER BY {_WT_ORDER}
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
-    FROM {prefix}ordered
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance,
+        DENSE_RANK() OVER (
+            PARTITION BY wallet_address, event_id
+            ORDER BY priority) AS hash_rank
+    FROM {prefix}by_wallet
 ),
 {prefix}contract_state AS (
     SELECT
@@ -274,29 +284,34 @@ def wallet_coin_balances_incremental_sql(spark: SparkSession, sf_dir: str) -> Da
         old_tx AS (SELECT * FROM wallet_tx WHERE ts < TIMESTAMP '{SPLIT_AT}'),
         new_tx AS (SELECT * FROM wallet_tx WHERE ts >= TIMESTAMP '{SPLIT_AT}'),
         {_contract_state_ctes("old_tx", "p_").strip()},
-        n_ordered AS (
-            SELECT /*+ REPARTITION(wallet_address) */ *,
+        n_seeded AS (
+            -- prior-balance seed attached BEFORE the windows (it is
+            -- constant per (wallet, contract), so join-then-window ≡
+            -- window-then-join) and the repartition below them: the
+            -- three window exprs then sit in one select, the two
+            -- same-spec ones fuse over a single sort, and the seeded
+            -- sum no longer forces its own re-sort after the join
+            SELECT /*+ REPARTITION(o.wallet_address) */ o.*,
+                CAST(COALESCE(p.final_balance, 0) AS DECIMAL(38,9)) AS seed
+            FROM new_tx o
+            LEFT JOIN p_contract_state p
+              ON p.wallet_address = o.wallet_address
+             AND p.contract_address = o.contract_address
+        ),
+        n_balanced AS (
+            SELECT *,
                 ROW_NUMBER() OVER (
                     PARTITION BY wallet_address, contract_address
                     ORDER BY {_WT_ORDER}) AS row_num,
                 DENSE_RANK() OVER (
                     PARTITION BY wallet_address, event_id
-                    ORDER BY priority) AS hash_rank
-            FROM new_tx
-        ),
-        n_balanced AS (
-            SELECT o.*,
-                CAST(COALESCE(p.final_balance, 0) AS DECIMAL(38,9))
-                    + SUM(o.signed_value) OVER (
-                        PARTITION BY o.wallet_address, o.contract_address
-                        ORDER BY o.ts, o.priority, o.transaction_index,
-                                 o.role_rank, o.event_id
+                    ORDER BY priority) AS hash_rank,
+                seed + SUM(signed_value) OVER (
+                        PARTITION BY wallet_address, contract_address
+                        ORDER BY {_WT_ORDER}
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS balance
-            FROM n_ordered o
-            LEFT JOIN p_contract_state p
-              ON p.wallet_address = o.wallet_address
-             AND p.contract_address = o.contract_address
+            FROM n_seeded
         ),
         seg AS (
             SELECT
@@ -645,29 +660,34 @@ def wallet_coin_balances_warm_sql(spark: SparkSession, sf_dir: str) -> DataFrame
         WITH {WALLET_TX_SQL_CTE.strip()},
         new_tx AS (SELECT * FROM wallet_tx WHERE ts >= TIMESTAMP '{SPLIT_AT}'),
         p_contract_state AS (SELECT * FROM wallet_contract_state_warm),
-        n_ordered AS (
-            SELECT /*+ REPARTITION(wallet_address) */ *,
+        n_seeded AS (
+            -- prior-balance seed attached BEFORE the windows (it is
+            -- constant per (wallet, contract), so join-then-window ≡
+            -- window-then-join) and the repartition below them: the
+            -- three window exprs then sit in one select, the two
+            -- same-spec ones fuse over a single sort, and the seeded
+            -- sum no longer forces its own re-sort after the join
+            SELECT /*+ REPARTITION(o.wallet_address) */ o.*,
+                CAST(COALESCE(p.final_balance, 0) AS DECIMAL(38,9)) AS seed
+            FROM new_tx o
+            LEFT JOIN p_contract_state p
+              ON p.wallet_address = o.wallet_address
+             AND p.contract_address = o.contract_address
+        ),
+        n_balanced AS (
+            SELECT *,
                 ROW_NUMBER() OVER (
                     PARTITION BY wallet_address, contract_address
                     ORDER BY {_WT_ORDER}) AS row_num,
                 DENSE_RANK() OVER (
                     PARTITION BY wallet_address, event_id
-                    ORDER BY priority) AS hash_rank
-            FROM new_tx
-        ),
-        n_balanced AS (
-            SELECT o.*,
-                CAST(COALESCE(p.final_balance, 0) AS DECIMAL(38,9))
-                    + SUM(o.signed_value) OVER (
-                        PARTITION BY o.wallet_address, o.contract_address
-                        ORDER BY o.ts, o.priority, o.transaction_index,
-                                 o.role_rank, o.event_id
+                    ORDER BY priority) AS hash_rank,
+                seed + SUM(signed_value) OVER (
+                        PARTITION BY wallet_address, contract_address
+                        ORDER BY {_WT_ORDER}
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS balance
-            FROM n_ordered o
-            LEFT JOIN p_contract_state p
-              ON p.wallet_address = o.wallet_address
-             AND p.contract_address = o.contract_address
+            FROM n_seeded
         ),
         seg AS (
             SELECT
