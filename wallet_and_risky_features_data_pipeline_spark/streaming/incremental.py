@@ -142,9 +142,13 @@ def incremental_contract_state(prior: DataFrame, new_wt: DataFrame) -> DataFrame
     zero = F.lit(0).cast(_NUM)
     seeds = prior.select(*key, F.col("final_balance").alias("__seed"))
 
+    # dedup_rank LAST: row_num and the local balance share one window
+    # spec and fuse into a single Window node over a single sort when
+    # adjacent; the differently-partitioned rank between them forced a
+    # third full sort of the batch (plans.wallet_features r15).
     df = deterministic_order(by_wallet(new_wt), key, ORDER_COLS, out="row_num")
-    df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")
     df = running_sum(df, F.col("signed_value"), key, ORDER_COLS, out="__local_bal")
+    df = dedup_rank(df, ("wallet_address", "event_id"), ("priority",), out="hash_rank")
     df = df.join(seeds, on=key, how="left").withColumn(
         "balance", (F.coalesce(F.col("__seed"), zero) + F.col("__local_bal")).cast(_NUM)
     )
