@@ -68,6 +68,12 @@ PAIRED_WARM = {
 PAIRED_WARM_SCALED = {
     "wallet_coin_balances": "wallet_coin_balances_warm_scaled",
     "dedup_minhash_lsh": "dedup_minhash_warm_scaled",
+    # r15 №5: the lazy-leg rewrite sped the pagerank/AUC FULL faces
+    # past their warm siblings at the harness's mid-stream split —
+    # re-paired here at the realistic ~1% delta, same as the two
+    # r14 holdouts above.
+    "wallet_pagerank": "wallet_pagerank_warm_scaled",
+    "wallet_auc_rollup": "wallet_auc_warm_scaled",
 }
 
 

@@ -1084,22 +1084,25 @@ WALLET_COIN_BALANCES_WARM_ORACLE = WALLET_COIN_BALANCES_ORACLE
 WALLET_COIN_BALANCES_WARM_SCALED_ORACLE = WALLET_COIN_BALANCES_ORACLE
 
 
-def _ensure_auc_state(spark: SparkSession, sf_dir: str) -> str:
-    """Persist the pre-``SPLIT_AT`` per-wallet AUC snapshot (the
+def _ensure_auc_state(
+    spark: SparkSession, sf_dir: str, split_at: str = SPLIT_AT
+) -> str:
+    """Persist the pre-``split_at`` per-wallet AUC snapshot (the
     time-integral stitch state of
     ethereum_wallet_features_with_auc.sql:627-637) as one
     fingerprint-tagged generation."""
 
     def build():
-        split = F.lit(SPLIT_AT).cast("timestamp")
+        split = F.lit(split_at).cast("timestamp")
         wt = wallet_transactions(spark, sf_dir)
         return wallet_auc_state(wt.filter(F.col("ts") < split))
 
+    name = "auc_state" if split_at == SPLIT_AT else "auc_state_scaled"
     return _ensure_warm_state(
         spark,
         sf_dir,
-        "auc_state",
-        _state_fingerprint(sf_dir, _AUC_STATE_VERSION, SPLIT_AT),
+        name,
+        _state_fingerprint(sf_dir, _AUC_STATE_VERSION, split_at),
         build,
     )
 
@@ -1121,7 +1124,27 @@ def wallet_auc_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wallet_auc_warm_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wallet_auc_warm`` at the REALISTIC delta (``SCALED_SPLIT_AT``,
+    the stream's last ~1%): the r15 lazy-leg rewrite made the FULL
+    rollup fast enough that at the harness's mid-stream split the
+    stored-state read no longer wins at sf0.1 (the coin-balances
+    story, one round later) — this face pairs the refresh against the
+    full recompute at a deployed nightly's delta size in bench.py's
+    paired_warm_scaled tier. Same FULL-recompute oracle — the bridge
+    stitch is exact at any split."""
+    from ..sources.writers import read_store
+
+    prior = read_store(
+        spark, _ensure_auc_state(spark, sf_dir, split_at=SCALED_SPLIT_AT)
+    )
+    return incremental_auc_rollup(
+        prior, wallet_transactions_delta(spark, sf_dir, SCALED_SPLIT_AT)
+    )
+
+
 WALLET_AUC_WARM_ORACLE = WALLET_AUC_ROLLUP_ORACLE
+WALLET_AUC_WARM_SCALED_ORACLE = WALLET_AUC_ROLLUP_ORACLE
 
 
 _CC_STATE_VERSION = "v1"
@@ -1540,8 +1563,10 @@ from .risk_features import (  # noqa: E402
 _PR_STATE_VERSION = "v4"
 
 
-def _ensure_pagerank_state(spark: SparkSession, sf_dir: str) -> str:
-    """Persist the pre-``LPA_SPLIT_AT`` DIRECTED distinct edge set of
+def _ensure_pagerank_state(
+    spark: SparkSession, sf_dir: str, split_at: str = LPA_SPLIT_AT
+) -> str:
+    """Persist the pre-``split_at`` DIRECTED distinct edge set of
     the value-flow graph as one fingerprint-tagged generation — the
     product of PageRank's expensive phase (the full event scan, role
     explosion, and the |legs| → |E| distinct), which a nightly refresh
@@ -1555,7 +1580,7 @@ def _ensure_pagerank_state(spark: SparkSession, sf_dir: str) -> str:
 
     def build():
         wt = wallet_transactions(spark, sf_dir)
-        split = F.lit(LPA_SPLIT_AT).cast("timestamp")
+        split = F.lit(split_at).cast("timestamp")
         legs = wt.filter(
             (F.col("address_role") == "sender")
             & F.col("interacted_with").isNotNull()
@@ -1573,11 +1598,12 @@ def _ensure_pagerank_state(spark: SparkSession, sf_dir: str) -> str:
             .select("src", "dst")
         )
 
+    name = "pagerank_graph" if split_at == LPA_SPLIT_AT else "pagerank_graph_scaled"
     return _ensure_warm_state(
         spark,
         sf_dir,
-        "pagerank_graph",
-        _state_fingerprint(sf_dir, _PR_STATE_VERSION, LPA_SPLIT_AT),
+        name,
+        _state_fingerprint(sf_dir, _PR_STATE_VERSION, split_at),
         build,
     )
 
@@ -1606,14 +1632,32 @@ def wallet_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the cached union. Output is bit-identical to the full
     recompute — same edge set, same all-integer arithmetic — so it is
     held to the SAME value oracle."""
+    return _pagerank_warm(spark, sf_dir, LPA_SPLIT_AT)
+
+
+def wallet_pagerank_warm_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wallet_pagerank_warm`` at the REALISTIC delta
+    (``SCALED_SPLIT_AT``, the stream's last ~1%): the r15 lazy-leg
+    rewrite made the FULL graph build fast enough that at the
+    harness's mid-stream split the stored-graph read no longer wins at
+    sf0.1 — this face pairs the refresh against the full recompute at
+    a deployed nightly's delta size in bench.py's paired_warm_scaled
+    tier. Same value oracle — the union reproduces the identical edge
+    set at any split."""
+    return _pagerank_warm(spark, sf_dir, SCALED_SPLIT_AT)
+
+
+def _pagerank_warm(spark: SparkSession, sf_dir: str, split_at: str) -> DataFrame:
     from ..caching import persist_tracked
     from ..sources.writers import read_store
     from .risk_features import _pagerank_from_edges
 
-    old_edges = read_store(spark, _ensure_pagerank_state(spark, sf_dir))
+    old_edges = read_store(
+        spark, _ensure_pagerank_state(spark, sf_dir, split_at=split_at)
+    )
 
     delta_edges = persist_tracked(
-        wallet_transactions_delta(spark, sf_dir, LPA_SPLIT_AT)
+        wallet_transactions_delta(spark, sf_dir, split_at)
         .filter(
             (F.col("address_role") == "sender")
             & F.col("interacted_with").isNotNull()
@@ -1632,4 +1676,7 @@ def wallet_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .risk_features import (  # noqa: E402
     WALLET_PAGERANK_ORACLE as WALLET_PAGERANK_WARM_ORACLE,
+)
+from .risk_features import (  # noqa: E402
+    WALLET_PAGERANK_ORACLE as WALLET_PAGERANK_WARM_SCALED_ORACLE,
 )

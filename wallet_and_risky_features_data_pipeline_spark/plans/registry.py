@@ -884,3 +884,18 @@ register(
     inc.wallet_coin_balances_warm_scaled,
     inc.WALLET_COIN_BALANCES_WARM_SCALED_ORACLE,
 )
+# r15 №5 follow-on: the lazy-leg rewrite made the pagerank and AUC
+# FULL faces fast enough that their warm siblings read as parity/loss
+# at the harness's mid-stream split — same physics as the coin/minhash
+# holdouts above, so the same remedy: re-pair each at the realistic
+# ~1% delta in the paired_warm_scaled tier.
+register(
+    "wallet_pagerank_warm_scaled",
+    inc.wallet_pagerank_warm_scaled,
+    inc.WALLET_PAGERANK_WARM_SCALED_ORACLE,
+)
+register(
+    "wallet_auc_warm_scaled",
+    inc.wallet_auc_warm_scaled,
+    inc.WALLET_AUC_WARM_SCALED_ORACLE,
+)

@@ -33,7 +33,15 @@ BALANCE_CAP = 700_000.0  # ethereum_wallet_features.sql:286-289
 
 
 def risk_flag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    # shared_or_lazy throughout this module's SINGLE-consumer plans
+    # (r15 №5): each consumes the leg table through exactly one
+    # downstream chain, so a cold run streams the lazy build instead
+    # of paying the memo's InMemoryRelation write it would read once
+    # (measured 1.0-1.5 s per query at sf0.1 — the cache write is
+    # ~2x the build); a warmed nightly session still shares the memo.
+    # Multi-consumer plans (taint's edges+seeds, wash's triple-fenced
+    # raw, the LPA/flow leg fences) keep the eager memo build.
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     # 'internal' legs stand in for risky/rugpull-flagged interactions
     risky = F.col("transaction_type") == "internal"
     capped = F.when(F.col("current_value").cast("double") > VALUE_CAP, F.lit(0.0)).otherwise(
@@ -97,7 +105,7 @@ def wallet_auc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 + W11: per wallet, the max running AUC, total time above a
     zero balance, and the FIRST_VALUE of the ordered series (the
     boundary value an incremental batch would stitch against)."""
-    wt = by_wallet(wallet_transactions(spark, sf_dir))
+    wt = by_wallet(wallet_transactions_shared_or_lazy(spark, sf_dir))
     df = running_sum(wt, F.col("signed_value"), ("wallet_address",), ORDER_COLS, out="bal")
     df = lead_delta(df, F.unix_micros("ts"), ("wallet_address",), ORDER_COLS, out="dt_us")
     auc_term = F.col("bal").cast("decimal(20,9)") * F.col("dt_us").cast("decimal(16,0)")
@@ -222,7 +230,7 @@ GROUP BY 1, 2
 # nothing windowed. The reference's risk features flag wallets by
 # volume caps; this is the structural sibling those models add next.
 def wallet_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     out_legs = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
     )
@@ -465,7 +473,7 @@ def wallet_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 85·inc ≤ 8.5e13 ≪ 2⁶³ — safe in BIGINT at ANY node count by
     # construction, unlike the per-wallet Σv² moments (see
     # wallet_counterparty_hhi), which scale with data values.
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
     )
@@ -697,7 +705,7 @@ GROUP BY 1, 2
 # nodes; wedge count is Σ deg_hi(v)², the quantity a real deployment
 # audits (same role as lsh's max_bucket).
 def wallet_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     directed = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
     ).select(
@@ -773,7 +781,7 @@ GROUP BY 1
 # feature_correlations discipline). Two map-side-combinable hash
 # aggs: (wallet, counterparty) then wallet; no joins, no windows.
 def wallet_counterparty_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender")
         & F.col("interacted_with").isNotNull()
@@ -852,7 +860,7 @@ HAVING SUM(v_c) > 0
 # ((wallet, day) → wallet) and one broadcast of the single-row global
 # max — no windows, no joins on the fact table.
 def wallet_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     per_day = wt.groupBy(
         "wallet_address", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_day"))
@@ -918,7 +926,7 @@ GROUP BY 1
 def wallet_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
     )
@@ -1016,7 +1024,7 @@ LAST_KCORE_ROUNDS: int | None = None
 
 
 def wallet_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
     ).select(
@@ -1141,7 +1149,7 @@ EWMA_ALPHA = 0.5  # exactly representable; halving is exact in binary FP
 
 
 def wallet_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     per_day = wt.groupBy(
         "wallet_address", F.to_date("ts").alias("day")
     ).agg(F.sum("signed_value").cast("double").alias("net"))
@@ -1204,7 +1212,7 @@ AUTOCORR_MIN_PAIRS = 3
 
 
 def wallet_flow_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     per_day = wt.groupBy(
         "wallet_address", F.to_date("ts").alias("day")
     ).agg(
@@ -1301,7 +1309,7 @@ CUSUM_ALARM_C = 500_000  # h: $5,000 cumulative-drift alarm, in cents
 
 
 def wallet_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     per_day = wt.groupBy(
         "wallet_address", F.to_date("ts").alias("day")
     ).agg(
@@ -1640,7 +1648,7 @@ CROSS JOIN m
 
 
 def wallet_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
     ).select(
@@ -1733,7 +1741,7 @@ def wallet_neighborhood_jaccard(
     ``is_collusive`` verdict is the pure-integer cross-multiplication
     2·shared ≥ |sig_a|+|sig_b|−shared (τ = 0.5), ANSI-safe.
     """
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender")
         & F.col("interacted_with").isNotNull()
@@ -2061,7 +2069,7 @@ def wallet_dormancy_revival(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer (epoch µs, cents, integer-division day counts) — ANSI-safe,
     bit-equal cross-engine.
     """
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     legs = wt.select(
         "wallet_address",
         F.unix_micros("ts").alias("us"),
