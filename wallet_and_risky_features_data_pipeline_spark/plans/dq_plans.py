@@ -60,9 +60,9 @@ SELECT 'zero_min_balance_pct', zero_pct, zero_pct > 95.0 FROM agg
 def ledger_reconciliation(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
-    from .wallet_model import wallet_transactions
+    from .wallet_model import wallet_transactions_shared_or_lazy
 
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     per_event = wt.groupBy("event_id", "transaction_type").agg(
         F.sum("signed_value").alias("net"),
         F.max("tx_fee").alias("fee"),

@@ -26,7 +26,11 @@ from ..streaming.incremental import (
 )
 from .risk_features import WALLET_AUC_ROLLUP_ORACLE
 from .wallet_features import contract_state_from
-from .wallet_model import wallet_transactions, wallet_transactions_delta
+from .wallet_model import (
+    wallet_transactions,
+    wallet_transactions_delta,
+    wallet_transactions_shared_or_lazy,
+)
 from .windows_plans import WALLET_COIN_BALANCES_ORACLE
 
 SPLIT_AT = "2024-01-15"
@@ -36,7 +40,7 @@ LPA_SPLIT_AT = "2024-01-28"
 
 
 def wallet_coin_balances_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     split = F.lit(SPLIT_AT).cast("timestamp")
     prior = contract_state_from(wt.filter(F.col("ts") < split))
     merged = incremental_contract_state(prior, wt.filter(F.col("ts") >= split))
@@ -74,7 +78,7 @@ def wallet_auc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-query, distinct from ``_warm``'s delta-only pushdown scan."""
     from ..sources.writers import read_store
 
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     split = F.lit(SPLIT_AT).cast("timestamp")
     prior = read_store(spark, _ensure_auc_state(spark, sf_dir))
     return incremental_auc_rollup(prior, wt.filter(F.col("ts") >= split))
@@ -122,7 +126,7 @@ def wallet_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..caching import persist_tracked
     from ..sources.writers import read_store
 
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     split = F.lit(SPLIT_AT).cast("timestamp")
     sender = (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
 
@@ -316,7 +320,7 @@ def _lpa_edge_tables(spark: SparkSession, sf_dir: str):
     materialization."""
     from ..caching import persist_tracked
 
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     pairs = persist_tracked(
         _lpa_legs(wt).groupBy("a", "b").agg(F.min("ts").alias("first_seen"))
     )

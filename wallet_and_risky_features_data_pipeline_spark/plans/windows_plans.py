@@ -36,6 +36,7 @@ from .wallet_model import (
     by_wallet,
     wallet_transactions,
     wallet_transactions_lazy,
+    wallet_transactions_shared_or_lazy,
 )
 
 _KEY = ("wallet_address", "contract_address")
@@ -444,7 +445,7 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------------
 # U3 — role double-entry explosion sanity view
 def union_role_views(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     return wt.groupBy("address_role", "transaction_type").agg(
         F.count("*").alias("legs"),
         F.sum("signed_value").cast("double").alias("net_flow"),
@@ -490,7 +491,7 @@ def union_whitelist_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("contract_address")
         .unionByName(spark.range(1).select(F.lit("purchase").alias("contract_address")))
     )
-    wt = wallet_transactions(spark, sf_dir)
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     joined = wt.join(F.broadcast(whitelist), "contract_address")
     return joined.groupBy("contract_address", "transaction_type").agg(
         F.count(F.lit(1)).alias("legs"),
