@@ -465,6 +465,7 @@ def test_no_batch_query_plans_a_cartesian_product(spark):
         "corpus_source_psi",           # one-row corpus-total ng scalar (r10)
         "wallet_community_modularity_incremental",  # one-row m scalar (r12, as full)
         "wallet_pagerank_warm",        # one-row node-count scalar (r13, as full)
+        "wallet_pagerank_warm_scaled", # one-row node-count scalar (r15, as full)
     }
     offenders = {}
     for name, fn in QUERIES.items():
@@ -539,6 +540,8 @@ def test_warm_tier_delta_scans_push_ts_predicate(spark, tmp_path, monkeypatch):
             inc.wallet_rolling_distinct_warm,
             inc.wallet_label_propagation_warm,
             inc.wallet_pagerank_warm,
+            inc.wallet_pagerank_warm_scaled,
+            inc.wallet_auc_warm_scaled,
         ):
             plan = _physical(fn(spark, SF_MEDIUM))
             ev_scans = [
