@@ -497,6 +497,49 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_pairs_rounds_per_action(spark):
+    """r15: rounds are applied in PAIRS per convergence probe (the
+    per-action scheduler round-trip was ~0.7 s of a 2-round
+    convergence at sf0.1). Pin the action accounting: LAST_CC_ROUNDS
+    counts two rounds per probe (always even), and a shallow graph —
+    a triangle, fixpoint after the folded init round — converges on
+    the FIRST probe (2 counted rounds, where the single-round loop
+    took two probes). The stop rule is exact with pairing because it
+    reads only the LAST sub-round's flags: if round B moved nothing,
+    round A's output is a neighbor-min fixpoint, which alone pins
+    every label to the component min."""
+    import wallet_and_risky_features_data_pipeline_spark.operators.dedup as dd
+    from wallet_and_risky_features_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    dd.LAST_CC_ROUNDS = None
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert dd.LAST_CC_ROUNDS == 2  # one probe action, two counted rounds
+
+    # diameter-4 path: init folds round 1, pairs cover rounds 2+3 and
+    # 4+5 — two probe actions, LAST_CC_ROUNDS even
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    cnodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    dd.LAST_CC_ROUNDS = None
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(chain, cnodes, "doc_id").collect()
+    }
+    assert got == {i: 0 for i in range(6)}
+    assert dd.LAST_CC_ROUNDS is not None and dd.LAST_CC_ROUNDS % 2 == 0
+
+
 def test_connected_components_raises_instead_of_silent_nonconvergence(spark):
     """Exhausting max_iter while labels still move must raise — a
     silently non-converged assignment would keep/drop the wrong docs."""

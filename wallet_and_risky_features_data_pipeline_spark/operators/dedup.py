@@ -245,16 +245,33 @@ def connected_components(
     exact. If ``max_iter`` rounds pass while labels are still moving
     the result would be silently wrong — that raises instead.
 
-    Lineage is cut with ``localCheckpoint`` per round — without it the
-    plan doubles every iteration and Catalyst analysis dominates. The
-    checkpoints are LAZY (eager=False): each round's convergence probe
-    is the action that materializes that round's checkpoint, so a round
-    costs one job instead of a blocking checkpoint job plus a probe job
-    (a self-loop fold that also removed the per-round label re-join was
-    tried and measured NO faster — the extra union/distinct offset the
-    saved broadcast join — so the simpler shape stays). The probe
+    Lineage is cut with ``localCheckpoint`` per action — without it
+    the plan doubles every iteration and Catalyst analysis dominates.
+    The checkpoints are LAZY (eager=False): each convergence probe is
+    the action that materializes that action's checkpoint (a self-loop
+    fold that also removed the per-round label re-join was tried and
+    measured NO faster — the extra union/distinct offset the saved
+    broadcast join — so the simpler propagation shape stays). The probe
     aggregates a single boolean, not the label table (no driver-side
     data). Nodes with no edges keep their own id.
+
+    Rounds are applied in PAIRS per action (r15: the per-action
+    scheduler round-trip was ~0.7 s of a 2-round convergence's 2.1 s
+    at sf0.1 — pure fixed latency on a 235-edge graph). Each action
+    composes round A and round B = propagate(A) in ONE plan and probes
+    only round B's change flags: if B moved nothing, A's output is a
+    fixpoint of the neighbor-min condition, which ALONE pins every
+    label to the component minimum (walk the path from the min — each
+    hop is pinned equal), so A's own flags are irrelevant to the stop
+    rule. Work per action is exactly the two rounds' joins — round A's
+    output feeds B's two consumers through one reused exchange (both
+    key on ``node``), so nothing is computed twice — and the label
+    table is checkpoint-materialized once per pair instead of once per
+    round. Doubling (from ``escalate_after`` on) targets the table
+    checkpointed at the START of the pair for both sub-rounds: a stale
+    doubling target is still a reachable-min lookup (monotone, only
+    ever lowers a label to another reachable id), and the stop rule
+    never depends on doubling having been applied.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.unionByName(
@@ -274,38 +291,41 @@ def connected_components(
         )
         .localCheckpoint(eager=False)
     )
-    converged = False
-    for it in range(max_iter):
+
+    def _one_round(lbl: DataFrame, escalate: bool, doubling: DataFrame) -> DataFrame:
         nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lbl, edges.dst == lbl.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        cur = labels.join(nbr_min, labels.node == nbr_min.src, "left")
+        cur = lbl.join(nbr_min, lbl.node == nbr_min.src, "left")
         best = F.least(F.col("label"), F.coalesce("nbr_label", "label"))
         moved = F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False))
-        if it >= escalate_after:
-            # Pointer doubling against the PREVIOUS round's table (it
-            # is checkpointed — the self-join neither recomputes nor
-            # needs its own materialization). The label is always a
-            # node with edges (it starts as an edge endpoint and only
-            # ever moves to another one), so the lookup hits;
-            # left-join + coalesce keeps the no-match case total.
-            targets = labels.select(
+        if escalate:
+            # Pointer doubling against the pair-start (checkpointed)
+            # table. The label is always a node with edges (it starts
+            # as an edge endpoint and only ever moves to another one),
+            # so the lookup hits; left-join + coalesce keeps the
+            # no-match case total.
+            targets = doubling.select(
                 F.col("node").alias("__ln"), F.col("label").alias("__ll")
             )
             cur = cur.join(targets, cur.label == targets.__ln, "left")
             best = F.least(best, F.coalesce("__ll", "label"))
             moved = moved | F.coalesce(F.col("__ll") < F.col("label"), F.lit(False))
-        new_labels = cur.select(
-            "node", best.alias("label"), moved.alias("__changed")
-        ).localCheckpoint(eager=False)
+        return cur.select("node", best.alias("label"), moved.alias("__changed"))
+
+    converged = False
+    for it in range(0, max_iter, 2):
+        half_a = _one_round(labels, it >= escalate_after, labels).drop("__changed")
+        half_b = _one_round(half_a, it + 1 >= escalate_after, labels)
+        new_labels = half_b.localCheckpoint(eager=False)
         changed = new_labels.agg(F.max(F.coalesce("__changed", F.lit(False)))).first()[0]
         labels = new_labels.drop("__changed")
         if not changed:
             converged = True
             global LAST_CC_ROUNDS
-            LAST_CC_ROUNDS = it + 1
+            LAST_CC_ROUNDS = it + 2
             break
     if not converged:
         raise RuntimeError(
