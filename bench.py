@@ -534,7 +534,15 @@ def main() -> None:
         # complete passes — ADVICE r6)
         "passes": len(wall_runs),
         "wall_policy": "min_complete_pass",
-        "queries": {k: round(v, 4) for k, v in sorted(timings.items())},
+        # r16 measurement-bug fix (see the compact-line note below):
+        # "queries" = the ISOLATED per-query seconds — the components
+        # of the headline metric; the concurrent-tier latencies keep
+        # riding under "concurrent_queries" (and "isolated" stays as
+        # the full-precision alias nothing external should break on).
+        "queries": {k: isolated[k] for k in sorted(isolated)},
+        "concurrent_queries": {
+            k: round(v, 4) for k, v in sorted(timings.items())
+        },
         "isolated": {k: isolated[k] for k in sorted(isolated)},
         "isolated_total": isolated_total,
         "isolated_total_delta": isolated_total_delta,
@@ -612,7 +620,19 @@ def main() -> None:
     # they survive truncation (r5 lost the wall number to the opposite
     # order).
     compact = {
-        "queries": {k: round(v, 2) for k, v in sorted(timings.items())},
+        # Measurement-bug fix (r16, VERDICT r15 #1): the driver contract
+        # declares "queries": {name: sec} decomposing the headline, and
+        # the headline IS isolated_total — yet this map used to carry
+        # the CONCURRENT-tier latencies (8-way co-scheduled, ±20%
+        # noise), so sum(queries) never matched value and the driver's
+        # per-query parse had nothing consistent to read. It now
+        # carries the ISOLATED per-query seconds (the components of
+        # value); the old concurrent map still rides along under
+        # "concurrent_queries" (added key — nothing removed or renamed).
+        "queries": {k: round(v, 2) for k, v in sorted(isolated.items())},
+        "concurrent_queries": {
+            k: round(v, 2) for k, v in sorted(timings.items())
+        },
         # per-pair median warm/full ratio from the interleaved paired
         # tier — the controlled comparison, compact enough for the tail
         "paired_warm_ratios": {

@@ -51,6 +51,7 @@ def ansi_spark(spark):
 
 
 @pytest.mark.parametrize("name", _BATCH)
+@pytest.mark.fullsuite
 def test_query_executes_under_ansi(ansi_spark, name):
     # Build AND execute under ANSI: analysis-time cast resolution and
     # runtime arithmetic checks both apply.

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from wallet_and_risky_features_data_pipeline_spark.sources.maintenance import (
@@ -691,6 +693,7 @@ import pytest as _pytest_cas
 
 
 @_pytest_cas.mark.parametrize("cas_backend", ["local", "condput", "condput-faulty"])
+@pytest.mark.fullsuite
 def test_multiprocess_commit_contention(tmp_path, cas_backend):
     """Two REAL processes race commit_generation on one store, each
     retrying on ConcurrentCommitError (the documented optimistic-
@@ -889,6 +892,7 @@ def test_condput_cas_backend_protocol(spark, tmp_path):
 
 
 @_pytest_cas.mark.parametrize("backend_kind", ["local", "condput-faulty"])
+@pytest.mark.fullsuite
 def test_cas_chaos_crash_mid_claim_loop(tmp_path, backend_kind):
     """VERDICT r9 #4: 100 seeded iterations of the nastiest commit
     window — two concurrent claimants on the SAME base (even numbered
@@ -1100,6 +1104,7 @@ def test_vacuum_fence_stale_break_and_writer_retry(spark, tmp_path):
 
 
 @_pytest_cas.mark.parametrize("chaos_backend", ["local", "condput"])
+@pytest.mark.fullsuite
 def test_three_way_chaos_merge_vacuum_erase(spark, tmp_path, monkeypatch, chaos_backend):
     """VERDICT r10 #7: merge_upsert × vacuum_generations ×
     erase_from_store interleaved ACROSS PROCESSES with crash injection
@@ -1481,6 +1486,7 @@ def test_erase_from_store_inference_hostile_partitions(spark, tmp_path):
     assert os.path.exists(os.path.join(gen2, "bucket=None"))
 
 
+@pytest.mark.fullsuite
 def test_serving_chaos_sync_vs_merge_vacuum_erase(spark, tmp_path):
     """VERDICT r11 #7 — the serving path joins the chaos loop: a
     serving reader (read_store → foreach_partition_upsert /
@@ -1641,6 +1647,7 @@ def test_serving_chaos_sync_vs_merge_vacuum_erase(spark, tmp_path):
     assert len({final[k] for k in range(8)}) == 1
 
 
+@pytest.mark.fullsuite
 def test_warm_state_chaos_refresh_vs_rebuild_vacuum(spark, tmp_path, monkeypatch):
     """VERDICT r12 #6 — the warm-state store joins the chaos loop: the
     warm refresh read path (``_ensure_warm_state`` fence check →

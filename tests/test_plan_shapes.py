@@ -6,6 +6,8 @@ collapsed to a single scan + single exchange.
 
 from __future__ import annotations
 
+import pytest
+
 from wallet_and_risky_features_data_pipeline_spark.plans.registry import QUERIES
 
 from .conftest import SF_MEDIUM
@@ -428,6 +430,7 @@ def test_winsorize_thresholds_broadcast_back(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+@pytest.mark.fullsuite
 def test_no_batch_query_plans_a_cartesian_product(spark):
     """Engine-wide negative: NO batch registry query may plan a
     CartesianProduct or un-keyed BroadcastNestedLoopJoin INNER join —

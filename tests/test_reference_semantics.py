@@ -6,6 +6,8 @@ operators whose correctness is an algebraic invariant.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
@@ -103,6 +105,7 @@ def test_salted_running_sum_property(spark, rows):
     ),
     st.integers(min_value=0, max_value=20),             # hot threshold
 )
+@pytest.mark.fullsuite
 def test_adaptive_running_sum_property(spark, rows, threshold):
     """For arbitrary inputs and an ARBITRARY hot-key threshold — from
     "everything routes through the chunked path" (0) to "nothing does"
@@ -165,6 +168,7 @@ _ts_us = st.tuples(
     ),
     direction=st.sampled_from(["backward", "nearest"]),
 )
+@pytest.mark.fullsuite
 def test_bucketed_asof_equals_plain_property(spark, events, quotes, direction):
     from wallet_and_risky_features_data_pipeline_spark.operators.joins import asof_join
 

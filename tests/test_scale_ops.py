@@ -4,6 +4,8 @@ cleanse, CSV reader."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import Window
@@ -587,6 +589,7 @@ def test_adaptive_routing_matches_plain_window(spark):
     assert merged.filter(F.col("expected") != F.col("got")).count() == 0
 
 
+@pytest.mark.fullsuite
 def test_range_search_sound_and_recall(spark):
     """lsh_range_search is SOUND (every returned pair truly has
     cosine ≥ τ — exact-decimal verified against brute force) and its
