@@ -187,6 +187,7 @@ def wallet_flow_motifs_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from .risk_features import (
         FLOW_WINDOW_US,
+        _flow_fences_broadcastable,
         _flow_legs_and_fences,
         _flow_pair_grain,
         _flow_paths,
@@ -194,12 +195,13 @@ def wallet_flow_motifs_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     legs, in_busy, out_busy = _flow_legs_and_fences(spark, sf_dir)
+    bcast = _flow_fences_broadcastable(sf_dir)
     split_us = F.unix_micros(F.lit(SPLIT_AT).cast("timestamp"))
     old = legs.filter(F.col("us") < split_us)
     new = legs.filter(F.col("us") >= split_us)
     tail = legs.filter(F.col("us") >= split_us - F.lit(FLOW_WINDOW_US))
-    prior = _flow_pair_grain(_flow_paths(old, old, in_busy, out_busy))
-    delta = _flow_pair_grain(_flow_paths(tail, new, in_busy, out_busy))
+    prior = _flow_pair_grain(_flow_paths(old, old, in_busy, out_busy, bcast))
+    delta = _flow_pair_grain(_flow_paths(tail, new, in_busy, out_busy, bcast))
     merged = (
         prior.unionByName(delta)
         .groupBy("mid", "a", "c")
@@ -1271,7 +1273,12 @@ def _ensure_flow_state(spark: SparkSession, sf_dir: str) -> str:
     scale, so the oracle would not catch it)."""
     import datetime as _dt
 
-    from .risk_features import _flow_legs_and_fences, _flow_pair_grain, _flow_paths
+    from .risk_features import (
+        _flow_fences_broadcastable,
+        _flow_legs_and_fences,
+        _flow_pair_grain,
+        _flow_paths,
+    )
 
     # raises ValueError on any non-midnight split (e.g. "...T12:00")
     _dt.date.fromisoformat(SPLIT_AT)
@@ -1286,7 +1293,11 @@ def _ensure_flow_state(spark: SparkSession, sf_dir: str) -> str:
         old_out = old.groupBy(F.col("src").alias("ob_b"), F.col("day").alias("ob_day")).agg(
             F.count(F.lit(1)).alias("n_out")
         )
-        pair = _flow_pair_grain(_flow_paths(old, old, old_in, old_out))
+        pair = _flow_pair_grain(
+            _flow_paths(
+                old, old, old_in, old_out, _flow_fences_broadcastable(sf_dir)
+            )
+        )
         return (
             pair.select(
                 F.lit("pair").alias("part"),
@@ -1351,6 +1362,7 @@ def wallet_flow_motifs_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.writers import read_store
     from .risk_features import (
         FLOW_WINDOW_US,
+        _flow_fences_broadcastable,
         _flow_pair_grain,
         _flow_paths,
         _flow_rollup,
@@ -1418,7 +1430,11 @@ def wallet_flow_motifs_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ob_b", "ob_day")
         .agg(F.sum("n_out").alias("n_out"))
     )
-    delta = _flow_pair_grain(_flow_paths(tail, new, in_busy, out_busy))
+    delta = _flow_pair_grain(
+        _flow_paths(
+            tail, new, in_busy, out_busy, _flow_fences_broadcastable(sf_dir)
+        )
+    )
     # No intermediate (mid, a, c) re-merge: the rollup is algebraic
     # over the pair grain — SUM(n)/SUM(n_fast) add across the stored
     # and delta grains directly, and COUNT(DISTINCT a/c) is identical

@@ -386,7 +386,23 @@ TAINT_SEED_MOD = 29
 
 
 def wallet_taint_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = wallet_transactions(spark, sf_dir)
+    # r16 (VERDICT r15 #2; equivalence-gated interleaved A/B): the
+    # whole fixed 3-hop loop now COMPOSES into one plan/one job — the
+    # per-round persists are gone, and round h's frontier feeds its two
+    # consumers (next round's anti-join seed + expansion probe) through
+    # ReusedExchange instead of an InMemoryRelation write per round.
+    # Measured 0.846× vs the persisted-round shape ON lazy legs; the
+    # legs are lazy too (0.961× alone) because composition only wins
+    # when each reused subtree streams instead of re-reading a memo
+    # cache — the memo'd composed arm measured 1.358×, and persisting
+    # just the distinct edge set measured 1.444× (both rejected; the
+    # cache-materialization barrier costs more than the bounded
+    # re-derivation — TAINT_MAX_HOPS is fixed, so the composed plan
+    # re-derives the pruned two-column edge stream at most 3× and the
+    # explosion twice at ANY scale, all |legs|-linear).
+    from .wallet_model import wallet_transactions_shared_or_lazy
+
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
     )
@@ -414,12 +430,6 @@ def wallet_taint_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = nxt.join(reached, "wallet_address", "left_anti").select(
             "wallet_address", F.lit(h).cast("bigint").alias("hop")
         )
-        if h < TAINT_MAX_HOPS:
-            # reused twice (next round's anti-join seed + frontier);
-            # the FINAL round's frontier is consumed exactly once by
-            # the closing union — caching it is pure materialization
-            # overhead (VERDICT r13 #8)
-            new = persist_tracked(new)
         reached = reached.unionByName(new)
         frontier = new.select("wallet_address")
     return reached.withColumnRenamed("hop", "taint_hops")
@@ -523,8 +533,18 @@ def _pagerank_rounds(
     "all nodes LEFT JOIN incoming" is a UNION instead — a node with no
     in-edges holds the constant ``base`` rank in EVERY round (its
     incoming sum is always empty), so that constant frame is built
-    once and each round only post-processes its own aggregate."""
-    edges_deg = persist_tracked(edges_deg)
+    once and each round only post-processes its own aggregate.
+
+    r16: ``edges_deg`` persists ALREADY hash-partitioned on ``src`` —
+    the key every round's rank join probes — so rounds 2..N read the
+    cache's partitioning instead of re-exchanging |E| rows per round
+    (guide §2.4, the LPA sym discipline). Interleaved A/B reads local
+    PARITY (1.007 — the graph is tiny at sf0.1); the adopted evidence
+    is the plan diff: the per-round edge-side Exchange nodes are gone,
+    and at 100 TB that is PR_ITERS−1 fewer |E|-sized shuffles. Skew is
+    no worse than before: the old shape exchanged the same src-keyed
+    rows every round; this one lays them out once."""
+    edges_deg = persist_tracked(edges_deg.repartition("src"))
     base = F.expr(f"(15 * (CAST({PR_SCALE} AS BIGINT) DIV n)) DIV 100")
     # nodes with no incoming edge: rank = base, every round. Every
     # OTHER node appears in every round's incoming aggregate (each of
@@ -1406,8 +1426,21 @@ def _lpa_graph(spark: SparkSession, sf_dir: str):
     undirected edge set, its symmetric closure, and the (node, lbl)
     assignment after LPA_ROUNDS synchronous rounds. Used by the
     partition query and the modularity evaluation so both see the
-    identical deterministic propagation."""
-    wt = wallet_transactions(spark, sf_dir)
+    identical deterministic propagation.
+
+    r16 (VERDICT r15 #6; equivalence-gated interleaved A/B 3.07 →
+    1.85 s median, 0.59×): (a) the leg build is LAZY — wt is consumed
+    exactly once here (into the distinct), the r15 §4 single-consumer
+    rule this chain had missed; (b) ``sym`` persists ALREADY
+    hash-partitioned on ``d``, the key EVERY LPA round joins on, so
+    each round's sym⋈labels reads the cache's partitioning instead of
+    re-exchanging |2E| rows per round (guide §2.4 — one exchange at
+    build, amortized over all rounds; round 1's groupBy(s) and the
+    modularity degree agg still combine map-side, so the d-layout
+    costs them nothing extra)."""
+    from .wallet_model import wallet_transactions_shared_or_lazy
+
+    wt = wallet_transactions_shared_or_lazy(spark, sf_dir)
     legs = wt.filter(
         (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
     ).select(
@@ -1422,9 +1455,9 @@ def _lpa_graph(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     sym = persist_tracked(
-        und.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
-            und.select(F.col("b").alias("s"), F.col("a").alias("d"))
-        )
+        und.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionByName(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .repartition("d")
     )
     # only the FINAL round is consumed (twice: sizes agg + join), so
     # the chain runs unpersisted end-to-end and just the result caches
@@ -1884,8 +1917,56 @@ def wallet_flow_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ≥2 distinct destinations) is all-integer, ANSI-safe.
     """
     legs, in_busy, out_busy = _flow_legs_and_fences(spark, sf_dir)
-    pairs = _flow_pair_grain(_flow_paths(legs, legs, in_busy, out_busy))
+    pairs = _flow_pair_grain(
+        _flow_paths(
+            legs, legs, in_busy, out_busy,
+            broadcast_fences=_flow_fences_broadcastable(sf_dir),
+        )
+    )
     return _flow_rollup(pairs)
+
+
+# Footer-gated fence-broadcast bound (r16, the ngram family's
+# discipline): the over-fuse hot list is bounded by |legs| /
+# FLOW_MAX_DAILY_LEGS rows at ANY scale (each hot (wallet, day) block
+# absorbs > 10⁴ legs), so at ≤ 1e9 source events (≤ 2e9 legs) the hot
+# side is ≤ 2e5 rows ≈ a few MB built — force the broadcast and skip
+# the AQE stage-barrier re-planning; beyond the bound fall back to
+# AQE's runtime choice (the hot list still stays 10⁴× smaller than the
+# legs, so the degradation is a hash join, never an OOM).
+FLOW_BROADCAST_MAX_EVENTS = 1_000_000_000
+
+
+def _flow_fences_broadcastable(sf_dir: str) -> bool:
+    from ..sources.readers import table_row_count
+
+    try:
+        return table_row_count(sf_dir, "events") <= FLOW_BROADCAST_MAX_EVENTS
+    except Exception:
+        return False
+
+
+def _fence_anti(legs, busy, leg_key: str, busy_key: str, busy_day: str,
+                n_col: str, broadcast_fences: bool):
+    """Apply one occupancy fence as a LEFT ANTI join against the
+    bounded over-fuse list (r16; guide §2.3/§3). The old shape inner-
+    joined the FULL per-(wallet, day) count table onto the legs —
+    shuffling the whole leg stream by (wallet, day) just to read one
+    bounded count — and then filtered ``n ≤ FLOW_MAX_DAILY_LEGS``.
+    Because every leg's (wallet, day) has a fence row by construction
+    (the fences are computed over the same legs in every caller — full,
+    incremental, and the warm stored∪delta merge), inner-join+filter ≡
+    anti-join against the complement hot list {(wallet, day): n >
+    fuse}, whose size the fuse algebra bounds at |legs| / 10⁴ — so the
+    big side is never shuffled for the fence at any scale."""
+    hot = busy.filter(F.col(n_col) > FLOW_MAX_DAILY_LEGS).select(busy_key, busy_day)
+    if broadcast_fences:
+        hot = F.broadcast(hot)
+    return legs.join(
+        hot,
+        (F.col(leg_key) == F.col(busy_key)) & (F.col("day") == F.col(busy_day)),
+        "left_anti",
+    )
 
 
 def _flow_legs_and_fences(spark: SparkSession, sf_dir: str):
@@ -1915,38 +1996,30 @@ def _flow_legs_and_fences(spark: SparkSession, sf_dir: str):
     return legs, in_busy, out_busy
 
 
-def _flow_paths(e1_legs, e2_legs, in_busy, out_busy):
+def _flow_paths(e1_legs, e2_legs, in_busy, out_busy, broadcast_fences=False):
     """Fenced a→b→c path rows (a, mid, c, gap_us) with the in-hop from
     ``e1_legs`` and the out-hop from ``e2_legs`` — parameterized so the
     incremental plan can pair only the trailing-window in-hops against
-    the new out-hops while the full plan passes the whole table twice."""
-    hop_in = (
-        e1_legs.join(
-            in_busy,
-            (F.col("dst") == F.col("ib_b")) & (F.col("day") == F.col("ib_day")),
-        )
-        .filter(F.col("n_in") <= FLOW_MAX_DAILY_LEGS)
-        .select(
-            F.col("src").alias("a"),
-            F.col("dst").alias("mid"),
-            F.col("us").alias("us_in"),
-            F.explode(
-                F.array(F.col("day"), F.date_add(F.col("day"), 1))
-            ).alias("match_day"),
-        )
+    the new out-hops while the full plan passes the whole table twice.
+    Fences apply as bounded hot-list ANTI joins (``_fence_anti``), so
+    neither leg stream is shuffled by (wallet, day) for the fence."""
+    hop_in = _fence_anti(
+        e1_legs, in_busy, "dst", "ib_b", "ib_day", "n_in", broadcast_fences
+    ).select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("mid"),
+        F.col("us").alias("us_in"),
+        F.explode(
+            F.array(F.col("day"), F.date_add(F.col("day"), 1))
+        ).alias("match_day"),
     )
-    hop_out = (
-        e2_legs.join(
-            out_busy,
-            (F.col("src") == F.col("ob_b")) & (F.col("day") == F.col("ob_day")),
-        )
-        .filter(F.col("n_out") <= FLOW_MAX_DAILY_LEGS)
-        .select(
-            F.col("src").alias("mid2"),
-            F.col("dst").alias("c"),
-            F.col("us").alias("us_out"),
-            F.col("day").alias("out_day"),
-        )
+    hop_out = _fence_anti(
+        e2_legs, out_busy, "src", "ob_b", "ob_day", "n_out", broadcast_fences
+    ).select(
+        F.col("src").alias("mid2"),
+        F.col("dst").alias("c"),
+        F.col("us").alias("us_out"),
+        F.col("day").alias("out_day"),
     )
     return (
         hop_in.join(
@@ -2188,18 +2261,12 @@ def wallet_wash_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_busy = raw.groupBy(
         F.col("dst").alias("ib_b"), F.col("day").alias("ib_day")
     ).agg(F.count(F.lit(1)).alias("n_in"))
+    bcast = _flow_fences_broadcastable(sf_dir)
     legs = persist_tracked(
-        raw.join(
-            out_busy,
-            (F.col("src") == F.col("ob_b")) & (F.col("day") == F.col("ob_day")),
-        )
-        .filter(F.col("n_out") <= FLOW_MAX_DAILY_LEGS)
-        .join(
-            in_busy,
-            (F.col("dst") == F.col("ib_b")) & (F.col("day") == F.col("ib_day")),
-        )
-        .filter(F.col("n_in") <= FLOW_MAX_DAILY_LEGS)
-        .select("src", "dst", "us", "day", "cents")
+        _fence_anti(
+            _fence_anti(raw, out_busy, "src", "ob_b", "ob_day", "n_out", bcast),
+            in_busy, "dst", "ib_b", "ib_day", "n_in", bcast,
+        ).select("src", "dst", "us", "day", "cents")
     )
     e1 = legs.select(
         F.col("src").alias("a"),
@@ -2331,35 +2398,26 @@ def wallet_peel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the distributed plan must NOT do).
     """
     legs, in_busy, out_busy = _flow_legs_and_fences(spark, sf_dir)
-    hop_in = (
-        legs.join(
-            in_busy,
-            (F.col("dst") == F.col("ib_b")) & (F.col("day") == F.col("ib_day")),
-        )
-        .filter(F.col("n_in") <= FLOW_MAX_DAILY_LEGS)
-        .select(
-            F.col("event_id").alias("e_id"),
-            F.col("dst").alias("mid"),
-            F.col("us").alias("us_in"),
-            F.col("cents").alias("c_in"),
-            F.explode(
-                F.array(F.col("day"), F.date_add(F.col("day"), 1))
-            ).alias("match_day"),
-        )
+    bcast = _flow_fences_broadcastable(sf_dir)
+    hop_in = _fence_anti(
+        legs, in_busy, "dst", "ib_b", "ib_day", "n_in", bcast
+    ).select(
+        F.col("event_id").alias("e_id"),
+        F.col("dst").alias("mid"),
+        F.col("us").alias("us_in"),
+        F.col("cents").alias("c_in"),
+        F.explode(
+            F.array(F.col("day"), F.date_add(F.col("day"), 1))
+        ).alias("match_day"),
     )
-    hop_out = (
-        legs.join(
-            out_busy,
-            (F.col("src") == F.col("ob_b")) & (F.col("day") == F.col("ob_day")),
-        )
-        .filter(F.col("n_out") <= FLOW_MAX_DAILY_LEGS)
-        .select(
-            F.col("event_id").alias("f_id"),
-            F.col("src").alias("mid2"),
-            F.col("us").alias("us_out"),
-            F.col("cents").alias("c_out"),
-            F.col("day").alias("out_day"),
-        )
+    hop_out = _fence_anti(
+        legs, out_busy, "src", "ob_b", "ob_day", "n_out", bcast
+    ).select(
+        F.col("event_id").alias("f_id"),
+        F.col("src").alias("mid2"),
+        F.col("us").alias("us_out"),
+        F.col("cents").alias("c_out"),
+        F.col("day").alias("out_day"),
     )
     P = persist_tracked(
         hop_in.join(
@@ -2395,11 +2453,17 @@ def wallet_peel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth = (
             depth.unionByName(contrib).groupBy("e_id").agg(F.max("d").alias("d"))
         )
-        if i < PEEL_MAX_DEPTH - 2:
-            # intermediate depths feed BOTH next-round frames (the
-            # successor probe and the union leg); the last round's
-            # depth is consumed once by the final rollup join — no
-            # cache (VERDICT r13 #8)
+        # r16 (VERDICT r15 #2): the per-round persists are gone — the
+        # rounds COMPOSE into one plan/one job (equivalence-gated
+        # interleaved A/B vs the per-round-persisted shape: 4.64 →
+        # 3.99 s median, 0.876×), with ONE midpoint persist kept so
+        # the recompute fan-out of the composed depth tree stays ≤ 2×
+        # at any scale instead of 2^(rounds−1) (each unpersisted
+        # round's depth has two consumers: the successor probe and the
+        # union leg). The midpoint form measured parity with the
+        # fully-composed one locally (1.003) and is the safer 100 TB
+        # shape, so it is the registered plan.
+        if i == (PEEL_MAX_DEPTH - 2) // 2:
             depth = persist_tracked(depth)
     return (
         legs.select(F.col("event_id").alias("e_id"), "src")
