@@ -967,7 +967,12 @@ def stream_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.writers import read_store
 
     spark = _stream_session(spark)
-    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Land only the column the merge consumes (r16, guide §6/§4.1):
+    # the token merge reads nothing but ``text``, so staging the full
+    # document rows would shuffle and write every other column 4-ways
+    # just to drop them at the stream scan. Result-neutral: the store
+    # merge is an order-invariant count fold over text alone.
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
     land = _tracked_mkdtemp(prefix="wrf_vocab_land_")
     static.repartition(4).write.mode("overwrite").parquet(land)
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_vocab_ckpt_")
@@ -2000,9 +2005,14 @@ def stream_source_psi(
     from ..plans.llm_ops import PSI_BINS, PSI_BIN_WIDTH, psi_from_histogram
 
     spark = _stream_session(spark)
-    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # land as 4 files so maxFilesPerTrigger=1 exercises REAL
-    # multi-batch state carry (the vocab job's staging recipe)
+    # multi-batch state carry (the vocab job's staging recipe) — only
+    # the two columns the binning reads (r16, guide §6): staging the
+    # document TEXT 4-ways just to drop it at the stream scan was most
+    # of the landing write's bytes
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "n_chars"
+    )
     land = _tracked_mkdtemp(prefix="wrf_psi_land_")
     static.repartition(4).write.mode("overwrite").parquet(land)
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_psi_ckpt_")
@@ -2084,7 +2094,10 @@ def stream_embedding_drift(
     from pyspark.sql.types import StructType
 
     spark = _stream_session(spark)
-    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # only the two columns the quantized fold reads (r16, guide §6)
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label", "embedding"
+    )
     land = _tracked_mkdtemp(prefix="wrf_embdrift_land_")
     static.repartition(4).write.mode("overwrite").parquet(land)
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_embdrift_ckpt_")
@@ -2238,7 +2251,12 @@ def stream_value_freq_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.writers import read_store
 
     spark = _stream_session(spark)
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # only the two columns the (event_type, cents) count merge reads
+    # (r16, guide §6) — the events table's other columns were being
+    # staged 4-ways just to be dropped inside the merge
+    static = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
     land = _tracked_mkdtemp(prefix="wrf_vfreq_land_")
     static.repartition(4).write.mode("overwrite").parquet(land)
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_vfreq_ckpt_")
