@@ -525,19 +525,20 @@ def test_connected_components_pairs_rounds_per_action(spark):
     assert got == {1: 1, 2: 1, 3: 1}
     assert dd.LAST_CC_ROUNDS == 2  # one probe action, two counted rounds
 
-    # diameter-4 path: init folds round 1, pairs cover rounds 2+3 and
-    # 4+5 — two probe actions, LAST_CC_ROUNDS even
+    # diameter-4 path (5 nodes — ADVICE r15: the old 6-node graph
+    # didn't match this comment): init folds round 1, pairs cover
+    # rounds 2+3 and 4+5 — two probe actions, exactly 4 counted rounds
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(4)], "doc_a long, doc_b long"
     )
-    cnodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    cnodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
     dd.LAST_CC_ROUNDS = None
     got = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(chain, cnodes, "doc_id").collect()
     }
-    assert got == {i: 0 for i in range(6)}
-    assert dd.LAST_CC_ROUNDS is not None and dd.LAST_CC_ROUNDS % 2 == 0
+    assert got == {i: 0 for i in range(5)}
+    assert dd.LAST_CC_ROUNDS == 4
 
 
 def test_connected_components_raises_instead_of_silent_nonconvergence(spark):

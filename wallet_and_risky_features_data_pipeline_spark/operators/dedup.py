@@ -315,8 +315,13 @@ def connected_components(
             moved = moved | F.coalesce(F.col("__ll") < F.col("label"), F.lit(False))
         return cur.select("node", best.alias("label"), moved.alias("__changed"))
 
+    # Rounds execute in PAIRS, so the enforced budget is max_iter
+    # rounded UP to a whole pair (ADVICE r15: an odd max_iter used to
+    # run one extra round while the error text claimed the stated
+    # bound — the message now reports the bound actually enforced).
+    round_budget = max_iter + (max_iter % 2)
     converged = False
-    for it in range(0, max_iter, 2):
+    for it in range(0, round_budget, 2):
         half_a = _one_round(labels, it >= escalate_after, labels).drop("__changed")
         half_b = _one_round(half_a, it + 1 >= escalate_after, labels)
         new_labels = half_b.localCheckpoint(eager=False)
@@ -329,8 +334,10 @@ def connected_components(
             break
     if not converged:
         raise RuntimeError(
-            f"connected_components: labels still changing after {max_iter} rounds "
-            "— result would be silently non-converged; raise max_iter"
+            "connected_components: labels still changing after "
+            f"{round_budget} executed rounds (max_iter={max_iter} rounded up "
+            "to whole pairs) — result would be silently non-converged; "
+            "raise max_iter"
         )
     return nodes.select(F.col(id_col)).join(
         labels.withColumnRenamed("node", id_col), id_col, "left"
@@ -409,6 +416,16 @@ def ngram_capped_shingles(
     )
     if broadcast_dims:
         hot = F.broadcast(hot)
+    # r16 rejected A/Bs, kept for the record (tools/ngram_ab.py):
+    # (a) persisting this stream pre-partitioned on ``shingle`` (so the
+    # pair self-join could reuse the cache's layout) measured 1.07× —
+    # at bench scale that join is a BroadcastHashJoin (no exchange to
+    # save), so the extra repartition exchange was pure cost, and at
+    # corpus scale AQE already owns the strategy; (b) persisting the
+    # PRE-cap shingled stream instead (one tokenize pass cold) measured
+    # 1.41× — the bigger cache write plus three anti-join re-runs cost
+    # more than the saved tokenize. The unpartitioned capped persist
+    # stays.
     capped = shingled.join(hot, "shingle", "left_anti")
     return persist_tracked(capped) if persist else capped
 
