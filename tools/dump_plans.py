@@ -1,8 +1,9 @@
 """Dump ``.explain("formatted")`` for named registry queries.
 
-Writes ``plans/r15/<query>_<tag>.txt`` for each requested query — the
-optimization round's evidence artifacts (the judge reads these instead
-of running Spark). Planning only; nothing is executed.
+Writes ``plans/<round>/<query>_<tag>.txt`` for each requested query —
+the optimization round's evidence artifacts (the judge reads these
+instead of running Spark). Planning only; nothing is executed. The
+round directory defaults to r16; override with SPARK_GRAFT_PLAN_ROUND.
 
 Usage:
     python tools/dump_plans.py <tag> <query> [<query> ...]
@@ -30,7 +31,9 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("wrf-dump-plans")

@@ -204,26 +204,473 @@ def peel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def taint_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 (VERDICT r15 #2): the registry taint shape with ZERO
+    intermediate persists — the whole 3-hop loop composed into one
+    plan/one job, round h's frontier deduped across its two consumers
+    by ReusedExchange instead of an InMemoryRelation write."""
+    edges, seeds = _taint_edges_seeds(spark)
+    reached = seeds
+    frontier = seeds.select("wallet_address")
+    for h in range(1, R.TAINT_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("wallet_address", "src"), "src")
+            .select(F.col("dst").alias("wallet_address"))
+            .distinct()
+        )
+        new = nxt.join(reached, "wallet_address", "left_anti").select(
+            "wallet_address", F.lit(h).cast("bigint").alias("hop")
+        )
+        reached = reached.unionByName(new)
+        frontier = new.select("wallet_address")
+    return reached.withColumnRenamed("hop", "taint_hops")
+
+
+def peel_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16: the registry peel shape (anti-join fences) with ZERO
+    intermediate depth persists — all PEEL_MAX_DEPTH−1 rounds composed
+    into one plan, each round's depth table deduped across its two
+    consumers (successor probe + union leg) by ReusedExchange."""
+    legs, in_busy, out_busy = R._flow_legs_and_fences(spark, sf_dir)
+    bcast = R._flow_fences_broadcastable(sf_dir)
+    hop_in = R._fence_anti(
+        legs, in_busy, "dst", "ib_b", "ib_day", "n_in", bcast
+    ).select(
+        F.col("event_id").alias("e_id"),
+        F.col("dst").alias("mid"),
+        F.col("us").alias("us_in"),
+        F.col("cents").alias("c_in"),
+        F.explode(F.array(F.col("day"), F.date_add(F.col("day"), 1))).alias(
+            "match_day"
+        ),
+    )
+    hop_out = R._fence_anti(
+        legs, out_busy, "src", "ob_b", "ob_day", "n_out", bcast
+    ).select(
+        F.col("event_id").alias("f_id"),
+        F.col("src").alias("mid2"),
+        F.col("us").alias("us_out"),
+        F.col("cents").alias("c_out"),
+        F.col("day").alias("out_day"),
+    )
+    P = persist_tracked(
+        hop_in.join(
+            hop_out,
+            (F.col("mid") == F.col("mid2")) & (F.col("match_day") == F.col("out_day")),
+        )
+        .filter(
+            (F.col("us_out") > F.col("us_in"))
+            & (F.col("us_out") - F.col("us_in") <= F.lit(R.FLOW_WINDOW_US))
+            & (F.lit(4) * F.col("c_in") <= F.lit(5) * F.col("c_out"))
+            & (F.col("c_out") <= F.col("c_in"))
+        )
+        .select("e_id", "f_id")
+    )
+    depth = legs.select(F.col("event_id").alias("e_id")).withColumn(
+        "d", F.lit(1).cast("bigint")
+    )
+    for _ in range(R.PEEL_MAX_DEPTH - 1):
+        contrib = P.join(
+            depth.select(F.col("e_id").alias("f_id"), F.col("d").alias("fd")),
+            "f_id",
+        ).select("e_id", (F.col("fd") + F.lit(1)).alias("d"))
+        depth = (
+            depth.unionByName(contrib).groupBy("e_id").agg(F.max("d").alias("d"))
+        )
+    return (
+        legs.select(F.col("event_id").alias("e_id"), "src")
+        .join(depth, "e_id")
+        .groupBy(F.col("src").alias("wallet_address"))
+        .agg(
+            F.max("d").cast("bigint").alias("max_peel_depth"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_peel_edges"),
+        )
+        .select(
+            "wallet_address",
+            "max_peel_depth",
+            "n_peel_edges",
+            (F.col("max_peel_depth") >= 3).alias("is_peeling"),
+        )
+    )
+
+
+def lpa_dpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 (VERDICT r15 #6): LPA with (a) the leg build LAZY (wt is
+    consumed exactly once here — the r15 §4 single-consumer rule,
+    missed for the LPA chain) and (b) the symmetric edge closure
+    persisted ALREADY hash-partitioned on the per-round join key ``d``
+    — every round's sym⋈labels join then reads the cache's
+    partitioning instead of re-exchanging |2E| rows per round."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        _lpa_rounds,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions_shared_or_lazy,
+    )
+
+    wt = wallet_transactions_shared_or_lazy(spark, SF_DIR)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    ).select(
+        F.col("wallet_address").cast("bigint").alias("u"),
+        F.col("interacted_with").cast("bigint").alias("v"),
+    )
+    und = (
+        legs.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = persist_tracked(
+        und.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionByName(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .repartition("d")
+    )
+    labels = persist_tracked(_lpa_rounds(sym, persist_rounds=False)[-1])
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        F.col("node").cast("string").alias("wallet_address"),
+        F.col("lbl").cast("bigint").alias("community"),
+        "community_size",
+    )
+
+
+def pagerank_srcpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16: PageRank with ``edges_deg`` persisted hash-partitioned on
+    ``src`` — rounds 2..N's rank join reads the cached partitioning
+    instead of re-exchanging |E| rows per round."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
+        PR_SCALE,
+        PR_ITERS,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions_shared_or_lazy,
+    )
+
+    wt = wallet_transactions_shared_or_lazy(spark, SF_DIR)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    )
+    edges = persist_tracked(
+        legs.select(
+            F.col("wallet_address").alias("src"),
+            F.col("interacted_with").alias("dst"),
+        ).distinct()
+    )
+    nodes = persist_tracked(
+        edges.select(F.col("src").alias("w"))
+        .union(edges.select(F.col("dst").alias("w")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges_deg = persist_tracked(edges.join(deg, "src").repartition("src"))
+    base = F.expr(f"(15 * (CAST({PR_SCALE} AS BIGINT) DIV n)) DIV 100")
+    no_in = persist_tracked(
+        nodes.join(edges_deg.select(F.col("dst").alias("w")), "w", "left_anti")
+        .crossJoin(F.broadcast(n))
+        .select("w", "n", base.alias("r"))
+    )
+
+    def next_ranks(inc: DataFrame) -> DataFrame:
+        return (
+            inc.crossJoin(F.broadcast(n))
+            .select("w", "n", (base + F.expr("(85 * inc) DIV 100")).alias("r"))
+            .unionByName(no_in)
+        )
+
+    ranks = next_ranks(
+        edges_deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("dst").alias("w"),
+            F.expr(f"(CAST({PR_SCALE} AS BIGINT) DIV n) DIV out_deg").alias("c"),
+        )
+        .groupBy("w")
+        .agg(F.sum("c").alias("inc"))
+    )
+    for _ in range(PR_ITERS - 1):
+        ranks = next_ranks(
+            edges_deg.join(ranks.select(F.col("w").alias("src"), "r"), "src")
+            .select(F.col("dst").alias("w"), F.expr("r DIV out_deg").alias("c"))
+            .groupBy("w")
+            .agg(F.sum("c").alias("inc"))
+        )
+    return ranks.select(
+        F.col("w").alias("wallet_address"),
+        F.col("r").alias("rank_units"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("pagerank"),
+    )
+
+
+def taint_composed_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``taint_composed`` with the leg build LAZY instead of through
+    the eager wt memo — wt feeds two derived frames here (edges +
+    seeds), so this arm measures whether two lazy explosion passes
+    beat one cache write + two cache reads."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions_shared_or_lazy,
+    )
+
+    wt = wallet_transactions_shared_or_lazy(spark, SF_DIR)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    )
+    edges = legs.select(
+        F.col("wallet_address").alias("src"),
+        F.col("interacted_with").alias("dst"),
+    ).distinct()
+    seeds = (
+        wt.select("wallet_address")
+        .distinct()
+        .filter(F.col("wallet_address").cast("bigint") % R.TAINT_SEED_MOD == 0)
+        .select("wallet_address", F.lit(0).cast("bigint").alias("hop"))
+    )
+    reached = seeds
+    frontier = seeds.select("wallet_address")
+    for h in range(1, R.TAINT_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("wallet_address", "src"), "src")
+            .select(F.col("dst").alias("wallet_address"))
+            .distinct()
+        )
+        new = nxt.join(reached, "wallet_address", "left_anti").select(
+            "wallet_address", F.lit(h).cast("bigint").alias("hop")
+        )
+        reached = reached.unionByName(new)
+        frontier = new.select("wallet_address")
+    return reached.withColumnRenamed("hop", "taint_hops")
+
+
+def motifs_oldfence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15 flow-motif shape — occupancy fences as INNER joins of
+    the full per-(wallet, day) count tables onto the legs — kept here
+    as the interleaved 'before' arm for the r16 anti-join fence
+    rewrite (the registry plan is the 'after')."""
+    legs, in_busy, out_busy = R._flow_legs_and_fences(spark, sf_dir)
+    hop_in = (
+        legs.join(
+            in_busy,
+            (F.col("dst") == F.col("ib_b")) & (F.col("day") == F.col("ib_day")),
+        )
+        .filter(F.col("n_in") <= R.FLOW_MAX_DAILY_LEGS)
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("mid"),
+            F.col("us").alias("us_in"),
+            F.explode(F.array(F.col("day"), F.date_add(F.col("day"), 1))).alias(
+                "match_day"
+            ),
+        )
+    )
+    hop_out = (
+        legs.join(
+            out_busy,
+            (F.col("src") == F.col("ob_b")) & (F.col("day") == F.col("ob_day")),
+        )
+        .filter(F.col("n_out") <= R.FLOW_MAX_DAILY_LEGS)
+        .select(
+            F.col("src").alias("mid2"),
+            F.col("dst").alias("c"),
+            F.col("us").alias("us_out"),
+            F.col("day").alias("out_day"),
+        )
+    )
+    paths = (
+        hop_in.join(
+            hop_out,
+            (F.col("mid") == F.col("mid2")) & (F.col("match_day") == F.col("out_day")),
+        )
+        .filter(
+            (F.col("us_out") > F.col("us_in"))
+            & (F.col("us_out") - F.col("us_in") <= F.lit(R.FLOW_WINDOW_US))
+            & (F.col("c") != F.col("a"))
+        )
+        .select("a", "mid", "c", (F.col("us_out") - F.col("us_in")).alias("gap_us"))
+    )
+    return R._flow_rollup(R._flow_pair_grain(paths))
+
+
+def taint_lazy_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy legs + the registry's per-round persists — isolates how
+    much of taint_composed_lazy's win is the lazy leg build alone."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions_shared_or_lazy,
+    )
+
+    wt = wallet_transactions_shared_or_lazy(spark, SF_DIR)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    )
+    edges = legs.select(
+        F.col("wallet_address").alias("src"),
+        F.col("interacted_with").alias("dst"),
+    ).distinct()
+    seeds = (
+        wt.select("wallet_address")
+        .distinct()
+        .filter(F.col("wallet_address").cast("bigint") % R.TAINT_SEED_MOD == 0)
+        .select("wallet_address", F.lit(0).cast("bigint").alias("hop"))
+    )
+    reached = seeds
+    frontier = seeds.select("wallet_address")
+    for h in range(1, R.TAINT_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("wallet_address", "src"), "src")
+            .select(F.col("dst").alias("wallet_address"))
+            .distinct()
+        )
+        new = nxt.join(reached, "wallet_address", "left_anti").select(
+            "wallet_address", F.lit(h).cast("bigint").alias("hop")
+        )
+        if h < R.TAINT_MAX_HOPS:
+            new = persist_tracked(new)
+        reached = reached.unionByName(new)
+        frontier = new.select("wallet_address")
+    return reached.withColumnRenamed("hop", "taint_hops")
+
+
+def taint_lazy_edges_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy legs + PERSISTED distinct edge set + composed rounds (no
+    per-round persists): bounds recomputation at any scale — the
+    explosion streams twice (edges + seeds), the rounds read the
+    cached |E| table, and no round pays a cache write."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions_shared_or_lazy,
+    )
+
+    wt = wallet_transactions_shared_or_lazy(spark, SF_DIR)
+    legs = wt.filter(
+        (F.col("address_role") == "sender") & F.col("interacted_with").isNotNull()
+    )
+    edges = persist_tracked(
+        legs.select(
+            F.col("wallet_address").alias("src"),
+            F.col("interacted_with").alias("dst"),
+        ).distinct()
+    )
+    seeds = (
+        wt.select("wallet_address")
+        .distinct()
+        .filter(F.col("wallet_address").cast("bigint") % R.TAINT_SEED_MOD == 0)
+        .select("wallet_address", F.lit(0).cast("bigint").alias("hop"))
+    )
+    reached = seeds
+    frontier = seeds.select("wallet_address")
+    for h in range(1, R.TAINT_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("wallet_address", "src"), "src")
+            .select(F.col("dst").alias("wallet_address"))
+            .distinct()
+        )
+        new = nxt.join(reached, "wallet_address", "left_anti").select(
+            "wallet_address", F.lit(h).cast("bigint").alias("hop")
+        )
+        reached = reached.unionByName(new)
+        frontier = new.select("wallet_address")
+    return reached.withColumnRenamed("hop", "taint_hops")
+
+
+def peel_mid_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed peel with ONE midpoint depth persist (after round 2 of
+    3) — bounds subtree recomputation to <= 2x of a cached read while
+    paying one cache write instead of two."""
+    legs, in_busy, out_busy = R._flow_legs_and_fences(spark, sf_dir)
+    bcast = R._flow_fences_broadcastable(sf_dir)
+    hop_in = R._fence_anti(
+        legs, in_busy, "dst", "ib_b", "ib_day", "n_in", bcast
+    ).select(
+        F.col("event_id").alias("e_id"),
+        F.col("dst").alias("mid"),
+        F.col("us").alias("us_in"),
+        F.col("cents").alias("c_in"),
+        F.explode(F.array(F.col("day"), F.date_add(F.col("day"), 1))).alias(
+            "match_day"
+        ),
+    )
+    hop_out = R._fence_anti(
+        legs, out_busy, "src", "ob_b", "ob_day", "n_out", bcast
+    ).select(
+        F.col("event_id").alias("f_id"),
+        F.col("src").alias("mid2"),
+        F.col("us").alias("us_out"),
+        F.col("cents").alias("c_out"),
+        F.col("day").alias("out_day"),
+    )
+    P = persist_tracked(
+        hop_in.join(
+            hop_out,
+            (F.col("mid") == F.col("mid2")) & (F.col("match_day") == F.col("out_day")),
+        )
+        .filter(
+            (F.col("us_out") > F.col("us_in"))
+            & (F.col("us_out") - F.col("us_in") <= F.lit(R.FLOW_WINDOW_US))
+            & (F.lit(4) * F.col("c_in") <= F.lit(5) * F.col("c_out"))
+            & (F.col("c_out") <= F.col("c_in"))
+        )
+        .select("e_id", "f_id")
+    )
+    depth = legs.select(F.col("event_id").alias("e_id")).withColumn(
+        "d", F.lit(1).cast("bigint")
+    )
+    for i in range(R.PEEL_MAX_DEPTH - 1):
+        contrib = P.join(
+            depth.select(F.col("e_id").alias("f_id"), F.col("d").alias("fd")),
+            "f_id",
+        ).select("e_id", (F.col("fd") + F.lit(1)).alias("d"))
+        depth = (
+            depth.unionByName(contrib).groupBy("e_id").agg(F.max("d").alias("d"))
+        )
+        if i == (R.PEEL_MAX_DEPTH - 2) // 2:
+            depth = persist_tracked(depth)
+    return (
+        legs.select(F.col("event_id").alias("e_id"), "src")
+        .join(depth, "e_id")
+        .groupBy(F.col("src").alias("wallet_address"))
+        .agg(
+            F.max("d").cast("bigint").alias("max_peel_depth"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_peel_edges"),
+        )
+        .select(
+            "wallet_address",
+            "max_peel_depth",
+            "n_peel_edges",
+            (F.col("max_peel_depth") >= 3).alias("is_peeling"),
+        )
+    )
+
+
 VARIANTS = {
     "taint_union": ("wallet_taint_hops", taint_union),
+    "motifs_oldfence": ("wallet_flow_motifs", motifs_oldfence),
     "taint_unroll2": ("wallet_taint_hops", taint_unroll2),
     "peel_union": ("wallet_peel_depth", peel_union),
+    "taint_composed": ("wallet_taint_hops", taint_composed),
+    "taint_composed_lazy": ("wallet_taint_hops", taint_composed_lazy),
+    "taint_lazy_persist": ("wallet_taint_hops", taint_lazy_persist),
+    "peel_composed": ("wallet_peel_depth", peel_composed),
+    "lpa_dpart": ("wallet_label_propagation", lpa_dpart),
+    "pagerank_srcpart": ("wallet_pagerank", pagerank_srcpart),
+    "taint_lazy_edges_persist": ("wallet_taint_hops", taint_lazy_edges_persist),
+    "peel_mid_persist": ("wallet_peel_depth", peel_mid_persist),
 }
 
 
-def _timed(spark, fn, runs: int) -> float:
-    best = None
-    for _ in range(runs):
-        reset_session_memos(spark)
-        t0 = time.perf_counter()
-        with cache_scope():
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        took = time.perf_counter() - t0
-        best = took if best is None else min(best, took)
-    return best
+def _timed_once(spark, fn) -> float:
+    reset_session_memos(spark)
+    t0 = time.perf_counter()
+    with cache_scope():
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
+    import statistics
+
     wanted = sys.argv[1:] or list(VARIANTS)
     spark = get_spark("wrf-graph-ab")
     spark.sparkContext.setLogLevel("ERROR")
@@ -239,12 +686,28 @@ def main() -> None:
         if exp != got:
             print(f"{v}: NOT EQUIVALENT ({len(exp)} vs {len(got)} rows) — skipped")
             continue
-        # interleaved timing, base first then variant, min-of-N
-        b = _timed(spark, base_fn, RUNS)
-        x = _timed(spark, var_fn, RUNS)
+        # INTERLEAVED timing (r16: the box drifts; base-then-variant
+        # blocks confound drift with the effect): alternate which side
+        # runs first each pass, per-pass ratio, median ratio verdict.
+        base_runs, var_runs, ratios = [], [], []
+        for p in range(RUNS):
+            order = (
+                (("base", base_fn), ("var", var_fn))
+                if p % 2 == 0
+                else (("var", var_fn), ("base", base_fn))
+            )
+            pass_t = {}
+            for tag, fn in order:
+                pass_t[tag] = _timed_once(spark, fn)
+            base_runs.append(pass_t["base"])
+            var_runs.append(pass_t["var"])
+            ratios.append(pass_t["var"] / pass_t["base"])
         print(
-            f"{v}: base({base_name})={b:.3f}s variant={x:.3f}s "
-            f"ratio={x / b:.3f}"
+            f"{v}: base({base_name}) median={statistics.median(base_runs):.3f}s "
+            f"variant median={statistics.median(var_runs):.3f}s "
+            f"median_ratio={statistics.median(ratios):.3f} "
+            f"(base_runs={[round(t, 3) for t in base_runs]}, "
+            f"var_runs={[round(t, 3) for t in var_runs]})"
         )
 
 
