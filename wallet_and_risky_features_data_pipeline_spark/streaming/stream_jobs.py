@@ -865,7 +865,15 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import StructType
 
-    spark = _stream_session(spark)
+    # 16 state partitions (r16, the stateful-totals/reorder jobs' rule
+    # extended): this job shuffles the FULL event stream into Python
+    # state tasks, so addBatch scales with rows-per-partition — measured
+    # 2.7 -> 1.6 s (zscore) / 2.2 -> 1.5 s (cusum) / 2.7 -> 2.0 s
+    # (transitions) at 16 vs 4, while 32 regressed (per-partition state
+    # store overhead). Key-bounded snapshot jobs (PSI, drift) keep the
+    # 4-partition default (32 partitions there measured 2.4x WORSE).
+    # SPARK_GRAFT_STREAM_SHUFFLE still overrides for deployment sizing.
+    spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_alert_ckpt_")
 
@@ -1047,7 +1055,15 @@ def stream_funnel_alerts(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import StructType
 
-    spark = _stream_session(spark)
+    # 16 state partitions (r16, the stateful-totals/reorder jobs' rule
+    # extended): this job shuffles the FULL event stream into Python
+    # state tasks, so addBatch scales with rows-per-partition — measured
+    # 2.7 -> 1.6 s (zscore) / 2.2 -> 1.5 s (cusum) / 2.7 -> 2.0 s
+    # (transitions) at 16 vs 4, while 32 regressed (per-partition state
+    # store overhead). Key-bounded snapshot jobs (PSI, drift) keep the
+    # 4-partition default (32 partitions there measured 2.4x WORSE).
+    # SPARK_GRAFT_STREAM_SHUFFLE still overrides for deployment sizing.
+    spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_funnel_ckpt_")
 
@@ -1328,7 +1344,15 @@ def stream_rolling_zscore(
 
     from ..plans.sketch_plans import ZSCORE_MIN_BASELINE, ZSCORE_WINDOW
 
-    spark = _stream_session(spark)
+    # 16 state partitions (r16, the stateful-totals/reorder jobs' rule
+    # extended): this job shuffles the FULL event stream into Python
+    # state tasks, so addBatch scales with rows-per-partition — measured
+    # 2.7 -> 1.6 s (zscore) / 2.2 -> 1.5 s (cusum) / 2.7 -> 2.0 s
+    # (transitions) at 16 vs 4, while 32 regressed (per-partition state
+    # store overhead). Key-bounded snapshot jobs (PSI, drift) keep the
+    # 4-partition default (32 partitions there measured 2.4x WORSE).
+    # SPARK_GRAFT_STREAM_SHUFFLE still overrides for deployment sizing.
+    spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_zscore_ckpt_")
 
@@ -1499,7 +1523,15 @@ def stream_event_transitions(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import StructType
 
-    spark = _stream_session(spark)
+    # 16 state partitions (r16, the stateful-totals/reorder jobs' rule
+    # extended): this job shuffles the FULL event stream into Python
+    # state tasks, so addBatch scales with rows-per-partition — measured
+    # 2.7 -> 1.6 s (zscore) / 2.2 -> 1.5 s (cusum) / 2.7 -> 2.0 s
+    # (transitions) at 16 vs 4, while 32 regressed (per-partition state
+    # store overhead). Key-bounded snapshot jobs (PSI, drift) keep the
+    # 4-partition default (32 partitions there measured 2.4x WORSE).
+    # SPARK_GRAFT_STREAM_SHUFFLE still overrides for deployment sizing.
+    spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_transitions_ckpt_")
 
@@ -1619,7 +1651,15 @@ def stream_cusum_monitor(
 
     from ..plans.sketch_plans import CUSUM_EVENT_ALLOWANCE_C, CUSUM_EVENT_ALARM_C
 
-    spark = _stream_session(spark)
+    # 16 state partitions (r16, the stateful-totals/reorder jobs' rule
+    # extended): this job shuffles the FULL event stream into Python
+    # state tasks, so addBatch scales with rows-per-partition — measured
+    # 2.7 -> 1.6 s (zscore) / 2.2 -> 1.5 s (cusum) / 2.7 -> 2.0 s
+    # (transitions) at 16 vs 4, while 32 regressed (per-partition state
+    # store overhead). Key-bounded snapshot jobs (PSI, drift) keep the
+    # 4-partition default (32 partitions there measured 2.4x WORSE).
+    # SPARK_GRAFT_STREAM_SHUFFLE still overrides for deployment sizing.
+    spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_cusum_ckpt_")
 
@@ -1740,7 +1780,15 @@ def stream_activity_entropy(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import StructType
 
-    spark = _stream_session(spark)
+    # 16 state partitions (r16, the stateful-totals/reorder jobs' rule
+    # extended): this job shuffles the FULL event stream into Python
+    # state tasks, so addBatch scales with rows-per-partition — measured
+    # 2.7 -> 1.6 s (zscore) / 2.2 -> 1.5 s (cusum) / 2.7 -> 2.0 s
+    # (transitions) at 16 vs 4, while 32 regressed (per-partition state
+    # store overhead). Key-bounded snapshot jobs (PSI, drift) keep the
+    # 4-partition default (32 partitions there measured 2.4x WORSE).
+    # SPARK_GRAFT_STREAM_SHUFFLE still overrides for deployment sizing.
+    spark = _stream_session(spark, shuffle_partitions=16)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     ckpt_dir = _tracked_mkdtemp(prefix="wrf_entropy_ckpt_")
 
