@@ -644,9 +644,49 @@ def peel_mid_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def motifs_narrowcache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy wt + persist the PROJECTED 6-column leg frame instead of
+    reading the full-width explosion memo — the motif chain's four leg
+    consumers (two fence aggs, two hop streams) then read a cache that
+    carries only what they use."""
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        wallet_transactions_shared_or_lazy,
+    )
+
+    wt = wallet_transactions_shared_or_lazy(spark, SF_DIR)
+    legs = persist_tracked(
+        wt.filter(
+            (F.col("address_role") == "sender")
+            & F.col("interacted_with").isNotNull()
+            & (F.col("current_value") > 0)
+        ).select(
+            "event_id",
+            F.col("wallet_address").alias("src"),
+            F.col("interacted_with").alias("dst"),
+            F.unix_micros("ts").alias("us"),
+            F.to_date("ts").alias("day"),
+            F.expr("CAST(round(current_value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    in_busy = legs.groupBy(
+        F.col("dst").alias("ib_b"), F.col("day").alias("ib_day")
+    ).agg(F.count(F.lit(1)).alias("n_in"))
+    out_busy = legs.groupBy(
+        F.col("src").alias("ob_b"), F.col("day").alias("ob_day")
+    ).agg(F.count(F.lit(1)).alias("n_out"))
+    pairs = R._flow_pair_grain(
+        R._flow_paths(
+            legs, legs, in_busy, out_busy,
+            broadcast_fences=R._flow_fences_broadcastable(sf_dir),
+        )
+    )
+    return R._flow_rollup(pairs)
+
+
 VARIANTS = {
     "taint_union": ("wallet_taint_hops", taint_union),
     "motifs_oldfence": ("wallet_flow_motifs", motifs_oldfence),
+    "motifs_narrowcache": ("wallet_flow_motifs", motifs_narrowcache),
     "taint_unroll2": ("wallet_taint_hops", taint_unroll2),
     "peel_union": ("wallet_peel_depth", peel_union),
     "taint_composed": ("wallet_taint_hops", taint_composed),
