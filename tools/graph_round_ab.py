@@ -683,10 +683,54 @@ def motifs_narrowcache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R._flow_rollup(pairs)
 
 
+def runbal_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_running_balance with a lazy wt build and the PROJECTED
+    frame persisted AFTER the by-wallet repartition — the adaptive
+    router's three consumers (hot-key agg + both branches) read a
+    narrow wallet-partitioned cache, so the windows and the agg all
+    reuse one exchange worth of layout."""
+    from wallet_and_risky_features_data_pipeline_spark.operators.skew import (
+        adaptive_running_sum,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
+        ORDER_COLS,
+        by_wallet,
+        wallet_transactions_shared_or_lazy,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.windows_plans import (
+        HOT_KEY_THRESHOLD,
+        _KEY,
+    )
+
+    wt = wallet_transactions_shared_or_lazy(spark, SF_DIR).select(
+        "event_id", "ts", "priority", "transaction_index", "role_rank",
+        "wallet_address", "contract_address", "address_role", "signed_value",
+    )
+    wt = persist_tracked(by_wallet(wt))
+    df = adaptive_running_sum(
+        wt,
+        F.col("signed_value"),
+        list(_KEY),
+        list(ORDER_COLS),
+        out="balance",
+        chunk_expr=F.date_trunc("day", F.col("ts")),
+        threshold=HOT_KEY_THRESHOLD,
+    )
+    return df.select(
+        "event_id",
+        "wallet_address",
+        "contract_address",
+        "address_role",
+        F.col("signed_value").cast("double").alias("delta"),
+        F.col("balance").cast("double").alias("running_balance"),
+    )
+
+
 VARIANTS = {
     "taint_union": ("wallet_taint_hops", taint_union),
     "motifs_oldfence": ("wallet_flow_motifs", motifs_oldfence),
     "motifs_narrowcache": ("wallet_flow_motifs", motifs_narrowcache),
+    "runbal_narrow": ("window_running_balance", runbal_narrow),
     "taint_unroll2": ("wallet_taint_hops", taint_unroll2),
     "peel_union": ("wallet_peel_depth", peel_union),
     "taint_composed": ("wallet_taint_hops", taint_composed),

@@ -94,7 +94,24 @@ HOT_KEY_THRESHOLD = int(os.environ.get("SPARK_GRAFT_HOT_KEY_THRESHOLD", "2000000
 
 
 def window_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = by_wallet(wallet_transactions(spark, sf_dir))
+    # r16: lazy wt build + persist the PROJECTED frame AFTER the
+    # by-wallet repartition — the adaptive router's three consumers
+    # (hot-key occupancy agg + both branches) read a narrow
+    # wallet-partitioned cache instead of the full-width explosion
+    # memo, and the windows/aggregate above all reuse that one
+    # exchange's layout. Equivalence-gated interleaved A/B:
+    # 2.41 → 1.38 s median (0.59×).
+    from ..caching import persist_tracked
+
+    wt = persist_tracked(
+        by_wallet(
+            wallet_transactions_shared_or_lazy(spark, sf_dir).select(
+                "event_id", "ts", "priority", "transaction_index", "role_rank",
+                "wallet_address", "contract_address", "address_role",
+                "signed_value",
+            )
+        )
+    )
     df = adaptive_running_sum(
         wt,
         F.col("signed_value"),
@@ -531,7 +548,20 @@ GROUP BY 1, 2
 # oracle as window_running_balance (per (wallet, contract), chunked by
 # day bucket of the event time).
 def window_running_balance_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = by_wallet(wallet_transactions_lazy(spark, sf_dir))
+    # r16: salted_running_sum consumes its input TWICE (chunk windows +
+    # the per-chunk totals it joins back) — persist the projected frame
+    # after the by-wallet exchange, the window_running_balance rule.
+    from ..caching import persist_tracked
+
+    wt = persist_tracked(
+        by_wallet(
+            wallet_transactions_shared_or_lazy(spark, sf_dir).select(
+                "event_id", "ts", "priority", "transaction_index", "role_rank",
+                "wallet_address", "contract_address", "address_role",
+                "signed_value",
+            )
+        )
+    )
     df = salted_running_sum(
         wt,
         F.col("signed_value"),
