@@ -900,7 +900,10 @@ def _lpa_refresh_from_store(spark: SparkSession, sf_dir: str):
         from ..caching import persist_tracked as _pt
         from .risk_features import _lpa_rounds
 
-        sym_full = _pt(sym_full)  # consumed by every round + modularity
+        # consumed by every round + modularity; persisted partitioned
+        # on d so each round's join reads the cache's layout instead of
+        # re-exchanging |2E| rows (r16 — the _lpa_graph rule)
+        sym_full = _pt(sym_full.repartition("d"))
         final = persist_tracked(
             _lpa_rounds(sym_full, LPA_ROUNDS, persist_rounds=False)[-1]
         )
