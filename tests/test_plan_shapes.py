@@ -627,7 +627,6 @@ def test_single_consumer_plans_stream_without_memo_cache(spark):
         "window_ordering",
         "window_partition_totals",
         "window_lead_auc",
-        "window_running_balance_salted",
         "dq_feature_constraints",
         "wallet_features",
         "wallet_coin_balances",
@@ -636,6 +635,20 @@ def test_single_consumer_plans_stream_without_memo_cache(spark):
         assert "InMemoryTableScan" not in plan, (
             f"{name} reads a cold-session cache — the lazy build regressed"
         )
+    # window_running_balance_salted left the no-cache list in r16: its
+    # input is consumed TWICE (chunk windows + the totals join-back),
+    # so it now deliberately persists the PROJECTED nine-column frame —
+    # a query-scoped cache, NOT the full-width memo. Pin both halves:
+    # the cache exists, and it is the narrow frame (no wt-memo columns
+    # like current_value/transaction_type in the cached relation).
+    plan = _physical(QUERIES["window_running_balance_salted"](spark, SF_MEDIUM))
+    assert "InMemoryTableScan" in plan, (
+        "salted running balance lost its projected twice-consumed cache"
+    )
+    cached_schema = plan.split("InMemoryTableScan", 1)[1].split("\n")[0]
+    assert "current_value" not in cached_schema, (
+        "salted cache carries full-width legs — the projection regressed"
+    )
     # merely PLANNING the queries above must not have built the memo
     with wm._WT_LOCK:
         assert SF_MEDIUM not in wm._WT_MEMO.get(spark, {})

@@ -24,7 +24,6 @@ from .wallet_model import (
     ORDER_COLS,
     WALLET_TX_ORACLE_CTE,
     by_wallet,
-    wallet_transactions,
     wallet_transactions_shared_or_lazy,
 )
 
