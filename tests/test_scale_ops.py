@@ -647,6 +647,8 @@ def test_kcore_invariants_and_maximality(spark):
     from wallet_and_risky_features_data_pipeline_spark.plans.risk_features import (
         KCORE_K,
         wallet_kcore,
+    )
+    from wallet_and_risky_features_data_pipeline_spark.plans.wallet_model import (
         wallet_transactions,
     )
 
